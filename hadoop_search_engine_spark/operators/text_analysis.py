@@ -1,0 +1,100 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Generalizes the reference's only "NLP" (a dictionary keyword extractor,
+/root/reference/client/src/utils/searchProcessor.ts:4-17) into the
+column-level text statistics a web-scale curation pipeline runs over
+every document. Everything is built-in expressions (JVM codegen) —
+deliberately SQL-expressible so each operator has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokens_col
+
+# tiny deterministic stopword lists (heuristic language ID evidence)
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"]
+ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct token count via the canonical tokenizer."""
+    return F.size(tokens_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-like subword count proxy: word-piece boundaries at
+    alpha/digit transitions plus per-4-chars splits of long words —
+    cheap, deterministic, and a monotone proxy for LLM token cost."""
+    words = tokens_col(text)
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.greatest(F.ceil(F.length(w) / 4).cast("int"), F.lit(1)),
+    )
+
+
+def _count_words_in(tokens: Column, vocab: list[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(vocab)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: stopword-evidence vote between en/es,
+    'und' when no evidence. Deterministic, SQL-expressible — the shape
+    of a real n-gram classifier with the model folded to a word list."""
+    toks = tokens_col(text)
+    en = _count_words_in(toks, EN_STOPWORDS)
+    es = _count_words_in(toks, ES_STOPWORDS)
+    return (
+        F.when((en == 0) & (es == 0), F.lit("und"))
+        .when(en >= es, F.lit("en"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0, 1] quality heuristic from length / punctuation / stopword /
+    repetition ratios (the standard web-text quality features)."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop = _count_words_in(toks, EN_STOPWORDS + ES_STOPWORDS)
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.when(n_chars > 0, 1.0 - F.least(n_punct * 5.0 / n_chars, F.lit(1.0))).otherwise(F.lit(0.0))
+    stop_score = F.when(n_tok > 0, F.least(stop * 10.0 / n_tok, F.lit(1.0))).otherwise(F.lit(0.0))
+    return F.round(
+        (len_score + punct_penalty + stop_score + distinct_ratio) / 4.0, 6
+    )
+
+
+def fingerprint(text: Column, mod: int = (1 << 61) - 1) -> Column:
+    """Order-sensitive rolling polynomial hash over tokens
+    (Rabin-Karp style): fp = sum token_hash_i * 31^(n-1-i) mod 2^61-1,
+    folded left to right. Reordered tokens change the fingerprint;
+    useful as a cheap content-version id."""
+    toks = tokens_col(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * 31 + F.pmod(F.xxhash64(w), F.lit(mod)), F.lit(mod)),
+    )
+
+
+def analyze(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All analysis columns in one projection (single scan, codegen'd)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subwords"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,82 @@
+"""Single-node BM25 oracle — deliberately naive, trusted by inspection.
+
+The reference repo has no scorer to compare against (its "ranking" is
+posting order, /root/reference/server/src/services/search.service.js:
+58-90), so this NumPy oracle *is* the reference implementation of the
+BM25 engine's semantics: the distributed engine must be rank- AND
+score-identical to it on the reference query set (BASELINE.md
+correctness gate).
+
+Determinism contract shared with the engine: float64 everywhere,
+per-(term, doc) partials summed in ascending term order, ties broken
+by doc_id ascending, same tokenizer bytes.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from .. import BM25_B, BM25_K1
+from ..functions.bm25 import idf as _idf
+from ..functions.tokenizer import rewrite_terms, tokenize
+
+
+class BM25Oracle:
+    def __init__(self, docs: list[tuple[int, str]], k1: float = BM25_K1, b: float = BM25_B):
+        """docs: list of (doc_id, text)."""
+        self.k1, self.b = k1, b
+        self.postings: dict[str, dict[int, int]] = {}
+        self.doc_len: dict[int, int] = {}
+        for doc_id, text in docs:
+            toks = tokenize(text)
+            if not toks:
+                continue
+            self.doc_len[doc_id] = len(toks)
+            for term, tf in Counter(toks).items():
+                self.postings.setdefault(term, {})[doc_id] = tf
+        self.n_docs = len(self.doc_len)
+        self.avgdl = float(np.mean(list(self.doc_len.values()))) if self.doc_len else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def score_one(self, term: str, doc_id: int) -> float:
+        tf = float(self.postings[term][doc_id])
+        dl = float(self.doc_len[doc_id])
+        k1, b = self.k1, self.b
+        partial = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+        return _idf(self.n_docs, self.df(term)) * partial
+
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        synonyms: dict[str, str] | None = None,
+    ) -> list[tuple[int, float]]:
+        terms = rewrite_terms(tokenize(query_text), synonyms or {})
+        scores: dict[int, float] = {}
+        for term in sorted(set(terms)):  # ascending term order (determinism)
+            for doc_id in self.postings.get(term, {}):
+                scores[doc_id] = scores.get(doc_id, 0.0) + self.score_one(term, doc_id)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def or_union_first_seen(
+        self,
+        query_text: str,
+        synonyms: dict[str, str] | None = None,
+    ) -> list[tuple[int, str]]:
+        """Reference-compat semantics (search.service.js:59-83):
+        (doc_id, matched_term) in first-seen order, postings walked in
+        doc_id order per term."""
+        terms = rewrite_terms(tokenize(query_text), synonyms or {})
+        seen: set[int] = set()
+        out: list[tuple[int, str]] = []
+        for term in terms:
+            for doc_id in sorted(self.postings.get(term, {})):
+                if doc_id not in seen:
+                    seen.add(doc_id)
+                    out.append((doc_id, term))
+        return out

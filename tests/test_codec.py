@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_search_engine_spark.functions import codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = codec.varint_decode(codec.varint_encode(arr), expected=len(vals))
+    assert (out == arr).all()
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300),
+)
+@settings(max_examples=200, deadline=None)
+def test_doc_id_roundtrip(ids):
+    arr = np.sort(np.array(list(ids), dtype=np.int64))
+    base = int(arr[0])
+    buf = codec.encode_doc_ids(arr, base=base)
+    out = codec.decode_doc_ids(buf, n=len(arr), base=base)
+    assert (out == arr).all()
+
+
+def test_single_doc_df1():
+    arr = np.array([42], dtype=np.int64)
+    assert (codec.decode_doc_ids(codec.encode_doc_ids(arr), n=1) == arr).all()
+
+
+def test_zero_gap_illegal():
+    with pytest.raises(ValueError):
+        codec.delta_encode(np.array([5, 5], dtype=np.int64))
+
+
+def test_unsorted_illegal():
+    with pytest.raises(ValueError):
+        codec.delta_encode(np.array([5, 3], dtype=np.int64))
+
+
+def test_below_base_illegal():
+    with pytest.raises(ValueError):
+        codec.delta_encode(np.array([3], dtype=np.int64), base=5)
+
+
+def test_max_doc_id():
+    arr = np.array([2**62, 2**63 - 1], dtype=np.int64)
+    assert (codec.decode_doc_ids(codec.encode_doc_ids(arr), n=2) == arr).all()
+
+
+def test_tf_one_is_single_zero_byte():
+    assert codec.encode_tfs(np.array([1])) == b"\x00"
+    assert (codec.decode_tfs(b"\x00", n=1) == np.array([1])).all()
+
+
+def test_tf_nonpositive_illegal():
+    with pytest.raises(ValueError):
+        codec.encode_tfs(np.array([0]))
+
+
+def test_truncated_stream_detected():
+    with pytest.raises(ValueError):
+        codec.varint_decode(b"\x80")  # continuation byte with no terminator
+
+
+def test_compression_is_real():
+    # dense ids with small gaps must encode ~1 byte per id, far below
+    # the 8-byte raw representation
+    ids = np.arange(1_000_000, 1_000_000 + 128 * 3, 3, dtype=np.int64)
+    buf = codec.encode_doc_ids(ids, base=int(ids[0]))
+    assert len(buf) < len(ids) * 2

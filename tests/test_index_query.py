@@ -1,0 +1,154 @@
+"""End-to-end: index build + all query paths vs the NumPy oracle."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.corpus import SYNONYMS, reference_queries
+from hadoop_search_engine_spark.operators.query_exec import (
+    bm25_topk_dataframe,
+    or_union_search,
+    search_topk,
+)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _assert_rank_and_score_identical(got, want, qtext):
+    assert len(got) == len(want), f"{qtext}: {len(got)} vs {len(want)} results"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd, f"{qtext}: doc order {got} vs {want}"
+        assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-12), (
+            f"{qtext}: score {gs} vs {ws} for doc {gd}"
+        )
+
+
+@pytest.mark.parametrize("algorithm", ["wand", "dense"])
+def test_index_topk_matches_oracle_full_query_set(tiny_index, tiny_oracle, algorithm):
+    for q in reference_queries():
+        want = tiny_oracle.search(q["query_text"], k=q["k"], synonyms=SYNONYMS)
+        got = _pairs(
+            search_topk(
+                tiny_index, q["query_text"], k=q["k"],
+                synonyms=SYNONYMS, algorithm=algorithm,
+            )
+        )
+        _assert_rank_and_score_identical(got, want, q["query_text"])
+
+
+def test_dataframe_scorer_matches_oracle(tiny_corpus, tiny_oracle):
+    for q in reference_queries()[:12] + reference_queries()[18:30]:
+        want = tiny_oracle.search(q["query_text"], k=q["k"], synonyms=SYNONYMS)
+        got = _pairs(
+            bm25_topk_dataframe(tiny_corpus, q["query_text"], k=q["k"], synonyms=SYNONYMS)
+        )
+        _assert_rank_and_score_identical(got, want, q["query_text"])
+
+
+def test_empty_and_absent_queries(tiny_index, tiny_oracle):
+    for qtext in ["zzzzz", "", "   ", "!!??..", "qqq xxx zzz"]:
+        assert search_topk(tiny_index, qtext, k=10).count() == len(
+            tiny_oracle.search(qtext, k=10)
+        )
+
+
+def test_needle_fixture_hand_checkable(tiny_index, tiny_oracle):
+    got = _pairs(search_topk(tiny_index, "needle7", k=10))
+    assert sorted(d for d, _ in got) == sorted(d for d, _ in tiny_oracle.search("needle7"))
+    # needle7 exists in exactly 3 docs, tf=3 each
+    assert len(got) == 3
+
+
+def test_or_union_compat_matches_reference_semantics(tiny_index, tiny_oracle):
+    for qtext in ["needle7 w00000", "w00001 w00002", "needle3 zzz w00005"]:
+        want = tiny_oracle.or_union_first_seen(qtext, synonyms=SYNONYMS)
+        rows = or_union_search(tiny_index, qtext, synonyms=SYNONYMS).collect()
+        got = [(r["doc_id"], r["matched_term"]) for r in sorted(rows, key=lambda r: r["rank"])]
+        assert got == want, qtext
+
+
+def test_lexicon_consistent_with_oracle(tiny_index, tiny_oracle):
+    lex = {r["term"]: r["df"] for r in tiny_index.lexicon.collect()}
+    assert lex["needle7"] == 3
+    assert lex["needle3"] == 1
+    for term in ["w00000", "w00001", "w05000"]:
+        if term in lex or tiny_oracle.df(term):
+            assert lex.get(term, 0) == tiny_oracle.df(term)
+    n = tiny_index.stats.n_docs
+    assert n == tiny_oracle.n_docs
+    assert math.isclose(tiny_index.stats.avgdl, tiny_oracle.avgdl, rel_tol=1e-9)
+
+
+def test_blocks_are_compressed_and_sorted(tiny_index):
+    rows = tiny_index.postings.where(F.col("term") == "w00000").collect()
+    assert rows, "head term must exist"
+    # head term df ~= N → many blocks across shards
+    bs = tiny_index.stats.block_size
+    for r in rows:
+        assert 1 <= r["n_docs"] <= bs
+        assert len(bytes(r["doc_ids"])) < 8 * r["n_docs"]
+    # global doc_id order within the term across (shard, block_id)
+    ordered = sorted(rows, key=lambda r: (r["shard"], r["block_id"]))
+    firsts = [r["first_doc_id"] for r in ordered]
+    assert firsts == sorted(firsts)
+
+
+def test_checkpoints_lineage_counters(tiny_index, tiny_oracle):
+    ck = tiny_index.checkpoints.where(F.col("bucket") >= 0)
+    agg = ck.agg(
+        F.sum("postings").alias("p"), F.sum("tokens").alias("t")
+    ).collect()[0]
+    want_postings = sum(len(p) for p in tiny_oracle.postings.values())
+    want_tokens = sum(tiny_oracle.doc_len.values())
+    assert agg["p"] == want_postings
+    assert agg["t"] == want_tokens
+
+
+def test_resume_after_injected_failure(spark, tiny_corpus, tiny_oracle, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    out = str(tmp_path / "idx_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(
+            spark, tiny_corpus, out, num_shards=4, n_buckets=8,
+            block_size=16, n_waves=4, fail_after_waves=2,
+        )
+    # resume completes the remaining buckets only
+    build_index(
+        spark, tiny_corpus, out, num_shards=4, n_buckets=8,
+        block_size=16, n_waves=4, resume=True,
+    )
+    idx = Index.load(spark, out)
+    ck = {r["bucket"] for r in idx.checkpoints.collect()}
+    assert ck == set(range(-1, 8))
+    got = _pairs(search_topk(idx, "w00000 w00123", k=10))
+    want = tiny_oracle.search("w00000 w00123", k=10)
+    _assert_rank_and_score_identical(got, want, "resume query")
+
+
+def test_index_invariant_across_parallelism(spark, tmp_path):
+    """Same corpus, different parallelism → identical index content."""
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    def build(nparts, tag):
+        docs = assign_doc_ids(
+            gen_documents(spark, 150, n_partitions=nparts), num_partitions=nparts
+        ).select("doc_id", "text")
+        out = str(tmp_path / f"idx_{tag}")
+        build_index(spark, docs, out, num_shards=3, n_buckets=4, block_size=16)
+        idx = Index.load(spark, out)
+        rows = idx.postings.select(
+            "term", "shard", "block_id", "first_doc_id",
+            F.hex(F.col("doc_ids")).alias("d"), F.hex(F.col("tfs")).alias("t"),
+            "n_docs", "block_max",
+        ).collect()
+        return sorted(map(tuple, rows))
+
+    assert build(2, "a") == build(5, "b")

@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators import similarity
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF01}/embeddings.parquet").persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cos = np.round(cos, 6)
+    order = np.lexsort((ids, -cos))[:k]
+    return [(int(ids[i]), float(cos[i])) for i in order]
+
+
+def test_bruteforce_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[0].tolist()
+    want = _numpy_topk(ids, mat, q, 10)
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
+
+
+def test_lsh_topk_recall(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[7].tolist()
+    exact = {d for d, _ in _numpy_topk(ids, mat, q, 10)}
+    approx = {
+        r["vec_id"]
+        for r in similarity.lsh_bucket_topk(
+            emb, q, k=10, n_planes=6, n_probe_bits=2
+        ).collect()
+    }
+    # recall@10 >= 0.5 with 6 planes / probe 2 on 500 vectors
+    assert len(exact & approx) >= 5
+
+
+def test_lsh_self_hit(emb, emb_np):
+    ids, mat = emb_np
+    q = mat[42].tolist()
+    got = similarity.lsh_bucket_topk(emb, q, k=1, n_planes=8, n_probe_bits=0).collect()
+    # the query vector itself is always in its own bucket
+    assert got[0]["vec_id"] == 42
+
+
+def test_cosine_dup_pairs_vs_exact(spark):
+    # construct a small set with known near-dups
+    base = np.array([1.0, 2.0, 3.0, 4.0])
+    rows = [
+        (1, (base / np.linalg.norm(base)).tolist()),
+        (2, (base * 2.0 / np.linalg.norm(base * 2)).tolist()),  # same direction
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, (base + np.array([0.01, 0, 0, 0])).tolist()),  # near
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_dup_pairs_exact(df, threshold=0.999).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_dup_pairs(df, threshold=0.999, n_planes=4).collect()
+    }
+    assert (1, 2) in exact and (1, 4) in exact
+    assert lsh <= exact  # LSH returns only verified true pairs
+    assert (1, 2) in lsh  # identical direction always shares every bucket
