@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <dir>}
+
+Headline set: full index build over the sf documents table (docs/sec
+recorded as a query entry), BM25 top-k via block-max WAND over the
+built index (warm, several query shapes), the exhaustive DataFrame
+scorer, the reference's inverted-index construction, and the heaviest
+training-data operators (minhash LSH dedup, brute-force ANN) plus
+TPC-H Q1 as the relational yardstick.
+
+Scaling evidence for the north rule (same job at local[8] vs local[32])
+lives in bench_scaling.py, which writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from hadoop_search_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="hse-bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as entry_mod
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        bm25_topk_dataframe,
+        search_topk,
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 4)
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .persist()
+    )
+    n_docs = docs.count()
+
+    idx_dir = "/tmp/hse_bench_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, n_buckets=16)
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 4)
+    timings["index_build_docs_per_sec"] = round(n_docs / build_sec, 2)
+
+    idx = Index.load(spark, idx_dir)
+    # warm-up one query (JIT/codegen warm path), not timed
+    search_topk(idx, "table", k=10).collect()
+
+    wand_queries = {
+        "wand_head_term": "table",
+        "wand_multi_term": "spark query table",
+        "wand_tail_term": "customer window",
+        "wand_k100": "data value row",
+    }
+    for name, q in wand_queries.items():
+        k = 100 if name.endswith("k100") else 10
+        timed(name, lambda q=q, k=k: search_topk(idx, q, k=k).collect())
+
+    timed(
+        "bm25_dataframe_exhaustive",
+        lambda: bm25_topk_dataframe(docs, "spark query table", k=20).collect(),
+    )
+    timed(
+        "inverted_index_build",
+        lambda: entry_mod.q_inverted_index(spark, sf_dir).count(),
+    )
+    timed("minhash_lsh_dedup", lambda: entry_mod.q_minhash_lsh(spark, sf_dir).count())
+    timed("ann_bruteforce", lambda: entry_mod.q_ann_cosine_topk(spark, sf_dir).collect())
+    timed("tpch_q1", lambda: entry_mod.q_tpch_q1(spark, sf_dir).collect())
+
+    total = round(sum(v for k, v in timings.items() if not k.endswith("docs_per_sec")), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+query headline suite (sec, lower is better)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

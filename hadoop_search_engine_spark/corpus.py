@@ -113,7 +113,7 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
     doc_of_tok = np.repeat(np.arange(n), lens)
     tok_idx = np.arange(total) - offsets[doc_of_tok]
     counters = (ids[doc_of_tok].astype(np.uint64) << np.uint64(21)) | tok_idx.astype(np.uint64)
-    u = _splitmix64(counters ^ np.uint64(0xABCDEF0123456789)).astype(np.float64) / 2**64
+    u = _splitmix64(counters ^ np.uint64(0xABCDEF0123456789)).astype(np.float64) * np.float64(2.0**-64)
     word_ids = np.searchsorted(_ZIPF_CDF, u, side="left").clip(0, VOCAB_SIZE - 1)
     words = _VOCAB[word_ids]
 

@@ -90,7 +90,7 @@ class MediaDecoder:
             np.array([b.astype(np.uint64).sum()], dtype=np.uint64)
         )[0]
         h = _splitmix64(seed + np.arange(FEATURE_DIM, dtype=np.uint64))
-        feats = (h.astype(np.float64) / 2**64).astype(np.float32)
+        feats = (h.astype(np.float64) * np.float64(2.0**-64)).astype(np.float32)
         n_frames = int(seed % np.uint64(30)) + 1
         return n_frames, feats
 

@@ -67,8 +67,8 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     from ..corpus import _splitmix64
 
     ids = np.arange(dim * n_planes, dtype=np.uint64)
-    u1 = _splitmix64(ids).astype(np.float64) / 2**64
-    u2 = _splitmix64(ids ^ np.uint64(0x5DEECE66D)).astype(np.float64) / 2**64
+    u1 = _splitmix64(ids).astype(np.float64) * np.float64(2.0**-64)
+    u2 = _splitmix64(ids ^ np.uint64(0x5DEECE66D)).astype(np.float64) * np.float64(2.0**-64)
     u1 = np.clip(u1, 1e-12, 1.0)
     g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)  # Box-Muller
     return g.reshape(n_planes, dim)
