@@ -74,11 +74,15 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def fingerprint(text: Column, mod: int = (1 << 61) - 1) -> Column:
+def fingerprint(text: Column, mod: int = (1 << 56) - 5) -> Column:
     """Order-sensitive rolling polynomial hash over tokens
-    (Rabin-Karp style): fp = sum token_hash_i * 31^(n-1-i) mod 2^61-1,
+    (Rabin-Karp style): fp = sum token_hash_i * 31^(n-1-i) mod 2^56-5,
     folded left to right. Reordered tokens change the fingerprint;
-    useful as a cheap content-version id."""
+    useful as a cheap content-version id.
+
+    The modulus is < 2^56 so the fold step `acc*31 + h` peaks below
+    2^61 + 2^56 and never overflows int64 under ANSI mode (Spark 4
+    default) — a 2^61-1 modulus would overflow at `acc*31`."""
     toks = tokens_col(text)
     return F.aggregate(
         toks,
