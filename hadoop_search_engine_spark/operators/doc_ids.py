@@ -41,8 +41,14 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         offsets[pid] = acc
         acc += cnt
     spark = docs.sparkSession
+    import pandas as pd
+
+    # pandas input → Arrow path (a Python-list createDataFrame costs a
+    # fresh non-reused Python worker per downstream job, ~5 s each)
     offsets_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "pid int, _offset long"
+        pd.DataFrame(
+            {"pid": list(offsets.keys()), "_offset": list(offsets.values())}
+        ).astype({"pid": "int32", "_offset": "int64"})
     )
     w = Window.partitionBy("_pid").orderBy("_h", "url")
     out = (

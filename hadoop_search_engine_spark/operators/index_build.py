@@ -10,20 +10,24 @@ physical design for 10^12 documents:
   * tokenize with JVM-side expressions (whole-stage codegen), not
     per-row Python — the analog of the reference's
     ``explode(split(lower(col)))`` branches (README.md:372-402);
-  * ``groupBy(term, doc_id).count()`` replaces ``.distinct()``
-    (README.md:424) — Catalyst plans partial (map-side) aggregation,
-    and tf comes out for free;
+  * terms are hashed to int64 (``xxhash64``) at the map side, so the
+    corpus-sized shuffle moves only fixed-width columns; the one place
+    term strings shuffle is the vocab-sized term_dict (map-side dedup);
   * **sharding = salting**: every posting carries
-    ``shard = doc_id // shard_span`` (a contiguous doc_id range).
-    Posting-block groups are ``(term, shard)``, so a Zipf head term
-    with df ≈ N is split across all shards into bounded groups (the
-    skew salt), while blocks remain globally sorted by doc_id within a
-    term (ORDER BY term, shard, block_id == ORDER BY term, doc_id) —
-    no post-hoc external merge of salted runs is needed, and the query
-    side gets document-sharded parallelism for free;
-  * per-(term, shard) groups are encoded by an Arrow ``applyInPandas``
-    UDF into 128-doc blocks: delta+varint doc_ids, varint tfs, and an
-    idf-independent per-block WAND bound
+    ``shard = doc_id // shard_span`` (a contiguous doc_id range, span
+    fixed — never a function of cluster size). Posting runs are
+    ``(term, shard)``, so a Zipf head term with df ≈ N is split across
+    all shards into bounded groups (the skew salt), while blocks remain
+    globally sorted by doc_id within a term (ORDER BY term, shard,
+    block_id == ORDER BY term, doc_id) — no post-hoc external merge of
+    salted runs is needed, and the query side gets document-sharded
+    parallelism for free;
+  * the corpus is shuffled EXACTLY ONCE per wave: token events
+    hash-repartition on (term_hash, shard), Tungsten-sort within
+    partitions, and stream through a ``mapInPandas`` encoder that cuts
+    (term, shard) runs at NumPy change points, aggregates tf with
+    ``np.unique``, and emits 128-doc blocks: delta+varint doc_ids,
+    varint tfs, and an idf-independent per-block WAND bound
     ``max(tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)))`` (multiplied by idf
     at query time, so df statistics are not needed inside the encoder);
   * postings are written partitioned by ``bucket = hash(term) % B``
@@ -57,9 +61,33 @@ from ..functions import codec
 from ..functions.bm25 import idf_col
 from ..functions.tokenizer import tokens_col
 
+def _phase_timer():
+    """Opt-in phase timing: SPARK_GRAFT_PROFILE=1 prints per-phase secs."""
+    import time
+
+    enabled = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    state = {"t": time.time()}
+
+    def mark(name: str) -> None:
+        now = time.time()
+        if enabled:
+            print(f"[build-phase] {name}: {now - state['t']:.2f}s", flush=True)
+        state["t"] = now
+
+    return mark
+
+
+# Postings are keyed by xxhash64(term), not the term string: the
+# corpus-sized shuffle then moves only fixed-width ints (Tungsten radix
+# sort; no corpus-sized Python-string materialization on the Arrow
+# boundary) and the string→metadata mapping lives once per distinct
+# term in the lexicon (term, term_hash, df, idf, ...). A 64-bit hash
+# collision would merge two terms' postings; the probability is
+# ~n²/2^65 (≈3e-6 for a 10M-term vocabulary) and the term_dict makes
+# collisions detectable at build time.
 POSTINGS_SCHEMA = (
-    "term string, shard int, block_id int, first_doc_id long, "
-    "doc_ids binary, tfs binary, n_docs int, tf_sum long, "
+    "term_hash long, shard int, block_id int, first_doc_id long, "
+    "doc_ids binary, tfs binary, n_docs int, tf_sum long, n_bytes int, "
     "block_max double, bucket int"
 )
 
@@ -105,57 +133,125 @@ def term_frequencies(docs: DataFrame) -> DataFrame:
     return terms.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
 
 
+def term_frequencies_with_dl(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, doc_len, tf) — ``doc_len`` rides along as an
+    extra (functionally dependent) grouping key, computed as
+    ``size(tokens)`` during tokenization. This is what lets the index
+    build skip the tf ⋈ doc_stats shuffle join entirely: at 10^12 docs
+    that join re-shuffles every posting once more; here doc_len costs
+    zero extra shuffles."""
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    terms = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("doc_len"),
+        F.explode("toks").alias("term"),
+    )
+    return terms.groupBy("term", "doc_id", "doc_len").agg(
+        F.count("*").alias("tf")
+    )
+
+
 def doc_stats(tf: DataFrame) -> DataFrame:
     """(term, doc_id, tf) -> (doc_id, doc_len)."""
     return tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
 
 
-def _make_encoder(stats: IndexStats):
-    block_size, k1, b, avgdl = stats.block_size, stats.k1, stats.b, stats.avgdl
-    shard_span, n_buckets = stats.shard_span, stats.n_buckets
+_POSTINGS_COLUMNS = [
+    "term_hash", "shard", "block_id", "first_doc_id", "doc_ids",
+    "tfs", "n_docs", "tf_sum", "n_bytes", "block_max", "bucket",
+]
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One group == one (term, shard): all postings of `term` whose
-        # doc_id falls in [shard*span, (shard+1)*span). Bounded size by
-        # construction (<= shard_span docs), so the pandas materialization
-        # can never blow up on a head term — the process.py:223 collect()
-        # mistake is structurally impossible here.
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iat[0]
-        shard = int(pdf["shard"].iat[0])
-        bucket = int(pdf["bucket"].iat[0])
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["doc_len"].to_numpy(np.float64)
+
+def _make_encoder(stats: IndexStats):
+    """Streaming encoder for :func:`mapInPandas` over SORTED partitions.
+
+    Input: raw token events (term, shard, bucket, doc_id, doc_len) —
+    duplicates included — hash-repartitioned on (term, shard) and
+    sorted within each partition by (term, shard, doc_id). This is the
+    classic sort-based index build: the one corpus shuffle is a
+    Tungsten sort shuffle, and the encoder streams Arrow batches,
+    slicing complete (term, shard) runs with NumPy change-point
+    detection and carrying the trailing incomplete run into the next
+    batch. No ``groupBy().applyInPandas`` (measured ~0.7 ms dispatch
+    per group — more than the entire JVM shuffle at Zipf vocab sizes)
+    and no ``collect_list`` packing (ObjectHashAggregate falls back to
+    sort-based aggregation past 128 distinct keys and degrades
+    catastrophically at corpus volume).
+
+    tf is aggregated here with ``np.unique`` over each sorted run, so
+    there is no separate ``groupBy(term, doc_id)`` stage. Memory per
+    task is bounded: one Arrow batch plus the largest single (term,
+    shard) run (<= shard_span docs × per-doc tf) — the reference's
+    collect()-to-driver mistake (process.py:223) is structurally
+    impossible here.
+    """
+    block_size, k1, b, avgdl = stats.block_size, stats.k1, stats.b, stats.avgdl
+
+    def encode_run(term_hash: int, shard: int, bucket: int,
+                   ids: np.ndarray, dls_occ: np.ndarray, rows: list) -> None:
+        # ids are pre-sorted (partition sort order); np.unique keeps it.
+        doc_ids, first_idx, counts = np.unique(
+            ids, return_index=True, return_counts=True
+        )
+        tfs = counts.astype(np.int64)
+        dls = dls_occ[first_idx].astype(np.float64)
         partial = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-        rows = []
         for blk, start in enumerate(range(0, len(doc_ids), block_size)):
             d = doc_ids[start : start + block_size]
             t = tfs[start : start + block_size]
             p = partial[start : start + block_size]
+            enc_d = codec.encode_doc_ids(d, base=int(d[0]))
+            enc_t = codec.encode_tfs(t)
             rows.append(
                 (
-                    term,
-                    shard,
-                    blk,
-                    int(d[0]),
-                    codec.encode_doc_ids(d, base=int(d[0])),
-                    codec.encode_tfs(t),
-                    len(d),
-                    int(t.sum()),
-                    float(p.max()),
-                    bucket,
+                    term_hash, shard, blk, int(d[0]), enc_d, enc_t,
+                    len(d), int(t.sum()), len(enc_d) + len(enc_t),
+                    float(p.max()), bucket,
                 )
             )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "shard", "block_id", "first_doc_id", "doc_ids",
-                "tfs", "n_docs", "tf_sum", "block_max", "bucket",
-            ],
-        )
 
-    return encode_group
+    def encode_complete(pdf: pd.DataFrame, rows: list) -> None:
+        terms = pdf["term_hash"].to_numpy(np.int64)
+        shards = pdf["shard"].to_numpy()
+        n = len(pdf)
+        # run boundaries: change points of (term_hash, shard)
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        )
+        starts = np.concatenate([[0], change + 1])
+        ends = np.concatenate([change + 1, [n]])
+        buckets = pdf["bucket"].to_numpy()
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        dls = pdf["doc_len"].to_numpy(np.int64)
+        for s, e in zip(starts, ends):
+            encode_run(int(terms[s]), int(shards[s]), int(buckets[s]),
+                       ids[s:e], dls[s:e], rows)
+
+    def encode_stream(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            terms = pdf["term_hash"].to_numpy(np.int64)
+            shards = pdf["shard"].to_numpy()
+            # hold back the trailing (possibly incomplete) run
+            tail_mask = (terms == terms[-1]) & (shards == shards[-1])
+            not_tail = np.flatnonzero(~tail_mask)
+            cut = int(not_tail[-1]) + 1 if not_tail.size else 0
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            if len(head):
+                rows: list = []
+                encode_complete(head, rows)
+                yield pd.DataFrame(rows, columns=_POSTINGS_COLUMNS)
+        if carry is not None and len(carry):
+            rows = []
+            encode_complete(carry, rows)
+            yield pd.DataFrame(rows, columns=_POSTINGS_COLUMNS)
+
+    return encode_stream
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
@@ -166,8 +262,8 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
     return d, t
 
 
-def _bucket_col(term: F.Column, n_buckets: int) -> F.Column:
-    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+def _bucket_col(term_hash: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(term_hash, F.lit(n_buckets)).cast("int")
 
 
 def build_index(
@@ -191,7 +287,9 @@ def build_index(
     ``resume=True`` skips buckets already committed. ``fail_after_waves``
     is a test hook that raises after N committed waves (kill/resume test).
     """
+    mark = _phase_timer()
     postings_dir = os.path.join(out_dir, "postings")
+    term_stats_dir = os.path.join(out_dir, "term_stats")
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     if not resume and os.path.isdir(out_dir):
         # fresh-build semantics are overwrite (the reference's
@@ -208,26 +306,38 @@ def build_index(
             for r in spark.read.parquet(ckpt_dir).select("bucket").collect()
         }
 
-    tf = term_frequencies(docs)
-    tf.persist()
     phase0_done = resume and os.path.exists(_stats_path(out_dir)) and -1 in done
     if phase0_done:
         stats = read_stats(out_dir)
     else:
-        ds = doc_stats(tf)
-        agg = ds.agg(
-            F.count("*").alias("n"),
-            F.avg("doc_len").alias("avgdl"),
-            F.max("doc_id").alias("max_id"),
-        ).collect()[0]
-        n_docs, avgdl, max_id = int(agg["n"]), float(agg["avgdl"]), int(agg["max_id"])
-        if num_shards is None:
-            # target <= ~256k docs per shard, at least the session's
-            # parallelism so every core gets query-time work.
-            num_shards = max(
-                spark.sparkContext.defaultParallelism,
-                (max_id + 1 + (1 << 18) - 1) >> 18,
+        # doc stats from a narrow tokenize pass — size(tokens) per doc,
+        # no explode, no shuffle, no cache. Written first; the corpus
+        # aggregate (N, avgdl, max_id) is then a trivial re-read of the
+        # written doc_stats files rather than a second full pass.
+        ds = docs.select(
+            "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len")
+        )
+        ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats_flat"))
+        agg = (
+            spark.read.parquet(os.path.join(out_dir, "doc_stats_flat"))
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.max("doc_id").alias("max_id"),
             )
+            .collect()[0]
+        )
+        n_docs, avgdl, max_id = int(agg["n"]), float(agg["avgdl"]), int(agg["max_id"])
+        mark("doc_stats_flat+agg")
+        if num_shards is None:
+            # Fixed shard span (~128k docs), NOT a function of the
+            # session's parallelism: tying shards to core count makes
+            # the number of (term, shard) encode groups — i.e. total
+            # work — grow with the cluster, which inverts scaling
+            # (4x cores -> 4x groups -> flat wall-clock). A fixed span
+            # also makes the index layout invariant across parallelism
+            # levels, which the determinism tests assert.
+            num_shards = max(1, (max_id + 1 + (1 << 17) - 1) >> 17)
         shard_span = max(1, -(-(max_id + 1) // num_shards))
         stats = IndexStats(
             n_docs=n_docs, avgdl=avgdl, shard_span=shard_span,
@@ -239,22 +349,50 @@ def build_index(
         # posting blocks with the doc-length array of the same doc_id
         # range (no per-doc join on the scoring path).
         (
-            ds.withColumn(
+            spark.read.parquet(os.path.join(out_dir, "doc_stats_flat"))
+            .withColumn(
                 "shard", (F.col("doc_id") / F.lit(stats.shard_span)).cast("int")
             )
             .repartition("shard")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "doc_stats"))
         )
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "doc_stats_flat"), ignore_errors=True)
+        # term dictionary: the only place term STRINGS are shuffled —
+        # map-side partial dedup shrinks it to ~|vocab| rows before the
+        # exchange. The lexicon joins stats back to strings through it.
+        (
+            docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+            .distinct()
+            .select("term", F.xxhash64("term").alias("term_hash"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "term_dict"))
+        )
+        mark("doc_stats_sharded+term_dict")
         _commit_checkpoint(spark, ckpt_dir, buckets=[-1])
         done.add(-1)
+        mark("phase0_checkpoint")
 
-    ds = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
-
+    # Raw token events (term_hash, doc_id, doc_len) — duplicates
+    # included, terms hashed to int64 at the map side so the shuffle
+    # moves only fixed-width columns. tf aggregation happens inside
+    # the encoder after the one and only corpus shuffle. doc_len rides
+    # along as a functionally-dependent column, so there is no join
+    # against doc_stats and no groupBy(term, doc_id) stage.
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
     enriched = (
-        tf.join(ds, "doc_id")
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("doc_len"),
+            F.explode("toks").alias("term"),
+        )
+        .select(
+            F.xxhash64("term").alias("term_hash"), "doc_id", "doc_len",
+        )
         .withColumn("shard", (F.col("doc_id") / F.lit(stats.shard_span)).cast("int"))
-        .withColumn("bucket", _bucket_col(F.col("term"), stats.n_buckets))
+        .withColumn("bucket", _bucket_col(F.col("term_hash"), stats.n_buckets))
     )
 
     encoder = _make_encoder(stats)
@@ -265,42 +403,70 @@ def build_index(
         if not todo:
             continue
         wave_df = enriched.where(F.col("bucket").isin(todo))
-        blocks = wave_df.groupBy("term", "shard").applyInPandas(
-            encoder, schema=POSTINGS_SCHEMA
+        # ONE shuffle of the corpus: hash-repartition token events on
+        # (term, shard) — every run lands whole in one partition — then
+        # a Tungsten in-partition sort puts runs in (term, shard,
+        # doc_id) order and the streaming encoder consumes them as
+        # Arrow batches.
+        sorted_events = wave_df.repartition("term_hash", "shard").sortWithinPartitions(
+            "term_hash", "shard", "doc_id"
         )
+        blocks = sorted_events.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
+        mark(f"wave{wave_id}_plan")
         (
-            blocks.repartition("bucket", "term")
-            .sortWithinPartitions("term", "shard", "block_id")
-            .write.mode("append")
+            blocks.repartition("bucket", "term_hash")
+            .sortWithinPartitions("term_hash", "shard", "block_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(postings_dir)
         )
-        # lineage counters per bucket from the committed files
-        # (column-pruned, partition-pruned scan of what just landed).
+        mark(f"wave{wave_id}_encode_write")
+        # per-(term, bucket) stats from the committed files — a
+        # column-pruned, partition-pruned scan over the small int
+        # columns only (n_bytes is precomputed in the encoder so the
+        # binary posting columns are never re-read). This table then
+        # serves both the lineage counters and the final lexicon, so
+        # the full postings are scanned zero extra times.
+        (
+            spark.read.parquet(postings_dir)
+            .where(F.col("bucket").isin(todo))
+            .groupBy("term_hash", "bucket")
+            .agg(
+                F.sum("n_docs").alias("df"),
+                F.count("*").alias("n_blocks"),
+                F.sum("tf_sum").alias("tokens"),
+                F.sum("n_bytes").alias("bytes"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(term_stats_dir)
+        )
         per_bucket = {
             int(r["bucket"]): r
             for r in (
-                spark.read.parquet(postings_dir)
+                spark.read.parquet(term_stats_dir)
                 .where(F.col("bucket").isin(todo))
                 .groupBy("bucket")
                 .agg(
-                    F.countDistinct("term").alias("terms"),
-                    F.count("*").alias("blocks"),
-                    F.sum("n_docs").alias("postings"),
-                    F.sum("tf_sum").alias("tokens"),
-                    (F.sum(F.length("doc_ids")) + F.sum(F.length("tfs"))).alias("bytes"),
+                    F.count("*").alias("terms"),
+                    F.sum("n_blocks").alias("blocks"),
+                    F.sum("df").alias("postings"),
+                    F.sum("tokens").alias("tokens"),
+                    F.sum("bytes").alias("bytes"),
                 )
                 .collect()
             )
         }
+        mark(f"wave{wave_id}_term_stats+counters")
         _commit_checkpoint(spark, ckpt_dir, buckets=todo, per_bucket=per_bucket)
         committed += 1
         if fail_after_waves is not None and committed >= fail_after_waves:
-            tf.unpersist()
             raise RuntimeError(f"injected failure after {committed} committed wave(s)")
 
     _write_lexicon(spark, out_dir, stats)
-    tf.unpersist()
+    mark("lexicon")
     return stats
 
 
@@ -330,19 +496,30 @@ def _commit_checkpoint(
                 int(c["postings"]), int(c["tokens"]), int(c["bytes"]),
             )
         )
-    df = spark.createDataFrame(
+    # pandas input → Arrow path: a plain-Python-list createDataFrame
+    # routes every evaluation through a fresh (non-reused) Python
+    # worker — measured ~5 s per tiny job vs ~0.2 s via Arrow.
+    pdf = pd.DataFrame(
         rows,
-        "bucket int, status string, terms long, blocks long, "
-        "postings long, tokens long, bytes long",
-    ).withColumn("committed_at", F.current_timestamp())
+        columns=["bucket", "status", "terms", "blocks",
+                 "postings", "tokens", "bytes"],
+    ).astype({"bucket": "int32", "terms": "int64", "blocks": "int64",
+              "postings": "int64", "tokens": "int64", "bytes": "int64"})
+    df = spark.createDataFrame(pdf).withColumn(
+        "committed_at", F.current_timestamp()
+    )
     df.coalesce(1).write.mode("append").parquet(ckpt_dir)
 
 
 def _write_lexicon(spark: SparkSession, out_dir: str, stats: IndexStats) -> None:
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-    lex = (
-        postings.groupBy("term", "bucket")
-        .agg(F.sum("n_docs").alias("df"), F.count("*").alias("n_blocks"))
-        .withColumn("idf", idf_col(stats.n_docs, F.col("df")))
+    # derived from the per-wave term_stats rollup (one row per
+    # (term_hash, bucket)) joined back to term strings through the
+    # term_dict — never a re-scan of the binary postings. Both sides
+    # are vocab-sized; the join key is the hash both are bucketed by.
+    term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    term_dict = spark.read.parquet(os.path.join(out_dir, "term_dict"))
+    lex = term_stats.join(term_dict, "term_hash").select(
+        "term", "term_hash", "bucket", "df", "n_blocks",
+        idf_col(stats.n_docs, F.col("df")).alias("idf"),
     )
     lex.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))

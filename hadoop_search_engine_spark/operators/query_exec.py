@@ -49,6 +49,20 @@ from .index_build import IndexStats, read_stats, term_frequencies
 
 TOPK_SCHEMA = "doc_id long, score double"
 
+def _empty_df(spark: SparkSession, schema: str) -> DataFrame:
+    """Empty DataFrame without a Python-worker round trip.
+
+    ``createDataFrame([], schema)`` still plans a Python RDD scan whose
+    every evaluation forks a non-reused worker (~5 s per job); an empty
+    ``spark.range(0)`` projection stays entirely JVM-side.
+    """
+    cols = []
+    for field in schema.split(","):
+        name, typ = field.strip().split(" ", 1)
+        cols.append(F.lit(None).cast(typ.strip()).alias(name))
+    return spark.range(0).select(*cols)
+
+
 
 @dataclass
 class Index:
@@ -86,12 +100,17 @@ def parse_query(query_text: str, synonyms: dict[str, str] | None = None) -> list
 def _lookup_terms(index: Index, terms: list[str]) -> dict[str, dict]:
     """Lexicon probe for the query terms — bucket partition pruning via
     the pushed-down ``term IN (...)`` filter; result is query metadata
-    (<= a handful of rows), the one place collect() is legitimate."""
+    (<= a handful of rows), the one place collect() is legitimate.
+    Returns term → {df, idf, bucket, hash}; the hash is the postings
+    key (postings never store term strings)."""
     if not terms:
         return {}
     rows = index.lexicon.where(F.col("term").isin(terms)).collect()
     return {
-        r["term"]: {"df": r["df"], "idf": r["idf"], "bucket": r["bucket"]}
+        r["term"]: {
+            "df": r["df"], "idf": r["idf"], "bucket": r["bucket"],
+            "hash": r["term_hash"],
+        }
         for r in rows
     }
 
@@ -108,19 +127,25 @@ def search_topk(
     terms = parse_query(query_text, synonyms)
     meta = _lookup_terms(index, terms)
     if not meta:
-        return spark.createDataFrame([], TOPK_SCHEMA)
+        return _empty_df(spark, TOPK_SCHEMA)
 
     buckets = sorted({m["bucket"] for m in meta.values()})
-    hit_terms = sorted(meta)
+    hit_hashes = sorted(int(m["hash"]) for m in meta.values())
     blocks = index.postings.where(
-        F.col("bucket").isin(buckets) & F.col("term").isin(hit_terms)
+        F.col("bucket").isin(buckets) & F.col("term_hash").isin(hit_hashes)
     )
     shards = blocks.select("shard").distinct()
     dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
 
     stats = index.stats
-    idf_map = {t: float(m["idf"]) for t, m in meta.items()}
-    scorer = _make_shard_scorer(idf_map, stats, k, algorithm)
+    # (hash, term, idf) in ascending TERM-STRING order: every scorer
+    # sums per-doc partials in this order, so float results are
+    # bit-identical to the oracle's ascending-term summation.
+    ordered_terms = [
+        (int(m["hash"]), t, float(m["idf"]))
+        for t, m in sorted(meta.items())
+    ]
+    scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm)
 
     per_shard = (
         blocks.groupBy("shard")
@@ -130,7 +155,8 @@ def search_topk(
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
-def _make_shard_scorer(idf_map: dict[str, float], stats: IndexStats, k: int, algorithm: str):
+def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
+                       stats: IndexStats, k: int, algorithm: str):
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     span = stats.shard_span
 
@@ -143,9 +169,9 @@ def _make_shard_scorer(idf_map: dict[str, float], stats: IndexStats, k: int, alg
         ridx = right["doc_id"].to_numpy(np.int64) - base
         dl[ridx] = right["doc_len"].to_numpy(np.float64)
         if algorithm == "dense":
-            pairs = _score_dense(left, dl, base, idf_map, k1, b, avgdl, k)
+            pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl, k)
         else:
-            pairs = _score_wand(left, dl, base, idf_map, k1, b, avgdl, k)
+            pairs = _score_wand(left, dl, base, ordered_terms, k1, b, avgdl, k)
         return pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"}
         )
@@ -172,15 +198,19 @@ def _topk_pairs(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[i
 
 def _score_dense(
     left: pd.DataFrame, dl: np.ndarray, base: int,
-    idf_map: dict[str, float], k1: float, b: float, avgdl: float, k: int,
+    ordered_terms: list[tuple[int, str, float]],
+    k1: float, b: float, avgdl: float, k: int,
 ) -> list[tuple[int, float]]:
     span = dl.shape[0]
     scores = np.zeros(span, dtype=np.float64)
     touched = np.zeros(span, dtype=bool)
-    # ascending term order => per-doc summation order matches the oracle
-    for term in sorted(left["term"].unique()):
-        idf = idf_map[term]
-        grp = left[left["term"] == term]
+    hashes = left["term_hash"].to_numpy(np.int64)
+    # ordered_terms is in ascending term-string order => per-doc
+    # summation order matches the oracle
+    for th, _term, idf in ordered_terms:
+        grp = left[hashes == th]
+        if not len(grp):
+            continue
         ds = []
         ts = []
         for _, row in grp.sort_values("block_id").iterrows():
@@ -270,12 +300,15 @@ class _Cursor:
 
 def _score_wand(
     left: pd.DataFrame, dl: np.ndarray, base: int,
-    idf_map: dict[str, float], k1: float, b: float, avgdl: float, k: int,
+    ordered_terms: list[tuple[int, str, float]],
+    k1: float, b: float, avgdl: float, k: int,
 ) -> list[tuple[int, float]]:
-    cursors = [
-        _Cursor(term, idf_map[term], grp)
-        for term, grp in left.groupby("term", sort=True)
-    ]
+    hashes = left["term_hash"].to_numpy(np.int64)
+    cursors = []
+    for th, term, idf in ordered_terms:
+        grp = left[hashes == th]
+        if len(grp):
+            cursors.append(_Cursor(term, idf, grp))
     # heap of (score, -doc_id): the k-th entry defines the threshold;
     # equal-score candidates with smaller doc_id rank higher.
     heap: list[tuple[float, int]] = []
@@ -352,7 +385,7 @@ def bm25_topk_dataframe(
     b = BM25_B if b is None else b
     terms = parse_query(query_text, synonyms)
     if not terms:
-        return docs.sparkSession.createDataFrame([], TOPK_SCHEMA)
+        return _empty_df(docs.sparkSession, TOPK_SCHEMA)
 
     tf = term_frequencies(docs)
     dls = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
@@ -399,30 +432,35 @@ def or_union_search(
     spark = index.spark
     terms = parse_query(query_text, synonyms)
     if not terms:
-        return spark.createDataFrame([], "rank long, doc_id long, matched_term string")
+        return _empty_df(spark, "rank long, doc_id long, matched_term string")
     order = {t: i for i, t in enumerate(terms)}
     meta = _lookup_terms(index, terms)
     hit = [t for t in terms if t in meta]
     if not hit:
-        return spark.createDataFrame([], "rank long, doc_id long, matched_term string")
+        return _empty_df(spark, "rank long, doc_id long, matched_term string")
 
+    hit_hashes = sorted(int(meta[t]["hash"]) for t in hit)
     blocks = index.postings.where(
         F.col("bucket").isin(sorted({meta[t]["bucket"] for t in hit}))
-        & F.col("term").isin(hit)
+        & F.col("term_hash").isin(hit_hashes)
     )
+    hash_to_term = {int(meta[t]["hash"]): t for t in hit}
 
     def expand(batches):
         for pdf in batches:
             outs = []
             for _, row in pdf.iterrows():
                 d, _t = _decode(row)
-                outs.append(pd.DataFrame({"term": row["term"], "doc_id": d}))
+                outs.append(pd.DataFrame(
+                    {"term": hash_to_term[int(row["term_hash"])], "doc_id": d}
+                ))
             if outs:
                 yield pd.concat(outs)
 
     pairs = blocks.mapInPandas(expand, schema="term string, doc_id long")
     order_df = spark.createDataFrame(
-        [(t, i) for t, i in order.items()], "term string, term_pos int"
+        pd.DataFrame({"term": list(order.keys()),
+                      "term_pos": list(order.values())}).astype({"term_pos": "int32"})
     )
     from pyspark.sql import Window
 

@@ -35,9 +35,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # File-split sizing: with the 128 MB default, a few hundred MB
+        # of input parquet becomes ~4 map tasks and the scan+tokenize
+        # stage runs on 4 cores no matter how many the session has —
+        # the map side must fan out at least as wide as the executor
+        # pool. 16 MB splits keep map-stage parallelism ≥ cores at
+        # bench scale and AQE re-coalesces tiny downstream partitions;
+        # at 100 TB the same setting yields bounded-size tasks (file
+        # count dominates split math there).
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

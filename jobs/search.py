@@ -1,0 +1,58 @@
+"""spark-submit entrypoint: BM25 top-k query over a built index.
+
+    spark-submit --py-files dist/hadoop_search_engine_spark.zip \
+        jobs/search.py --index /path/to/index --query "person car" \
+        [--k 10] [--algorithm wand|dense] [--documents /path/docs.parquet]
+        [--compat-or-union]
+
+With ``--documents`` the top-k ids are materialized back to full rows
+(url/text), the analog of the reference's per-result JSON fetch
+(/root/reference/server/src/services/search.service.js:66-83) done as
+one broadcast join instead of k sequential round trips.
+``--compat-or-union`` runs the reference's exact unscored OR-union
+first-seen semantics instead of BM25.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--algorithm", choices=["wand", "dense"], default="wand")
+    ap.add_argument("--documents", help="documents parquet for materialization")
+    ap.add_argument("--compat-or-union", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        materialize,
+        or_union_search,
+        search_topk,
+    )
+    from hadoop_search_engine_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="hse-search")
+    idx = Index.load(spark, args.index)
+    if args.compat_or_union:
+        result = or_union_search(idx, args.query, limit=args.k)
+    else:
+        result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm)
+        if args.documents:
+            docs = spark.read.parquet(args.documents)
+            result = materialize(result, docs)
+    result.show(args.k, truncate=80)
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

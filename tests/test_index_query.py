@@ -83,7 +83,8 @@ def test_lexicon_consistent_with_oracle(tiny_index, tiny_oracle):
 
 
 def test_blocks_are_compressed_and_sorted(tiny_index):
-    rows = tiny_index.postings.where(F.col("term") == "w00000").collect()
+    h = tiny_index.lexicon.where(F.col("term") == "w00000").collect()[0]["term_hash"]
+    rows = tiny_index.postings.where(F.col("term_hash") == h).collect()
     assert rows, "head term must exist"
     # head term df ~= N → many blocks across shards
     bs = tiny_index.stats.block_size
@@ -145,7 +146,7 @@ def test_index_invariant_across_parallelism(spark, tmp_path):
         build_index(spark, docs, out, num_shards=3, n_buckets=4, block_size=16)
         idx = Index.load(spark, out)
         rows = idx.postings.select(
-            "term", "shard", "block_id", "first_doc_id",
+            "term_hash", "shard", "block_id", "first_doc_id",
             F.hex(F.col("doc_ids")).alias("d"), F.hex(F.col("tfs")).alias("t"),
             "n_docs", "block_max",
         ).collect()

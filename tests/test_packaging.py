@@ -1,0 +1,72 @@
+"""Packaging + spark-submit job entrypoints.
+
+The north rule ships the job via ``spark-submit --py-files`` — prove
+the zip artifact is importable in isolation and the job mains run
+end-to-end against a local session (spark-submit in local mode execs
+the same python main with the zip on sys.path).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_package_zip_importable(tmp_path):
+    pkg_dir = os.path.join(REPO, "hadoop_search_engine_spark")
+    zip_path = tmp_path / "hadoop_search_engine_spark.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.relpath(full, REPO))
+    # import from the zip only (cwd stripped) in a clean interpreter
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1]); "
+        "import hadoop_search_engine_spark as p; "
+        "from hadoop_search_engine_spark.functions import codec; "
+        "import numpy as np; "
+        "assert codec.varint_decode(codec.varint_encode(np.array([0, 1, 300])))"
+        ".tolist() == [0, 1, 300]; print('zip-ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(zip_path)],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "zip-ok" in out.stdout
+
+
+def test_build_and_search_jobs(spark, tmp_path):
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+
+    docs_path = str(tmp_path / "docs.parquet")
+    idx_dir = str(tmp_path / "index")
+    assign_doc_ids(gen_documents(spark, 400, n_partitions=4)).write.parquet(docs_path)
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        import build_index as build_job
+        import search as search_job
+
+        build_job.main([
+            "--input", docs_path, "--output", idx_dir, "--n-buckets", "4",
+        ])
+        assert os.path.exists(os.path.join(idx_dir, "stats.json"))
+        search_job.main(["--index", idx_dir, "--query", "needle7", "--k", "5"])
+        search_job.main([
+            "--index", idx_dir, "--query", "needle7", "--k", "5",
+            "--documents", docs_path, "--compat-or-union",
+        ])
+    finally:
+        sys.path.remove(os.path.join(REPO, "jobs"))

@@ -1,0 +1,96 @@
+"""Text-analysis operators: token count, lang id, quality, fingerprint."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.text_analysis import (
+    analyze,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The cat and the dog, in the house."),
+        (1, "el perro y la casa de la familia"),
+        (2, "w00001 w00002 w00003"),
+        (3, ""),
+        (4, None),
+        # long doc: fingerprint fold must survive hundreds of tokens
+        # without int64 overflow under ANSI mode (regression: the fold
+        # peak is acc*31 + h < 2^61 + 2^56)
+        (5, " ".join(f"tok{i}" for i in range(500))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    out = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert out[0] == 8
+    assert out[2] == 3
+    assert out[3] == 0
+    assert out[5] == 500
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang"] for r in
+           docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+    assert out[3] == "und"
+
+
+def test_quality_bounds(spark, docs):
+    vals = [
+        r["q"]
+        for r in docs.where(F.col("text").isNotNull())
+        .select(quality_score(F.col("text")).alias("q"))
+        .collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprint_no_overflow_and_order_sensitive(spark, docs):
+    # ANSI mode (Spark 4 default) raises on long overflow — the long
+    # doc row is the regression probe.
+    out = {r["doc_id"]: r["fp"] for r in
+           docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[5] is not None and out[5] >= 0
+    # order sensitivity
+    pair = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in pair.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+    # determinism across evaluations
+    again = {r["doc_id"]: r["fp"] for r in
+             docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out == again
+
+
+def test_bpe_ish_monotone(spark):
+    df = spark.createDataFrame(
+        [(0, "hi"), (1, "internationalization")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    assert out[0] == 1
+    assert out[1] == 5  # ceil(20/4)
+
+
+def test_analyze_bundle(spark, docs):
+    out = analyze(docs)
+    assert set(out.columns) == {
+        "doc_id", "n_tokens", "n_subwords", "lang_pred", "quality", "fingerprint"
+    }
+    assert out.count() == docs.count()
