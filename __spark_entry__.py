@@ -318,6 +318,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, list(qvec), k=ANN_K, n_planes=6, n_probe_bits=2)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF coarse quantizer (k-means-lite) is not
+    SQL-expressible; recall vs brute force is pytest-verified."""
+    from hadoop_search_engine_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centroids = ivf_train(emb, n_centroids=8, n_iters=2)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, list(qvec), centroids, k=ANN_K, n_probe=4)
+
+
+def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_engine_spark.operators.dedup import exact_dup_pairs
+
+    return exact_dup_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        bpe_ish_token_count,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_subwords"))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_engine_spark.operators.text_analysis import token_count
 
@@ -413,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "exact_dup_pairs": q_exact_dup_pairs,
+        "bpe_token_count": q_bpe_token_count,
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -601,6 +630,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE x.vec_id < 200 AND y.vec_id < 200
               AND list_cosine_similarity(x.embedding::double[], y.embedding::double[]) >= 0.8
+        """,
+        "exact_dup_pairs": """
+            WITH keyed AS (SELECT doc_id, md5(text) AS digest FROM documents),
+            winners AS (SELECT digest, min(doc_id) AS keep_id FROM keyed GROUP BY digest)
+            SELECT w.keep_id, k.doc_id AS dup_id
+            FROM keyed k JOIN winners w ON k.digest = w.digest
+            WHERE k.doc_id != w.keep_id
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   coalesce(list_sum(list_transform({_TOKS},
+                       t -> greatest(cast(ceil(length(t) / 4.0) AS int), 1))), 0)
+                   AS n_subwords
+            FROM documents
         """,
         "token_count": f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
         "lang_id": f"""

@@ -348,6 +348,8 @@ def build_index(
         # doc_stats carries the shard key so the query side can cogroup
         # posting blocks with the doc-length array of the same doc_id
         # range (no per-doc join on the scoring path).
+        # partitionBy("shard") on disk: a query touching S shards reads
+        # exactly S directories (partition pruning), not the whole table.
         (
             spark.read.parquet(os.path.join(out_dir, "doc_stats_flat"))
             .withColumn(
@@ -355,6 +357,7 @@ def build_index(
             )
             .repartition("shard")
             .write.mode("overwrite")
+            .partitionBy("shard")
             .parquet(os.path.join(out_dir, "doc_stats"))
         )
         import shutil

@@ -64,15 +64,38 @@ def _empty_df(spark: SparkSession, schema: str) -> DataFrame:
 
 
 
+# Above this corpus size the doc-length table stops being broadcast
+# (8 bytes/doc -> 160 MB at 20M docs) and queries fall back to the
+# per-shard cogroup path, which co-locates each shard's dl page with
+# its posting blocks — the 10^12-doc layout.
+DL_BROADCAST_MAX_DOCS = 20_000_000
+
+
 @dataclass
 class Index:
     spark: SparkSession
     out_dir: str
     stats: IndexStats
+    _dl_bc: object = None
 
     @classmethod
     def load(cls, spark: SparkSession, out_dir: str) -> "Index":
         return cls(spark=spark, out_dir=out_dir, stats=read_stats(out_dir))
+
+    def dl_broadcast(self):
+        """Lazy broadcast of the dense doc_len array (doc_id-indexed),
+        or None when the corpus is too large to broadcast. Loaded once
+        per Index and reused by every query in the session — the analog
+        of a search node pinning its doc-norms page in memory."""
+        if self.stats.n_docs > DL_BROADCAST_MAX_DOCS:
+            return None
+        if self._dl_bc is None:
+            span = self.stats.shard_span * self.stats.num_shards
+            arr = np.zeros(span, dtype=np.float64)
+            pdf = self.doc_stats.select("doc_id", "doc_len").toPandas()
+            arr[pdf["doc_id"].to_numpy(np.int64)] = pdf["doc_len"].to_numpy(np.float64)
+            self._dl_bc = self.spark.sparkContext.broadcast(arr)
+        return self._dl_bc
 
     @property
     def postings(self) -> DataFrame:
@@ -134,8 +157,6 @@ def search_topk(
     blocks = index.postings.where(
         F.col("bucket").isin(buckets) & F.col("term_hash").isin(hit_hashes)
     )
-    shards = blocks.select("shard").distinct()
-    dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
 
     stats = index.stats
     # (hash, term, idf) in ascending TERM-STRING order: every scorer
@@ -145,29 +166,41 @@ def search_topk(
         (int(m["hash"]), t, float(m["idf"]))
         for t, m in sorted(meta.items())
     ]
-    scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm)
 
-    per_shard = (
-        blocks.groupBy("shard")
-        .cogroup(dls.groupBy("shard"))
-        .applyInPandas(scorer, schema=TOPK_SCHEMA)
-    )
+    dl_bc = index.dl_broadcast()
+    if dl_bc is not None:
+        # fast path: doc lengths are a session-broadcast dense array;
+        # one job, no dl shuffle, no cogroup.
+        scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm,
+                                    dl_bc=dl_bc)
+        per_shard = blocks.groupBy("shard").applyInPandas(
+            scorer, schema=TOPK_SCHEMA
+        )
+    else:
+        # scale path: each shard's dl page is cogrouped with its
+        # posting blocks — dl reads prune to the probed shards via the
+        # partitionBy("shard") layout.
+        shards = blocks.select("shard").distinct()
+        dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
+        scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm)
+        per_shard = (
+            blocks.groupBy("shard")
+            .cogroup(dls.groupBy("shard"))
+            .applyInPandas(scorer, schema=TOPK_SCHEMA)
+        )
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
 def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
-                       stats: IndexStats, k: int, algorithm: str):
+                       stats: IndexStats, k: int, algorithm: str,
+                       dl_bc=None):
+    """Scorer for one shard. With ``dl_bc`` (broadcast dense doc_len
+    array) it is an ``applyInPandas`` group function over blocks only;
+    without, a cogroup function joining blocks with the shard's dl rows."""
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     span = stats.shard_span
 
-    def scorer(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        base = int(left["shard"].iat[0]) * span
-        dl = np.zeros(span, dtype=np.float64)
-        ridx = right["doc_id"].to_numpy(np.int64) - base
-        dl[ridx] = right["doc_len"].to_numpy(np.float64)
+    def _score(left: pd.DataFrame, dl: np.ndarray, base: int):
         if algorithm == "dense":
             pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl, k)
         else:
@@ -175,6 +208,30 @@ def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
         return pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"}
         )
+
+    _empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                           "score": pd.Series(dtype="float64")})
+
+    if dl_bc is not None:
+        def scorer_bc(left: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return _empty.copy()
+            base = int(left["shard"].iat[0]) * span
+            dl = dl_bc.value[base : base + span]
+            if dl.shape[0] < span:
+                dl = np.concatenate([dl, np.zeros(span - dl.shape[0])])
+            return _score(left, dl, base)
+
+        return scorer_bc
+
+    def scorer(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return _empty.copy()
+        base = int(left["shard"].iat[0]) * span
+        dl = np.zeros(span, dtype=np.float64)
+        ridx = right["doc_id"].to_numpy(np.int64) - base
+        dl[ridx] = right["doc_len"].to_numpy(np.float64)
+        return _score(left, dl, base)
 
     return scorer
 

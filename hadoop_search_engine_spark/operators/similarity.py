@@ -26,6 +26,7 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +132,87 @@ def lsh_bucket_topk(
     qbucket = int((qbits << np.arange(planes.shape[0])).sum())
     probe = _neighbor_buckets(qbucket, planes.shape[0], n_probe_bits)
     cand = bucketed.where(F.col("bucket").isin(probe))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _centroid_features(embeddings: DataFrame, centroids: np.ndarray,
+                       vec_col: str) -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid — one
+    vectorized Arrow batch matmul per partition, no shuffle."""
+    from pyspark.sql import types as T
+
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+    return embeddings.withColumn("cluster", assign_udf(F.col(vec_col)))
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+
+    Seeds are the vectors with the smallest ``xxhash64(vec_id)`` (a
+    deterministic pseudo-random sample — no RNG state, invariant under
+    partitioning). Updates run distributed: assignment is a vectorized
+    Arrow matmul, the centroid mean is ``posexplode → groupBy(cluster,
+    dim) → avg`` (k×dim rows to the driver per iteration — tiny).
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    seeds = (
+        embeddings.select(vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
+    for _ in range(n_iters):
+        assigned = _centroid_features(embeddings, centroids, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r["cluster"], r["dim"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF: score only vectors whose cluster is among the
+    query's ``n_probe`` nearest centroids. With the table written
+    ``partitionBy("cluster")`` the IN-filter is partition pruning, so
+    the 100 TB path scans n_probe/n_centroids of the corpus."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    assigned = _centroid_features(embeddings, centroids, vec_col)
+    cand = assigned.where(F.col("cluster").isin([int(p) for p in probe]))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 

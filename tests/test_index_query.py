@@ -153,3 +153,19 @@ def test_index_invariant_across_parallelism(spark, tmp_path):
         return sorted(map(tuple, rows))
 
     assert build(2, "a") == build(5, "b")
+
+
+def test_cogroup_scale_path_matches_broadcast_path(tiny_index, tiny_oracle, monkeypatch):
+    """The >20M-doc cogroup path must give identical results to the
+    broadcast-dl fast path (both are tested; the threshold just picks)."""
+    import hadoop_search_engine_spark.operators.query_exec as qe
+
+    queries = ["needle7 w00000", "w00001 w00002 w00003", "w00000"]
+    fast = [_pairs(search_topk(tiny_index, q, k=10)) for q in queries]
+    monkeypatch.setattr(qe, "DL_BROADCAST_MAX_DOCS", 0)
+    slow = [_pairs(search_topk(tiny_index, q, k=10)) for q in queries]
+    assert fast == slow
+    for got, q in zip(slow, queries):
+        _assert_rank_and_score_identical(
+            got, tiny_oracle.search(q, k=10), f"cogroup:{q}"
+        )
