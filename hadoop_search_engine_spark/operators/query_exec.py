@@ -70,6 +70,13 @@ def _empty_df(spark: SparkSession, schema: str) -> DataFrame:
 # its posting blocks — the 10^12-doc layout.
 DL_BROADCAST_MAX_DOCS = 20_000_000
 
+# Above this vocabulary size the lexicon stays a Spark-side filtered
+# scan per query; below it the term->metadata map is cached once on
+# the driver (the reference's startup-loaded hash map,
+# server/src/services/search.service.js:12-16, done right) and a warm
+# query costs exactly ONE Spark job.
+LEXICON_CACHE_MAX_TERMS = 2_000_000
+
 
 @dataclass
 class Index:
@@ -77,6 +84,7 @@ class Index:
     out_dir: str
     stats: IndexStats
     _dl_bc: object = None
+    _lex_map: dict | None = None
 
     @classmethod
     def load(cls, spark: SparkSession, out_dir: str) -> "Index":
@@ -96,6 +104,30 @@ class Index:
             arr[pdf["doc_id"].to_numpy(np.int64)] = pdf["doc_len"].to_numpy(np.float64)
             self._dl_bc = self.spark.sparkContext.broadcast(arr)
         return self._dl_bc
+
+    def lexicon_map(self) -> dict | None:
+        """Driver-cached term -> {df, idf, bucket, hash} for small
+        vocabularies (loaded once per Index), else None. A Zipfian web
+        vocabulary fits for a long time (2M terms ≈ a few hundred MB);
+        beyond that, per-query lexicon probes stay a pushed-down Spark
+        filter."""
+        if self._lex_map is None:
+            pdf = (
+                self.lexicon.limit(LEXICON_CACHE_MAX_TERMS + 1)
+                .select("term", "term_hash", "df", "idf", "bucket")
+                .toPandas()
+            )
+            if len(pdf) > LEXICON_CACHE_MAX_TERMS:
+                self._lex_map = {}  # sentinel: too big, use Spark probes
+            else:
+                self._lex_map = {
+                    t: {"df": int(d), "idf": float(i), "bucket": int(b), "hash": int(h)}
+                    for t, h, d, i, b in zip(
+                        pdf["term"], pdf["term_hash"], pdf["df"],
+                        pdf["idf"], pdf["bucket"],
+                    )
+                }
+        return self._lex_map if self._lex_map else None
 
     @property
     def postings(self) -> DataFrame:
@@ -128,6 +160,9 @@ def _lookup_terms(index: Index, terms: list[str]) -> dict[str, dict]:
     key (postings never store term strings)."""
     if not terms:
         return {}
+    cached = index.lexicon_map()
+    if cached is not None:
+        return {t: cached[t] for t in terms if t in cached}
     rows = index.lexicon.where(F.col("term").isin(terms)).collect()
     return {
         r["term"]: {
