@@ -210,45 +210,50 @@ def _make_encoder(stats: IndexStats):
                 )
             )
 
-    def encode_complete(pdf: pd.DataFrame, rows: list) -> None:
-        terms = pdf["term_hash"].to_numpy(np.int64)
-        shards = pdf["shard"].to_numpy()
-        n = len(pdf)
+    span = stats.shard_span
+    n_buckets = stats.n_buckets
+
+    def encode_complete(terms: np.ndarray, packed: np.ndarray, rows: list) -> None:
+        ids = packed >> 20
+        shards = (ids // span).astype(np.int64)
+        n = terms.shape[0]
         # run boundaries: change points of (term_hash, shard)
         change = np.flatnonzero(
             (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
         )
         starts = np.concatenate([[0], change + 1])
         ends = np.concatenate([change + 1, [n]])
-        buckets = pdf["bucket"].to_numpy()
-        ids = pdf["doc_id"].to_numpy(np.int64)
-        dls = pdf["doc_len"].to_numpy(np.int64)
+        dls = packed & np.int64((1 << 20) - 1)
+        # pmod(term_hash, B): np.mod matches Spark's pmod sign rule
+        buckets = np.mod(terms, n_buckets)
         for s, e in zip(starts, ends):
             encode_run(int(terms[s]), int(shards[s]), int(buckets[s]),
                        ids[s:e], dls[s:e], rows)
 
     def encode_stream(batches):
-        carry: pd.DataFrame | None = None
+        carry_t = np.zeros(0, dtype=np.int64)
+        carry_p = np.zeros(0, dtype=np.int64)
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
             terms = pdf["term_hash"].to_numpy(np.int64)
-            shards = pdf["shard"].to_numpy()
+            packed = pdf["packed"].to_numpy(np.int64)
+            if carry_t.size:
+                terms = np.concatenate([carry_t, terms])
+                packed = np.concatenate([carry_p, packed])
+            if not terms.size:
+                continue
             # hold back the trailing (possibly incomplete) run
-            tail_mask = (terms == terms[-1]) & (shards == shards[-1])
+            last_shard = (packed[-1] >> 20) // span
+            tail_mask = (terms == terms[-1]) & ((packed >> 20) // span == last_shard)
             not_tail = np.flatnonzero(~tail_mask)
             cut = int(not_tail[-1]) + 1 if not_tail.size else 0
-            carry = pdf.iloc[cut:]
-            head = pdf.iloc[:cut]
-            if len(head):
+            carry_t, carry_p = terms[cut:], packed[cut:]
+            if cut:
                 rows: list = []
-                encode_complete(head, rows)
+                encode_complete(terms[:cut], packed[:cut], rows)
                 yield pd.DataFrame(rows, columns=_POSTINGS_COLUMNS)
-        if carry is not None and len(carry):
+        if carry_t.size:
             rows = []
-            encode_complete(carry, rows)
+            encode_complete(carry_t, carry_p, rows)
             yield pd.DataFrame(rows, columns=_POSTINGS_COLUMNS)
 
     return encode_stream
@@ -378,23 +383,32 @@ def build_index(
         done.add(-1)
         mark("phase0_checkpoint")
 
-    # Raw token events (term_hash, doc_id, doc_len) — duplicates
-    # included, terms hashed to int64 at the map side so the shuffle
-    # moves only fixed-width columns. tf aggregation happens inside
-    # the encoder after the one and only corpus shuffle. doc_len rides
-    # along as a functionally-dependent column, so there is no join
-    # against doc_stats and no groupBy(term, doc_id) stage.
+    # Raw token events, two int64 columns — duplicates included. The
+    # term is hashed to int64 at the map side and (doc_id, doc_len)
+    # pack into one long (doc_id << 20 | min(doc_len, 2^20-1)): the
+    # corpus-sized shuffle then moves exactly 16 bytes/row, the
+    # in-partition sort is (long, long) radix-friendly, and the Arrow
+    # boundary carries two fixed-width columns. shard (= doc_id //
+    # span) and bucket (= pmod(term_hash, B)) are DERIVED, never
+    # shuffled: the bucket only exists pre-shuffle for wave filtering
+    # and the shard only inside the repartition expression. tf
+    # aggregation happens in the encoder after the one corpus shuffle;
+    # there is no join against doc_stats and no groupBy(term, doc_id)
+    # stage. doc_len saturates at 2^20-1 tokens (BM25 is insensitive
+    # at that length).
     toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
     enriched = (
         toks.select(
             "doc_id",
-            F.size("toks").cast("long").alias("doc_len"),
+            F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
+                "doc_len"
+            ),
             F.explode("toks").alias("term"),
         )
         .select(
-            F.xxhash64("term").alias("term_hash"), "doc_id", "doc_len",
+            F.xxhash64("term").alias("term_hash"),
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias("packed"),
         )
-        .withColumn("shard", (F.col("doc_id") / F.lit(stats.shard_span)).cast("int"))
         .withColumn("bucket", _bucket_col(F.col("term_hash"), stats.n_buckets))
     )
 
@@ -405,15 +419,30 @@ def build_index(
         todo = [bk for bk in bucket_range if bk not in done]
         if not todo:
             continue
-        wave_df = enriched.where(F.col("bucket").isin(todo))
-        # ONE shuffle of the corpus: hash-repartition token events on
-        # (term, shard) — every run lands whole in one partition — then
-        # a Tungsten in-partition sort puts runs in (term, shard,
-        # doc_id) order and the streaming encoder consumes them as
-        # Arrow batches.
-        sorted_events = wave_df.repartition("term_hash", "shard").sortWithinPartitions(
-            "term_hash", "shard", "doc_id"
+        wave_df = enriched.where(F.col("bucket").isin(todo)).select(
+            "term_hash", "packed"
         )
+        # ONE shuffle of the corpus: hash-repartition token events on
+        # (term_hash, shard) — every run lands whole in one partition —
+        # then a Tungsten in-partition sort on two longs puts runs in
+        # (term, doc_id) order (packed's high bits ARE doc_id) and the
+        # streaming encoder consumes them as Arrow batches.
+        # 4x-cores encode partitions: Zipf head terms make the hash
+        # partitions' loads uneven, and with exactly one partition per
+        # core the slowest (head-heavy) partition runs ~2x the mean and
+        # caps scaling. Finer granularity lets the scheduler even the
+        # load; run boundaries stay intact (hash partitioning by key).
+        n_encode_parts = spark.sparkContext.defaultParallelism * 4
+        # integer `div`, NOT double division: the partitioner's shard
+        # value must agree bit-for-bit with the encoder's `ids // span`
+        # or a (term, shard) run could split across two partitions and
+        # emit colliding block_ids.
+        shard_expr = F.expr(
+            f"shiftrightunsigned(packed, 20) div {stats.shard_span}"
+        )
+        sorted_events = wave_df.repartition(
+            n_encode_parts, F.col("term_hash"), shard_expr
+        ).sortWithinPartitions("term_hash", "packed")
         blocks = sorted_events.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
         mark(f"wave{wave_id}_plan")
         (
