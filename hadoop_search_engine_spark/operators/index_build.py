@@ -368,20 +368,38 @@ def build_index(
         import shutil
 
         shutil.rmtree(os.path.join(out_dir, "doc_stats_flat"), ignore_errors=True)
-        # term dictionary: the only place term STRINGS are shuffled —
-        # map-side partial dedup shrinks it to ~|vocab| rows before the
-        # exchange. The lexicon joins stats back to strings through it.
-        (
-            docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
-            .distinct()
-            .select("term", F.xxhash64("term").alias("term_hash"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, "term_dict"))
-        )
-        mark("doc_stats_sharded+term_dict")
+        mark("doc_stats_sharded")
         _commit_checkpoint(spark, ckpt_dir, buckets=[-1])
         done.add(-1)
         mark("phase0_checkpoint")
+
+    # term dictionary: the only place term STRINGS are shuffled —
+    # map-side partial dedup shrinks it to ~|vocab| rows before the
+    # exchange. The lexicon joins stats back to strings through it.
+    # Nothing reads it until _write_lexicon, so it runs CONCURRENTLY
+    # with the encode wave on a separate job-submission thread (Spark
+    # schedules both; the dict job fills scheduler slack the skewed
+    # encode stage leaves idle).
+    term_dict_path = os.path.join(out_dir, "term_dict")
+    term_dict_err: list = []
+    term_dict_thread = None
+    if not (resume and os.path.exists(os.path.join(term_dict_path, "_SUCCESS"))):
+        import threading
+
+        def _build_term_dict() -> None:
+            try:
+                (
+                    docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+                    .distinct()
+                    .select("term", F.xxhash64("term").alias("term_hash"))
+                    .write.mode("overwrite")
+                    .parquet(term_dict_path)
+                )
+            except Exception as exc:  # noqa: BLE001 - re-raised on join
+                term_dict_err.append(exc)
+
+        term_dict_thread = threading.Thread(target=_build_term_dict, daemon=True)
+        term_dict_thread.start()
 
     # Raw token events, two int64 columns — duplicates included. The
     # term is hashed to int64 at the map side and (doc_id, doc_len)
@@ -414,6 +432,39 @@ def build_index(
 
     encoder = _make_encoder(stats)
     waves = _bucket_waves(stats.n_buckets, n_waves)
+    try:
+        _run_waves(
+            spark, stats, waves, done, enriched, encoder, postings_dir,
+            term_stats_dir, ckpt_dir, mark, fail_after_waves,
+        )
+    finally:
+        # always join the dict thread — if a wave raises (including the
+        # injected-failure test hook) an orphaned writer racing a
+        # subsequent resume's overwrite would corrupt term_dict.
+        if term_dict_thread is not None:
+            term_dict_thread.join()
+            if term_dict_err:
+                raise term_dict_err[0]
+            mark("term_dict_join")
+
+    _write_lexicon(spark, out_dir, stats)
+    mark("lexicon")
+    return stats
+
+
+def _run_waves(
+    spark: SparkSession,
+    stats: IndexStats,
+    waves: list[list[int]],
+    done: set[int],
+    enriched: DataFrame,
+    encoder,
+    postings_dir: str,
+    term_stats_dir: str,
+    ckpt_dir: str,
+    mark,
+    fail_after_waves: int | None,
+) -> None:
     committed = 0
     for wave_id, bucket_range in enumerate(waves):
         todo = [bk for bk in bucket_range if bk not in done]
@@ -496,10 +547,6 @@ def build_index(
         committed += 1
         if fail_after_waves is not None and committed >= fail_after_waves:
             raise RuntimeError(f"injected failure after {committed} committed wave(s)")
-
-    _write_lexicon(spark, out_dir, stats)
-    mark("lexicon")
-    return stats
 
 
 def _bucket_waves(n_buckets: int, n_waves: int) -> list[list[int]]:
