@@ -315,25 +315,13 @@ def build_index(
     if phase0_done:
         stats = read_stats(out_dir)
     else:
-        # doc stats from a narrow tokenize pass — size(tokens) per doc,
-        # no explode, no shuffle, no cache. Written first; the corpus
-        # aggregate (N, avgdl, max_id) is then a trivial re-read of the
-        # written doc_stats files rather than a second full pass.
-        ds = docs.select(
-            "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len")
-        )
-        ds.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats_flat"))
-        agg = (
-            spark.read.parquet(os.path.join(out_dir, "doc_stats_flat"))
-            .agg(
-                F.count("*").alias("n"),
-                F.avg("doc_len").alias("avgdl"),
-                F.max("doc_id").alias("max_id"),
-            )
-            .collect()[0]
-        )
-        n_docs, avgdl, max_id = int(agg["n"]), float(agg["avgdl"]), int(agg["max_id"])
-        mark("doc_stats_flat+agg")
+        # N and max_id come from a doc_id-only scan — no tokenize (at
+        # parquet sources this reads one column; count is footer-only).
+        agg0 = docs.agg(
+            F.count("*").alias("n"), F.max("doc_id").alias("max_id")
+        ).collect()[0]
+        n_docs, max_id = int(agg0["n"]), int(agg0["max_id"])
+        mark("count+max_id")
         if num_shards is None:
             # Fixed shard span (~128k docs), NOT a function of the
             # session's parallelism: tying shards to core count makes
@@ -344,31 +332,37 @@ def build_index(
             # levels, which the determinism tests assert.
             num_shards = max(1, (max_id + 1 + (1 << 17) - 1) >> 17)
         shard_span = max(1, -(-(max_id + 1) // num_shards))
+        # ONE tokenize pass writes doc_stats sharded directly (the old
+        # flat-then-reshard layout tokenized the corpus once and then
+        # re-wrote it — a whole extra table round trip). doc_stats
+        # carries the shard key so the query side can cogroup posting
+        # blocks with the doc-length page of the same doc_id range;
+        # partitionBy("shard") on disk means a query touching S shards
+        # reads exactly S directories.
+        (
+            docs.select(
+                "doc_id",
+                F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len"),
+            )
+            .withColumn("shard", (F.col("doc_id") / F.lit(shard_span)).cast("int"))
+            .repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(out_dir, "doc_stats"))
+        )
+        mark("doc_stats_sharded")
+        # avgdl from the written stats — a tiny single-column re-read.
+        avgdl = float(
+            spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+            .agg(F.avg("doc_len"))
+            .collect()[0][0]
+        )
         stats = IndexStats(
             n_docs=n_docs, avgdl=avgdl, shard_span=shard_span,
             num_shards=num_shards, n_buckets=n_buckets,
             block_size=block_size, k1=k1, b=b,
         )
         write_stats(out_dir, stats)
-        # doc_stats carries the shard key so the query side can cogroup
-        # posting blocks with the doc-length array of the same doc_id
-        # range (no per-doc join on the scoring path).
-        # partitionBy("shard") on disk: a query touching S shards reads
-        # exactly S directories (partition pruning), not the whole table.
-        (
-            spark.read.parquet(os.path.join(out_dir, "doc_stats_flat"))
-            .withColumn(
-                "shard", (F.col("doc_id") / F.lit(stats.shard_span)).cast("int")
-            )
-            .repartition("shard")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(os.path.join(out_dir, "doc_stats"))
-        )
-        import shutil
-
-        shutil.rmtree(os.path.join(out_dir, "doc_stats_flat"), ignore_errors=True)
-        mark("doc_stats_sharded")
         _commit_checkpoint(spark, ckpt_dir, buckets=[-1])
         done.add(-1)
         mark("phase0_checkpoint")
