@@ -341,7 +341,9 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_subwords"))
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_subwords")
+    )
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,7 +394,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("url"),
         F.col("text").cast("binary").alias("html"),
     )
-    return extract_media_features(docs)
+    feats = extract_media_features(docs)
+    # the driver's canonicalizer sorts columns, which can't hash an
+    # array column — project features to a stable scalar string
+    return feats.select(
+        "url",
+        "media_type",
+        "n_bytes",
+        "n_frames",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.round(x.cast("double"), 4).cast("string"))
+        ).alias("features_str"),
+    )
 
 
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +503,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "explode_tokens": f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents",
         "term_frequencies": f"WITH {_TF_CTE} SELECT term, doc_id, tf FROM tf",
-        "doc_stats": f"WITH {_TF_CTE} SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id",
+        "doc_stats": f"WITH {_TF_CTE} SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY doc_id",
         "corpus_stats": f"""
             WITH {_TF_CTE}, dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id)
             SELECT count(*) AS n_docs, round(avg(doc_len), 6) AS avgdl FROM dl
@@ -529,7 +542,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "case_insensitive_lookup": f"""
             WITH {_TF_CTE}
-            SELECT term, count(*) AS df, sum(tf) AS total_tf
+            SELECT term, count(*) AS df, sum(tf)::bigint AS total_tf
             FROM tf WHERE term = lower('SPARK') GROUP BY term
         """,
         "scan_project_filter": """
@@ -641,7 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": f"""
             SELECT doc_id,
                    coalesce(list_sum(list_transform({_TOKS},
-                       t -> greatest(cast(ceil(length(t) / 4.0) AS int), 1))), 0)
+                       t -> greatest(cast(ceil(length(t) / 4.0) AS int), 1))), 0)::bigint
                    AS n_subwords
             FROM documents
         """,

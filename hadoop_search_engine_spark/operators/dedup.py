@@ -86,16 +86,28 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, threshold: float = 0.8,
     text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a < b) with shingle-set Jaccard >= threshold.
 
     Shuffles on the shingle key (bounded by corpus token count), then
     on the (a, b) pair key — never materializes the doc×doc cross
-    product. Zipf-head shingles behave like skewed join keys; at scale
-    drop shingles with df above a cap first (they contribute almost no
-    Jaccard discrimination) — exposed as ``max_shingle_df``.
+    product. Zipf-head shingles behave like skewed join keys: a shingle
+    with df=d contributes d² candidate rows to the self-join, so at web
+    scale pass ``max_shingle_df`` to drop head shingles before the join
+    (they carry almost no Jaccard discrimination). With a cap, both the
+    per-doc set sizes and intersections are computed over the capped
+    shingle sets, so the Jaccard stays internally consistent.
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -149,14 +161,14 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for text in texts:
-            toks = str(text or "").lower()
-            # reuse the canonical tokenizer via pure python (batch-level
-            # vectorization happens in the hash math below)
-            from ..functions.tokenizer import tokenize
+        # canonical tokenizer, vectorized over the whole Arrow batch
+        # (pandas str ops); only shingle assembly + hash math per row,
+        # and the hash math is a (n_shingles, n_hashes) NumPy reduction.
+        from ..functions.tokenizer import tokenize_series
 
-            words = tokenize(toks)
+        token_lists = tokenize_series(texts)
+        out = []
+        for words in token_lists:
             if len(words) < shingle_n:
                 grams = [" ".join(words)] if words else []
             else:
@@ -256,19 +268,32 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
-    Candidate generation: band the 64-bit hash into 4 × 16-bit chunks —
-    by pigeonhole any pair within Hamming distance 3 agrees on at least
-    one chunk, so an equi-join per chunk finds all true pairs without a
-    cross join. Verification: popcount of XOR.
+    Candidate generation: band the 64-bit hash into ``max_hamming + 1``
+    disjoint bit chunks — by pigeonhole, a pair with at most
+    ``max_hamming`` differing bits must agree exactly on at least one
+    chunk (there are more chunks than differing bits), so an equi-join
+    on (chunk_id, chunk) finds ALL true pairs without a cross join.
+    Chunk widths are 64 // n_chunks, first chunks one bit wider for the
+    remainder. Verification: popcount of XOR. Smaller chunks (higher
+    max_hamming) mean more collisions to verify — the standard
+    recall/cost trade of Hamming-space banding.
     """
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets = np.concatenate(([0], np.cumsum(widths)[:-1])).tolist()
     sigs = simhash_signatures(docs, text_col, id_col).persist()
     chunks = sigs.select(
         F.col(id_col),
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
+                F.shiftrightunsigned(F.col("simhash"), int(off)).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                )
+                for off, w in zip(offsets, widths)
             ])
         ).alias("chunk_id", "chunk"),
     )

@@ -59,11 +59,56 @@ def test_simhash_near_dups(spark):
     assert [(r["a"], r["b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
 
 
-def test_simhash_pigeonhole_candidates(spark):
-    # hamming <= 3 across 4 chunks of 16 bits guarantees a shared chunk
-    docs = _docs(spark, [(1, NEAR), (2, NEAR + " x")])
-    got = dedup.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+def test_simhash_banding_complete_vs_bruteforce(spark):
+    """Banded candidate generation must find EVERY pair within
+    max_hamming — compared unconditionally against a brute-force
+    Hamming join over all signature pairs."""
+    import itertools
+
+    base_words = BASE.split()
+    rows = []
+    for i in range(120):
+        words = list(base_words)
+        words[i % len(words)] = f"w{i % 11}"
+        if i % 3 == 0:
+            words.append(f"extra{i % 7}")
+        rows.append((i, " ".join(words)))
+    docs = _docs(spark, rows)
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
-    ham = bin(sigs[1] ^ sigs[2]).count("1")
-    if ham <= 3:  # then banding MUST find it
-        assert len(got) == 1
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+    all_hams = [ham(a, b) for a, b in itertools.combinations(sorted(sigs), 2)]
+    for mh in (3, 8):
+        # the fixture must actually exercise the bound's edge
+        assert any(0 < h <= mh for h in all_hams)
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if ham(a, b) <= mh
+        }
+        got = {
+            (r["a"], r["b"])
+            for r in dedup.simhash_near_dup_pairs(docs, max_hamming=mh).collect()
+        }
+        assert got == want
+
+
+def test_ngram_jaccard_max_shingle_df_cap(spark):
+    """Head-shingle df cap: the planted near-dup pair survives, pairs
+    whose only overlap was the capped head shingle are dropped."""
+    common = "alpha beta gamma"
+    rows = [(i, f"{common} filler{i} filler{i} end{i}") for i in range(10)]
+    rows += [(100, BASE), (101, NEAR)]
+    docs = _docs(spark, rows)
+    capped = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.01, max_shingle_df=5
+    ).collect()
+    got = {(r["a"], r["b"]) for r in capped}
+    assert (100, 101) in got
+    assert not any(a < 10 and b < 10 for a, b in got)
+    # without the cap the head shingle links every filler-doc pair
+    uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
+    got_uncapped = {(r["a"], r["b"]) for r in uncapped}
+    assert any(a < 10 and b < 10 for a, b in got_uncapped)
