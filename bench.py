@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # benches run on the 128 GiB bench host: take the big driver heap
+    # (get_spark's default stays conservative for tests/jobs)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     from hadoop_search_engine_spark.session import get_spark
 

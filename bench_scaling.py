@@ -34,6 +34,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+# scaling levels run on the 128 GiB bench host: take the big driver
+# heap (get_spark's default stays conservative for tests/jobs); the
+# env flows into the level subprocesses.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 QUERIES = ["w00000", "spark query table", "w00010 w00200 w03000", "needle7 w00123"]
 CORPUS = "/tmp/hse_scaling_corpus.parquet"
 

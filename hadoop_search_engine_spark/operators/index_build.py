@@ -88,7 +88,7 @@ def _phase_timer():
 POSTINGS_SCHEMA = (
     "term_hash long, shard int, block_id int, first_doc_id long, "
     "doc_ids binary, tfs binary, n_docs int, tf_sum long, n_bytes int, "
-    "block_max double, bucket int"
+    "max_tf long, min_dl long, bucket int"
 )
 
 
@@ -158,7 +158,7 @@ def doc_stats(tf: DataFrame) -> DataFrame:
 
 _POSTINGS_COLUMNS = [
     "term_hash", "shard", "block_id", "first_doc_id", "doc_ids",
-    "tfs", "n_docs", "tf_sum", "n_bytes", "block_max", "bucket",
+    "tfs", "n_docs", "tf_sum", "n_bytes", "max_tf", "min_dl", "bucket",
 ]
 
 
@@ -184,8 +184,15 @@ def _make_encoder(stats: IndexStats):
     shard) run (<= shard_span docs × per-doc tf) — the reference's
     collect()-to-driver mistake (process.py:223) is structurally
     impossible here.
+
+    Block WAND metadata is stored as ``(max_tf, min_dl)`` instead of a
+    precomputed BM25 partial: the query side derives the upper bound
+    ``idf * max_tf*(k1+1)/(max_tf + k1*(1-b+b*min_dl/avgdl))`` (valid —
+    the partial is monotone increasing in tf, decreasing in dl), which
+    means the encoder needs NO corpus statistics, so the avgdl/doc_stats
+    pass runs CONCURRENTLY with the encode wave instead of before it.
     """
-    block_size, k1, b, avgdl = stats.block_size, stats.k1, stats.b, stats.avgdl
+    block_size = stats.block_size
 
     def encode_run(term_hash: int, shard: int, bucket: int,
                    ids: np.ndarray, dls_occ: np.ndarray, rows: list) -> None:
@@ -194,19 +201,18 @@ def _make_encoder(stats: IndexStats):
             ids, return_index=True, return_counts=True
         )
         tfs = counts.astype(np.int64)
-        dls = dls_occ[first_idx].astype(np.float64)
-        partial = (tfs * (k1 + 1.0)) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        dls = dls_occ[first_idx]
         for blk, start in enumerate(range(0, len(doc_ids), block_size)):
             d = doc_ids[start : start + block_size]
             t = tfs[start : start + block_size]
-            p = partial[start : start + block_size]
+            dl = dls[start : start + block_size]
             enc_d = codec.encode_doc_ids(d, base=int(d[0]))
             enc_t = codec.encode_tfs(t)
             rows.append(
                 (
                     term_hash, shard, blk, int(d[0]), enc_d, enc_t,
                     len(d), int(t.sum()), len(enc_d) + len(enc_t),
-                    float(p.max()), bucket,
+                    int(t.max()), int(dl.min()), bucket,
                 )
             )
 
@@ -315,13 +321,22 @@ def build_index(
     if phase0_done:
         stats = read_stats(out_dir)
     else:
-        # N and max_id come from a doc_id-only scan — no tokenize (at
-        # parquet sources this reads one column; count is footer-only).
-        agg0 = docs.agg(
-            F.count("*").alias("n"), F.max("doc_id").alias("max_id")
-        ).collect()[0]
-        n_docs, max_id = int(agg0["n"]), int(agg0["max_id"])
-        mark("count+max_id")
+        # max_id from a doc_id-only scan — no tokenize (at parquet
+        # sources this reads one column's stats).
+        max_row = docs.agg(F.max("doc_id").alias("max_id")).collect()[0]
+        max_id = int(max_row["max_id"]) if max_row["max_id"] is not None else 0
+        # doc_id headroom guard: events pack doc_id << 20 | doc_len into
+        # one signed int64, so doc_id must stay below 2^43 (packed would
+        # go negative and the partitioner's shiftrightunsigned would
+        # disagree with the encoder's arithmetic >> — silently splitting
+        # runs). 2^43 ≈ 8.8e12 docs, ~8x the 10^12-doc design target.
+        if max_id >= (1 << 43):
+            raise ValueError(
+                f"max doc_id {max_id} >= 2^43: doc_id<<20 packing would "
+                "overflow int64; re-mint doc_ids densely (operators."
+                "doc_ids.assign_doc_ids) before indexing"
+            )
+        mark("max_id")
         if num_shards is None:
             # Fixed shard span (~128k docs), NOT a function of the
             # session's parallelism: tying shards to core count makes
@@ -332,53 +347,76 @@ def build_index(
             # levels, which the determinism tests assert.
             num_shards = max(1, (max_id + 1 + (1 << 17) - 1) >> 17)
         shard_span = max(1, -(-(max_id + 1) // num_shards))
-        # ONE tokenize pass writes doc_stats sharded directly (the old
-        # flat-then-reshard layout tokenized the corpus once and then
-        # re-wrote it — a whole extra table round trip). doc_stats
-        # carries the shard key so the query side can cogroup posting
-        # blocks with the doc-length page of the same doc_id range;
-        # partitionBy("shard") on disk means a query touching S shards
-        # reads exactly S directories.
-        (
-            docs.select(
-                "doc_id",
-                F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len"),
-            )
-            .withColumn("shard", (F.col("doc_id") / F.lit(shard_span)).cast("int"))
-            .repartition("shard")
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(os.path.join(out_dir, "doc_stats"))
-        )
-        mark("doc_stats_sharded")
-        # avgdl from the written stats — a tiny single-column re-read.
-        avgdl = float(
-            spark.read.parquet(os.path.join(out_dir, "doc_stats"))
-            .agg(F.avg("doc_len"))
-            .collect()[0][0]
-        )
+        # Provisional stats: the encoder stores (max_tf, min_dl) block
+        # bounds, not BM25 partials, so NO corpus statistic is needed
+        # before encoding. n_docs/avgdl are finalized after the
+        # doc_stats job (running concurrently with the encode wave)
+        # completes, before the lexicon (idf needs n_docs) is written.
         stats = IndexStats(
-            n_docs=n_docs, avgdl=avgdl, shard_span=shard_span,
+            n_docs=0, avgdl=0.0, shard_span=shard_span,
             num_shards=num_shards, n_buckets=n_buckets,
             block_size=block_size, k1=k1, b=b,
         )
         write_stats(out_dir, stats)
-        _commit_checkpoint(spark, ckpt_dir, buckets=[-1])
-        done.add(-1)
-        mark("phase0_checkpoint")
+
+    import threading
+
+    # Concurrent job threads: Spark schedules multiple jobs at once and
+    # the skewed encode stage always leaves scheduler slack that these
+    # corpus-pass siblings fill (at N cores they serialize — at 4N they
+    # overlap — which is exactly how a real multi-executor cluster
+    # behaves). Both side jobs are JVM-only (no Python workers), so
+    # they don't contend for the encode wave's Arrow workers.
+    side_errs: list = []
+    side_threads: list[threading.Thread] = []
+
+    # doc_stats: ONE tokenize pass writes (doc_id, doc_len) sharded.
+    # doc_stats carries the shard key so the query side can cogroup
+    # posting blocks with the doc-length page of the same doc_id range;
+    # partitionBy("shard") on disk means a query touching S shards
+    # reads exactly S directories. n_docs/avgdl are derived from docs
+    # with doc_len >= 1 only — matching the BM25 oracles, which compute
+    # corpus statistics from docs that produced at least one token.
+    doc_stats_res: dict = {}
+    if not phase0_done:
+        span = stats.shard_span
+
+        def _build_doc_stats() -> None:
+            try:
+                ds_dir = os.path.join(out_dir, "doc_stats")
+                (
+                    docs.select(
+                        "doc_id",
+                        F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len"),
+                    )
+                    .withColumn("shard", F.expr(f"doc_id div {span}").cast("int"))
+                    .repartition("shard")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(ds_dir)
+                )
+                row = (
+                    spark.read.parquet(ds_dir)
+                    .where(F.col("doc_len") >= 1)
+                    .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+                    .collect()[0]
+                )
+                doc_stats_res["n_docs"] = int(row["n"])
+                doc_stats_res["avgdl"] = float(row["avgdl"] or 0.0)
+            except Exception as exc:  # noqa: BLE001 - re-raised on join
+                side_errs.append(exc)
+
+        t = threading.Thread(target=_build_doc_stats, daemon=True)
+        t.start()
+        side_threads.append(t)
 
     # term dictionary: the only place term STRINGS are shuffled —
     # map-side partial dedup shrinks it to ~|vocab| rows before the
     # exchange. The lexicon joins stats back to strings through it.
-    # Nothing reads it until _write_lexicon, so it runs CONCURRENTLY
-    # with the encode wave on a separate job-submission thread (Spark
-    # schedules both; the dict job fills scheduler slack the skewed
-    # encode stage leaves idle).
+    # Nothing reads it until _write_lexicon, so it also runs
+    # concurrently with the encode wave.
     term_dict_path = os.path.join(out_dir, "term_dict")
-    term_dict_err: list = []
-    term_dict_thread = None
     if not (resume and os.path.exists(os.path.join(term_dict_path, "_SUCCESS"))):
-        import threading
 
         def _build_term_dict() -> None:
             try:
@@ -390,10 +428,11 @@ def build_index(
                     .parquet(term_dict_path)
                 )
             except Exception as exc:  # noqa: BLE001 - re-raised on join
-                term_dict_err.append(exc)
+                side_errs.append(exc)
 
-        term_dict_thread = threading.Thread(target=_build_term_dict, daemon=True)
-        term_dict_thread.start()
+        t = threading.Thread(target=_build_term_dict, daemon=True)
+        t.start()
+        side_threads.append(t)
 
     # Raw token events, two int64 columns — duplicates included. The
     # term is hashed to int64 at the map side and (doc_id, doc_len)
@@ -432,14 +471,25 @@ def build_index(
             term_stats_dir, ckpt_dir, mark, fail_after_waves,
         )
     finally:
-        # always join the dict thread — if a wave raises (including the
-        # injected-failure test hook) an orphaned writer racing a
-        # subsequent resume's overwrite would corrupt term_dict.
-        if term_dict_thread is not None:
-            term_dict_thread.join()
-            if term_dict_err:
-                raise term_dict_err[0]
-            mark("term_dict_join")
+        # always join the side threads — if a wave raises (including
+        # the injected-failure test hook) an orphaned writer racing a
+        # subsequent resume's overwrite would corrupt its table.
+        for t in side_threads:
+            t.join()
+        if side_errs:
+            raise side_errs[0]
+        if side_threads:
+            mark("side_jobs_join")
+
+    if not phase0_done:
+        import dataclasses
+
+        stats = dataclasses.replace(
+            stats, n_docs=doc_stats_res["n_docs"], avgdl=doc_stats_res["avgdl"]
+        )
+        write_stats(out_dir, stats)
+        _commit_checkpoint(spark, ckpt_dir, buckets=[-1])
+        mark("final_stats")
 
     _write_lexicon(spark, out_dir, stats)
     mark("lexicon")
@@ -505,7 +555,10 @@ def _run_waves(
         # binary posting columns are never re-read). This table then
         # serves both the lineage counters and the final lexicon, so
         # the full postings are scanned zero extra times.
-        (
+        # term_stats is persisted across its two actions (write + the
+        # per-bucket counter rollup) so the postings metadata columns
+        # are scanned once per wave, not twice.
+        stats_df = (
             spark.read.parquet(postings_dir)
             .where(F.col("bucket").isin(todo))
             .groupBy("term_hash", "bucket")
@@ -515,7 +568,10 @@ def _run_waves(
                 F.sum("tf_sum").alias("tokens"),
                 F.sum("n_bytes").alias("bytes"),
             )
-            .write.mode("overwrite")
+            .persist()
+        )
+        (
+            stats_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(term_stats_dir)
@@ -523,9 +579,7 @@ def _run_waves(
         per_bucket = {
             int(r["bucket"]): r
             for r in (
-                spark.read.parquet(term_stats_dir)
-                .where(F.col("bucket").isin(todo))
-                .groupBy("bucket")
+                stats_df.groupBy("bucket")
                 .agg(
                     F.count("*").alias("terms"),
                     F.sum("n_blocks").alias("blocks"),
@@ -536,6 +590,7 @@ def _run_waves(
                 .collect()
             )
         }
+        stats_df.unpersist()
         mark(f"wave{wave_id}_term_stats+counters")
         _commit_checkpoint(spark, ckpt_dir, buckets=todo, per_bucket=per_bucket)
         committed += 1
@@ -591,6 +646,20 @@ def _write_lexicon(spark: SparkSession, out_dir: str, stats: IndexStats) -> None
     # are vocab-sized; the join key is the hash both are bucketed by.
     term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
     term_dict = spark.read.parquet(os.path.join(out_dir, "term_dict"))
+    # 64-bit hash-collision detection (probability ~n²/2^65, ≈3e-6 for
+    # a 10M-term vocabulary): a collision would silently merge two
+    # terms' postings and double-count df through the lexicon join.
+    # The check is one agg over the vocab-sized term_dict — cheap.
+    cnt = term_dict.agg(
+        F.countDistinct("term").alias("nt"),
+        F.countDistinct("term_hash").alias("nh"),
+    ).collect()[0]
+    if int(cnt["nt"]) != int(cnt["nh"]):
+        raise RuntimeError(
+            f"xxhash64 term collision: {int(cnt['nt'])} distinct terms map to "
+            f"{int(cnt['nh'])} distinct hashes; rebuild with a salted hash "
+            "(e.g. xxhash64(term, seed)) for the colliding vocabulary"
+        )
     lex = term_stats.join(term_dict, "term_hash").select(
         "term", "term_hash", "bucket", "df", "n_blocks",
         idf_col(stats.n_docs, F.col("df")).alias("idf"),

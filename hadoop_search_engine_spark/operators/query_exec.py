@@ -202,14 +202,26 @@ def search_topk(
         for t, m in sorted(meta.items())
     ]
 
+    # Size the scorer shuffle to the work, not the session: the
+    # grouped-map exchange otherwise inherits spark.sql.shuffle
+    # .partitions (= cores), so a bigger cluster launches MORE empty
+    # tasks per query and p95 regresses as the cluster grows. An
+    # explicit hash repartition on the grouping key satisfies the
+    # grouped-map's required ClusteredDistribution, so no second
+    # exchange is planned; num_shards bounds real parallelism anyway.
+    n_parts = max(1, min(stats.num_shards,
+                         spark.sparkContext.defaultParallelism))
+
     dl_bc = index.dl_broadcast()
     if dl_bc is not None:
         # fast path: doc lengths are a session-broadcast dense array;
         # one job, no dl shuffle, no cogroup.
         scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm,
                                     dl_bc=dl_bc)
-        per_shard = blocks.groupBy("shard").applyInPandas(
-            scorer, schema=TOPK_SCHEMA
+        per_shard = (
+            blocks.repartition(n_parts, "shard")
+            .groupBy("shard")
+            .applyInPandas(scorer, schema=TOPK_SCHEMA)
         )
     else:
         # scale path: each shard's dl page is cogrouped with its
@@ -219,8 +231,9 @@ def search_topk(
         dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
         scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm)
         per_shard = (
-            blocks.groupBy("shard")
-            .cogroup(dls.groupBy("shard"))
+            blocks.repartition(n_parts, "shard")
+            .groupBy("shard")
+            .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
             .applyInPandas(scorer, schema=TOPK_SCHEMA)
         )
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
@@ -330,18 +343,28 @@ _INF = np.iinfo(np.int64).max
 
 class _Cursor:
     """Posting-list cursor over the blocks of one (term, shard), with
-    lazy block decode and galloping next_geq via searchsorted."""
+    lazy block decode and galloping next_geq via searchsorted.
+
+    Block upper bounds are derived at query time from the stored
+    ``(max_tf, min_dl)`` pair: ``max_tf*(k1+1)/(max_tf + k1*(1-b+
+    b*min_dl/avgdl))`` bounds every doc's partial in the block because
+    the BM25 partial is monotone increasing in tf and decreasing in dl.
+    Storing the raw pair (instead of a precomputed partial) frees the
+    index builder from needing avgdl before encoding."""
 
     __slots__ = ("term", "idf", "rows", "firsts", "maxima", "bi", "pos",
                  "d", "t", "cur", "term_ub")
 
-    def __init__(self, term: str, idf: float, grp: pd.DataFrame):
+    def __init__(self, term: str, idf: float, grp: pd.DataFrame,
+                 k1: float, b: float, avgdl: float):
         grp = grp.sort_values("block_id")
         self.term = term
         self.idf = idf
         self.rows = list(grp.itertuples(index=False))
         self.firsts = grp["first_doc_id"].to_numpy(np.int64)
-        self.maxima = grp["block_max"].to_numpy(np.float64)
+        mt = grp["max_tf"].to_numpy(np.float64)
+        md = grp["min_dl"].to_numpy(np.float64)
+        self.maxima = (mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b + b * md / avgdl))
         self.bi = 0
         self._load()
         self.term_ub = idf * float(self.maxima.max())
@@ -400,7 +423,7 @@ def _score_wand(
     for th, term, idf in ordered_terms:
         grp = left[hashes == th]
         if len(grp):
-            cursors.append(_Cursor(term, idf, grp))
+            cursors.append(_Cursor(term, idf, grp, k1, b, avgdl))
     # heap of (score, -doc_id): the k-th entry defines the threshold;
     # equal-score candidates with smaller doc_id rank higher.
     heap: list[tuple[float, int]] = []
@@ -564,14 +587,20 @@ def or_union_search(
             F.min_by("term", F.struct("term_pos", "doc_id")).alias("matched_term"),
         )
     )
+    # rank minting needs a global order; the no-partition window would
+    # funnel every matched doc (df ≈ N for a head term) through ONE
+    # task. With a limit, a TakeOrdered bounds the set to `limit` rows
+    # BEFORE the window, so the single-task stage sees k rows, not N.
+    if limit:
+        first_seen = first_seen.orderBy(
+            F.col("key.term_pos").asc(), F.col("key.doc_id").asc()
+        ).limit(limit)
     w = Window.orderBy(F.col("key.term_pos").asc(), F.col("key.doc_id").asc())
     ranked = first_seen.select(
         (F.row_number().over(w) - 1).alias("rank"),
         "doc_id",
         "matched_term",
     )
-    if limit:
-        ranked = ranked.limit(limit)
     return ranked
 
 

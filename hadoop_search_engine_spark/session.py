@@ -38,7 +38,11 @@ def get_spark(
         # concat/slice cost per batch, and 10k-row batches (default)
         # multiply it 6x for nothing at these row widths (~30 bytes).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # conservative default — get_spark backs the spark-submit jobs
+        # and tests too, and a 48g ask on a small host gets the driver
+        # OOM-killed mid-build; benches opt into more via
+        # SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # File-split sizing: with the 128 MB default, a few hundred MB

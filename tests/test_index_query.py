@@ -148,7 +148,7 @@ def test_index_invariant_across_parallelism(spark, tmp_path):
         rows = idx.postings.select(
             "term_hash", "shard", "block_id", "first_doc_id",
             F.hex(F.col("doc_ids")).alias("d"), F.hex(F.col("tfs")).alias("t"),
-            "n_docs", "block_max",
+            "n_docs", "max_tf", "min_dl",
         ).collect()
         return sorted(map(tuple, rows))
 
