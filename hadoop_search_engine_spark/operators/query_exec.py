@@ -493,38 +493,67 @@ def bm25_topk_dataframe(
     over documents(doc_id, text) — tokenize, tf, df, dl, avgdl, score,
     sum, order, limit. Lives fully inside Catalyst/codegen; used both
     as the correctness baseline for the index path and as the
-    DuckDB-oracle-comparable query."""
+    DuckDB-oracle-comparable query.
+
+    Plan shape: exactly TWO corpus scans (one for the corpus/df
+    statistics, one for scoring), each tokenizing once. Query-term tf
+    is an array filter count over the token array — the query is a
+    handful of driver-side literals, so there is no explode, no
+    (term, doc) shuffle, and no tf ⋈ dl ⋈ df join tree (the previous
+    formulation re-derived tokens in four scan branches). Per-doc
+    score is a fixed expression summing per-term partials in ascending
+    term order (left-to-right float64 adds), so results stay
+    score-identical to the NumPy oracle; terms absent from a doc
+    contribute an exact 0.0, which is an identity for the sum."""
+    from ..functions.tokenizer import tokens_col
     from .. import BM25_B, BM25_K1
 
     k1 = BM25_K1 if k1 is None else k1
     b = BM25_B if b is None else b
-    terms = parse_query(query_text, synonyms)
+    terms = sorted(parse_query(query_text, synonyms))
     if not terms:
         return _empty_df(docs.sparkSession, TOPK_SCHEMA)
 
-    tf = term_frequencies(docs)
-    dls = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    corpus = dls.agg(F.count("*").alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-    dfs = (
-        tf.where(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    def _tf_of(term: str):
+        # single-arg lambda (Spark inspects arity: two args would be
+        # read as the (element, index) variant)
+        return F.size(F.filter("toks", lambda t: t == F.lit(term)))
+
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    per_doc = toks.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("doc_len"),
+        *[
+            _tf_of(term).cast("double").alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
     )
-    scored = (
-        tf.where(F.col("term").isin(terms))
-        .join(dls, "doc_id")
-        .join(F.broadcast(dfs), "term")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "partial",
-            score_col(
-                F.col("tf"), F.col("doc_len"),
-                idf_col(F.col("n_docs").cast("int"), F.col("df")),
-                F.col("avgdl"), k1=k1, b=b,
-            ),
+    # scan 1: corpus stats (docs with >= 1 token, matching the oracle)
+    # and per-term df in ONE aggregation, broadcast back as literals.
+    stats = per_doc.where(F.col("doc_len") > 0).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    # scan 2: score docs matching any term; summation order = ascending
+    # term index, left-to-right.
+    matched = per_doc.where(
+        F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
+        if len(terms) > 1
+        else F.col("tf_0") > 0
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + score_col(
+            F.col(f"tf_{i}"), F.col("doc_len"),
+            idf_col(F.col("n_docs").cast("int"), F.col(f"df_{i}")),
+            F.col("avgdl"), k1=k1, b=b,
         )
-        .groupBy("doc_id")
-        .agg(F.sum("partial").alias("score"))
+    scored = matched.crossJoin(F.broadcast(stats)).select(
+        "doc_id", score.alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
