@@ -44,6 +44,7 @@ CORPUS = "/tmp/hse_scaling_corpus.parquet"
 _LEVEL_SCRIPT = """
 import json, shutil, sys, time
 sys.path.insert(0, {repo!r})
+from hadoop_search_engine_spark.corpus import SYNONYMS, reference_queries
 from hadoop_search_engine_spark.operators.index_build import build_index
 from hadoop_search_engine_spark.operators.query_exec import Index, search_topk
 from hadoop_search_engine_spark.session import get_spark
@@ -80,6 +81,16 @@ for q in queries:
         search_topk(idx, q, k=10).collect()
         trials.append(time.time() - t0)
     q_secs.append(min(trials))
+# p50/p95 over the FULL 50-query fixture set (the BASELINE.md target
+# metric), single cold pass each — no min-of-trials smoothing.
+lat = []
+for rq in reference_queries():
+    t0 = time.time()
+    search_topk(idx, rq["query_text"], k=rq["k"], synonyms=SYNONYMS).collect()
+    lat.append(time.time() - t0)
+lat_s = sorted(lat)
+p50 = lat_s[len(lat_s) // 2]
+p95 = lat_s[int(0.95 * (len(lat_s) - 1))]
 spark.stop()
 print("LEVELRESULT " + json.dumps({{
     "cores": cores, "n_docs": n_docs,
@@ -88,6 +99,10 @@ print("LEVELRESULT " + json.dumps({{
     "docs_per_sec": round(n_docs / build_sec, 1),
     "query_sec_each": [round(s, 3) for s in q_secs],
     "queries_per_sec": round(len(q_secs) / sum(q_secs), 2),
+    "fixture_queries": len(lat),
+    "fixture_qps": round(len(lat) / sum(lat), 2),
+    "fixture_p50_sec": round(p50, 3),
+    "fixture_p95_sec": round(p95, 3),
 }}))
 """
 
@@ -180,14 +195,18 @@ def main() -> None:
         "",
         f"## Scaling run {stamp} — {N_DOCS} synthetic docs (corpus parquet -> index build)",
         "",
-        "| level | build sec | docs/sec | queries/sec (4-query set) |",
-        "|---|---|---|---|",
-        f"| local[{lo_cores}] | {low['build_sec']} | {low['docs_per_sec']} | {low['queries_per_sec']} |",
-        f"| local[{hi_cores}] | {high['build_sec']} | {high['docs_per_sec']} | {high['queries_per_sec']} |",
+        "| level | build sec | docs/sec | queries/sec (4-query set) | 50-query q/s | p50 sec | p95 sec |",
+        "|---|---|---|---|---|---|---|",
+        f"| local[{lo_cores}] | {low['build_sec']} | {low['docs_per_sec']} | {low['queries_per_sec']} |"
+        f" {low.get('fixture_qps', '-')} | {low.get('fixture_p50_sec', '-')} | {low.get('fixture_p95_sec', '-')} |",
+        f"| local[{hi_cores}] | {high['build_sec']} | {high['docs_per_sec']} | {high['queries_per_sec']} |"
+        f" {high.get('fixture_qps', '-')} | {high.get('fixture_p50_sec', '-')} | {high.get('fixture_p95_sec', '-')} |",
         "",
         f"**Scaling efficiency (docs/sec@{hi_cores} / docs/sec@{lo_cores})"
         f" / {hi_cores // lo_cores} = {eff:.3f}**"
-        f" (north-rule target >= 0.8; cores stand in for executors per BASELINE.md).",
+        f" (north-rule target >= 0.8; cores stand in for executors per BASELINE.md)."
+        f" Query p50/p95 are over the full 50-query fixture set"
+        f" (corpus.reference_queries), single cold pass per query.",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write("\n".join(lines) + "\n")

@@ -33,7 +33,6 @@ rank-identical (SURVEY.md §7 hard part #2/#3).
 
 from __future__ import annotations
 
-import heapq
 import os
 from dataclasses import dataclass
 
@@ -338,79 +337,45 @@ def _decode(row) -> tuple[np.ndarray, np.ndarray]:
     return d, t
 
 
-_INF = np.iinfo(np.int64).max
-
-
-class _Cursor:
-    """Posting-list cursor over the blocks of one (term, shard), with
-    lazy block decode and galloping next_geq via searchsorted.
+class _TermBlocks:
+    """Per-(term, shard) block metadata with lazy, cached decode.
 
     Block upper bounds are derived at query time from the stored
-    ``(max_tf, min_dl)`` pair: ``max_tf*(k1+1)/(max_tf + k1*(1-b+
+    ``(max_tf, min_dl)`` pair: ``idf * max_tf*(k1+1)/(max_tf + k1*(1-b+
     b*min_dl/avgdl))`` bounds every doc's partial in the block because
     the BM25 partial is monotone increasing in tf and decreasing in dl.
     Storing the raw pair (instead of a precomputed partial) frees the
     index builder from needing avgdl before encoding."""
 
-    __slots__ = ("term", "idf", "rows", "firsts", "maxima", "bi", "pos",
-                 "d", "t", "cur", "term_ub")
+    __slots__ = ("term", "idf", "rows", "firsts", "ends", "ubs", "_cache")
 
     def __init__(self, term: str, idf: float, grp: pd.DataFrame,
-                 k1: float, b: float, avgdl: float):
+                 k1: float, b: float, avgdl: float, shard_end: int):
         grp = grp.sort_values("block_id")
         self.term = term
         self.idf = idf
         self.rows = list(grp.itertuples(index=False))
         self.firsts = grp["first_doc_id"].to_numpy(np.int64)
+        # block i's doc range is [firsts[i], firsts[i+1]); the last
+        # block is open-ended to the shard boundary
+        self.ends = np.append(self.firsts[1:], np.int64(shard_end))
         mt = grp["max_tf"].to_numpy(np.float64)
         md = grp["min_dl"].to_numpy(np.float64)
-        self.maxima = (mt * (k1 + 1.0)) / (mt + k1 * (1.0 - b + b * md / avgdl))
-        self.bi = 0
-        self._load()
-        self.term_ub = idf * float(self.maxima.max())
+        self.ubs = idf * (mt * (k1 + 1.0)) / (
+            mt + k1 * (1.0 - b + b * md / avgdl)
+        )
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    def _load(self) -> None:
-        if self.bi >= len(self.rows):
-            self.cur = _INF
-            return
-        row = self.rows[self.bi]
-        n = int(row.n_docs)
-        self.d = codec.decode_doc_ids(bytes(row.doc_ids), n=n, base=int(row.first_doc_id))
-        self.t = codec.decode_tfs(bytes(row.tfs), n=n)
-        self.pos = 0
-        self.cur = int(self.d[0])
-
-    def block_ub(self) -> float:
-        return self.idf * float(self.maxima[self.bi])
-
-    def next_geq(self, target: int) -> None:
-        if self.cur >= target:
-            return
-        # jump blocks by first_doc_id; a block can contain target iff
-        # its first_doc_id <= target, so land on the last such block.
-        bi = int(np.searchsorted(self.firsts, target, side="right")) - 1
-        bi = max(bi, self.bi)
-        if bi != self.bi:
-            self.bi = bi
-            self._load()
-            if self.cur >= target:
-                return
-        while True:
-            pos = int(np.searchsorted(self.d, target, side="left"))
-            if pos < self.d.shape[0]:
-                self.pos = pos
-                self.cur = int(self.d[pos])
-                return
-            self.bi += 1
-            if self.bi >= len(self.rows):
-                self.cur = _INF
-                return
-            self._load()
-            if self.cur >= target:
-                return
-
-    def tf(self) -> int:
-        return int(self.t[self.pos])
+    def decode(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._cache.get(bi)
+        if got is None:
+            row = self.rows[bi]
+            n = int(row.n_docs)
+            d = codec.decode_doc_ids(bytes(row.doc_ids), n=n,
+                                     base=int(row.first_doc_id))
+            t = codec.decode_tfs(bytes(row.tfs), n=n)
+            got = self._cache[bi] = (d, t)
+        return got
 
 
 def _score_wand(
@@ -418,63 +383,99 @@ def _score_wand(
     ordered_terms: list[tuple[int, str, float]],
     k1: float, b: float, avgdl: float, k: int,
 ) -> list[tuple[int, float]]:
+    """Block-max WAND over one shard, segment-vectorized.
+
+    Classic per-doc DAAT WAND spends microseconds of Python per pivot —
+    at web-corpus dfs that is seconds per head-term query. Here the
+    pruning stays block-max exact but evaluation is vectorized:
+
+      1. block boundaries of all query terms partition the shard's
+         doc-id space into SEGMENTS; within a segment the set of
+         covering blocks (hence the score upper bound, the sum of
+         covering block maxima) is constant;
+      2. segments are visited in DESCENDING upper-bound order; once the
+         running top-k threshold theta exceeds the next segment's
+         bound, every remaining segment is below theta too — stop
+         (this is the WAND pivot test applied at segment granularity);
+      3. a visited segment is scored fully vectorized: per term (in
+         ascending term order, preserving the oracle's per-doc float
+         summation order) decode-once the covering block, slice the
+         segment's doc range via searchsorted, and accumulate
+         idf-weighted partials into a segment-local dense array.
+
+    Worst case (uniform bounds, e.g. a single head term) degrades to
+    dense-scorer throughput, never to per-doc Python.
+    """
     hashes = left["term_hash"].to_numpy(np.int64)
-    cursors = []
+    shard_end = base + dl.shape[0]
+    terms: list[_TermBlocks] = []
     for th, term, idf in ordered_terms:
         grp = left[hashes == th]
         if len(grp):
-            cursors.append(_Cursor(term, idf, grp, k1, b, avgdl))
-    # heap of (score, -doc_id): the k-th entry defines the threshold;
-    # equal-score candidates with smaller doc_id rank higher.
-    heap: list[tuple[float, int]] = []
+            terms.append(_TermBlocks(term, idf, grp, k1, b, avgdl, shard_end))
+    if not terms:
+        return []
+
+    # segment edges = union of all block boundaries
+    bounds = np.unique(np.concatenate(
+        [t.firsts for t in terms] + [t.ends for t in terms]
+    ))
+    n_seg = bounds.shape[0] - 1
+    if n_seg <= 0:
+        return []
+    # per-segment upper bound via a difference array over block spans
+    diff = np.zeros(n_seg + 1, dtype=np.float64)
+    for t in terms:
+        li = np.searchsorted(bounds, t.firsts, side="left")
+        ri = np.searchsorted(bounds, t.ends, side="left")
+        np.add.at(diff, li, t.ubs)
+        np.add.at(diff, ri, -t.ubs)
+    seg_ub = np.cumsum(diff)[:n_seg]
+    # visit order: bound desc, segment index asc on ties (determinism)
+    order = np.lexsort((np.arange(n_seg), -seg_ub))
+
+    best_docs = np.empty(0, dtype=np.int64)
+    best_scores = np.empty(0, dtype=np.float64)
     theta = -np.inf
-    while True:
-        cursors.sort(key=lambda c: c.cur)
-        if cursors[0].cur == _INF:
-            break
-        # pivot: first prefix whose term-level UBs can reach theta
-        acc = 0.0
-        pivot_i = -1
-        for i, c in enumerate(cursors):
-            if c.cur == _INF:
-                break
-            acc += c.term_ub
-            if acc >= theta or len(heap) < k:
-                pivot_i = i
-                break
-        if pivot_i < 0:
-            break
-        pivot = cursors[pivot_i].cur
-        if pivot == _INF:
-            break
-        if cursors[0].cur == pivot:
-            involved = [c for c in cursors if c.cur == pivot]
-            # block-max (shallow) check at the pivot
-            ub_bm = sum(c.block_ub() for c in involved)
-            if len(heap) >= k and ub_bm < theta:
-                for c in involved:
-                    c.next_geq(pivot + 1)
+    for j in order:
+        if best_docs.size >= k and seg_ub[j] < theta:
+            break  # ordered desc: every remaining segment is <= this one
+        lo, hi = int(bounds[j]), int(bounds[j + 1])
+        width = hi - lo
+        acc = np.zeros(width, dtype=np.float64)
+        touched = np.zeros(width, dtype=bool)
+        for t in terms:  # ascending term order == oracle summation order
+            bi = int(np.searchsorted(t.firsts, lo, side="right")) - 1
+            if bi < 0 or t.ends[bi] <= lo:
                 continue
-            # full evaluation — ascending term order for determinism
-            score = 0.0
-            for c in sorted(involved, key=lambda c: c.term):
-                score += c.idf * float(
-                    _partial(np.array([c.tf()]), dl[pivot - base : pivot - base + 1],
-                             k1, b, avgdl)[0]
-                )
-            entry = (score, -pivot)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
-            if len(heap) >= k:
-                theta = heap[0][0]
-            for c in involved:
-                c.next_geq(pivot + 1)
-        else:
-            cursors[0].next_geq(pivot)
-    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
-    return [(-nd, s) for s, nd in out]
+            d, tf = t.decode(bi)
+            s0 = int(np.searchsorted(d, lo, side="left"))
+            s1 = int(np.searchsorted(d, hi, side="left"))
+            if s0 == s1:
+                continue
+            dseg = d[s0:s1]
+            off = dseg - lo
+            acc[off] += t.idf * _partial(tf[s0:s1], dl[dseg - base], k1, b, avgdl)
+            touched[off] = True
+        idx = np.flatnonzero(touched)
+        if not idx.size:
+            continue
+        cand_scores = acc[idx]
+        cand_docs = idx + lo
+        if best_docs.size >= k:
+            m = cand_scores >= theta  # keep ties: smaller doc_id can win
+            if not m.any():
+                continue
+            cand_scores = cand_scores[m]
+            cand_docs = cand_docs[m]
+        pool_docs = np.concatenate([best_docs, cand_docs])
+        pool_scores = np.concatenate([best_scores, cand_scores])
+        sel = np.lexsort((pool_docs, -pool_scores))[:k]
+        best_docs = pool_docs[sel]
+        best_scores = pool_scores[sel]
+        if best_docs.size >= k:
+            theta = float(best_scores[-1])
+    return [(int(d), float(s)) for d, s in zip(best_docs, best_scores)]
 
 
 # ---------------------------------------------------------------------------

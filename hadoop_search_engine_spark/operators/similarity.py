@@ -75,16 +75,24 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return g.reshape(n_planes, dim)
 
 
-def lsh_bucket_col(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-pattern bucket id of a vector column for the given planes."""
-    bits = [
-        F.when(_dot(vec, F.array(*[F.lit(float(w)) for w in row])) >= 0, 1).otherwise(0)
-        for row in planes
-    ]
-    bucket = F.lit(0)
-    for i, bit in enumerate(bits):
-        bucket = bucket + (bit * F.lit(1 << i))
-    return bucket.cast("int")
+def _lsh_bucket_udf(planes: np.ndarray):
+    """Arrow-vectorized sign-pattern bucketing: one (batch × dim) @
+    (dim × n_planes) matmul per batch. A plan-literal expression per
+    plane would inline dim × n_planes constants into the plan — fine at
+    dim 64, megabytes of plan at 768-d embeddings — and evaluate dot
+    products element-wise; the matmul is both compact and BLAS-fast."""
+    from pyspark.sql import types as T
+
+    weights = planes.T.copy()  # (dim, n_planes)
+    powers = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ weights) >= 0
+        return pd.Series((bits * powers).sum(axis=1).astype(np.int32))
+
+    return bucket_udf
 
 
 def add_lsh_buckets(
@@ -94,9 +102,7 @@ def add_lsh_buckets(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
-    out = embeddings.withColumn(
-        "bucket", lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes)
-    )
+    out = embeddings.withColumn("bucket", _lsh_bucket_udf(planes)(F.col(vec_col)))
     return out, planes
 
 
@@ -122,16 +128,60 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's LSH bucket
-    neighborhood. With the table written ``partitionBy("bucket")`` the
-    IN-filter becomes partition pruning — the 100 TB path scans only
-    the probed buckets."""
+    neighborhood, bucketing computed on the fly. The persisted-table
+    variant (:func:`write_lsh_bucketed` + :func:`lsh_bucket_topk_table`)
+    turns the bucket IN-filter into parquet partition pruning — the
+    100 TB path scans only the probed buckets' files."""
     bucketed, planes = add_lsh_buckets(embeddings, n_planes=n_planes,
                                        dim=len(query_vec), vec_col=vec_col)
+    probe = _probe_buckets(query_vec, planes, n_probe_bits)
+    cand = bucketed.where(F.col("bucket").isin(probe))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _probe_buckets(query_vec: list[float], planes: np.ndarray,
+                   n_probe_bits: int) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
     qbits = (planes @ q >= 0).astype(np.int64)
     qbucket = int((qbits << np.arange(planes.shape[0])).sum())
-    probe = _neighbor_buckets(qbucket, planes.shape[0], n_probe_bits)
-    cand = bucketed.where(F.col("bucket").isin(probe))
+    return _neighbor_buckets(qbucket, planes.shape[0], n_probe_bits)
+
+
+def write_lsh_bucketed(
+    embeddings: DataFrame, out_dir: str, n_planes: int = 8,
+    dim: int | None = None, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the embedding table ``partitionBy("bucket")`` so
+    query-time bucket IN-filters prune at the file-listing level (the
+    ANN analog of the postings' bucket partitioning). Returns the
+    hyperplanes (deterministic — recomputable from (dim, n_planes))."""
+    bucketed, planes = add_lsh_buckets(embeddings, n_planes=n_planes,
+                                       dim=dim, vec_col=vec_col)
+    (
+        bucketed.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    return planes
+
+
+def lsh_bucket_topk_table(
+    spark,
+    table_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_probe_bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a :func:`write_lsh_bucketed` table: the bucket
+    IN-filter is a partition filter (check PartitionFilters in
+    .explain), so only the probed buckets' files are read."""
+    planes = _hyperplanes(len(query_vec), n_planes)
+    probe = _probe_buckets(query_vec, planes, n_probe_bits)
+    cand = spark.read.parquet(table_dir).where(F.col("bucket").isin(probe))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -204,15 +254,53 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k via IVF: score only vectors whose cluster is among the
-    query's ``n_probe`` nearest centroids. With the table written
-    ``partitionBy("cluster")`` the IN-filter is partition pruning, so
-    the 100 TB path scans n_probe/n_centroids of the corpus."""
+    query's ``n_probe`` nearest centroids, assignment computed on the
+    fly. The persisted variant (:func:`write_ivf_clustered` +
+    :func:`ivf_topk_table`) turns the IN-filter into parquet partition
+    pruning, so the 100 TB path reads n_probe/n_centroids of the files."""
+    probe = _probe_clusters(query_vec, centroids, n_probe)
+    assigned = _centroid_features(embeddings, centroids, vec_col)
+    cand = assigned.where(F.col("cluster").isin(probe))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _probe_clusters(query_vec: list[float], centroids: np.ndarray,
+                    n_probe: int) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    probe = np.argsort(-(cn @ qn))[:n_probe].tolist()
+    return [int(p) for p in np.argsort(-(cn @ qn))[:n_probe]]
+
+
+def write_ivf_clustered(
+    embeddings: DataFrame, out_dir: str, centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize embeddings ``partitionBy("cluster")`` (IVF posting
+    lists as a partitioned table)."""
     assigned = _centroid_features(embeddings, centroids, vec_col)
-    cand = assigned.where(F.col("cluster").isin([int(p) for p in probe]))
+    (
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(out_dir)
+    )
+
+
+def ivf_topk_table(
+    spark,
+    table_dir: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a :func:`write_ivf_clustered` table — the cluster
+    IN-filter prunes partitions at the file listing."""
+    probe = _probe_clusters(query_vec, centroids, n_probe)
+    cand = spark.read.parquet(table_dir).where(F.col("cluster").isin(probe))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 

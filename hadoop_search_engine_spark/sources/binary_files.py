@@ -9,8 +9,10 @@ columns, no driver-side file loop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def read_binary_assets(
@@ -32,9 +34,6 @@ def read_binary_assets(
 def assets_to_documents(assets: DataFrame) -> DataFrame:
     """binary assets -> input_hint-shaped documents rows (html payload),
     text extracted by the canonical extractor as an Arrow batch UDF."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
     from ..corpus import extract_text
 
     @F.pandas_udf(T.StringType())
