@@ -24,11 +24,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Add a dense ``doc_id`` (0..N-1) column keyed by url hash order."""
+def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None,
+                   key_col: str = "url") -> DataFrame:
+    """Add a dense ``doc_id`` (0..N-1) column keyed by ``key_col`` hash
+    order (any hashable column type — urls, legacy ids, 64-bit hashes)."""
     num_partitions = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
-    hashed = docs.withColumn("_h", F.xxhash64(F.col("url")))
-    parts = hashed.repartitionByRange(num_partitions, "_h", "url")
+    hashed = docs.withColumn("_h", F.xxhash64(F.col(key_col)))
+    parts = hashed.repartitionByRange(num_partitions, "_h", key_col)
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     # checkpoint-free two-pass: the counts job re-executes the lineage,
     # so persist the partitioned data once.
@@ -50,7 +52,7 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
             {"pid": list(offsets.keys()), "_offset": list(offsets.values())}
         ).astype({"pid": "int32", "_offset": "int64"})
     )
-    w = Window.partitionBy("_pid").orderBy("_h", "url")
+    w = Window.partitionBy("_pid").orderBy("_h", key_col)
     out = (
         with_pid.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(offsets_df), F.col("_pid") == F.col("pid"))

@@ -290,6 +290,7 @@ def build_index(
     n_waves: int = 1,
     resume: bool = False,
     fail_after_waves: int | None = None,
+    docs_are_events: bool = False,
 ) -> IndexStats:
     """Build the full index at ``out_dir`` from documents(doc_id, text).
 
@@ -297,6 +298,12 @@ def build_index(
     distributed jobs, each committing postings + a checkpoint row;
     ``resume=True`` skips buckets already committed. ``fail_after_waves``
     is a test hook that raises after N committed waves (kill/resume test).
+
+    ``docs_are_events=True`` accepts pre-tokenized occurrence rows
+    ``(doc_id long, doc_len long, term string)`` — one row per token
+    occurrence (tf = multiplicity) — instead of raw documents. Used by
+    streaming-delta compaction, where tokenization already happened in
+    the micro-batches.
     """
     mark = _phase_timer()
     postings_dir = os.path.join(out_dir, "postings")
@@ -384,12 +391,15 @@ def build_index(
         def _build_doc_stats() -> None:
             try:
                 ds_dir = os.path.join(out_dir, "doc_stats")
-                (
-                    docs.select(
+                if docs_are_events:
+                    ds = docs.select("doc_id", "doc_len").distinct()
+                else:
+                    ds = docs.select(
                         "doc_id",
                         F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len"),
                     )
-                    .withColumn("shard", F.expr(f"doc_id div {span}").cast("int"))
+                (
+                    ds.withColumn("shard", F.expr(f"doc_id div {span}").cast("int"))
                     .repartition("shard")
                     .write.mode("overwrite")
                     .partitionBy("shard")
@@ -420,9 +430,14 @@ def build_index(
 
         def _build_term_dict() -> None:
             try:
+                if docs_are_events:
+                    t = docs.select("term")
+                else:
+                    t = docs.select(
+                        F.explode(tokens_col(F.col("text"))).alias("term")
+                    )
                 (
-                    docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
-                    .distinct()
+                    t.distinct()
                     .select("term", F.xxhash64("term").alias("term_hash"))
                     .write.mode("overwrite")
                     .parquet(term_dict_path)
@@ -447,16 +462,25 @@ def build_index(
     # there is no join against doc_stats and no groupBy(term, doc_id)
     # stage. doc_len saturates at 2^20-1 tokens (BM25 is insensitive
     # at that length).
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    enriched = (
-        toks.select(
+    if docs_are_events:
+        occ = docs.select(
+            "doc_id",
+            F.least(F.col("doc_len").cast("long"), F.lit((1 << 20) - 1)).alias(
+                "doc_len"
+            ),
+            "term",
+        )
+    else:
+        toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        occ = toks.select(
             "doc_id",
             F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
                 "doc_len"
             ),
             F.explode("toks").alias("term"),
         )
-        .select(
+    enriched = (
+        occ.select(
             F.xxhash64("term").alias("term_hash"),
             (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias("packed"),
         )

@@ -5,9 +5,11 @@ HTTP byte-range video delivery, a transport concern). This module is
 the forward-looking incremental-indexing path SURVEY.md §7 notes as
 optional: newly-arrived documents flow through the same canonical
 tokenizer into per-micro-batch (term, doc_id, tf) delta tables, which
-``foreachBatch`` appends transactionally; a periodic compaction merges
-deltas into the main block index by re-running the builder over the
-affected term buckets.
+``foreachBatch`` appends transactionally; :func:`compact_deltas` then
+merges the accumulated deltas into a full block index — dense doc_id
+re-assignment, posting encode, lexicon — by feeding the already-
+tokenized tf rows straight into the batch builder's event path (no
+re-tokenization of the stream's documents).
 
 Also carries the event-analytics streaming operators (watermarked
 windowed aggregation over the ``events`` table shape) so the engine's
@@ -15,6 +17,8 @@ streaming surface is testable against the driver's testdata.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,22 +37,81 @@ def stream_documents(spark: SparkSession, path: str, max_files: int = 4) -> Data
 
 
 def incremental_tf_sink(docs_stream: DataFrame, delta_dir: str, checkpoint_dir: str):
-    """documents stream -> append-only (term, doc_id, tf) delta tables.
+    """documents stream -> append-only delta tables under ``delta_dir``:
+    ``tf/`` holds (term, doc_id, tf, epoch), ``docs/`` holds
+    (doc_id, url, epoch) for the compaction-time url mapping.
 
     doc_id is xxhash64(url) in the streaming path (dense re-assignment
     happens at compaction, where the global order is known).
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "text")
-        tf = term_frequencies(docs).withColumn("epoch", F.lit(epoch_id))
-        tf.write.mode("append").parquet(delta_dir)
+        docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "url", "text")
+        tf = term_frequencies(docs.select("doc_id", "text")).withColumn(
+            "epoch", F.lit(epoch_id)
+        )
+        tf.write.mode("append").parquet(os.path.join(delta_dir, "tf"))
+        docs.select("doc_id", "url").withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(delta_dir, "docs"))
 
     return (
         docs_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(write_batch)
     )
+
+
+def compact_deltas(spark: SparkSession, delta_dir: str, out_dir: str, **build_kwargs):
+    """Merge accumulated tf deltas into a full block index at ``out_dir``.
+
+    1. dedup re-delivered (term, doc) rows across epochs (documents are
+       immutable in this model — identical url => identical tf);
+    2. mint DENSE doc_ids over the distinct streamed hash ids (the
+       hashed ids are 64-bit-sparse, which both varint deltas and the
+       doc_id<<20 packing would reject);
+    3. reconstruct token-occurrence events (term repeated tf times,
+       doc_len riding along) and run the batch builder's event path —
+       one corpus-shuffle encode, same postings layout, no
+       re-tokenization;
+    4. write ``doc_map(doc_id, url)`` beside the index.
+
+    Returns IndexStats. At 10^12 scale the deltas are already
+    bucket-partitioned by the sink's groupBy, so the compaction cost is
+    the same single sort-shuffle as a batch build of the delta volume.
+    """
+    from ..operators.doc_ids import assign_doc_ids
+    from ..operators.index_build import build_index
+
+    tf = (
+        spark.read.parquet(os.path.join(delta_dir, "tf"))
+        .groupBy("term", "doc_id")
+        .agg(F.max("tf").alias("tf"))
+        .withColumnRenamed("doc_id", "orig_id")
+    )
+    urls = (
+        spark.read.parquet(os.path.join(delta_dir, "docs"))
+        .groupBy("doc_id")
+        .agg(F.min("url").alias("url"))
+        .withColumnRenamed("doc_id", "orig_id")
+    )
+    mapping = assign_doc_ids(urls, key_col="orig_id").persist()
+    dls = tf.groupBy("orig_id").agg(F.sum("tf").alias("doc_len"))
+    events = (
+        tf.join(dls, "orig_id")
+        .join(mapping.select("orig_id", "doc_id"), "orig_id")
+        .select(
+            "doc_id",
+            "doc_len",
+            F.explode(F.array_repeat("term", F.col("tf").cast("int"))).alias("term"),
+        )
+    )
+    stats = build_index(spark, events, out_dir, docs_are_events=True, **build_kwargs)
+    mapping.select("doc_id", "url").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "doc_map")
+    )
+    mapping.unpersist()
+    return stats
 
 
 def windowed_event_counts(

@@ -169,3 +169,38 @@ def test_cogroup_scale_path_matches_broadcast_path(tiny_index, tiny_oracle, monk
         _assert_rank_and_score_identical(
             got, tiny_oracle.search(q, k=10), f"cogroup:{q}"
         )
+
+
+def test_empty_docs_excluded_from_corpus_stats(spark, tmp_path):
+    """Corpora containing token-less docs (empty text, punctuation-only,
+    null) must yield the same n_docs/avgdl/scores as the oracle, which
+    derives corpus statistics from docs with >= 1 token only."""
+    import math
+
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+    from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+
+    rows = [
+        (0, "spark index engine query spark"),
+        (1, ""),
+        (2, "engine table spark scale"),
+        (3, "?!.,"),          # tokenizes to nothing
+        (4, None),
+        (5, "query table scale engine index"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    oracle = BM25Oracle([(i, t) for i, t in rows])
+    assert oracle.n_docs == 3  # only the token-bearing docs
+
+    out = str(tmp_path / "idx_empty")
+    stats = build_index(spark, docs, out, n_buckets=4, block_size=16)
+    assert stats.n_docs == oracle.n_docs
+    assert math.isclose(stats.avgdl, oracle.avgdl, rel_tol=1e-12)
+
+    idx = Index.load(spark, out)
+    for q in ["spark engine", "query", "table scale"]:
+        got = _pairs(search_topk(idx, q, k=10))
+        _assert_rank_and_score_identical(got, oracle.search(q, k=10), q)
+    got = _pairs(bm25_topk_dataframe(docs, "spark engine", k=10))
+    _assert_rank_and_score_identical(got, oracle.search("spark engine", k=10), "df scorer")

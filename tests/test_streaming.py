@@ -31,7 +31,7 @@ def test_incremental_tf_sink_end_to_end(spark, tmp_path):
     q = incremental_tf_sink(stream, delta, ckpt).trigger(availableNow=True).start()
     q.awaitTermination(120)
 
-    out = spark.read.parquet(delta)
+    out = spark.read.parquet(os.path.join(delta, "tf"))
     assert out.columns == ["term", "doc_id", "tf", "epoch"]
     # every doc that arrived has tf rows; epochs prove micro-batching
     assert out.select("doc_id").distinct().count() == 50
@@ -48,6 +48,37 @@ def test_incremental_tf_sink_end_to_end(spark, tmp_path):
     b = {(r["term"], r["doc_id"], r["tf"])
          for r in out.select("term", "doc_id", "tf").dropDuplicates().collect()}
     assert a == b
+
+    # --- compaction: deltas -> full block index, score-identical to a
+    # batch build of the same 50 docs (dense ids minted at compaction)
+    from hadoop_search_engine_spark.operators.query_exec import Index, search_topk
+    from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+    from hadoop_search_engine_spark.streaming.incremental import compact_deltas
+
+    idx_dir = str(tmp_path / "compacted")
+    stats = compact_deltas(spark, delta, idx_dir, n_buckets=4, block_size=16)
+    idx = Index.load(spark, idx_dir)
+    doc_map = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(idx_dir, "doc_map")).collect()
+    }
+    corpus = gen_documents(spark, 50, n_partitions=1).select("url", "text").collect()
+    url_to_text = {r["url"]: r["text"] for r in corpus}
+    oracle = BM25Oracle(list(enumerate(url_to_text.values())))
+    assert stats.n_docs == oracle.n_docs
+
+    got = search_topk(idx, "w00000 w00010", k=10).collect()
+    want_by_url = {}
+    o2 = BM25Oracle([(i, t) for i, t in enumerate(url_to_text.values())])
+    # compare via urls (doc_id spaces differ between builds)
+    urls_sorted = list(url_to_text)
+    want = o2.search("w00000 w00010", k=10)
+    want_urls = {urls_sorted[d] for d, _ in want}
+    got_urls = {doc_map[r["doc_id"]] for r in got}
+    assert got_urls == want_urls
+    want_scores = sorted(round(s, 9) for _, s in want)
+    got_scores = sorted(round(r["score"], 9) for r in got)
+    assert got_scores == want_scores
 
 
 def test_windowed_event_counts_stream(spark, tmp_path):
