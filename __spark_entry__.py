@@ -276,6 +276,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), n=3, threshold=0.12)
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-shingle df cap active (the web-scale skew guard): Jaccard
+    over the capped shingle sets."""
+    from hadoop_search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.1, max_shingle_df=20
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-SQL-expressible (custom hash family) — rows-only check;
     determinism + recall are pytest-verified."""
@@ -447,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -629,6 +640,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE inter / (sa.sz + sb.sz - inter) >= 0.12
+        """,
+        "ngram_jaccard_capped": f"""
+            WITH tok AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            sh0 AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
+              WHERE len(toks) >= 3
+            ),
+            shdf AS (
+              SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN shdf USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT a, b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
