@@ -418,6 +418,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blob_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range blob read (HTTP 206 analog, video.services.js:19-66);
+    chunk bytes surfaced as md5 so the value-hash is type-stable."""
+    from hadoop_search_engine_spark.operators.multimodal import blob_range
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = blob_range(docs, offset=10, length=100,
+                     payload_col="payload", id_col="doc_id")
+    return out.select(
+        "doc_id", F.md5("chunk").alias("chunk_md5"), "chunk_len", "total_len"
+    )
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch form of the streaming
     operator in streaming/incremental.py)."""
@@ -472,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "multimodal_metadata": q_multimodal_metadata,
         "media_features": q_media_features,
+        "blob_range": q_blob_range,
         "event_window_agg": q_event_window_agg,
     }
 
@@ -730,6 +746,16 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_metadata": """
             SELECT doc_id, octet_length(text::blob) AS n_bytes,
                    'application/octet-stream' AS media_type
+            FROM documents
+        """,
+        "blob_range": """
+            -- this DuckDB build has no BLOB substring; the testdata
+            -- text is ASCII-only (verified octet_length == length), so
+            -- character substring == byte substring here
+            SELECT doc_id,
+                   md5(substring(text, 11, 100)) AS chunk_md5,
+                   octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
+                   octet_length(text::blob)::int AS total_len
             FROM documents
         """,
         "event_window_agg": """

@@ -133,6 +133,58 @@ def extract_media_features(
     return assets.select(url_col, payload_col).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def blob_chunks(
+    assets: DataFrame,
+    chunk_size: int = 1_000_000,
+    payload_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """Byte-range chunking of a blob column — the dataflow analog of the
+    reference's HTTP 206 range streaming (/root/reference/server/src/
+    services/video.services.js:19-66, CHUNK_SIZE 1e6 at :35, offset
+    math :36-38). Each blob explodes into consecutive
+    (chunk_id, chunk binary, chunk_len, total_len) rows; pure built-in
+    expressions (substring over binary is JVM-side), so a consumer can
+    filter to one (id, chunk_id) and the scan prunes to that row group.
+    """
+    p = F.col(payload_col)
+    total = F.length(p)
+    n_chunks = F.greatest(F.ceil(total / F.lit(chunk_size)).cast("int"), F.lit(1))
+    out = assets.select(
+        F.col(id_col),
+        total.alias("total_len"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.substring(p, i * chunk_size + 1, chunk_size),
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return out.select(
+        id_col, "chunk_id", "chunk",
+        F.length("chunk").alias("chunk_len"), "total_len",
+    )
+
+
+def blob_range(
+    assets: DataFrame,
+    offset: int,
+    length: int,
+    payload_col: str = "html",
+    id_col: str = "url",
+) -> DataFrame:
+    """One byte range [offset, offset+length) of each blob (the single
+    Range-request shape); empty-past-end semantics like HTTP 206."""
+    p = F.col(payload_col)
+    chunk = F.substring(p, offset + 1, length)
+    return assets.select(
+        F.col(id_col),
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+        F.length(p).alias("total_len"),
+    )
+
+
 def media_metadata(assets: DataFrame, payload_col: str = "html") -> DataFrame:
     """Cheap metadata without decoding: byte length + sniffed type,
     computed with built-in expressions only (no Python)."""

@@ -94,3 +94,32 @@ def test_analyze_bundle(spark, docs):
         "doc_id", "n_tokens", "n_subwords", "lang_pred", "quality", "fingerprint"
     }
     assert out.count() == docs.count()
+
+
+def test_blob_chunks_reassemble_byte_identical(spark):
+    """Chunked byte-range reads (HTTP 206 analog) cover the blob exactly
+    and concatenate back to the original bytes."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.multimodal import (
+        blob_chunks,
+        blob_range,
+    )
+
+    payloads = [b"a" * 25, b"hello world " * 3, b"x", b""]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "url int, html binary"
+    )
+    rows = blob_chunks(df, chunk_size=10).orderBy("url", "chunk_id").collect()
+    by_url: dict[int, bytes] = {}
+    for r in rows:
+        by_url[r["url"]] = by_url.get(r["url"], b"") + bytes(r["chunk"] or b"")
+        assert r["chunk_len"] <= 10
+        assert r["total_len"] == len(payloads[r["url"]])
+    assert by_url == {i: p for i, p in enumerate(payloads)}
+
+    # single-range semantics: past-end reads are empty, like HTTP 206
+    rng = {r["url"]: bytes(r["chunk"] or b"")
+           for r in blob_range(df, offset=20, length=10).collect()}
+    assert rng[0] == b"a" * 5
+    assert rng[3] == b""
