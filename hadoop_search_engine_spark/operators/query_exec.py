@@ -178,12 +178,26 @@ def search_topk(
     k: int = 10,
     synonyms: dict[str, str] | None = None,
     algorithm: str = "wand",
+    mode: str = "or",
 ) -> DataFrame:
-    """Top-k (doc_id, score) for a free-text query, BM25-ranked."""
+    """Top-k (doc_id, score) for a free-text query, BM25-ranked.
+
+    ``mode="or"`` is the reference's disjunctive semantics (any term
+    matches); ``mode="and"`` is conjunctive — only docs containing
+    EVERY query term score (the capability SURVEY §2.6 notes the
+    reference lacks). Conjunctive is correct per shard because a doc's
+    postings for all its terms live in the doc's own shard; a query
+    term absent from the whole index short-circuits to empty.
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     spark = index.spark
     terms = parse_query(query_text, synonyms)
     meta = _lookup_terms(index, terms)
     if not meta:
+        return _empty_df(spark, TOPK_SCHEMA)
+    if mode == "and" and len(meta) < len(set(terms)):
+        # some query term has no postings anywhere -> no conjunctive hit
         return _empty_df(spark, TOPK_SCHEMA)
 
     buckets = sorted({m["bucket"] for m in meta.values()})
@@ -216,7 +230,7 @@ def search_topk(
         # fast path: doc lengths are a session-broadcast dense array;
         # one job, no dl shuffle, no cogroup.
         scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm,
-                                    dl_bc=dl_bc)
+                                    dl_bc=dl_bc, mode=mode)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -228,7 +242,8 @@ def search_topk(
         # partitionBy("shard") layout.
         shards = blocks.select("shard").distinct()
         dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
-        scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm)
+        scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm,
+                                    mode=mode)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -240,18 +255,21 @@ def search_topk(
 
 def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
                        stats: IndexStats, k: int, algorithm: str,
-                       dl_bc=None):
+                       dl_bc=None, mode: str = "or"):
     """Scorer for one shard. With ``dl_bc`` (broadcast dense doc_len
     array) it is an ``applyInPandas`` group function over blocks only;
     without, a cogroup function joining blocks with the shard's dl rows."""
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     span = stats.shard_span
+    required = len(ordered_terms) if mode == "and" else 0
 
     def _score(left: pd.DataFrame, dl: np.ndarray, base: int):
         if algorithm == "dense":
-            pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl, k)
+            pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl,
+                                 k, required)
         else:
-            pairs = _score_wand(left, dl, base, ordered_terms, k1, b, avgdl, k)
+            pairs = _score_wand(left, dl, base, ordered_terms, k1, b, avgdl,
+                                k, required)
         return pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"}
         )
@@ -304,17 +322,20 @@ def _score_dense(
     left: pd.DataFrame, dl: np.ndarray, base: int,
     ordered_terms: list[tuple[int, str, float]],
     k1: float, b: float, avgdl: float, k: int,
+    required: int = 0,
 ) -> list[tuple[int, float]]:
     span = dl.shape[0]
     scores = np.zeros(span, dtype=np.float64)
-    touched = np.zeros(span, dtype=bool)
+    nterms = np.zeros(span, dtype=np.int32)
     hashes = left["term_hash"].to_numpy(np.int64)
+    present = 0
     # ordered_terms is in ascending term-string order => per-doc
     # summation order matches the oracle
     for th, _term, idf in ordered_terms:
         grp = left[hashes == th]
         if not len(grp):
             continue
+        present += 1
         ds = []
         ts = []
         for _, row in grp.sort_values("block_id").iterrows():
@@ -325,8 +346,13 @@ def _score_dense(
         t = np.concatenate(ts)
         off = d - base
         scores[off] += idf * _partial(t, dl[off], k1, b, avgdl)
-        touched[off] = True
-    idx = np.flatnonzero(touched)
+        nterms[off] += 1
+    if required:
+        if present < required:
+            return []  # a required term has no postings in this shard
+        idx = np.flatnonzero(nterms >= required)
+    else:
+        idx = np.flatnonzero(nterms > 0)
     return _topk_pairs(idx + base, scores[idx], k)
 
 
@@ -382,6 +408,7 @@ def _score_wand(
     left: pd.DataFrame, dl: np.ndarray, base: int,
     ordered_terms: list[tuple[int, str, float]],
     k1: float, b: float, avgdl: float, k: int,
+    required: int = 0,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one shard, segment-vectorized.
 
@@ -413,7 +440,7 @@ def _score_wand(
         grp = left[hashes == th]
         if len(grp):
             terms.append(_TermBlocks(term, idf, grp, k1, b, avgdl, shard_end))
-    if not terms:
+    if not terms or (required and len(terms) < required):
         return []
 
     # segment edges = union of all block boundaries
@@ -423,16 +450,30 @@ def _score_wand(
     n_seg = bounds.shape[0] - 1
     if n_seg <= 0:
         return []
-    # per-segment upper bound via a difference array over block spans
+    # per-segment upper bound (and covering-term count) via difference
+    # arrays over block spans
     diff = np.zeros(n_seg + 1, dtype=np.float64)
+    cover = np.zeros(n_seg + 1, dtype=np.int32)
     for t in terms:
         li = np.searchsorted(bounds, t.firsts, side="left")
         ri = np.searchsorted(bounds, t.ends, side="left")
         np.add.at(diff, li, t.ubs)
         np.add.at(diff, ri, -t.ubs)
+        np.add.at(cover, li, 1)
+        np.add.at(cover, ri, -1)
     seg_ub = np.cumsum(diff)[:n_seg]
-    # visit order: bound desc, segment index asc on ties (determinism)
-    order = np.lexsort((np.arange(n_seg), -seg_ub))
+    seg_cover = np.cumsum(cover)[:n_seg]
+    # visit order: bound desc, segment index asc on ties (determinism);
+    # conjunctive mode prunes segments not covered by every query term
+    # (a doc there cannot contain all terms — its postings would be in
+    # blocks covering its own id)
+    eligible = (
+        np.flatnonzero(seg_cover >= required) if required
+        else np.arange(n_seg)
+    )
+    if not eligible.size:
+        return []
+    order = eligible[np.lexsort((eligible, -seg_ub[eligible]))]
 
     best_docs = np.empty(0, dtype=np.int64)
     best_scores = np.empty(0, dtype=np.float64)
@@ -443,7 +484,7 @@ def _score_wand(
         lo, hi = int(bounds[j]), int(bounds[j + 1])
         width = hi - lo
         acc = np.zeros(width, dtype=np.float64)
-        touched = np.zeros(width, dtype=bool)
+        ntouch = np.zeros(width, dtype=np.int32)
         for t in terms:  # ascending term order == oracle summation order
             bi = int(np.searchsorted(t.firsts, lo, side="right")) - 1
             if bi < 0 or t.ends[bi] <= lo:
@@ -456,8 +497,8 @@ def _score_wand(
             dseg = d[s0:s1]
             off = dseg - lo
             acc[off] += t.idf * _partial(tf[s0:s1], dl[dseg - base], k1, b, avgdl)
-            touched[off] = True
-        idx = np.flatnonzero(touched)
+            ntouch[off] += 1
+        idx = np.flatnonzero(ntouch >= required) if required else np.flatnonzero(ntouch)
         if not idx.size:
             continue
         cand_scores = acc[idx]
@@ -489,6 +530,7 @@ def bm25_topk_dataframe(
     synonyms: dict[str, str] | None = None,
     k1: float | None = None,
     b: float | None = None,
+    mode: str = "or",
 ) -> DataFrame:
     """BM25 top-k computed entirely with built-in DataFrame operators
     over documents(doc_id, text) — tokenize, tf, df, dl, avgdl, score,
@@ -539,13 +581,15 @@ def bm25_topk_dataframe(
             for i in range(len(terms))
         ],
     )
-    # scan 2: score docs matching any term; summation order = ascending
-    # term index, left-to-right.
-    matched = per_doc.where(
-        F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) > 0
-        if len(terms) > 1
-        else F.col("tf_0") > 0
-    )
+    # scan 2: score docs matching any term ("or") or every term
+    # ("and"); summation order = ascending term index, left-to-right.
+    if mode == "and":
+        pred = F.least(*[F.col(f"tf_{i}") for i in range(len(terms))]) \
+            if len(terms) > 1 else F.col("tf_0")
+    else:
+        pred = F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) \
+            if len(terms) > 1 else F.col("tf_0")
+    matched = per_doc.where(pred > 0)
     score = F.lit(0.0)
     for i in range(len(terms)):
         score = score + score_col(

@@ -25,6 +25,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--algorithm", choices=["wand", "dense"], default="wand")
+    ap.add_argument("--mode", choices=["or", "and"], default="or",
+                    help="or = reference-style disjunctive; and = conjunctive")
     ap.add_argument("--documents", help="documents parquet for materialization")
     ap.add_argument("--compat-or-union", action="store_true")
     args = ap.parse_args(argv)
@@ -45,7 +47,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.compat_or_union:
         result = or_union_search(idx, args.query, limit=args.k)
     else:
-        result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm)
+        result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm,
+                             mode=args.mode)
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)

@@ -204,3 +204,31 @@ def test_empty_docs_excluded_from_corpus_stats(spark, tmp_path):
         _assert_rank_and_score_identical(got, oracle.search(q, k=10), q)
     got = _pairs(bm25_topk_dataframe(docs, "spark engine", k=10))
     _assert_rank_and_score_identical(got, oracle.search("spark engine", k=10), "df scorer")
+
+
+@pytest.mark.parametrize("algorithm", ["wand", "dense"])
+def test_conjunctive_mode_matches_bruteforce(tiny_index, tiny_corpus, tiny_oracle, algorithm):
+    """mode='and': only docs containing EVERY query term score, with
+    the same per-doc scores as OR mode restricted to those docs."""
+    for qtext in ["w00000 w00001", "w00000 w00123", "needle7 w00000"]:
+        terms = qtext.split()
+        # brute-force expectation from the oracle's postings
+        want_docs = set.intersection(
+            *[set(tiny_oracle.postings.get(t, {})) for t in terms]
+        )
+        or_scores = dict(tiny_oracle.search(qtext, k=10**6))
+        want = sorted(
+            ((d, or_scores[d]) for d in want_docs),
+            key=lambda e: (-e[1], e[0]),
+        )[:10]
+        got = _pairs(
+            search_topk(tiny_index, qtext, k=10, algorithm=algorithm, mode="and")
+        )
+        _assert_rank_and_score_identical(got, want, f"and:{qtext}")
+        # DataFrame scorer agrees
+        got_df = _pairs(bm25_topk_dataframe(tiny_corpus, qtext, k=10, mode="and"))
+        _assert_rank_and_score_identical(got_df, want, f"and-df:{qtext}")
+
+
+def test_conjunctive_absent_term_empty(tiny_index):
+    assert search_topk(tiny_index, "w00000 zzzabsent", k=10, mode="and").count() == 0
