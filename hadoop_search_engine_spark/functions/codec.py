@@ -123,6 +123,48 @@ def decode_doc_ids(buf: bytes, n: int | None = None, base: int = 0) -> np.ndarra
     return delta_decode(varint_decode(buf, expected=n), base=base)
 
 
+def decode_blocks(
+    doc_bufs: list, tf_bufs: list, ns: np.ndarray, bases: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched decode of MANY posting blocks in one NumPy pass.
+
+    Per-block ``varint_decode`` calls cost ~50 µs of Python/NumPy
+    dispatch each — a head-term query touches thousands of blocks, so
+    block-at-a-time decode costs ~1 s of pure overhead. Here all
+    blocks' byte streams concatenate into one buffer, ONE varint pass
+    decodes every gap, and the per-block delta reset is a cumsum
+    correction: local cumsum per block = global cumsum minus the
+    running total at each block's start (np.repeat-broadcast), plus the
+    block's base.
+
+    Returns (doc_ids, tfs, offsets) where offsets[i]:offsets[i+1]
+    slices block i in the flat arrays.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(ns)])
+    gaps = varint_decode(
+        np.frombuffer(b"".join(map(bytes, doc_bufs)), dtype=np.uint8),
+        expected=total,
+    ).astype(np.int64)
+    c = np.cumsum(gaps)
+    starts = offsets[:-1]
+    prev = np.where(starts > 0, c[starts - 1], 0)
+    doc_ids = (
+        c
+        - np.repeat(prev, ns)
+        + np.repeat(np.asarray(bases, dtype=np.int64), ns)
+    )
+    tfs = (
+        varint_decode(
+            np.frombuffer(b"".join(map(bytes, tf_bufs)), dtype=np.uint8),
+            expected=total,
+        ).astype(np.int64)
+        + 1
+    )
+    return doc_ids, tfs, offsets
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     t = np.asarray(tfs, dtype=np.int64)
     if (t <= 0).any():

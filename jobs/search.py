@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--algorithm", choices=["wand", "dense"], default="wand")
+    ap.add_argument("--algorithm", choices=["auto", "wand", "dense"], default="auto")
     ap.add_argument("--mode", choices=["or", "and"], default="or",
                     help="or = reference-style disjunctive; and = conjunctive")
     ap.add_argument("--documents", help="documents parquet for materialization")

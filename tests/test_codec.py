@@ -72,3 +72,38 @@ def test_compression_is_real():
     ids = np.arange(1_000_000, 1_000_000 + 128 * 3, 3, dtype=np.int64)
     buf = codec.encode_doc_ids(ids, base=int(ids[0]))
     assert len(buf) < len(ids) * 2
+
+
+def test_decode_blocks_batched_round_trip():
+    """Batched multi-block decode == per-block decode, any block mix."""
+    import numpy as np
+
+    from hadoop_search_engine_spark.functions import codec
+
+    rng = np.random.default_rng(7)
+    blocks = []
+    for base in [0, 1000, 131072, 9_999_999]:
+        n = int(rng.integers(1, 200))
+        ids = np.sort(rng.choice(np.arange(base, base + 100_000), n, replace=False))
+        tfs = rng.integers(1, 50, n)
+        blocks.append((ids, tfs, base))
+    doc_bufs = [codec.encode_doc_ids(i, base=int(i[0])) for i, _, _ in blocks]
+    tf_bufs = [codec.encode_tfs(t) for _, t, _ in blocks]
+    ns = [len(i) for i, _, _ in blocks]
+    bases = [int(i[0]) for i, _, _ in blocks]
+    d, t, off = codec.decode_blocks(doc_bufs, tf_bufs, ns, bases)
+    assert off.tolist() == [0] + list(np.cumsum(ns))
+    for bi, (ids, tfs, _) in enumerate(blocks):
+        got_d = d[off[bi]:off[bi + 1]]
+        got_t = t[off[bi]:off[bi + 1]]
+        assert (got_d == ids).all()
+        assert (got_t == tfs).all()
+
+
+def test_decode_blocks_empty():
+    import numpy as np
+
+    from hadoop_search_engine_spark.functions import codec
+
+    d, t, off = codec.decode_blocks([], [], np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    assert d.size == 0 and t.size == 0 and off.tolist() == [0]

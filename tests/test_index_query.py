@@ -232,3 +232,19 @@ def test_conjunctive_mode_matches_bruteforce(tiny_index, tiny_corpus, tiny_oracl
 
 def test_conjunctive_absent_term_empty(tiny_index):
     assert search_topk(tiny_index, "w00000 zzzabsent", k=10, mode="and").count() == 0
+
+
+@pytest.mark.parametrize("algorithm", ["wand", "dense"])
+def test_serving_modes_identical(tiny_index, tiny_oracle, algorithm):
+    """driver serving (pyarrow read + NumPy scorer, no Spark job) and
+    spark serving (broadcast-dl executor scorer) must be score-identical
+    to each other and the oracle."""
+    for qtext in ["needle7 w00000", "w00001 w00002 w00003", "w00123", "w00000"]:
+        drv = _pairs(search_topk(tiny_index, qtext, k=10,
+                                 algorithm=algorithm, serving="driver"))
+        spk = _pairs(search_topk(tiny_index, qtext, k=10,
+                                 algorithm=algorithm, serving="spark"))
+        assert drv == spk, f"{algorithm}:{qtext}"
+        _assert_rank_and_score_identical(
+            drv, tiny_oracle.search(qtext, k=10), f"serving:{qtext}"
+        )
