@@ -82,6 +82,19 @@ def main() -> None:
         k = 100 if name.endswith("k100") else 10
         timed(name, lambda q=q, k=k: search_topk(idx, q, k=k).collect())
 
+    # p50/p95 over the full 50-query fixture set (BASELINE.md target
+    # metric), auto serving/algorithm, single cold pass per query
+    from hadoop_search_engine_spark.corpus import SYNONYMS, reference_queries
+
+    lat = []
+    for rq in reference_queries():
+        t0 = time.time()
+        search_topk(idx, rq["query_text"], k=rq["k"], synonyms=SYNONYMS).collect()
+        lat.append(time.time() - t0)
+    ls = sorted(lat)
+    timings["fixture_p50"] = round(ls[len(ls) // 2], 4)
+    timings["fixture_p95"] = round(ls[int(0.95 * (len(ls) - 1))], 4)
+
     timed(
         "bm25_dataframe_exhaustive",
         lambda: bm25_topk_dataframe(docs, "spark query table", k=20).collect(),
@@ -94,7 +107,13 @@ def main() -> None:
     timed("ann_bruteforce", lambda: entry_mod.q_ann_cosine_topk(spark, sf_dir).collect())
     timed("tpch_q1", lambda: entry_mod.q_tpch_q1(spark, sf_dir).collect())
 
-    total = round(sum(v for k, v in timings.items() if not k.endswith("docs_per_sec")), 4)
+    total = round(
+        sum(
+            v for k, v in timings.items()
+            if not k.endswith("docs_per_sec") and not k.startswith("fixture_")
+        ),
+        4,
+    )
     print(
         json.dumps(
             {

@@ -165,6 +165,46 @@ def decode_blocks(
     return doc_ids, tfs, offsets
 
 
+def encode_positions(positions: np.ndarray, counts: np.ndarray) -> bytes:
+    """Per-doc position lists -> one varint blob for a block.
+
+    ``positions`` is the block's flat occurrence-position array (doc-
+    major, ascending within each doc); ``counts`` (= the block's tfs)
+    gives each doc's slice. Within a doc, positions gap-encode; each
+    doc's first position stores absolutely (delta from 0), so decode is
+    the same per-group cumsum reset as :func:`decode_blocks`.
+    """
+    p = np.asarray(positions, dtype=np.int64)
+    c = np.asarray(counts, dtype=np.int64)
+    if p.size != int(c.sum()):
+        raise ValueError("positions length must equal sum(counts)")
+    if p.size == 0:
+        return b""
+    g = np.empty_like(p)
+    g[0] = p[0]
+    g[1:] = p[1:] - p[:-1]
+    doc_starts = np.cumsum(c)[:-1]
+    g[doc_starts] = p[doc_starts]
+    if (g < 0).any() or (np.delete(g, np.concatenate([[0], doc_starts])) <= 0).any():
+        raise ValueError("positions must be strictly increasing within a doc")
+    return varint_encode(g.astype(_U64))
+
+
+def decode_positions(buf: bytes, counts: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` -> flat position array."""
+    c = np.asarray(counts, dtype=np.int64)
+    total = int(c.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    gaps = varint_decode(
+        np.frombuffer(bytes(buf), dtype=np.uint8), expected=total
+    ).astype(np.int64)
+    csum = np.cumsum(gaps)
+    starts = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(c)[:-1]])
+    prev = np.where(starts > 0, csum[starts - 1], 0)
+    return csum - np.repeat(prev, c)
+
+
 def encode_tfs(tfs: np.ndarray) -> bytes:
     t = np.asarray(tfs, dtype=np.int64)
     if (t <= 0).any():

@@ -88,7 +88,7 @@ def _phase_timer():
 POSTINGS_SCHEMA = (
     "term_hash long, shard int, block_id int, first_doc_id long, "
     "doc_ids binary, tfs binary, n_docs int, tf_sum long, n_bytes int, "
-    "max_tf long, min_dl long, bucket int"
+    "max_tf long, min_dl long, positions binary, bucket int"
 )
 
 
@@ -102,6 +102,7 @@ class IndexStats:
     block_size: int
     k1: float
     b: float
+    positions: bool = False
 
 
 def _stats_path(out_dir: str) -> str:
@@ -158,11 +159,12 @@ def doc_stats(tf: DataFrame) -> DataFrame:
 
 _POSTINGS_COLUMNS = [
     "term_hash", "shard", "block_id", "first_doc_id", "doc_ids",
-    "tfs", "n_docs", "tf_sum", "n_bytes", "max_tf", "min_dl", "bucket",
+    "tfs", "n_docs", "tf_sum", "n_bytes", "max_tf", "min_dl",
+    "positions", "bucket",
 ]
 
 
-def _make_encoder(stats: IndexStats):
+def _make_encoder(stats: IndexStats, positions: bool = False):
     """Streaming encoder for :func:`mapInPandas` over SORTED partitions.
 
     Input: raw token events (term, shard, bucket, doc_id, doc_len) —
@@ -195,7 +197,8 @@ def _make_encoder(stats: IndexStats):
     block_size = stats.block_size
 
     def encode_run(term_hash: int, shard: int, bucket: int,
-                   ids: np.ndarray, dls_occ: np.ndarray, rows: list) -> None:
+                   ids: np.ndarray, dls_occ: np.ndarray,
+                   pos_occ: np.ndarray | None, rows: list) -> None:
         # ids are pre-sorted (partition sort order); np.unique keeps it.
         doc_ids, first_idx, counts = np.unique(
             ids, return_index=True, return_counts=True
@@ -208,18 +211,29 @@ def _make_encoder(stats: IndexStats):
             dl = dls[start : start + block_size]
             enc_d = codec.encode_doc_ids(d, base=int(d[0]))
             enc_t = codec.encode_tfs(t)
+            if pos_occ is not None:
+                # the block's occurrence slice is contiguous: the run is
+                # sorted (doc, pos) and docs in the block are contiguous
+                occ0 = int(first_idx[start])
+                last = start + len(d) - 1
+                occ1 = int(first_idx[last]) + int(counts[last])
+                enc_p = codec.encode_positions(pos_occ[occ0:occ1], t)
+            else:
+                enc_p = None
             rows.append(
                 (
                     term_hash, shard, blk, int(d[0]), enc_d, enc_t,
-                    len(d), int(t.sum()), len(enc_d) + len(enc_t),
-                    int(t.max()), int(dl.min()), bucket,
+                    len(d), int(t.sum()),
+                    len(enc_d) + len(enc_t) + (len(enc_p) if enc_p else 0),
+                    int(t.max()), int(dl.min()), enc_p, bucket,
                 )
             )
 
     span = stats.shard_span
     n_buckets = stats.n_buckets
 
-    def encode_complete(terms: np.ndarray, packed: np.ndarray, rows: list) -> None:
+    def encode_complete(terms: np.ndarray, packed: np.ndarray,
+                        pos: np.ndarray | None, rows: list) -> None:
         ids = packed >> 20
         shards = (ids // span).astype(np.int64)
         n = terms.shape[0]
@@ -234,17 +248,22 @@ def _make_encoder(stats: IndexStats):
         buckets = np.mod(terms, n_buckets)
         for s, e in zip(starts, ends):
             encode_run(int(terms[s]), int(shards[s]), int(buckets[s]),
-                       ids[s:e], dls[s:e], rows)
+                       ids[s:e], dls[s:e],
+                       pos[s:e] if pos is not None else None, rows)
 
     def encode_stream(batches):
         carry_t = np.zeros(0, dtype=np.int64)
         carry_p = np.zeros(0, dtype=np.int64)
+        carry_pos = np.zeros(0, dtype=np.int64) if positions else None
         for pdf in batches:
             terms = pdf["term_hash"].to_numpy(np.int64)
             packed = pdf["packed"].to_numpy(np.int64)
+            pos = pdf["pos"].to_numpy(np.int64) if positions else None
             if carry_t.size:
                 terms = np.concatenate([carry_t, terms])
                 packed = np.concatenate([carry_p, packed])
+                if positions:
+                    pos = np.concatenate([carry_pos, pos])
             if not terms.size:
                 continue
             # hold back the trailing (possibly incomplete) run
@@ -253,13 +272,16 @@ def _make_encoder(stats: IndexStats):
             not_tail = np.flatnonzero(~tail_mask)
             cut = int(not_tail[-1]) + 1 if not_tail.size else 0
             carry_t, carry_p = terms[cut:], packed[cut:]
+            if positions:
+                carry_pos = pos[cut:]
             if cut:
                 rows: list = []
-                encode_complete(terms[:cut], packed[:cut], rows)
+                encode_complete(terms[:cut], packed[:cut],
+                                pos[:cut] if positions else None, rows)
                 yield pd.DataFrame(rows, columns=_POSTINGS_COLUMNS)
         if carry_t.size:
             rows = []
-            encode_complete(carry_t, carry_p, rows)
+            encode_complete(carry_t, carry_p, carry_pos, rows)
             yield pd.DataFrame(rows, columns=_POSTINGS_COLUMNS)
 
     return encode_stream
@@ -291,6 +313,7 @@ def build_index(
     resume: bool = False,
     fail_after_waves: int | None = None,
     docs_are_events: bool = False,
+    positions: bool = False,
 ) -> IndexStats:
     """Build the full index at ``out_dir`` from documents(doc_id, text).
 
@@ -304,7 +327,19 @@ def build_index(
     occurrence (tf = multiplicity) — instead of raw documents. Used by
     streaming-delta compaction, where tokenization already happened in
     the micro-batches.
+
+    ``positions=True`` builds a positional index: each block gains a
+    ``positions`` varint blob (per-doc gap-encoded token positions),
+    enabling :func:`operators.query_exec.phrase_search`. The event
+    shuffle grows from 16 to 24 bytes/row; the default index layout is
+    byte-identical to ``positions=False`` builds apart from the null
+    ``positions`` column.
     """
+    if positions and docs_are_events:
+        raise NotImplementedError(
+            "positional build from pre-aggregated tf events: the deltas "
+            "don't carry token positions"
+        )
     mark = _phase_timer()
     postings_dir = os.path.join(out_dir, "postings")
     term_stats_dir = os.path.join(out_dir, "term_stats")
@@ -362,7 +397,7 @@ def build_index(
         stats = IndexStats(
             n_docs=0, avgdl=0.0, shard_span=shard_span,
             num_shards=num_shards, n_buckets=n_buckets,
-            block_size=block_size, k1=k1, b=b,
+            block_size=block_size, k1=k1, b=b, positions=positions,
         )
         write_stats(out_dir, stats)
 
@@ -472,22 +507,33 @@ def build_index(
         )
     else:
         toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-        occ = toks.select(
-            "doc_id",
-            F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
-                "doc_len"
-            ),
-            F.explode("toks").alias("term"),
-        )
-    enriched = (
-        occ.select(
-            F.xxhash64("term").alias("term_hash"),
-            (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias("packed"),
-        )
-        .withColumn("bucket", _bucket_col(F.col("term_hash"), stats.n_buckets))
+        if positions:
+            occ = toks.select(
+                "doc_id",
+                F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
+                    "doc_len"
+                ),
+                F.posexplode("toks").alias("pos", "term"),
+            )
+        else:
+            occ = toks.select(
+                "doc_id",
+                F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
+                    "doc_len"
+                ),
+                F.explode("toks").alias("term"),
+            )
+    event_cols = [
+        F.xxhash64("term").alias("term_hash"),
+        (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias("packed"),
+    ]
+    if positions:
+        event_cols.append(F.col("pos").cast("int"))
+    enriched = occ.select(*event_cols).withColumn(
+        "bucket", _bucket_col(F.col("term_hash"), stats.n_buckets)
     )
 
-    encoder = _make_encoder(stats)
+    encoder = _make_encoder(stats, positions=positions)
     waves = _bucket_waves(stats.n_buckets, n_waves)
     try:
         _run_waves(
@@ -538,9 +584,9 @@ def _run_waves(
         todo = [bk for bk in bucket_range if bk not in done]
         if not todo:
             continue
-        wave_df = enriched.where(F.col("bucket").isin(todo)).select(
-            "term_hash", "packed"
-        )
+        with_pos = "pos" in enriched.columns
+        cols = ["term_hash", "packed"] + (["pos"] if with_pos else [])
+        wave_df = enriched.where(F.col("bucket").isin(todo)).select(*cols)
         # ONE shuffle of the corpus: hash-repartition token events on
         # (term_hash, shard) — every run lands whole in one partition —
         # then a Tungsten in-partition sort on two longs puts runs in
@@ -561,7 +607,7 @@ def _run_waves(
         )
         sorted_events = wave_df.repartition(
             n_encode_parts, F.col("term_hash"), shard_expr
-        ).sortWithinPartitions("term_hash", "packed")
+        ).sortWithinPartitions(*(["term_hash", "packed"] + (["pos"] if with_pos else [])))
         blocks = sorted_events.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
         mark(f"wave{wave_id}_plan")
         (

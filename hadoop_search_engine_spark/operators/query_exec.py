@@ -311,6 +311,7 @@ def _driver_search(
     k: int,
     mode: str,
     algorithm: str,
+    pairs_fn=None,
 ) -> DataFrame:
     """Driver-side serving: read ONLY the probed (bucket, term_hash)
     posting rows via a pyarrow dataset (bucket = hive partition dir, so
@@ -346,10 +347,13 @@ def _driver_search(
         dl = arr[base : base + span]
         if dl.shape[0] < span:
             dl = np.concatenate([dl, np.zeros(span - dl.shape[0])])
-        pairs.extend(
-            score_fn(grp, dl, base, ordered_terms, stats.k1, stats.b,
-                     stats.avgdl, k, required)
-        )
+        if pairs_fn is not None:
+            pairs.extend(pairs_fn(grp, dl, base))
+        else:
+            pairs.extend(
+                score_fn(grp, dl, base, ordered_terms, stats.k1, stats.b,
+                         stats.avgdl, k, required)
+            )
     pairs.sort(key=lambda e: (-e[1], e[0]))
     top = pairs[:k]
     if not top:
@@ -362,16 +366,20 @@ def _driver_search(
 
 def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
                        stats: IndexStats, k: int, algorithm: str,
-                       dl_bc=None, mode: str = "or"):
+                       dl_bc=None, mode: str = "or", pairs_fn=None):
     """Scorer for one shard. With ``dl_bc`` (broadcast dense doc_len
     array) it is an ``applyInPandas`` group function over blocks only;
-    without, a cogroup function joining blocks with the shard's dl rows."""
+    without, a cogroup function joining blocks with the shard's dl rows.
+    ``pairs_fn(left, dl, base) -> [(doc_id, score)]`` overrides the
+    default dense/WAND scoring (used by phrase_search)."""
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     span = stats.shard_span
     required = len(ordered_terms) if mode == "and" else 0
 
     def _score(left: pd.DataFrame, dl: np.ndarray, base: int):
-        if algorithm == "dense":
+        if pairs_fn is not None:
+            pairs = pairs_fn(left, dl, base)
+        elif algorithm == "dense":
             pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl,
                                  k, required)
         else:
@@ -623,6 +631,159 @@ def _score_wand(
         if best_docs.size >= k:
             theta = float(best_scores[-1])
     return [(int(d), float(s)) for d, s in zip(best_docs, best_scores)]
+
+
+def _phrase_pairs(
+    left: pd.DataFrame, dl: np.ndarray, base: int,
+    ordered_terms: list[tuple[int, str, float]],
+    seq_hashes: list[int],
+    k1: float, b: float, avgdl: float, k: int,
+) -> list[tuple[int, float]]:
+    """Exact-phrase matches in one shard, BM25-scored.
+
+    1. batch-decode each distinct term's postings AND positions (one
+       varint pass each — position blobs concatenate safely because
+       every doc's first position is stored absolutely);
+    2. candidates = docs containing every term (sorted-array
+       intersection);
+    3. adjacency: walk the phrase left to right, intersecting
+       (positions so far + 1) with the next term's positions per doc —
+       duplicates in the phrase reuse the same decoded postings;
+    4. score survivors with the standard per-term partials in ascending
+       term order (identical formula to mode="and", restricted to
+       phrase-matching docs).
+    """
+    hashes = left["term_hash"].to_numpy(np.int64)
+    per_term: dict[int, tuple] = {}
+    for th, _term, _idf in ordered_terms:
+        grp = left[hashes == th]
+        if not len(grp):
+            return []  # a phrase term absent from this shard
+        grp = grp.sort_values("block_id")
+        d, t, _ = codec.decode_blocks(
+            grp["doc_ids"].tolist(), grp["tfs"].tolist(),
+            grp["n_docs"].to_numpy(np.int64),
+            grp["first_doc_id"].to_numpy(np.int64),
+        )
+        pos_blob = b"".join(map(bytes, grp["positions"].tolist()))
+        P = codec.decode_positions(pos_blob, t)
+        pos_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(t)])
+        per_term[th] = (d, t, P, pos_off)
+
+    cand = per_term[seq_hashes[0]][0]
+    for th in set(seq_hashes[1:]):
+        cand = cand[np.isin(cand, per_term[th][0], assume_unique=True)]
+        if not cand.size:
+            return []
+
+    def _positions_of(th: int, doc: int) -> np.ndarray:
+        d, _t, P, off = per_term[th]
+        i = int(np.searchsorted(d, doc))
+        return P[off[i]: off[i + 1]]
+
+    matched: list[int] = []
+    for doc in cand:
+        cur = _positions_of(seq_hashes[0], int(doc))
+        for th in seq_hashes[1:]:
+            cur = cur[np.isin(cur + 1, _positions_of(th, int(doc)),
+                              assume_unique=True)] + 1
+            if not cur.size:
+                break
+        if cur.size:
+            matched.append(int(doc))
+    if not matched:
+        return []
+    docs_arr = np.asarray(matched, dtype=np.int64)
+    scores = np.zeros(docs_arr.shape[0], dtype=np.float64)
+    for th, _term, idf in ordered_terms:  # ascending term order
+        d, t, _P, _off = per_term[th]
+        ix = np.searchsorted(d, docs_arr)
+        scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b, avgdl)
+    return _topk_pairs(docs_arr, scores, k)
+
+
+def phrase_search(
+    index: Index,
+    phrase_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    serving: str = "auto",
+) -> DataFrame:
+    """Exact-phrase BM25 top-k over a positional index
+    (``build_index(..., positions=True)``).
+
+    The phrase is the tokenized text IN ORDER (duplicates kept; synonym
+    rewrite applies per token without dedup). A doc matches iff the
+    terms occur at consecutive token positions. Matching docs are
+    ranked by the same BM25 per-term partials as ``mode="and"``.
+    """
+    if not getattr(index.stats, "positions", False):
+        raise ValueError(
+            "phrase_search needs a positional index: build_index(..., "
+            "positions=True)"
+        )
+    from ..functions.tokenizer import tokenize
+
+    syn = synonyms or {}
+    seq = [syn.get(t, t) for t in tokenize(phrase_text)]
+    spark = index.spark
+    if not seq:
+        return _empty_df(spark, TOPK_SCHEMA)
+    distinct = sorted(set(seq))
+    meta = _lookup_terms(index, distinct)
+    if len(meta) < len(distinct):
+        return _empty_df(spark, TOPK_SCHEMA)
+    stats = index.stats
+    ordered_terms = [
+        (int(m["hash"]), t, float(m["idf"])) for t, m in sorted(meta.items())
+    ]
+    seq_hashes = [int(meta[t]["hash"]) for t in seq]
+    buckets = sorted({m["bucket"] for m in meta.values()})
+    hit_hashes = sorted(int(m["hash"]) for m in meta.values())
+
+    import functools
+
+    pairs_fn = functools.partial(
+        _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
+        k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k,
+    )
+
+    if serving == "driver" or (
+        serving == "auto"
+        and index.dl_array() is not None
+        and index.lexicon_map() is not None
+    ):
+        return _driver_search(
+            index, ordered_terms, buckets, hit_hashes, k, "and", "dense",
+            pairs_fn=lambda grp, dl, base: pairs_fn(grp, dl, base),
+        )
+
+    blocks = index.postings.where(
+        F.col("bucket").isin(buckets) & F.col("term_hash").isin(hit_hashes)
+    )
+    n_parts = max(1, min(stats.num_shards,
+                         spark.sparkContext.defaultParallelism))
+    dl_bc = index.dl_broadcast()
+    if dl_bc is not None:
+        scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
+                                    dl_bc=dl_bc, pairs_fn=pairs_fn)
+        per_shard = (
+            blocks.repartition(n_parts, "shard")
+            .groupBy("shard")
+            .applyInPandas(scorer, schema=TOPK_SCHEMA)
+        )
+    else:
+        shards = blocks.select("shard").distinct()
+        dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
+        scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
+                                    pairs_fn=pairs_fn)
+        per_shard = (
+            blocks.repartition(n_parts, "shard")
+            .groupBy("shard")
+            .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
+            .applyInPandas(scorer, schema=TOPK_SCHEMA)
+        )
+    return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
 # ---------------------------------------------------------------------------

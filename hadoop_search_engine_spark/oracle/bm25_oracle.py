@@ -29,6 +29,7 @@ class BM25Oracle:
         self.k1, self.b = k1, b
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
+        self.positions: dict[tuple[str, int], list[int]] = {}
         for doc_id, text in docs:
             toks = tokenize(text)
             if not toks:
@@ -36,6 +37,8 @@ class BM25Oracle:
             self.doc_len[doc_id] = len(toks)
             for term, tf in Counter(toks).items():
                 self.postings.setdefault(term, {})[doc_id] = tf
+            for pos, term in enumerate(toks):
+                self.positions.setdefault((term, doc_id), []).append(pos)
         self.n_docs = len(self.doc_len)
         self.avgdl = float(np.mean(list(self.doc_len.values()))) if self.doc_len else 0.0
 
@@ -62,6 +65,42 @@ class BM25Oracle:
                 scores[doc_id] = scores.get(doc_id, 0.0) + self.score_one(term, doc_id)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def phrase_search(
+        self,
+        phrase_text: str,
+        k: int = 10,
+        synonyms: dict[str, str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Exact-phrase top-k: terms at consecutive positions, ranked by
+        the same per-term partials (ascending-term summation)."""
+        syn = synonyms or {}
+        seq = [syn.get(t, t) for t in tokenize(phrase_text)]
+        if not seq:
+            return []
+        distinct = sorted(set(seq))
+        if any(t not in self.postings for t in distinct):
+            return []
+        cand = set(self.postings[distinct[0]])
+        for t in distinct[1:]:
+            cand &= set(self.postings[t])
+        matched = []
+        for doc in cand:
+            cur = set(self.positions[(seq[0], doc)])
+            for t in seq[1:]:
+                cur = {p + 1 for p in cur} & set(self.positions[(t, doc)])
+                if not cur:
+                    break
+            if cur:
+                matched.append(doc)
+        scored = []
+        for doc in matched:
+            s = 0.0
+            for t in distinct:  # ascending term order (determinism)
+                s += self.score_one(t, doc)
+            scored.append((doc, s))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scored[:k]
 
     def or_union_first_seen(
         self,

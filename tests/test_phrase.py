@@ -1,0 +1,96 @@
+"""Positional index + exact-phrase search vs the NumPy oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.index_build import build_index
+from hadoop_search_engine_spark.operators.query_exec import (
+    Index,
+    phrase_search,
+    search_topk,
+)
+from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+
+ROWS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown dog sleeps while the brown fox runs"),
+    (2, "a brown fox and a quick dog and a quick brown fox"),
+    (3, "completely unrelated content about spark engines"),
+    (4, "brown quick fox"),                       # words present, wrong order
+    (5, "the the the repeated words the the"),    # duplicate-term phrases
+    (6, "quick brown"),                           # phrase at doc boundary
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_setup(spark, tmp_path_factory):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("pidx") / "idx")
+    build_index(spark, docs, out, n_buckets=4, block_size=4, positions=True)
+    return Index.load(spark, out), BM25Oracle(ROWS)
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _check(got, want, q):
+    assert len(got) == len(want), f"{q}: {got} vs {want}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd, f"{q}: {got} vs {want}"
+        assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-12), q
+
+
+PHRASES = [
+    "quick brown fox",     # docs 0 (q b f? doc0: quick brown fox yes), 2
+    "brown fox",           # 0, 1, 2, (not 4)
+    "the lazy dog",        # 0
+    "quick brown",         # 0, 2, 6 (not 1: quick brown dog -> yes 1 too)
+    "the the",             # 5 (duplicate-term adjacency)
+    "fox jumps over",      # 0
+    "lazy fox",            # nothing (both present in 0 but not adjacent)
+    "zzz brown",           # absent term
+    "",                    # empty
+]
+
+
+@pytest.mark.parametrize("serving", ["driver", "spark"])
+def test_phrase_matches_oracle(phrase_setup, serving):
+    idx, oracle = phrase_setup
+    for q in PHRASES:
+        got = _pairs(phrase_search(idx, q, k=10, serving=serving))
+        want = oracle.phrase_search(q, k=10)
+        _check(got, want, f"{serving}:{q!r}")
+
+
+def test_phrase_is_subset_of_and_mode(phrase_setup):
+    idx, _ = phrase_setup
+    ph = {d for d, _ in _pairs(phrase_search(idx, "brown fox", k=10))}
+    conj = {d for d, _ in _pairs(search_topk(idx, "brown fox", k=10, mode="and"))}
+    assert ph <= conj
+    assert 4 in conj and 4 not in ph  # wrong order: AND hits, phrase doesn't
+
+
+def test_phrase_requires_positional_index(spark, tiny_index):
+    with pytest.raises(ValueError, match="positions=True"):
+        phrase_search(tiny_index, "w00000 w00001")
+
+
+def test_non_positional_default_unchanged(phrase_setup, spark, tmp_path):
+    """positions=False build has a null positions column and identical
+    search results for the same corpus."""
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    out = str(tmp_path / "noposidx")
+    build_index(spark, docs, out, n_buckets=4, block_size=4)
+    idx = Index.load(spark, out)
+    assert idx.stats.positions is False
+    assert idx.postings.where(F.col("positions").isNotNull()).count() == 0
+    pidx, oracle = phrase_setup
+    for q in ["quick brown fox", "the lazy dog"]:
+        a = _pairs(search_topk(idx, q, k=10))
+        b = _pairs(search_topk(pidx, q, k=10))
+        assert a == b
