@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="or = reference-style disjunctive; and = conjunctive")
     ap.add_argument("--documents", help="documents parquet for materialization")
     ap.add_argument("--compat-or-union", action="store_true")
+    ap.add_argument("--phrase", action="store_true",
+                    help="exact-phrase match (needs an index built with positions)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,6 +48,10 @@ def main(argv: list[str] | None = None) -> None:
     idx = Index.load(spark, args.index)
     if args.compat_or_union:
         result = or_union_search(idx, args.query, limit=args.k)
+    elif args.phrase:
+        from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+        result = phrase_search(idx, args.query, k=args.k)
     else:
         result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm,
                              mode=args.mode)
