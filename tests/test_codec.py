@@ -107,3 +107,33 @@ def test_decode_blocks_empty():
 
     d, t, off = codec.decode_blocks([], [], np.array([], dtype=np.int64), np.array([], dtype=np.int64))
     assert d.size == 0 and t.size == 0 and off.tolist() == [0]
+
+
+def test_positions_round_trip():
+    import numpy as np
+
+    from hadoop_search_engine_spark.functions import codec
+
+    rng = np.random.default_rng(11)
+    counts = rng.integers(1, 9, 20)
+    pos_lists = [
+        np.sort(rng.choice(np.arange(0, 400), c, replace=False)) for c in counts
+    ]
+    flat = np.concatenate(pos_lists)
+    blob = codec.encode_positions(flat, counts)
+    got = codec.decode_positions(blob, counts)
+    assert (got == flat).all()
+    # blobs concatenate: two blocks' blobs + combined counts decode fine
+    b2 = codec.encode_positions(flat, counts)
+    both = codec.decode_positions(blob + b2, np.concatenate([counts, counts]))
+    assert (both == np.concatenate([flat, flat])).all()
+
+
+def test_positions_reject_non_increasing():
+    import numpy as np
+    import pytest
+
+    from hadoop_search_engine_spark.functions import codec
+
+    with pytest.raises(ValueError):
+        codec.encode_positions(np.array([3, 3]), np.array([2]))
