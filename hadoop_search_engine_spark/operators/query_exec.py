@@ -156,6 +156,40 @@ class Index:
     def checkpoints(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.out_dir, "checkpoints"))
 
+    def report(self) -> dict:
+        """Index size/lineage summary from the committed per-bucket
+        counters (one tiny agg — the binary postings are never read):
+        docs, terms, postings, blocks, compressed bytes, bytes/posting,
+        and the stats header."""
+        row = (
+            self.checkpoints.where(F.col("bucket") >= 0)
+            .agg(
+                F.sum("terms").alias("terms"),
+                F.sum("blocks").alias("blocks"),
+                F.sum("postings").alias("postings"),
+                F.sum("tokens").alias("tokens"),
+                F.sum("bytes").alias("bytes"),
+            )
+            .collect()[0]
+        )
+        postings = int(row["postings"] or 0)
+        out = {
+            "n_docs": self.stats.n_docs,
+            "avgdl": self.stats.avgdl,
+            "num_shards": self.stats.num_shards,
+            "n_buckets": self.stats.n_buckets,
+            "positional": bool(getattr(self.stats, "positions", False)),
+            "terms": int(row["terms"] or 0),
+            "blocks": int(row["blocks"] or 0),
+            "postings": postings,
+            "tokens": int(row["tokens"] or 0),
+            "compressed_bytes": int(row["bytes"] or 0),
+            "bytes_per_posting": (
+                round(int(row["bytes"] or 0) / postings, 3) if postings else 0.0
+            ),
+        }
+        return out
+
 
 def parse_query(query_text: str, synonyms: dict[str, str] | None = None) -> list[str]:
     """Query string -> deduped canonical terms (reference pipeline:
@@ -952,3 +986,39 @@ def materialize(topk: DataFrame, documents: DataFrame) -> DataFrame:
     return documents.join(F.broadcast(topk), "doc_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
+
+
+def materialize_with_snippets(
+    topk: DataFrame,
+    documents: DataFrame,
+    query_terms: list[str],
+    width: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize top-k docs with a result snippet around the first
+    query-term occurrence — what a search UI renders instead of raw
+    text. Pure built-in expressions (instr/substring on the k joined
+    rows), no Python: the snippet window is ±``width`` chars around the
+    earliest case-insensitive match, or the document head when the
+    match came through a synonym/phrase the raw text spells differently.
+    Adds ``snippet`` and ``match_pos`` (1-based, 0 = head fallback).
+    """
+    lowered = F.lower(F.col(text_col))
+    pos_cols = [
+        F.nullif(F.instr(lowered, t.lower()), F.lit(0))
+        for t in query_terms
+        if t
+    ]
+    if not pos_cols:
+        first_pos = F.lit(None).cast("int")
+    elif len(pos_cols) == 1:
+        first_pos = pos_cols[0]
+    else:
+        first_pos = F.least(*pos_cols)
+    start = F.greatest(F.coalesce(first_pos, F.lit(1)) - F.lit(width), F.lit(1))
+    out = documents.join(F.broadcast(topk), "doc_id").select(
+        "*",
+        F.col(text_col).substr(start, F.lit(2 * width)).alias("snippet"),
+        F.coalesce(first_pos, F.lit(0)).alias("match_pos"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -248,3 +248,64 @@ def test_serving_modes_identical(tiny_index, tiny_oracle, algorithm):
         _assert_rank_and_score_identical(
             drv, tiny_oracle.search(qtext, k=10), f"serving:{qtext}"
         )
+
+
+def test_materialize_with_snippets(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        materialize_with_snippets,
+    )
+
+    topk = search_topk(tiny_index, "needle7", k=3)
+    out = materialize_with_snippets(topk, tiny_corpus, ["needle7"], width=30).collect()
+    assert len(out) == 3
+    for r in out:
+        assert "needle7" in r["snippet"].lower()
+        assert r["match_pos"] > 0
+        assert len(r["snippet"]) <= 60
+
+
+def test_index_report_counters(tiny_index, tiny_oracle):
+    rep = tiny_index.report()
+    assert rep["n_docs"] == tiny_oracle.n_docs
+    assert rep["postings"] == sum(len(p) for p in tiny_oracle.postings.values())
+    assert rep["tokens"] == sum(tiny_oracle.doc_len.values())
+    assert rep["terms"] == len(tiny_oracle.postings)
+    # delta+varint: far below the 8(doc)+8(tf) raw bytes per posting
+    assert 0 < rep["bytes_per_posting"] < 8
+    assert rep["positional"] is False
+
+
+def test_unicode_corpus_oracle_parity(spark, tmp_path):
+    """Non-ASCII text: tokenizer bytes, term hashing, and scores agree
+    with the oracle end-to-end."""
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+    from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+
+    rows = [
+        (0, "café naïve straße crème café"),
+        (1, "日本語 テスト 検索 エンジン"),
+        (2, "текст поиск система текст café"),
+        (3, "plain ascii words only here"),
+        (4, "CAFÉ Naïve MIXED case"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    oracle = BM25Oracle(rows)
+    out = str(tmp_path / "uidx")
+    stats = build_index(spark, docs, out, n_buckets=4, block_size=8)
+    assert stats.n_docs == oracle.n_docs
+    idx = Index.load(spark, out)
+    for q in ["café", "CAFÉ naïve", "日本語 検索", "текст", "straße plain"]:
+        got = _pairs(search_topk(idx, q, k=10))
+        want = oracle.search(q, k=10)
+        _assert_rank_and_score_identical(got, want, f"unicode:{q}")
+
+
+def test_doc_id_headroom_guard(spark, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+
+    docs = spark.createDataFrame(
+        [(1 << 43, "overflow doc"), (1, "fine doc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="2\\^43"):
+        build_index(spark, docs, str(tmp_path / "gidx"), n_buckets=4)
