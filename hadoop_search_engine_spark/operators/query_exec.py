@@ -687,6 +687,8 @@ def _phrase_pairs(
        term order (identical formula to mode="and", restricted to
        phrase-matching docs).
     """
+    if dl.shape[0] >= (1 << 42):
+        raise ValueError("shard_span too large for packed (doc, pos) keys")
     hashes = left["term_hash"].to_numpy(np.int64)
     per_term: dict[int, tuple] = {}
     for th, _term, _idf in ordered_terms:
@@ -701,36 +703,32 @@ def _phrase_pairs(
         )
         pos_blob = b"".join(map(bytes, grp["positions"].tolist()))
         P = codec.decode_positions(pos_blob, t)
-        pos_off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(t)])
-        per_term[th] = (d, t, P, pos_off)
+        # every occurrence as a packed (local_doc, pos) key — positions
+        # are < 2^20 (the doc_len cap), so 21 bits never carry into the
+        # doc bits and "advance one token" is key + 1. Keys ascend
+        # (doc-major, pos-ascending), so set ops stay sorted-unique.
+        keys = ((np.repeat(d, t) - base) << np.int64(21)) | P
+        per_term[th] = (d, t, keys)
 
-    cand = per_term[seq_hashes[0]][0]
-    for th in set(seq_hashes[1:]):
-        cand = cand[np.isin(cand, per_term[th][0], assume_unique=True)]
-        if not cand.size:
+    # adjacency fully vectorized: walk the phrase left to right
+    # intersecting (occurrence keys + 1) with the next term's keys —
+    # no per-candidate Python loop (a two-head-term phrase over a web
+    # shard has ~1e5 candidates; looping them costs ~30 s). Both key
+    # arrays are sorted, so the intersection is a searchsorted probe —
+    # np.isin would re-sort both sides every step.
+    cur = per_term[seq_hashes[0]][2]
+    for th in seq_hashes[1:]:
+        nxt = per_term[th][2]
+        shifted = cur + 1
+        j = np.searchsorted(nxt, shifted)
+        j[j == nxt.size] = 0  # out-of-range probes can't match
+        cur = shifted[nxt[j] == shifted]
+        if not cur.size:
             return []
-
-    def _positions_of(th: int, doc: int) -> np.ndarray:
-        d, _t, P, off = per_term[th]
-        i = int(np.searchsorted(d, doc))
-        return P[off[i]: off[i + 1]]
-
-    matched: list[int] = []
-    for doc in cand:
-        cur = _positions_of(seq_hashes[0], int(doc))
-        for th in seq_hashes[1:]:
-            cur = cur[np.isin(cur + 1, _positions_of(th, int(doc)),
-                              assume_unique=True)] + 1
-            if not cur.size:
-                break
-        if cur.size:
-            matched.append(int(doc))
-    if not matched:
-        return []
-    docs_arr = np.asarray(matched, dtype=np.int64)
+    docs_arr = np.unique(cur >> np.int64(21)) + base
     scores = np.zeros(docs_arr.shape[0], dtype=np.float64)
     for th, _term, idf in ordered_terms:  # ascending term order
-        d, t, _P, _off = per_term[th]
+        d, t, _keys = per_term[th]
         ix = np.searchsorted(d, docs_arr)
         scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b, avgdl)
     return _topk_pairs(docs_arr, scores, k)
@@ -782,6 +780,12 @@ def phrase_search(
         k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k,
     )
 
+    # auto picks driver serving whenever the index is small enough for
+    # the driver-pinned norms/lexicon — measured faster than the
+    # executor path even for two-head-term phrases (the distributed
+    # path ships the probed position blobs through an extra shuffle +
+    # Arrow transfer; at >20M docs there is no choice and it shards the
+    # decode in parallel).
     if serving == "driver" or (
         serving == "auto"
         and index.dl_array() is not None
