@@ -94,3 +94,46 @@ def test_non_positional_default_unchanged(phrase_setup, spark, tmp_path):
         a = _pairs(search_topk(idx, q, k=10))
         b = _pairs(search_topk(pidx, q, k=10))
         assert a == b
+
+
+def test_positional_resume_after_injected_failure(spark, tmp_path):
+    """Kill/resume with positions=True: the positional encoder path
+    commits and resumes identically to the default path."""
+    from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    out = str(tmp_path / "pidx_resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, docs, out, n_buckets=8, block_size=4,
+                    positions=True, n_waves=4, fail_after_waves=2)
+    build_index(spark, docs, out, n_buckets=8, block_size=4,
+                positions=True, n_waves=4, resume=True)
+    idx = Index.load(spark, out)
+    oracle = BM25Oracle(ROWS)
+    got = _pairs(phrase_search(idx, "quick brown fox", k=10))
+    _check(got, oracle.phrase_search("quick brown fox", k=10), "resume-phrase")
+
+
+def test_adversarial_skew_term_in_every_doc(spark, tmp_path):
+    """A term with df == N and high tf (the worst Zipf head) must
+    build into bounded per-(term, shard) runs and score identically."""
+    from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+
+    rows = [
+        (i, ("omni " * 5) + f"w{i % 7} filler{i}") for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    oracle = BM25Oracle(rows)
+    out = str(tmp_path / "skewidx")
+    build_index(spark, docs, out, num_shards=4, n_buckets=4, block_size=16)
+    idx = Index.load(spark, out)
+    # the head term's blocks are bounded by block_size and spread shards
+    h = idx.lexicon.where(F.col("term") == "omni").first()
+    assert h["df"] == 400
+    blocks = idx.postings.where(F.col("term_hash") == h["term_hash"]).collect()
+    assert {r["shard"] for r in blocks} == {0, 1, 2, 3}
+    assert all(r["n_docs"] <= 16 for r in blocks)
+    for q in ["omni", "omni w3", "w5 omni filler9"]:
+        got = _pairs(search_topk(idx, q, k=10))
+        want = oracle.search(q, k=10)
+        _check(got, want, f"skew:{q}")
