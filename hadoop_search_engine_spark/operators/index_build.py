@@ -134,24 +134,6 @@ def term_frequencies(docs: DataFrame) -> DataFrame:
     return terms.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
 
 
-def term_frequencies_with_dl(docs: DataFrame) -> DataFrame:
-    """(term, doc_id, doc_len, tf) — ``doc_len`` rides along as an
-    extra (functionally dependent) grouping key, computed as
-    ``size(tokens)`` during tokenization. This is what lets the index
-    build skip the tf ⋈ doc_stats shuffle join entirely: at 10^12 docs
-    that join re-shuffles every posting once more; here doc_len costs
-    zero extra shuffles."""
-    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
-    terms = toks.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("doc_len"),
-        F.explode("toks").alias("term"),
-    )
-    return terms.groupBy("term", "doc_id", "doc_len").agg(
-        F.count("*").alias("tf")
-    )
-
-
 def doc_stats(tf: DataFrame) -> DataFrame:
     """(term, doc_id, tf) -> (doc_id, doc_len)."""
     return tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
@@ -285,14 +267,6 @@ def _make_encoder(stats: IndexStats, positions: bool = False):
             yield pd.DataFrame(rows, columns=_POSTINGS_COLUMNS)
 
     return encode_stream
-
-
-def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
-    """Inverse of the encoder for one block row (dict-like or pd row)."""
-    d = codec.decode_doc_ids(bytes(row["doc_ids"]), n=int(row["n_docs"]),
-                             base=int(row["first_doc_id"]))
-    t = codec.decode_tfs(bytes(row["tfs"]), n=int(row["n_docs"]))
-    return d, t
 
 
 def _bucket_col(term_hash: F.Column, n_buckets: int) -> F.Column:
