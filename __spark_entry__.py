@@ -329,8 +329,10 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH bucketing uses the engine's hyperplane family;
-    recall vs brute force is pytest-verified."""
+    """LSH-bucketed ANN top-k — oracle-checked: the deterministic
+    hyperplane family inlines into the DuckDB SQL as literals, and the
+    multi-probe neighborhood is a bit_count(xor) <= n_probe_bits filter
+    against the query vector's bucket."""
     from hadoop_search_engine_spark.operators.similarity import lsh_bucket_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -522,6 +524,23 @@ tf AS (
 def _dd_count_in(list_expr: str, words: list[str]) -> str:
     preds = " OR ".join(f"t = '{w}'" for w in words)
     return f"len(list_filter({list_expr}, t -> {preds}))"
+
+
+def _dd_lsh_bucket(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB expression computing the SAME sign-pattern LSH bucket as
+    operators.similarity (the hyperplanes are deterministic from
+    (dim, n_planes), so they inline as float literals)."""
+    from hadoop_search_engine_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    bits = []
+    for i, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(w)) for w in row) + "]::double[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::double[], {lit}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -726,6 +745,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE x.vec_id < 200 AND y.vec_id < 200
               AND list_cosine_similarity(x.embedding::double[], y.embedding::double[]) >= 0.8
         """,
+        "ann_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {_dd_lsh_bucket("embedding")} AS bucket
+              FROM embeddings
+            ),
+            qb AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
+            SELECT b.vec_id,
+                   round(list_cosine_similarity(b.embedding::double[], qb.qv::double[]), 6) AS cosine
+            FROM b, qb
+            WHERE bit_count(xor(b.bucket::bigint, qb.qbucket::bigint)) <= 2
+            ORDER BY cosine DESC, b.vec_id ASC LIMIT {ANN_K}
+        """,
         "exact_dup_pairs": """
             WITH keyed AS (SELECT doc_id, md5(text) AS digest FROM documents),
             winners AS (SELECT digest, min(doc_id) AS keep_id FROM keyed GROUP BY digest)
@@ -791,6 +823,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
-        # rows-only (non-SQL-expressible): minhash_lsh, simhash, ann_lsh,
-        # fingerprint, media_features
+        # rows-only (non-SQL-expressible): minhash_lsh, simhash,
+        # ann_ivf, fingerprint, media_features — each hash/quantizer
+        # family has no DuckDB equivalent; determinism and recall are
+        # pytest-verified instead
     }
