@@ -35,6 +35,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--waves", type=int, default=1)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--block-size", type=int, default=None)
+    ap.add_argument("--positions", action="store_true",
+                    help="build a positional index (enables phrase search)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,6 +63,7 @@ def main(argv: list[str] | None = None) -> None:
         block_size=args.block_size or BLOCK_SIZE,
         n_waves=args.waves,
         resume=args.resume,
+        positions=args.positions,
     )
     wall = time.time() - t0
     print(json.dumps({

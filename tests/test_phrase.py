@@ -137,3 +137,14 @@ def test_adversarial_skew_term_in_every_doc(spark, tmp_path):
         got = _pairs(search_topk(idx, q, k=10))
         want = oracle.search(q, k=10)
         _check(got, want, f"skew:{q}")
+
+
+def test_positions_from_events_unsupported(spark, tmp_path):
+    """Pre-aggregated tf events carry no token positions — the build
+    must refuse rather than silently emit an unusable positional index."""
+    ev = spark.createDataFrame(
+        [(0, 2, "a"), (0, 2, "b")], "doc_id long, doc_len long, term string"
+    )
+    with pytest.raises(NotImplementedError, match="position"):
+        build_index(spark, ev, str(tmp_path / "x"), docs_are_events=True,
+                    positions=True)
