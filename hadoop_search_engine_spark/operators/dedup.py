@@ -285,15 +285,18 @@ def simhash_near_dup_pairs(
     widths = [base + 1] * rem + [base] * (n_chunks - rem)
     offsets = np.concatenate(([0], np.cumsum(widths)[:-1])).tolist()
     sigs = simhash_signatures(docs, text_col, id_col).persist()
+    def _chunk(off: int, w: int):
+        # a full-width chunk (max_hamming=0) needs no mask — and
+        # (1 << 64) - 1 would overflow the long literal anyway
+        shifted = F.shiftrightunsigned(F.col("simhash"), off)
+        return shifted if w == 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     chunks = sigs.select(
         F.col(id_col),
         "simhash",
         F.posexplode(
             F.array(*[
-                F.shiftrightunsigned(F.col("simhash"), int(off)).bitwiseAND(
-                    F.lit((1 << w) - 1)
-                )
-                for off, w in zip(offsets, widths)
+                _chunk(int(off), w) for off, w in zip(offsets, widths)
             ])
         ).alias("chunk_id", "chunk"),
     )

@@ -334,7 +334,38 @@ def build_index(
         }
 
     phase0_done = resume and os.path.exists(_stats_path(out_dir)) and -1 in done
+    if resume and os.path.exists(_stats_path(out_dir)):
+        # a crashed run's stats (provisional or final) define the
+        # committed layout — a resume with different builder params
+        # would silently mix layouts (e.g. half-positional postings),
+        # so validate and REUSE the prior layout fields.
+        prior = read_stats(out_dir)
+        mismatches = {
+            name: (got, want)
+            for name, got, want in [
+                ("n_buckets", prior.n_buckets, n_buckets),
+                ("block_size", prior.block_size, block_size),
+                ("k1", prior.k1, k1),
+                ("b", prior.b, b),
+                ("positions", prior.positions, positions),
+            ]
+            if got != want
+        } | (
+            {"num_shards": (prior.num_shards, num_shards)}
+            if num_shards is not None and prior.num_shards != num_shards
+            else {}
+        )
+        if mismatches:
+            raise ValueError(
+                f"resume=True with builder params differing from the "
+                f"committed run's: {mismatches}; rebuild fresh or pass "
+                "matching params"
+            )
     if phase0_done:
+        stats = read_stats(out_dir)
+    elif resume and os.path.exists(_stats_path(out_dir)):
+        # mid-build resume: reuse the prior provisional layout (same
+        # shard math by construction) and skip the max_id scan.
         stats = read_stats(out_dir)
     else:
         # max_id from a doc_id-only scan — no tokenize (at parquet
@@ -400,20 +431,31 @@ def build_index(
         def _build_doc_stats() -> None:
             try:
                 ds_dir = os.path.join(out_dir, "doc_stats")
-                if docs_are_events:
-                    ds = docs.select("doc_id", "doc_len").distinct()
-                else:
-                    ds = docs.select(
-                        "doc_id",
-                        F.size(tokens_col(F.col("text"))).cast("long").alias("doc_len"),
+                # a crashed run may have completed this pass — resume
+                # skips the corpus-sized tokenize+write (like term_dict)
+                # and re-runs only the tiny n_docs/avgdl aggregation
+                if not (
+                    resume
+                    and os.path.exists(os.path.join(ds_dir, "_SUCCESS"))
+                ):
+                    if docs_are_events:
+                        ds = docs.select("doc_id", "doc_len").distinct()
+                    else:
+                        ds = docs.select(
+                            "doc_id",
+                            F.size(tokens_col(F.col("text"))).cast("long").alias(
+                                "doc_len"
+                            ),
+                        )
+                    (
+                        ds.withColumn(
+                            "shard", F.expr(f"doc_id div {span}").cast("int")
+                        )
+                        .repartition("shard")
+                        .write.mode("overwrite")
+                        .partitionBy("shard")
+                        .parquet(ds_dir)
                     )
-                (
-                    ds.withColumn("shard", F.expr(f"doc_id div {span}").cast("int"))
-                    .repartition("shard")
-                    .write.mode("overwrite")
-                    .partitionBy("shard")
-                    .parquet(ds_dir)
-                )
                 row = (
                     spark.read.parquet(ds_dir)
                     .where(F.col("doc_len") >= 1)
@@ -482,13 +524,18 @@ def build_index(
     else:
         toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
         if positions:
+            # positional builds index at most the first 2^20 tokens per
+            # doc (the same saturation regime as the doc_len cap): the
+            # phrase scorer packs (doc, pos) into int64 with 21 position
+            # bits, and a >1M-token web doc is tail-truncated rather
+            # than allowed to silently corrupt the packed keys.
             occ = toks.select(
                 "doc_id",
                 F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
                     "doc_len"
                 ),
                 F.posexplode("toks").alias("pos", "term"),
-            )
+            ).where(F.col("pos") < F.lit(1 << 20))
         else:
             occ = toks.select(
                 "doc_id",
@@ -517,11 +564,22 @@ def build_index(
     finally:
         # always join the side threads — if a wave raises (including
         # the injected-failure test hook) an orphaned writer racing a
-        # subsequent resume's overwrite would corrupt its table.
+        # subsequent resume's overwrite would corrupt its table. Only
+        # raise a side-job error when NO wave exception is already
+        # propagating: replacing the wave's traceback would misreport
+        # the failure cause (both commonly die of the same root event).
+        import sys as _sys
+
         for t in side_threads:
             t.join()
         if side_errs:
-            raise side_errs[0]
+            if _sys.exc_info()[0] is None:
+                raise side_errs[0]
+            print(
+                f"[build] side job also failed during wave error: "
+                f"{side_errs[0]!r}",
+                flush=True,
+            )
         if side_threads:
             mark("side_jobs_join")
 

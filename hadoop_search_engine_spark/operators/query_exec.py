@@ -290,6 +290,11 @@ def search_topk(
         for t, m in sorted(meta.items())
     ]
 
+    if serving == "driver" and index.dl_array() is None:
+        raise ValueError(
+            f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): too "
+            "large for driver serving; use serving='spark' (or 'auto')"
+        )
     if serving == "driver" or (
         serving == "auto"
         and index.dl_array() is not None
@@ -703,10 +708,11 @@ def _phrase_pairs(
         )
         pos_blob = b"".join(map(bytes, grp["positions"].tolist()))
         P = codec.decode_positions(pos_blob, t)
-        # every occurrence as a packed (local_doc, pos) key — positions
-        # are < 2^20 (the doc_len cap), so 21 bits never carry into the
-        # doc bits and "advance one token" is key + 1. Keys ascend
-        # (doc-major, pos-ascending), so set ops stay sorted-unique.
+        # every occurrence as a packed (local_doc, pos) key — the
+        # positional build truncates occurrences at pos < 2^20, so 21
+        # bits never carry into the doc bits and "advance one token" is
+        # key + 1. Keys ascend (doc-major, pos-ascending), so set ops
+        # stay sorted-unique.
         keys = ((np.repeat(d, t) - base) << np.int64(21)) | P
         per_term[th] = (d, t, keys)
 
@@ -786,6 +792,11 @@ def phrase_search(
     # path ships the probed position blobs through an extra shuffle +
     # Arrow transfer; at >20M docs there is no choice and it shards the
     # decode in parallel).
+    if serving == "driver" and index.dl_array() is None:
+        raise ValueError(
+            f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): too "
+            "large for driver serving; use serving='spark' (or 'auto')"
+        )
     if serving == "driver" or (
         serving == "auto"
         and index.dl_array() is not None
@@ -793,7 +804,7 @@ def phrase_search(
     ):
         return _driver_search(
             index, ordered_terms, buckets, hit_hashes, k, "and", "dense",
-            pairs_fn=lambda grp, dl, base: pairs_fn(grp, dl, base),
+            pairs_fn=pairs_fn,
         )
 
     blocks = index.postings.where(

@@ -112,3 +112,13 @@ def test_ngram_jaccard_max_shingle_df_cap(spark):
     uncapped = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.01).collect()
     got_uncapped = {(r["a"], r["b"]) for r in uncapped}
     assert any(a < 10 and b < 10 for a, b in got_uncapped)
+
+
+def test_simhash_exact_duplicates_max_hamming_zero(spark):
+    """max_hamming=0 (single 64-bit chunk) must work — exact-duplicate
+    simhash matching, previously broken by a long-overflow mask."""
+    docs = _docs(spark, [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)])
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in dedup.simhash_near_dup_pairs(docs, max_hamming=0).collect()}
+    assert (1, 2, 0) in got
+    assert all(h == 0 for _, _, h in got)

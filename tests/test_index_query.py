@@ -309,3 +309,26 @@ def test_doc_id_headroom_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="2\\^43"):
         build_index(spark, docs, str(tmp_path / "gidx"), n_buckets=4)
+
+
+def test_resume_rejects_mismatched_params(spark, tiny_corpus, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+
+    out = str(tmp_path / "idx_mismatch")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, tiny_corpus, out, num_shards=4, n_buckets=8,
+                    block_size=16, n_waves=4, fail_after_waves=1)
+    with pytest.raises(ValueError, match="positions"):
+        build_index(spark, tiny_corpus, out, num_shards=4, n_buckets=8,
+                    block_size=16, n_waves=4, resume=True, positions=True)
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_index(spark, tiny_corpus, out, num_shards=4, n_buckets=4,
+                    block_size=16, n_waves=4, resume=True)
+
+
+def test_driver_serving_rejects_oversized_index(tiny_index, monkeypatch):
+    import hadoop_search_engine_spark.operators.query_exec as qe
+
+    monkeypatch.setattr(qe, "DL_BROADCAST_MAX_DOCS", 0)
+    with pytest.raises(ValueError, match="driver serving"):
+        search_topk(tiny_index, "w00000", k=5, serving="driver").collect()
