@@ -161,30 +161,72 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        # canonical tokenizer, vectorized over the whole Arrow batch
-        # (pandas str ops); only shingle assembly + hash math per row,
-        # and the hash math is a (n_shingles, n_hashes) NumPy reduction.
+        # Fully batch-vectorized: tokenize the whole Arrow batch
+        # (pandas str ops), hash every token once
+        # (pd.util.hash_array — deterministic fixed-key siphash; never
+        # the builtin hash(), which is salted per process), derive
+        # shingle hashes ARITHMETICALLY from consecutive token hashes
+        # (splitmix-mix of the n aligned hash arrays — no per-row
+        # string assembly), then per-row minima via
+        # np.minimum.reduceat. The only Python-level loops are over
+        # shingle_n (3) and n_hashes (64), never over rows or tokens.
         from ..functions.tokenizer import tokenize_series
 
         token_lists = tokenize_series(texts)
-        out = []
-        for words in token_lists:
-            if len(words) < shingle_n:
-                grams = [" ".join(words)] if words else []
+        counts = token_lists.map(len).to_numpy(dtype=np.int64)
+        n_rows = len(counts)
+        sig = np.zeros((n_rows, n_hashes), dtype=np.int64)
+        flat = [t for toks in token_lists for t in toks]
+        if flat:
+            th = _splitmix64(pd.util.hash_array(np.array(flat, dtype=object)))
+            starts = np.zeros(n_rows, dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            row_of = np.repeat(np.arange(n_rows), counts)
+            # full-width shingles for rows with >= shingle_n tokens:
+            # shingle hash at token position p = mix of th[p..p+n-1],
+            # computed as shingle_n aligned array ops.
+            span = len(th) - shingle_n + 1
+            if span > 0:
+                acc = th[:span].copy()
+                for j in range(1, shingle_n):
+                    acc = _splitmix64(acc ^ th[j : j + span])
+                ok = (row_of[:span] == row_of[shingle_n - 1 :]) & (
+                    counts[row_of[:span]] >= shingle_n
+                )
+                sh = acc[ok]
+                srow = row_of[:span][ok]
             else:
-                grams = [" ".join(words[i : i + shingle_n]) for i in range(len(words) - shingle_n + 1)]
-            if not grams:
-                out.append([0] * n_hashes)
-                continue
-            # pd.util.hash_array is deterministic (fixed siphash key) —
-            # never the builtin hash(), which is salted per process.
-            h = _splitmix64(
-                pd.util.hash_array(np.array(sorted(set(grams)), dtype=object))
-            )
-            # (n_shingles, n_hashes) affine map mod Mersenne prime
-            vals = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+                sh = np.empty(0, dtype=np.uint64)
+                srow = np.empty(0, dtype=np.int64)
+            # rows with 0 < len < shingle_n contribute one gram mixing
+            # all their tokens (the "join all words" analog) — rare,
+            # so the per-row loop here touches only those rows.
+            short_rows = np.flatnonzero((counts > 0) & (counts < shingle_n))
+            if len(short_rows):
+                extra = np.empty(len(short_rows), dtype=np.uint64)
+                for i, r in enumerate(short_rows):
+                    s0, w = int(starts[r]), int(counts[r])
+                    g = th[s0]
+                    for j in range(1, w):
+                        g = _splitmix64(np.uint64(g) ^ th[s0 + j])
+                    extra[i] = g
+                sh = np.concatenate([sh, extra])
+                srow = np.concatenate([srow, short_rows])
+                order = np.argsort(srow, kind="stable")
+                sh, srow = sh[order], srow[order]
+            if len(sh):
+                # per-row segment boundaries for the min-reductions
+                seg_counts = np.bincount(srow, minlength=n_rows)
+                nz = np.flatnonzero(seg_counts)
+                offsets = np.zeros(len(nz), dtype=np.int64)
+                offsets[1:] = np.cumsum(seg_counts[nz])[:-1]
+                M = np.uint64(_MERSENNE)
+                for k in range(n_hashes):
+                    vals = (sh * a_vec[k] + b_vec[k]) % M
+                    sig[nz, k] = np.minimum.reduceat(vals, offsets).astype(
+                        np.int64
+                    )
+        return pd.Series(list(sig))
 
     return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
 
