@@ -146,6 +146,121 @@ _POSTINGS_COLUMNS = [
 ]
 
 
+# --- Arrow-side corpus passes ------------------------------------------------
+#
+# Tokenization is the single largest CPU cost of the whole build
+# (measured at 200k docs / local[8]: the JVM regex tokenize+explode
+# alone is ~9 s wall ≈ 70 core-seconds, while pyarrow's RE2 +
+# vectorized utf8proc does the same 42M tokens in ~6 core-seconds).
+# When enabled, all three corpus passes — the event source, doc_stats,
+# term_dict — run tokenize_arrow inside mapInArrow and hand fixed-width
+# / pre-deduped columns back to the JVM; xxhash64 and the shuffle
+# stay JVM-side, so hashes, layout, and all downstream semantics are
+# unchanged (tokenize_arrow is parity-tested byte-identical to
+# tokens_col, including the \x0B / İ / final-sigma regex-engine
+# divergences).
+#
+# The path is switchable (``build_index(arrow_tokenize=...)``, env
+# ``SPARK_GRAFT_ARROW_TOKENIZE``) because the two have opposite
+# bottlenecks: the JVM path pays java.util.regex CPU but never moves
+# token strings across a process boundary (hash-before-boundary); the
+# Arrow path tokenizes ~10x cheaper but ships every token string
+# JVM-ward through the mapInArrow socket before xxhash64. Which wins
+# is corpus- and host-dependent — BENCH.md records the interleaved A/B
+# that set the default below.
+
+
+def _arrow_tokenize_default() -> bool:
+    return os.environ.get("SPARK_GRAFT_ARROW_TOKENIZE", "1") == "1"
+
+
+def _arrow_event_gen(positions: bool):
+    """mapInArrow generator: documents(doc_id, text) -> flat token
+    events (term, packed[, pos]); packed = doc_id << 20 | capped
+    doc_len, identical to the JVM projection it replaces."""
+    cap = (1 << 20) - 1
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..functions.tokenizer import tokenize_arrow
+
+        for batch in batches:
+            doc_ids = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            toks = tokenize_arrow(batch.column("text"))
+            counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+            flat = toks.flatten()
+            packed = np.repeat(
+                (doc_ids << 20) | np.minimum(counts, cap), counts
+            )
+            if positions:
+                starts = np.zeros(len(counts), dtype=np.int64)
+                starts[1:] = np.cumsum(counts)[:-1]
+                pos = np.arange(len(packed), dtype=np.int64) - np.repeat(
+                    starts, counts
+                )
+                keep = pos < (1 << 20)
+                if not keep.all():
+                    flat = flat.filter(pa.array(keep))
+                    packed, pos = packed[keep], pos[keep]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        flat,
+                        pa.array(packed, type=pa.int64()),
+                        pa.array(pos.astype(np.int32), type=pa.int32()),
+                    ],
+                    ["term", "packed", "pos"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays(
+                    [flat, pa.array(packed, type=pa.int64())],
+                    ["term", "packed"],
+                )
+
+    return gen
+
+
+def _arrow_doc_len_gen(batches):
+    """mapInArrow generator: (doc_id, text) -> (doc_id, doc_len)."""
+    import pyarrow as pa
+
+    from ..functions.tokenizer import tokenize_arrow
+
+    for batch in batches:
+        toks = tokenize_arrow(batch.column("text"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(
+                    np.asarray(toks.value_lengths(), dtype=np.int64),
+                    type=pa.int64(),
+                ),
+            ],
+            ["doc_id", "doc_len"],
+        )
+
+
+def _arrow_terms_gen(batches):
+    """mapInArrow generator: (text) -> batch-deduped (term) rows.
+
+    The per-batch unique() is a map-side pre-dedup: the JVM distinct
+    that follows sees ~|vocab| rows per batch instead of every token
+    occurrence."""
+    import pyarrow as pa
+
+    from ..functions.tokenizer import tokenize_arrow
+
+    for batch in batches:
+        toks = tokenize_arrow(batch.column("text"))
+        yield pa.RecordBatch.from_arrays(
+            [toks.flatten().unique()], ["term"]
+        )
+
+
 def _make_encoder(stats: IndexStats, positions: bool = False):
     """Streaming encoder for :func:`mapInPandas` over SORTED partitions.
 
@@ -288,6 +403,7 @@ def build_index(
     fail_after_waves: int | None = None,
     docs_are_events: bool = False,
     positions: bool = False,
+    arrow_tokenize: bool | None = None,
 ) -> IndexStats:
     """Build the full index at ``out_dir`` from documents(doc_id, text).
 
@@ -308,7 +424,15 @@ def build_index(
     shuffle grows from 16 to 24 bytes/row; the default index layout is
     byte-identical to ``positions=False`` builds apart from the null
     ``positions`` column.
+
+    ``arrow_tokenize`` selects the tokenizer engine for the three
+    corpus passes (``None`` -> env ``SPARK_GRAFT_ARROW_TOKENIZE``,
+    default on): pyarrow RE2+utf8proc via ``mapInArrow`` vs JVM regex
+    expressions. Both are parity-tested byte-identical; the resulting
+    index is the same either way.
     """
+    if arrow_tokenize is None:
+        arrow_tokenize = _arrow_tokenize_default()
     if positions and docs_are_events:
         raise NotImplementedError(
             "positional build from pre-aggregated tf events: the deltas "
@@ -440,12 +564,19 @@ def build_index(
                 ):
                     if docs_are_events:
                         ds = docs.select("doc_id", "doc_len").distinct()
+                    elif arrow_tokenize:
+                        ds = docs.select("doc_id", "text").mapInArrow(
+                            _arrow_doc_len_gen, "doc_id long, doc_len long"
+                        )
                     else:
+                        # greatest(.., 0) maps null-text docs (NULL or
+                        # -1 size depending on ANSI mode) to doc_len 0,
+                        # matching the Arrow path's empty-list count.
                         ds = docs.select(
                             "doc_id",
-                            F.size(tokens_col(F.col("text"))).cast("long").alias(
-                                "doc_len"
-                            ),
+                            F.greatest(
+                                F.size(tokens_col(F.col("text"))), F.lit(0)
+                            ).cast("long").alias("doc_len"),
                         )
                     (
                         ds.withColumn(
@@ -483,6 +614,10 @@ def build_index(
             try:
                 if docs_are_events:
                     t = docs.select("term")
+                elif arrow_tokenize:
+                    t = docs.select("text").mapInArrow(
+                        _arrow_terms_gen, "term string"
+                    )
                 else:
                     t = docs.select(
                         F.explode(tokens_col(F.col("text"))).alias("term")
@@ -521,36 +656,63 @@ def build_index(
             ),
             "term",
         )
+        event_cols = [
+            F.xxhash64("term").alias("term_hash"),
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias(
+                "packed"
+            ),
+        ]
+        flat = occ.select(*event_cols)
+    elif arrow_tokenize:
+        # positional builds index at most the first 2^20 tokens per
+        # doc (the same saturation regime as the doc_len cap): the
+        # phrase scorer packs (doc, pos) into int64 with 21 position
+        # bits, and a >1M-token web doc is tail-truncated rather than
+        # allowed to silently corrupt the packed keys. The tokenize +
+        # flatten + pack runs Arrow-side (_arrow_event_gen); only
+        # xxhash64 stays JVM so term_hash is bit-identical to every
+        # other xxhash64(term) site (term_dict, lexicon, queries).
+        ev_schema = "term string, packed long" + (
+            ", pos int" if positions else ""
+        )
+        flat = (
+            docs.select("doc_id", "text")
+            .mapInArrow(_arrow_event_gen(positions), ev_schema)
+            .select(
+                F.xxhash64("term").alias("term_hash"),
+                "packed",
+                *(["pos"] if positions else []),
+            )
+        )
     else:
+        # JVM tokenize path: same saturation/truncation regime as the
+        # Arrow branch above, expressed as codegen'd expressions — no
+        # process boundary, tokens are hashed before leaving the stage.
         toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
         if positions:
-            # positional builds index at most the first 2^20 tokens per
-            # doc (the same saturation regime as the doc_len cap): the
-            # phrase scorer packs (doc, pos) into int64 with 21 position
-            # bits, and a >1M-token web doc is tail-truncated rather
-            # than allowed to silently corrupt the packed keys.
             occ = toks.select(
                 "doc_id",
-                F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
-                    "doc_len"
-                ),
+                F.least(
+                    F.size("toks").cast("long"), F.lit((1 << 20) - 1)
+                ).alias("doc_len"),
                 F.posexplode("toks").alias("pos", "term"),
             ).where(F.col("pos") < F.lit(1 << 20))
         else:
             occ = toks.select(
                 "doc_id",
-                F.least(F.size("toks").cast("long"), F.lit((1 << 20) - 1)).alias(
-                    "doc_len"
-                ),
+                F.least(
+                    F.size("toks").cast("long"), F.lit((1 << 20) - 1)
+                ).alias("doc_len"),
                 F.explode("toks").alias("term"),
             )
-    event_cols = [
-        F.xxhash64("term").alias("term_hash"),
-        (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias("packed"),
-    ]
-    if positions:
-        event_cols.append(F.col("pos").cast("int"))
-    enriched = occ.select(*event_cols).withColumn(
+        flat = occ.select(
+            F.xxhash64("term").alias("term_hash"),
+            (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias(
+                "packed"
+            ),
+            *([F.col("pos").cast("int")] if positions else []),
+        )
+    enriched = flat.withColumn(
         "bucket", _bucket_col(F.col("term_hash"), stats.n_buckets)
     )
 

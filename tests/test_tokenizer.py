@@ -83,3 +83,45 @@ def test_synonym_rewrite_spark(spark):
         rewrite_terms_col(tokens_col(F.col("text")), SYNONYMS).alias("t")
     ).collect()[0]["t"]
     assert got == ["w00000", "w00001", "w00002"]
+
+
+def test_arrow_matches_python_golden():
+    import pyarrow as pa
+
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize_arrow
+
+    got = tokenize_arrow(pa.array([t for t, _ in GOLDEN], type=pa.string()))
+    assert got.to_pylist() == [w for _, w in GOLDEN]
+
+
+def test_arrow_matches_jvm_on_edge_chars(spark):
+    """The Arrow tokenizer's parity target is the JVM build path
+    (tokens_col), including the characters where regex engines
+    disagree: \\x0B (in Java's \\s, not RE2's), \\xa0 (in Python's
+    unicode \\s, in neither Java's nor RE2's), and the two
+    SpecialCasing lowercase rows (İ, final sigma)."""
+    import pyarrow as pa
+
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize_arrow
+
+    texts = [
+        "a\x0bb", "a\fb", "a\rc d", "nbsp\xa0stays", "İstanbul I ı",
+        "ΟΔΟΣ ΣΟΦΙΑ", "café STRASSE ß", "日本語 テスト", "",
+        "  lead trail  ", "a.b,c!d?e", "ONE\ttwo\nTHREE",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [
+        r["toks"]
+        for r in df.select(tokens_col(F.col("text")).alias("toks")).collect()
+    ]
+    arrow = tokenize_arrow(pa.array(texts, type=pa.string())).to_pylist()
+    assert arrow == jvm
+
+
+def test_arrow_null_text_is_empty_list():
+    import pyarrow as pa
+
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize_arrow
+
+    got = tokenize_arrow(pa.array([None, "x y", None], type=pa.string()))
+    assert got.to_pylist() == [[], ["x", "y"], []]
