@@ -226,6 +226,7 @@ def search_topk(
     algorithm: str = "auto",
     mode: str = "or",
     serving: str = "auto",
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query, BM25-ranked.
 
@@ -256,6 +257,17 @@ def search_topk(
     doc-norms array and lexicon (the same thresholds as the broadcast
     fast path); results are score-identical across serving modes by
     construction — the scorer code is shared.
+
+    ``doc_filter``: optional DataFrame with a ``doc_id`` column — the
+    eligible-document set (e.g. ``documents.where("lang = 'en'")``).
+    Standard filtered-search semantics: BM25 statistics (idf, avgdl,
+    n_docs) stay GLOBAL — the filter is an eligibility mask applied
+    inside the scorer BEFORE top-k selection (masking after the top-k
+    would under-fill k), so scores of surviving docs are identical to
+    the unfiltered query's. Runs the cogroup scorer with the filter
+    semi-joined into the per-shard doc-length page: "absent from the
+    page" ⇒ ineligible, so the mask rides the join that already
+    exists and no extra corpus-sized structure is shuffled.
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -289,6 +301,34 @@ def search_topk(
         (int(m["hash"]), t, float(m["idf"]))
         for t, m in sorted(meta.items())
     ]
+
+    if doc_filter is not None:
+        if serving == "driver":
+            raise ValueError(
+                "doc_filter needs the distributed cogroup scorer; use "
+                "serving='spark' (or 'auto')"
+            )
+        # Filtered queries always score dense: eligibility can hollow
+        # out any segment, so block-max bounds (which ignore the mask)
+        # stop pruning anything while still costing the visit order.
+        n_parts = max(1, min(stats.num_shards,
+                             spark.sparkContext.defaultParallelism))
+        shards = blocks.select("shard").distinct()
+        dls = (
+            index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
+            .join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        )
+        scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
+                                    mode=mode, require_dl=True)
+        per_shard = (
+            blocks.repartition(n_parts, "shard")
+            .groupBy("shard")
+            .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
+            .applyInPandas(scorer, schema=TOPK_SCHEMA)
+        )
+        return per_shard.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
 
     if serving == "driver" and index.dl_array() is None:
         raise ValueError(
@@ -405,12 +445,17 @@ def _driver_search(
 
 def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
                        stats: IndexStats, k: int, algorithm: str,
-                       dl_bc=None, mode: str = "or", pairs_fn=None):
+                       dl_bc=None, mode: str = "or", pairs_fn=None,
+                       require_dl: bool = False):
     """Scorer for one shard. With ``dl_bc`` (broadcast dense doc_len
     array) it is an ``applyInPandas`` group function over blocks only;
     without, a cogroup function joining blocks with the shard's dl rows.
     ``pairs_fn(left, dl, base) -> [(doc_id, score)]`` overrides the
-    default dense/WAND scoring (used by phrase_search)."""
+    default dense/WAND scoring (used by phrase_search). ``require_dl``
+    (filtered search, dense only) drops docs whose dl-page entry is
+    absent — the page then IS the eligibility mask."""
+    if require_dl and (algorithm != "dense" or dl_bc is not None):
+        raise ValueError("require_dl implies the dense cogroup scorer")
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     span = stats.shard_span
     required = len(ordered_terms) if mode == "and" else 0
@@ -420,7 +465,7 @@ def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
             pairs = pairs_fn(left, dl, base)
         elif algorithm == "dense":
             pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl,
-                                 k, required)
+                                 k, required, require_dl=require_dl)
         else:
             pairs = _score_wand(left, dl, base, ordered_terms, k1, b, avgdl,
                                 k, required)
@@ -477,6 +522,7 @@ def _score_dense(
     ordered_terms: list[tuple[int, str, float]],
     k1: float, b: float, avgdl: float, k: int,
     required: int = 0,
+    require_dl: bool = False,
 ) -> list[tuple[int, float]]:
     span = dl.shape[0]
     scores = np.zeros(span, dtype=np.float64)
@@ -506,6 +552,11 @@ def _score_dense(
         idx = np.flatnonzero(nterms >= required)
     else:
         idx = np.flatnonzero(nterms > 0)
+    if require_dl:
+        # filtered search: the dl page holds ONLY eligible docs, so a
+        # zero entry means "filtered out" (a doc with postings always
+        # has dl >= 1) — mask before top-k selection.
+        idx = idx[dl[idx] > 0]
     return _topk_pairs(idx + base, scores[idx], k)
 
 
@@ -847,6 +898,7 @@ def bm25_topk_dataframe(
     k1: float | None = None,
     b: float | None = None,
     mode: str = "or",
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k computed entirely with built-in DataFrame operators
     over documents(doc_id, text) — tokenize, tf, df, dl, avgdl, score,
@@ -863,7 +915,12 @@ def bm25_topk_dataframe(
     score is a fixed expression summing per-term partials in ascending
     term order (left-to-right float64 adds), so results stay
     score-identical to the NumPy oracle; terms absent from a doc
-    contribute an exact 0.0, which is an identity for the sum."""
+    contribute an exact 0.0, which is an identity for the sum.
+
+    ``doc_filter`` (DataFrame with ``doc_id``): eligibility mask with
+    GLOBAL statistics — stats come from scan 1 over the whole corpus,
+    the mask semi-joins the matched set before the top-k sort, so a
+    filtered query's surviving scores equal the unfiltered ones."""
     from ..functions.tokenizer import tokens_col
     from .. import BM25_B, BM25_K1
 
@@ -906,6 +963,9 @@ def bm25_topk_dataframe(
         pred = F.greatest(*[F.col(f"tf_{i}") for i in range(len(terms))]) \
             if len(terms) > 1 else F.col("tf_0")
     matched = per_doc.where(pred > 0)
+    if doc_filter is not None:
+        matched = matched.join(doc_filter.select("doc_id"), "doc_id",
+                               "left_semi")
     score = F.lit(0.0)
     for i in range(len(terms)):
         score = score + score_col(

@@ -57,13 +57,22 @@ class BM25Oracle:
         query_text: str,
         k: int = 10,
         synonyms: dict[str, str] | None = None,
+        allowed: set[int] | None = None,
     ) -> list[tuple[int, float]]:
+        """``allowed``: eligibility mask (filtered search) — statistics
+        stay global; ineligible docs are dropped before the top-k cut."""
         terms = rewrite_terms(tokenize(query_text), synonyms or {})
         scores: dict[int, float] = {}
         for term in sorted(set(terms)):  # ascending term order (determinism)
             for doc_id in self.postings.get(term, {}):
                 scores[doc_id] = scores.get(doc_id, 0.0) + self.score_one(term, doc_id)
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranked = sorted(
+            (
+                kv for kv in scores.items()
+                if allowed is None or kv[0] in allowed
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
         return ranked[:k]
 
     def phrase_search(

@@ -155,6 +155,58 @@ def test_index_invariant_across_parallelism(spark, tmp_path):
     assert build(2, "a") == build(5, "b")
 
 
+def test_index_invariant_across_tokenizer_engines(spark, tmp_path):
+    """Arrow (RE2+utf8proc) and JVM (java.util.regex) tokenize paths
+    must produce byte-identical indexes — including on the characters
+    where the regex/casing engines disagree (\\x0B, İ, final sigma)
+    and on null/empty text."""
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+    from hadoop_search_engine_spark.operators.index_build import (
+        build_index, read_stats,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    base = assign_doc_ids(
+        gen_documents(spark, 120, n_partitions=3), num_partitions=3
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (100001, "a\x0bb c\fd İstanbul ΟΔΟΣ ΣΟΦΙΑ"),
+            (100002, None),
+            (100003, "   "),
+            (100004, "STRASSE ß café w00001"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(edges)
+
+    def build(arrow, tag):
+        out = str(tmp_path / f"idx_{tag}")
+        build_index(
+            spark, docs, out, num_shards=3, n_buckets=4, block_size=16,
+            arrow_tokenize=arrow,
+        )
+        idx = Index.load(spark, out)
+        postings = sorted(
+            map(
+                tuple,
+                idx.postings.select(
+                    "term_hash", "shard", "block_id", "first_doc_id",
+                    F.hex("doc_ids").alias("d"), F.hex("tfs").alias("t"),
+                    "n_docs", "max_tf", "min_dl",
+                ).collect(),
+            )
+        )
+        lexicon = sorted(
+            map(tuple, idx.lexicon.select("term", "term_hash", "df").collect())
+        )
+        st = read_stats(out)
+        return postings, lexicon, (st.n_docs, round(st.avgdl, 9))
+
+    assert build(True, "arrow") == build(False, "jvm")
+
+
 def test_cogroup_scale_path_matches_broadcast_path(tiny_index, tiny_oracle, monkeypatch):
     """The >20M-doc cogroup path must give identical results to the
     broadcast-dl fast path (both are tested; the threshold just picks)."""
@@ -332,3 +384,66 @@ def test_driver_serving_rejects_oversized_index(tiny_index, monkeypatch):
     monkeypatch.setattr(qe, "DL_BROADCAST_MAX_DOCS", 0)
     with pytest.raises(ValueError, match="driver serving"):
         search_topk(tiny_index, "w00000", k=5, serving="driver").collect()
+
+
+# ---------------------------------------------------------------------------
+# Filtered search (metadata eligibility mask, global BM25 stats)
+# ---------------------------------------------------------------------------
+
+
+def test_filtered_search_matches_oracle(tiny_index, tiny_corpus, tiny_oracle):
+    """doc_filter = every third doc; ranks AND scores must equal the
+    oracle's globally-scored ranking restricted to the allowed set."""
+    filt = tiny_corpus.where("doc_id % 3 = 0").select("doc_id")
+    allowed = {r["doc_id"] for r in filt.collect()}
+    for q in reference_queries()[:10]:
+        want = tiny_oracle.search(
+            q["query_text"], k=q["k"], synonyms=SYNONYMS, allowed=allowed
+        )
+        got = _pairs(
+            search_topk(
+                tiny_index, q["query_text"], k=q["k"], synonyms=SYNONYMS,
+                doc_filter=filt,
+            )
+        )
+        _assert_rank_and_score_identical(got, want, f"filtered:{q['query_text']}")
+
+
+def test_filtered_search_refills_topk(tiny_index, tiny_corpus, tiny_oracle):
+    """Excluding the global #1 must promote #2 — the mask is applied
+    BEFORE the top-k cut, never by post-filtering k results."""
+    q = "w00001 w00002"
+    full = tiny_oracle.search(q, k=10)
+    assert len(full) == 10
+    top1 = full[0][0]
+    filt = tiny_corpus.where(F.col("doc_id") != top1).select("doc_id")
+    got = _pairs(search_topk(tiny_index, q, k=10, doc_filter=filt))
+    assert len(got) == 10, "mask must not under-fill k"
+    assert top1 not in {d for d, _ in got}
+    want = tiny_oracle.search(q, k=10, allowed=set(tiny_oracle.doc_len) - {top1})
+    _assert_rank_and_score_identical(got, want, f"refill:{q}")
+
+
+def test_filtered_dataframe_scorer_matches_indexed(tiny_index, tiny_corpus):
+    """Exhaustive 2-scan scorer and indexed cogroup scorer agree under
+    the same lang-predicate filter, in both or/and modes."""
+    filt = tiny_corpus.where("lang = 'en'").select("doc_id")
+    for mode in ("or", "and"):
+        exhaustive = _pairs(
+            bm25_topk_dataframe(
+                tiny_corpus, "w00001 w00002", k=10, mode=mode, doc_filter=filt
+            )
+        )
+        indexed = _pairs(
+            search_topk(tiny_index, "w00001 w00002", k=10, mode=mode,
+                        doc_filter=filt)
+        )
+        _assert_rank_and_score_identical(indexed, exhaustive, f"df-vs-idx:{mode}")
+        assert exhaustive, "fixture filter should leave matches"
+
+
+def test_filtered_search_rejects_driver_serving(tiny_index, tiny_corpus):
+    filt = tiny_corpus.select("doc_id")
+    with pytest.raises(ValueError, match="doc_filter"):
+        search_topk(tiny_index, "w00000", k=5, serving="driver",
+                    doc_filter=filt)
