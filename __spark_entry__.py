@@ -118,6 +118,22 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered BM25: eligibility mask (lang = 'en'), GLOBAL
+    corpus statistics — surviving scores equal the unfiltered query's
+    (operators/query_exec.py bm25_topk_dataframe(doc_filter=) /
+    search_topk(doc_filter=))."""
+    from hadoop_search_engine_spark.operators.query_exec import bm25_topk_dataframe
+
+    docs = _read(spark, sf_dir, "documents")
+    filt = docs.where(F.col("lang") == "en").select("doc_id")
+    top = bm25_topk_dataframe(
+        docs.select("doc_id", "text"), " ".join(FLAGSHIP_TERMS), k=20,
+        doc_filter=filt,
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-k — every query term must match
     (capability the reference's OR-only search lacks, SURVEY §2.6)."""
@@ -469,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon": q_lexicon,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
+        "filtered_search": q_filtered_search,
         "or_union_docs": q_or_union_docs,
         "case_insensitive_lookup": q_case_insensitive_lookup,
         # relational operator coverage
@@ -592,6 +609,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 4) AS score
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "filtered_search": f"""
+            WITH {_TF_CTE},
+            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, sum({score}) AS score
+              FROM tf
+              JOIN d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN c
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM scored
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         "bm25_topk_and": f"""
             WITH {_TF_CTE},
