@@ -1054,6 +1054,112 @@ def or_union_search(
     return ranked
 
 
+def matched_docs(
+    index: Index,
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+) -> DataFrame:
+    """All doc_ids matching the query — no scoring. The recall side of
+    faceting/analytics: a bucket+term_hash-pruned postings scan, one
+    batched Arrow decode of the doc_id blobs, then distinct (``or``) or
+    an all-terms-present count filter (``and``). Never tokenizes the
+    corpus; cost is proportional to the query terms' total df.
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    spark = index.spark
+    terms = parse_query(query_text, synonyms)
+    meta = _lookup_terms(index, terms)
+    n_required = len(set(terms))
+    if not meta or (mode == "and" and len(meta) < n_required):
+        return _empty_df(spark, "doc_id long")
+    buckets = sorted({m["bucket"] for m in meta.values()})
+    hit_hashes = sorted(int(m["hash"]) for m in meta.values())
+    blocks = index.postings.where(
+        F.col("bucket").isin(buckets) & F.col("term_hash").isin(hit_hashes)
+    ).select("term_hash", "first_doc_id", "n_docs", "doc_ids", "tfs")
+
+    def expand(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ns = pdf["n_docs"].to_numpy(np.int64)
+            d, _t, _off = codec.decode_blocks(
+                pdf["doc_ids"].tolist(), pdf["tfs"].tolist(), ns,
+                pdf["first_doc_id"].to_numpy(np.int64),
+            )
+            yield pd.DataFrame(
+                {
+                    "term_hash": np.repeat(
+                        pdf["term_hash"].to_numpy(np.int64), ns
+                    ),
+                    "doc_id": d,
+                }
+            )
+
+    pairs = blocks.mapInPandas(expand, schema="term_hash long, doc_id long")
+    if mode == "or":
+        return pairs.select("doc_id").distinct()
+    return (
+        pairs.groupBy("doc_id")
+        .agg(F.countDistinct("term_hash").alias("nt"))
+        .where(F.col("nt") == n_required)
+        .select("doc_id")
+    )
+
+
+def matched_docs_dataframe(
+    docs: DataFrame,
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+) -> DataFrame:
+    """Exhaustive corpus-scan variant of :func:`matched_docs` —
+    tokenize + array_contains per query term, fully inside codegen.
+    The correctness baseline for the indexed path and the
+    DuckDB-oracle-comparable form."""
+    from ..functions.tokenizer import tokens_col
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    terms = sorted(set(parse_query(query_text, synonyms)))
+    if not terms:
+        return _empty_df(docs.sparkSession, "doc_id long")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    conds = [F.array_contains("toks", t) for t in terms]
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = (pred & c) if mode == "and" else (pred | c)
+    return toks.where(pred).select("doc_id")
+
+
+def facet_counts(
+    matched: DataFrame,
+    documents: DataFrame,
+    facet_cols: list[str],
+) -> DataFrame:
+    """Search-result faceting: per-facet-value matched-document counts
+    (the sidebar a search UI renders next to results). ``matched`` is
+    any doc_id set — :func:`matched_docs` (indexed),
+    :func:`matched_docs_dataframe`, or a filtered variant.
+
+    Plan: left-semi join metadata to the matched set on doc_id, then
+    partial-aggregated groupBy on the facet columns — the output is
+    |facet-cardinality| rows regardless of corpus size. At scale the
+    semi-join shuffles both sides on doc_id unless the metadata table
+    is bucketed/sharded by doc_id (the index's own doc_stats layout),
+    in which case it co-locates.
+    """
+    if not facet_cols:
+        raise ValueError("facet_cols must name at least one column")
+    return (
+        documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+        .groupBy(*facet_cols)
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def materialize(topk: DataFrame, documents: DataFrame) -> DataFrame:
     """Join top-k ids back to the corpus — the analog of the reference's
     sequential per-doc HDFS JSON fetch (search.service.js:66-83), as a

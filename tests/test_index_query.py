@@ -447,3 +447,51 @@ def test_filtered_search_rejects_driver_serving(tiny_index, tiny_corpus):
     with pytest.raises(ValueError, match="doc_filter"):
         search_topk(tiny_index, "w00000", k=5, serving="driver",
                     doc_filter=filt)
+
+
+# ---------------------------------------------------------------------------
+# Matched-doc extraction + faceted counts
+# ---------------------------------------------------------------------------
+
+
+def test_matched_docs_indexed_vs_dataframe(tiny_index, tiny_corpus, tiny_oracle):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        matched_docs, matched_docs_dataframe,
+    )
+
+    for q in ["w00001 w00002", "needle7", "w00000 zzzzq", "w00003 w00003"]:
+        for mode in ("or", "and"):
+            idx = {r["doc_id"] for r in matched_docs(tiny_index, q, mode=mode).collect()}
+            df = {r["doc_id"] for r in matched_docs_dataframe(tiny_corpus, q, mode=mode).collect()}
+            assert idx == df, f"{q}/{mode}: {len(idx)} vs {len(df)}"
+    # oracle cross-check for the or case
+    want = {d for t in ["w00001", "w00002"] for d in tiny_oracle.postings.get(t, {})}
+    got = {r["doc_id"] for r in matched_docs(tiny_index, "w00001 w00002").collect()}
+    assert got == want
+
+
+def test_matched_docs_empty_and_absent(tiny_index):
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    assert matched_docs(tiny_index, "").count() == 0
+    assert matched_docs(tiny_index, "zzzzq").count() == 0
+    assert matched_docs(tiny_index, "w00000 zzzzq", mode="and").count() == 0
+
+
+def test_facet_counts_matches_bruteforce(tiny_index, tiny_corpus, tiny_oracle):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        facet_counts, matched_docs,
+    )
+
+    matched = matched_docs(tiny_index, "w00001 w00002")
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in facet_counts(matched, tiny_corpus, ["lang"]).collect()
+    }
+    doc_lang = {r["doc_id"]: r["lang"] for r in tiny_corpus.select("doc_id", "lang").collect()}
+    want_docs = {d for t in ["w00001", "w00002"] for d in tiny_oracle.postings.get(t, {})}
+    want: dict = {}
+    for d in want_docs:
+        want[doc_lang[d]] = want.get(doc_lang[d], 0) + 1
+    assert got == want
+    assert sum(got.values()) == len(want_docs)
