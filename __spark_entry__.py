@@ -144,6 +144,22 @@ def q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-lang counts of docs matching any flagship
+    term (operators/query_exec.py matched_docs_dataframe + facet_counts;
+    indexed variant matched_docs is score-path tested in pytest)."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        facet_counts,
+        matched_docs_dataframe,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    matched = matched_docs_dataframe(
+        docs.select("doc_id", "text"), " ".join(FLAGSHIP_TERMS)
+    )
+    return facet_counts(matched, docs, ["lang"])
+
+
 def q_or_union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR semantics of the reference search (search.service.js:58-90)
     as a set: distinct docs matching any query term."""
@@ -486,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "filtered_search": q_filtered_search,
+        "facet_counts": q_facet_counts,
         "or_union_docs": q_or_union_docs,
         "case_insensitive_lookup": q_case_insensitive_lookup,
         # relational operator coverage
@@ -648,6 +665,13 @@ def oracle_sql() -> dict[str, str]:
         "or_union_docs": f"""
             WITH {_TF_CTE}
             SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})
+        """,
+        "facet_counts": f"""
+            WITH {_TF_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+            SELECT d.lang, count(*)::bigint AS n_docs
+            FROM documents d JOIN m ON d.doc_id = m.doc_id
+            GROUP BY d.lang
         """,
         "case_insensitive_lookup": f"""
             WITH {_TF_CTE}
