@@ -160,6 +160,28 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(matched, docs, ["lang"])
 
 
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result snippets + whole-word highlight for every doc matching a
+    flagship term (operators/query_exec.py materialize_with_snippets):
+    ±40-char window around the earliest case-insensitive match, query
+    terms wrapped in [] — all built-in expressions over the hit set."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        materialize_with_snippets,
+        matched_docs_dataframe,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    matched = matched_docs_dataframe(
+        docs.select("doc_id", "text"), " ".join(FLAGSHIP_TERMS)
+    )
+    hits = matched.select("doc_id", F.lit(0.0).alias("score"))
+    out = materialize_with_snippets(
+        hits, docs.select("doc_id", "text"), FLAGSHIP_TERMS,
+        width=40, mark=("[", "]"),
+    )
+    return out.select("doc_id", "match_pos", "snippet")
+
+
 def q_or_union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR semantics of the reference search (search.service.js:58-90)
     as a set: distinct docs matching any query term."""
@@ -503,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": q_bm25_topk_and,
         "filtered_search": q_filtered_search,
         "facet_counts": q_facet_counts,
+        "snippets": q_snippets,
         "or_union_docs": q_or_union_docs,
         "case_insensitive_lookup": q_case_insensitive_lookup,
         # relational operator coverage
@@ -584,6 +607,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     terms_in = ", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)
+    snip_least = ", ".join(
+        f"nullif(position('{t}' IN lo), 0)" for t in FLAGSHIP_TERMS
+    )
+    snip_alt = "|".join(FLAGSHIP_TERMS)
     idf = sql_idf("c.n", "d.df")
     score = sql_score("tf.tf", "dl.doc_len", idf, "c.avgdl", BM25_K1, BM25_B)
 
@@ -672,6 +699,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, count(*)::bigint AS n_docs
             FROM documents d JOIN m ON d.doc_id = m.doc_id
             GROUP BY d.lang
+        """,
+        "snippets": f"""
+            WITH {_TF_CTE},
+            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+            d AS (SELECT dd.doc_id, dd.text, lower(dd.text) AS lo
+                  FROM documents dd JOIN m ON dd.doc_id = m.doc_id),
+            p AS (SELECT doc_id, text, least({snip_least}) AS fp FROM d)
+            SELECT doc_id,
+                   coalesce(fp, 0) AS match_pos,
+                   regexp_replace(
+                       substr(text, greatest(coalesce(fp, 1) - 40, 1), 80),
+                       '\\b({snip_alt})\\b', '[\\1]', 'gi'
+                   ) AS snippet
+            FROM p
         """,
         "case_insensitive_lookup": f"""
             WITH {_TF_CTE}

@@ -1175,6 +1175,7 @@ def materialize_with_snippets(
     query_terms: list[str],
     width: int = 40,
     text_col: str = "text",
+    mark: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Materialize top-k docs with a result snippet around the first
     query-term occurrence — what a search UI renders instead of raw
@@ -1183,6 +1184,11 @@ def materialize_with_snippets(
     earliest case-insensitive match, or the document head when the
     match came through a synonym/phrase the raw text spells differently.
     Adds ``snippet`` and ``match_pos`` (1-based, 0 = head fallback).
+
+    ``mark=(pre, post)`` additionally wraps every whole-word,
+    case-insensitive query-term occurrence inside the snippet — the
+    highlight pass stays a single JVM ``regexp_replace`` over the k
+    snippet strings, never the corpus.
     """
     lowered = F.lower(F.col(text_col))
     pos_cols = [
@@ -1197,9 +1203,23 @@ def materialize_with_snippets(
     else:
         first_pos = F.least(*pos_cols)
     start = F.greatest(F.coalesce(first_pos, F.lit(1)) - F.lit(width), F.lit(1))
+    snippet = F.col(text_col).substr(start, F.lit(2 * width))
+    if mark is not None:
+        import re as _re
+
+        alt = "|".join(
+            _re.escape(t.lower()) for t in dict.fromkeys(query_terms) if t
+        )
+        pre, post = mark
+        if alt:
+            snippet = F.regexp_replace(
+                snippet,
+                f"(?i)\\b({alt})\\b",
+                f"{pre}$1{post}",
+            )
     out = documents.join(F.broadcast(topk), "doc_id").select(
         "*",
-        F.col(text_col).substr(start, F.lit(2 * width)).alias("snippet"),
+        snippet.alias("snippet"),
         F.coalesce(first_pos, F.lit(0)).alias("match_pos"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -316,6 +316,25 @@ def test_materialize_with_snippets(tiny_index, tiny_corpus):
         assert len(r["snippet"]) <= 60
 
 
+def test_snippet_highlight_marks_whole_words(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        materialize_with_snippets,
+    )
+
+    topk = search_topk(tiny_index, "needle7", k=3)
+    out = materialize_with_snippets(
+        topk, tiny_corpus, ["needle7"], width=30, mark=("<b>", "</b>")
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert "<b>needle7</b>" in r["snippet"].lower()
+        # whole-word only: the needle never appears as a substring of
+        # another token in the fixture, so every occurrence is wrapped
+        assert "needle7" not in r["snippet"].lower().replace(
+            "<b>needle7</b>", ""
+        )
+
+
 def test_index_report_counters(tiny_index, tiny_oracle):
     rep = tiny_index.report()
     assert rep["n_docs"] == tiny_oracle.n_docs
