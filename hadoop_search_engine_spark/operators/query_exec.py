@@ -76,6 +76,15 @@ DL_BROADCAST_MAX_DOCS = 20_000_000
 # query costs exactly ONE Spark job.
 LEXICON_CACHE_MAX_TERMS = 2_000_000
 
+# Tombstone serving: with at most this many tombstoned docs, queries
+# over-retrieve k + |tombstones| candidates and post-filter (valid:
+# removing T docs promotes at most T new docs into the top-k), which
+# works on EVERY serving path — including driver serving with no Spark
+# job. Beyond it the query falls back to the cogroup scorer with the
+# tombstones anti-joined out of the doc-length page (the doc_filter
+# mechanism); vacuum_index regularly to stay under the threshold.
+TOMBSTONE_OVERFETCH_MAX = 10_000
+
 
 @dataclass
 class Index:
@@ -85,6 +94,7 @@ class Index:
     _dl_bc: object = None
     _lex_map: dict | None = None
     _pads: object = None
+    _tomb: object = None
 
     @classmethod
     def load(cls, spark: SparkSession, out_dir: str) -> "Index":
@@ -139,6 +149,43 @@ class Index:
                     )
                 }
         return self._lex_map if self._lex_map else None
+
+    def tombstone_count(self) -> int:
+        """Number of tombstoned (deleted-but-not-vacuumed) doc_ids —
+        a driver-side pyarrow row count, no Spark job; 0 when the
+        index has no tombstone table."""
+        d = os.path.join(self.out_dir, "tombstones")
+        if not os.path.isdir(d):
+            return 0
+        import pyarrow.dataset as pads
+
+        return int(pads.dataset(d, format="parquet").count_rows())
+
+    def tombstone_array(self):
+        """Sorted unique tombstoned doc_ids (int64), or None when the
+        index has none. pyarrow driver-side load, cached per Index;
+        :func:`~.index_maint.delete_docs` invalidates the cache."""
+        if self._tomb is None:
+            d = os.path.join(self.out_dir, "tombstones")
+            if not os.path.isdir(d):
+                self._tomb = np.zeros(0, dtype=np.int64)
+            else:
+                import pyarrow.dataset as pads
+
+                t = pads.dataset(d, format="parquet").to_table(
+                    columns=["doc_id"]
+                )
+                self._tomb = np.unique(
+                    t.column("doc_id").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+        return self._tomb if self._tomb.size else None
+
+    @property
+    def tombstones(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.out_dir, "tombstones")
+        )
 
     @property
     def postings(self) -> DataFrame:
@@ -268,6 +315,14 @@ def search_topk(
     semi-joined into the per-shard doc-length page: "absent from the
     page" ⇒ ineligible, so the mask rides the join that already
     exists and no extra corpus-sized structure is shuffled.
+
+    Tombstones (docs deleted via :func:`~.index_maint.delete_docs`)
+    are excluded automatically with the same global-stats semantics:
+    small sets over-retrieve ``k + |tombstones|`` and post-filter on
+    any serving path; sets past ``TOMBSTONE_OVERFETCH_MAX`` (or any
+    combination with ``doc_filter``) fold into the cogroup
+    eligibility page. ``vacuum_index`` purges them physically and
+    refreshes the statistics.
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
@@ -302,11 +357,31 @@ def search_topk(
         for t, m in sorted(meta.items())
     ]
 
-    if doc_filter is not None:
+    # Tombstoned (deleted-but-not-vacuumed) docs never appear in
+    # results. Small sets ride every serving path via over-retrieve +
+    # post-filter; large sets (or combination with a doc_filter) fold
+    # into the cogroup scorer's eligibility page.
+    tomb = None
+    exclude_df = None
+    tomb_n = index.tombstone_count()
+    if tomb_n:
+        if doc_filter is not None:
+            doc_filter = doc_filter.join(
+                index.tombstones, "doc_id", "left_anti"
+            )
+        elif tomb_n > TOMBSTONE_OVERFETCH_MAX:
+            exclude_df = index.tombstones
+        else:
+            tomb = index.tombstone_array()
+    k_eff = k + (int(tomb.size) if tomb is not None else 0)
+
+    if doc_filter is not None or exclude_df is not None:
         if serving == "driver":
             raise ValueError(
-                "doc_filter needs the distributed cogroup scorer; use "
-                "serving='spark' (or 'auto')"
+                "doc_filter (or a tombstone set past "
+                f"{TOMBSTONE_OVERFETCH_MAX}) needs the distributed "
+                "cogroup scorer; use serving='spark' (or 'auto'), or "
+                "vacuum_index to shrink the tombstones"
             )
         # Filtered queries always score dense: eligibility can hollow
         # out any segment, so block-max bounds (which ignore the mask)
@@ -314,10 +389,13 @@ def search_topk(
         n_parts = max(1, min(stats.num_shards,
                              spark.sparkContext.defaultParallelism))
         shards = blocks.select("shard").distinct()
-        dls = (
-            index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
-            .join(doc_filter.select("doc_id"), "doc_id", "left_semi")
-        )
+        dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
+        if doc_filter is not None:
+            dls = dls.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        if exclude_df is not None:
+            dls = dls.join(
+                exclude_df.select("doc_id"), "doc_id", "left_anti"
+            )
         scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
                                     mode=mode, require_dl=True)
         per_shard = (
@@ -341,7 +419,8 @@ def search_topk(
         and index.lexicon_map() is not None
     ):
         return _driver_search(
-            index, ordered_terms, buckets, hit_hashes, k, mode, algorithm
+            index, ordered_terms, buckets, hit_hashes, k_eff, mode,
+            algorithm, exclude=tomb, final_k=k,
         )
 
     # Size the scorer shuffle to the work, not the session: the
@@ -358,7 +437,7 @@ def search_topk(
     if dl_bc is not None:
         # fast path: doc lengths are a session-broadcast dense array;
         # one job, no dl shuffle, no cogroup.
-        scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm,
+        scorer = _make_shard_scorer(ordered_terms, stats, k_eff, algorithm,
                                     dl_bc=dl_bc, mode=mode)
         per_shard = (
             blocks.repartition(n_parts, "shard")
@@ -371,13 +450,17 @@ def search_topk(
         # partitionBy("shard") layout.
         shards = blocks.select("shard").distinct()
         dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
-        scorer = _make_shard_scorer(ordered_terms, stats, k, algorithm,
+        scorer = _make_shard_scorer(ordered_terms, stats, k_eff, algorithm,
                                     mode=mode)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
             .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
             .applyInPandas(scorer, schema=TOPK_SCHEMA)
+        )
+    if tomb is not None:
+        per_shard = per_shard.join(
+            F.broadcast(index.tombstones), "doc_id", "left_anti"
         )
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -391,6 +474,8 @@ def _driver_search(
     mode: str,
     algorithm: str,
     pairs_fn=None,
+    exclude=None,
+    final_k: int | None = None,
 ) -> DataFrame:
     """Driver-side serving: read ONLY the probed (bucket, term_hash)
     posting rows via a pyarrow dataset (bucket = hive partition dir, so
@@ -433,8 +518,14 @@ def _driver_search(
                 score_fn(grp, dl, base, ordered_terms, stats.k1, stats.b,
                          stats.avgdl, k, required)
             )
+    if exclude is not None and pairs:
+        # tombstone mask, still driver-side (no Spark job): the
+        # scorers over-retrieved k + |tombstones| per shard, so the
+        # surviving top final_k is exact.
+        dead = set(int(i) for i in exclude)
+        pairs = [p for p in pairs if int(p[0]) not in dead]
     pairs.sort(key=lambda e: (-e[1], e[0]))
-    top = pairs[:k]
+    top = pairs[: (final_k if final_k is not None else k)]
     if not top:
         return _empty_df(spark, TOPK_SCHEMA)
     out = pd.DataFrame(top, columns=["doc_id", "score"]).astype(
@@ -830,11 +921,26 @@ def phrase_search(
     buckets = sorted({m["bucket"] for m in meta.values()})
     hit_hashes = sorted(int(m["hash"]) for m in meta.values())
 
+    # tombstones: over-retrieve + post-filter (phrase has no cogroup
+    # eligibility-page variant, so very large tombstone sets require a
+    # vacuum first)
+    tomb = None
+    tomb_n = index.tombstone_count()
+    if tomb_n:
+        if tomb_n > TOMBSTONE_OVERFETCH_MAX:
+            raise ValueError(
+                f"{tomb_n} tombstones exceed the phrase-search "
+                f"over-retrieve limit ({TOMBSTONE_OVERFETCH_MAX}); run "
+                "vacuum_index first"
+            )
+        tomb = index.tombstone_array()
+    k_eff = k + (int(tomb.size) if tomb is not None else 0)
+
     import functools
 
     pairs_fn = functools.partial(
         _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
-        k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k,
+        k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff,
     )
 
     # auto picks driver serving whenever the index is small enough for
@@ -854,8 +960,8 @@ def phrase_search(
         and index.lexicon_map() is not None
     ):
         return _driver_search(
-            index, ordered_terms, buckets, hit_hashes, k, "and", "dense",
-            pairs_fn=pairs_fn,
+            index, ordered_terms, buckets, hit_hashes, k_eff, "and", "dense",
+            pairs_fn=pairs_fn, exclude=tomb, final_k=k,
         )
 
     blocks = index.postings.where(
@@ -865,7 +971,7 @@ def phrase_search(
                          spark.sparkContext.defaultParallelism))
     dl_bc = index.dl_broadcast()
     if dl_bc is not None:
-        scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
+        scorer = _make_shard_scorer(ordered_terms, stats, k_eff, "dense",
                                     dl_bc=dl_bc, pairs_fn=pairs_fn)
         per_shard = (
             blocks.repartition(n_parts, "shard")
@@ -875,13 +981,17 @@ def phrase_search(
     else:
         shards = blocks.select("shard").distinct()
         dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
-        scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
+        scorer = _make_shard_scorer(ordered_terms, stats, k_eff, "dense",
                                     pairs_fn=pairs_fn)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
             .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
             .applyInPandas(scorer, schema=TOPK_SCHEMA)
+        )
+    if tomb is not None:
+        per_shard = per_shard.join(
+            F.broadcast(index.tombstones), "doc_id", "left_anti"
         )
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
@@ -1100,13 +1210,17 @@ def matched_docs(
 
     pairs = blocks.mapInPandas(expand, schema="term_hash long, doc_id long")
     if mode == "or":
-        return pairs.select("doc_id").distinct()
-    return (
-        pairs.groupBy("doc_id")
-        .agg(F.countDistinct("term_hash").alias("nt"))
-        .where(F.col("nt") == n_required)
-        .select("doc_id")
-    )
+        out = pairs.select("doc_id").distinct()
+    else:
+        out = (
+            pairs.groupBy("doc_id")
+            .agg(F.countDistinct("term_hash").alias("nt"))
+            .where(F.col("nt") == n_required)
+            .select("doc_id")
+        )
+    if index.tombstone_count():
+        out = out.join(F.broadcast(index.tombstones), "doc_id", "left_anti")
+    return out
 
 
 def matched_docs_dataframe(
