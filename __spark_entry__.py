@@ -182,6 +182,25 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "match_pos", "snippet")
 
 
+def q_collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed search (operators/query_exec.py collapse_topk):
+    BM25 top-50, best result per lang, top-20 of the collapsed set —
+    the Elasticsearch collapse / 'similar results omitted' shape."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        bm25_topk_dataframe,
+        collapse_topk,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    top = bm25_topk_dataframe(
+        docs.select("doc_id", "text"), " ".join(FLAGSHIP_TERMS), k=50
+    )
+    out = collapse_topk(top, docs.select("doc_id", "lang"), "lang", k=20)
+    return out.select(
+        "doc_id", "lang", F.round("score", 4).alias("score")
+    )
+
+
 def q_or_union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR semantics of the reference search (search.service.js:58-90)
     as a set: distinct docs matching any query term."""
@@ -526,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search": q_filtered_search,
         "facet_counts": q_facet_counts,
         "snippets": q_snippets,
+        "collapsed_search": q_collapsed_search,
         "or_union_docs": q_or_union_docs,
         "case_insensitive_lookup": q_case_insensitive_lookup,
         # relational operator coverage
@@ -653,6 +673,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 4) AS score
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "collapsed_search": f"""
+            WITH {_TF_CTE},
+            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, sum({score}) AS score
+              FROM tf
+              JOIN d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN c
+              GROUP BY tf.doc_id
+            ),
+            top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50),
+            keyed AS (
+              SELECT t.doc_id, dd.lang, t.score,
+                     row_number() OVER (
+                       PARTITION BY dd.lang
+                       ORDER BY t.score DESC, t.doc_id ASC
+                     ) AS rn
+              FROM top t JOIN documents dd ON t.doc_id = dd.doc_id
+            )
+            SELECT doc_id, lang, round(score, 4) AS score
+            FROM keyed WHERE rn = 1
+            ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         "filtered_search": f"""
             WITH {_TF_CTE},

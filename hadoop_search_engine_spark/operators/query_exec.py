@@ -1274,6 +1274,53 @@ def facet_counts(
     )
 
 
+def collapse_topk(
+    topk: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    k: int | None = None,
+) -> DataFrame:
+    """Collapse a ranked result set to the best-scoring doc per key —
+    Elasticsearch-style field collapsing / "similar results omitted".
+    ``keys`` maps ``doc_id`` to a collapse key: a metadata field
+    (lang, site) for field collapsing, or a duplicate-cluster id (md5
+    digest from exact dedup, a minhash-LSH component) for dup-aware
+    results. Docs missing from ``keys`` stay as singletons.
+
+    Scale shape: the k-row ``topk`` side is broadcast into the join
+    (the corpus-sized ``keys`` table is never shuffled), and the
+    row_number window partitions k rows by key — bounded by k, never
+    corpus-sized. Corpus-scale canonicalization belongs to the dedup
+    operators (digest groupBy), not here.
+    """
+    from pyspark.sql import Window
+
+    matched = keys.select("doc_id", F.col(key_col).alias("_ckey")).join(
+        F.broadcast(topk), "doc_id"
+    )
+    # result docs with no key row survive as singletons: a k-row
+    # anti-join, never a corpus-side outer join
+    solo = topk.join(
+        F.broadcast(matched.select("doc_id")), "doc_id", "left_anti"
+    ).withColumn("_ckey", F.lit(None).cast(matched.schema["_ckey"].dataType))
+    hits = matched.unionByName(solo)
+    cid = F.coalesce(
+        F.col("_ckey").cast("string"),
+        F.concat(F.lit("\x00solo:"), F.col("doc_id").cast("string")),
+    )
+    w = Window.partitionBy(cid).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    out = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumnRenamed("_ckey", key_col)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return out.limit(k) if k is not None else out
+
+
 def materialize(topk: DataFrame, documents: DataFrame) -> DataFrame:
     """Join top-k ids back to the corpus — the analog of the reference's
     sequential per-doc HDFS JSON fetch (search.service.js:66-83), as a

@@ -335,6 +335,30 @@ def test_snippet_highlight_marks_whole_words(tiny_index, tiny_corpus):
         )
 
 
+def test_collapse_topk_best_per_key_and_singletons(spark):
+    import pandas as pd
+
+    from hadoop_search_engine_spark.operators.query_exec import collapse_topk
+
+    topk = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5], "score": [9.0, 8.0, 7.0, 6.0, 5.0]}
+        )
+    )
+    # docs 1,2 share cluster "a"; 3 alone in "b"; 5 missing -> singleton
+    keys = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "cluster": ["a", "a", "b", "c"]}
+        )
+    )
+    out = collapse_topk(topk, keys, "cluster").collect()
+    assert [(r["doc_id"], r["cluster"]) for r in out] == [
+        (1, "a"), (3, "b"), (4, "c"), (5, None),
+    ]
+    out2 = collapse_topk(topk, keys, "cluster", k=2).collect()
+    assert [r["doc_id"] for r in out2] == [1, 3]
+
+
 def test_index_report_counters(tiny_index, tiny_oracle):
     rep = tiny_index.report()
     assert rep["n_docs"] == tiny_oracle.n_docs
