@@ -342,13 +342,6 @@ def search_topk(
         min_df = min(m["df"] for m in meta.values())
         algorithm = "wand" if (mode == "and" and min_df <= 20_000) else "dense"
 
-    buckets = sorted({m["bucket"] for m in meta.values()})
-    hit_hashes = sorted(int(m["hash"]) for m in meta.values())
-    blocks = index.postings.where(
-        F.col("bucket").isin(buckets) & F.col("term_hash").isin(hit_hashes)
-    )
-
-    stats = index.stats
     # (hash, term, idf) in ascending TERM-STRING order: every scorer
     # sums per-doc partials in this order, so float results are
     # bit-identical to the oracle's ascending-term summation.
@@ -356,6 +349,32 @@ def search_topk(
         (int(m["hash"]), t, float(m["idf"]))
         for t, m in sorted(meta.items())
     ]
+    return _execute_topk(index, index.stats, ordered_terms, k, mode,
+                         serving, algorithm, doc_filter)
+
+
+def _execute_topk(
+    index: Index,
+    stats: IndexStats,
+    ordered_terms: list[tuple[int, str, float]],
+    k: int,
+    mode: str,
+    serving: str,
+    algorithm: str,
+    doc_filter: DataFrame | None,
+) -> DataFrame:
+    """Scoring tail shared by :func:`search_topk` and
+    :func:`search_topk_segments`. ``ordered_terms`` carry the idf
+    actually used (per-index or federated-global); ``stats`` carries
+    the avgdl actually used — the segmented path passes overrides."""
+    spark = index.spark
+    # bucket = pmod(term_hash, n_buckets): Python % matches np.mod /
+    # Spark pmod sign behavior for a positive modulus
+    buckets = sorted({h % stats.n_buckets for h, _, _ in ordered_terms})
+    hit_hashes = sorted(h for h, _, _ in ordered_terms)
+    blocks = index.postings.where(
+        F.col("bucket").isin(buckets) & F.col("term_hash").isin(hit_hashes)
+    )
 
     # Tombstoned (deleted-but-not-vacuumed) docs never appear in
     # results. Small sets ride every serving path via over-retrieve +
@@ -420,7 +439,7 @@ def search_topk(
     ):
         return _driver_search(
             index, ordered_terms, buckets, hit_hashes, k_eff, mode,
-            algorithm, exclude=tomb, final_k=k,
+            algorithm, exclude=tomb, final_k=k, stats=stats,
         )
 
     # Size the scorer shuffle to the work, not the session: the
@@ -465,6 +484,100 @@ def search_topk(
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+SEGMENT_TOPK_SCHEMA = "segment int, doc_id long, score double"
+
+
+def search_topk_segments(
+    indexes: list,
+    query_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    serving: str = "auto",
+    algorithm: str = "auto",
+) -> DataFrame:
+    """Federated BM25 top-k across multiple index segments — the
+    serving shape for a base index plus not-yet-compacted streaming
+    deltas (streaming/incremental.py), or time-partitioned index
+    generations at web scale (Lucene's multi-segment reader, done
+    with Spark unions).
+
+    Statistics are GLOBAL across segments, exactly as if one index
+    had been built over the union corpus: ``N = Σ n_docs``,
+    ``avgdl = Σ n_i·avgdl_i / N``, ``df(t) = Σ df_i(t)`` → one global
+    idf per term. Each segment scores its own postings with the
+    global (idf, avgdl) through the same serving paths as
+    :func:`search_topk` (driver or distributed, per-segment
+    tombstones included), retrieves its local top-k, and the k-row
+    per-segment results merge with one tiny union — no corpus-sized
+    data ever crosses segments. Tested rank- and score-identical to a
+    single index built over the union corpus.
+
+    Returns ``(segment, doc_id, score)`` — doc_id spaces are
+    per-segment (segment is the position in ``indexes``), since
+    independent builds mint independent dense ids.
+    """
+    if not indexes:
+        raise ValueError("need at least one index segment")
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    from ..functions.bm25 import idf as idf_scalar
+
+    spark = indexes[0].spark
+    terms = parse_query(query_text, synonyms)
+    if not terms:
+        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
+    metas = [_lookup_terms(ix, terms) for ix in indexes]
+    n_total = sum(int(ix.stats.n_docs) for ix in indexes)
+    if n_total == 0:
+        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
+    avgdl_g = (
+        sum(float(ix.stats.avgdl) * int(ix.stats.n_docs) for ix in indexes)
+        / n_total
+    )
+    df_g: dict[str, int] = {}
+    for m in metas:
+        for t, d in m.items():
+            df_g[t] = df_g.get(t, 0) + int(d["df"])
+    required = set(terms)
+    if not df_g or (mode == "and" and set(df_g) < required):
+        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
+    idf_g = {t: idf_scalar(n_total, d) for t, d in df_g.items()}
+
+    import dataclasses
+
+    parts = []
+    for i, (ix, m) in enumerate(zip(indexes, metas)):
+        if not m:
+            continue
+        if mode == "and" and set(m) < required:
+            # a doc lives wholly in one segment: if the segment lacks
+            # any query term, none of its docs can match conjunctively
+            continue
+        algo = algorithm
+        if algo == "auto":
+            min_df = min(int(d["df"]) for d in m.values())
+            algo = "wand" if (mode == "and" and min_df <= 20_000) else "dense"
+        stats_g = dataclasses.replace(ix.stats, avgdl=avgdl_g)
+        ordered = [
+            (int(d["hash"]), t, float(idf_g[t])) for t, d in sorted(m.items())
+        ]
+        res = _execute_topk(ix, stats_g, ordered, k, mode, serving, algo, None)
+        parts.append(
+            res.select(
+                F.lit(i).cast("int").alias("segment"), "doc_id", "score"
+            )
+        )
+    if not parts:
+        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.col("score").desc(), F.col("segment").asc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
 def _driver_search(
     index: Index,
     ordered_terms: list[tuple[int, str, float]],
@@ -476,6 +589,7 @@ def _driver_search(
     pairs_fn=None,
     exclude=None,
     final_k: int | None = None,
+    stats: IndexStats | None = None,
 ) -> DataFrame:
     """Driver-side serving: read ONLY the probed (bucket, term_hash)
     posting rows via a pyarrow dataset (bucket = hive partition dir, so
@@ -487,7 +601,7 @@ def _driver_search(
     function itself assumes the driver-pinned dl array exists."""
     import pyarrow.dataset as pads
 
-    stats = index.stats
+    stats = stats if stats is not None else index.stats
     required = len(ordered_terms) if mode == "and" else 0
     if index._pads is None:
         index._pads = pads.dataset(
