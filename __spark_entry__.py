@@ -201,6 +201,19 @@ def q_collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box autocomplete (operators/query_exec.py suggest_terms):
+    terms with prefix 's' ranked by df — vocab-sized scan, never
+    the postings; the indexed variant answers from the driver-cached
+    lexicon with no Spark job (pytest-parity-checked)."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        suggest_terms_dataframe,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return suggest_terms_dataframe(docs.select("doc_id", "text"), "s", k=10)
+
+
 def q_or_union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR semantics of the reference search (search.service.js:58-90)
     as a set: distinct docs matching any query term."""
@@ -546,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
+        "suggest_terms": q_suggest_terms,
         "or_union_docs": q_or_union_docs,
         "case_insensitive_lookup": q_case_insensitive_lookup,
         # relational operator coverage
@@ -738,6 +752,12 @@ def oracle_sql() -> dict[str, str]:
         "or_union_docs": f"""
             WITH {_TF_CTE}
             SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})
+        """,
+        "suggest_terms": f"""
+            WITH {_TF_CTE}
+            SELECT term, count(*)::bigint AS df FROM tf
+            WHERE term LIKE 's%'
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
         """,
         "facet_counts": f"""
             WITH {_TF_CTE},

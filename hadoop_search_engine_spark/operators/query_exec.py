@@ -1388,6 +1388,53 @@ def facet_counts(
     )
 
 
+def suggest_terms(index: Index, prefix: str, k: int = 10) -> DataFrame:
+    """Prefix autocomplete over the lexicon, ranked by document
+    frequency (the search-box suggestion list). Driver-cached
+    vocabularies answer without a Spark job (one linear pass over the
+    pinned term map — ~ms at 2M terms); larger vocabularies run a
+    pushed-down ``StartsWith`` filter + TakeOrderedAndProject over the
+    vocab-sized lexicon table, never the postings."""
+    p = prefix.strip().lower()
+    spark = index.spark
+    if not p:
+        return _empty_df(spark, "term string, df long")
+    lm = index.lexicon_map()
+    if lm is not None:
+        cands = [
+            (t, int(v["df"])) for t, v in lm.items() if t.startswith(p)
+        ]
+        cands.sort(key=lambda e: (-e[1], e[0]))
+        if not cands:
+            return _empty_df(spark, "term string, df long")
+        pdf = pd.DataFrame(cands[:k], columns=["term", "df"]).astype(
+            {"term": "string", "df": "int64"}
+        )
+        return spark.createDataFrame(pdf)
+    return (
+        index.lexicon.where(F.col("term").startswith(p))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def suggest_terms_dataframe(docs: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Exhaustive corpus-scan variant of :func:`suggest_terms` — the
+    DuckDB-oracle-comparable form (df recomputed from tokens)."""
+    p = prefix.strip().lower()
+    if not p:
+        return _empty_df(docs.sparkSession, "term string, df long")
+    tf = term_frequencies(docs)
+    return (
+        tf.where(F.col("term").startswith(p))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def collapse_topk(
     topk: DataFrame,
     keys: DataFrame,

@@ -335,6 +335,23 @@ def test_snippet_highlight_marks_whole_words(tiny_index, tiny_corpus):
         )
 
 
+def test_suggest_terms_indexed_matches_dataframe(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        suggest_terms,
+        suggest_terms_dataframe,
+    )
+
+    for prefix in ("w0000", "needle", "w", "zzz", ""):
+        idx = [(r["term"], r["df"]) for r in suggest_terms(tiny_index, prefix, k=8).collect()]
+        df = [(r["term"], r["df"]) for r in suggest_terms_dataframe(tiny_corpus, prefix, k=8).collect()]
+        assert idx == df, prefix
+    assert suggest_terms(tiny_index, "").count() == 0
+    # driver-cached path answers case-insensitively normalized prefixes
+    upper = [(r["term"], r["df"]) for r in suggest_terms(tiny_index, "NEEDLE", k=8).collect()]
+    plain = [(r["term"], r["df"]) for r in suggest_terms(tiny_index, "needle", k=8).collect()]
+    assert upper == plain and plain
+
+
 def test_collapse_topk_best_per_key_and_singletons(spark):
     import pandas as pd
 
