@@ -214,6 +214,20 @@ def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms_dataframe(docs.select("doc_id", "text"), "s", k=10)
 
 
+def q_fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-correction candidates for the typo 'scann' (operators/
+    query_exec.py fuzzy_terms): vocab terms within 1 Levenshtein edit,
+    ranked (dist, df desc) — JVM levenshtein over the vocab-sized term
+    table, never the corpus. The indexed variant answers from the
+    driver-cached lexicon (pytest-parity-checked)."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        fuzzy_terms_dataframe,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return fuzzy_terms_dataframe(docs.select("doc_id", "text"), "scann", max_edits=1, k=5)
+
+
 def q_or_union_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR semantics of the reference search (search.service.js:58-90)
     as a set: distinct docs matching any query term."""
@@ -560,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
         "suggest_terms": q_suggest_terms,
+        "fuzzy_terms": q_fuzzy_terms,
         "or_union_docs": q_or_union_docs,
         "case_insensitive_lookup": q_case_insensitive_lookup,
         # relational operator coverage
@@ -758,6 +773,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::bigint AS df FROM tf
             WHERE term LIKE 's%'
             GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+        """,
+        "fuzzy_terms": f"""
+            WITH {_TF_CTE},
+            v AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term)
+            SELECT term, levenshtein(term, 'scann')::int AS dist, df
+            FROM v WHERE levenshtein(term, 'scann') <= 1
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 5
         """,
         "facet_counts": f"""
             WITH {_TF_CTE},

@@ -1435,6 +1435,119 @@ def suggest_terms_dataframe(docs: DataFrame, prefix: str, k: int = 10) -> DataFr
     )
 
 
+def _edit_distance(a: str, b: str, cap: int) -> int:
+    """Banded Levenshtein with early abort past ``cap`` (driver-side
+    vocab scan only — executor-scale matching uses the JVM
+    ``levenshtein`` expression)."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            if v < best:
+                best = v
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_terms(index: Index, term: str, max_edits: int = 1, k: int = 5) -> DataFrame:
+    """Spell-correction candidates: lexicon terms within ``max_edits``
+    Levenshtein edits of ``term``, ranked (distance asc, df desc, term
+    asc). Driver-cached vocabularies scan the pinned term map in
+    Python (banded DP, early abort); larger ones run the JVM
+    ``levenshtein`` expression over the vocab-sized lexicon — never
+    the postings or the corpus."""
+    p = term.strip().lower()
+    spark = index.spark
+    if not p:
+        return _empty_df(spark, "term string, dist int, df long")
+    lm = index.lexicon_map()
+    if lm is not None:
+        cands = []
+        for t, v in lm.items():
+            d = _edit_distance(p, t, max_edits)
+            if d <= max_edits:
+                cands.append((t, int(d), int(v["df"])))
+        cands.sort(key=lambda e: (e[1], -e[2], e[0]))
+        if not cands:
+            return _empty_df(spark, "term string, dist int, df long")
+        pdf = pd.DataFrame(
+            cands[:k], columns=["term", "dist", "df"]
+        ).astype({"term": "string", "dist": "int32", "df": "int64"})
+        return spark.createDataFrame(pdf)
+    return (
+        index.lexicon.withColumn(
+            "dist", F.levenshtein(F.col("term"), F.lit(p))
+        )
+        .where(F.col("dist") <= max_edits)
+        .select("term", F.col("dist").cast("int"), F.col("df").cast("long"))
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def fuzzy_terms_dataframe(
+    docs: DataFrame, term: str, max_edits: int = 1, k: int = 5
+) -> DataFrame:
+    """Exhaustive corpus-scan variant of :func:`fuzzy_terms` — the
+    DuckDB-oracle-comparable form (df recomputed from tokens, JVM
+    ``levenshtein`` vs DuckDB ``levenshtein``)."""
+    p = term.strip().lower()
+    if not p:
+        return _empty_df(docs.sparkSession, "term string, dist int, df long")
+    tf = term_frequencies(docs)
+    return (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(p)))
+        .where(F.col("dist") <= max_edits)
+        .select("term", F.col("dist").cast("int"), F.col("df").cast("long").alias("df"))
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def fuzzy_search_topk(
+    index: Index,
+    query_text: str,
+    k: int = 10,
+    max_edits: int = 1,
+    synonyms: dict[str, str] | None = None,
+    **search_kwargs,
+) -> DataFrame:
+    """Typo-tolerant search: query terms missing from the lexicon are
+    replaced by their best spell-correction candidate (distance asc,
+    df desc) before the normal :func:`search_topk`; in-vocabulary
+    terms are never rewritten (the "did you mean" behavior). A term
+    with no candidate within ``max_edits`` is dropped — matching
+    search_topk's treatment of absent terms in ``or`` mode."""
+    terms = parse_query(query_text, synonyms)
+    if not terms:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    meta = _lookup_terms(index, terms)
+    corrected: list[str] = []
+    for t in terms:
+        if t in meta:
+            corrected.append(t)
+            continue
+        best = fuzzy_terms(index, t, max_edits=max_edits, k=1).collect()
+        if best:
+            corrected.append(best[0]["term"])
+        elif search_kwargs.get("mode", "or") == "and":
+            # conjunctive semantics: an uncorrectable term means no
+            # doc can match — dropping it would silently relax the AND
+            return _empty_df(index.spark, TOPK_SCHEMA)
+    if not corrected:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    return search_topk(index, " ".join(corrected), k=k, **search_kwargs)
+
+
 def collapse_topk(
     topk: DataFrame,
     keys: DataFrame,

@@ -352,6 +352,42 @@ def test_suggest_terms_indexed_matches_dataframe(tiny_index, tiny_corpus):
     assert upper == plain and plain
 
 
+def test_fuzzy_terms_indexed_matches_dataframe(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        fuzzy_terms,
+        fuzzy_terms_dataframe,
+    )
+
+    for typo, edits in [("needl7", 1), ("needle", 1), ("w0000", 1), ("xq", 2)]:
+        idx = [
+            (r["term"], r["dist"], r["df"])
+            for r in fuzzy_terms(tiny_index, typo, max_edits=edits, k=8).collect()
+        ]
+        df = [
+            (r["term"], r["dist"], r["df"])
+            for r in fuzzy_terms_dataframe(tiny_corpus, typo, max_edits=edits, k=8).collect()
+        ]
+        assert idx == df, typo
+    hits = fuzzy_terms(tiny_index, "needl7", max_edits=1, k=3).collect()
+    assert hits and hits[0]["term"] == "needle7"
+
+
+def test_fuzzy_search_corrects_typos(tiny_index):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        fuzzy_search_topk,
+    )
+
+    want = [(r["doc_id"], r["score"]) for r in search_topk(tiny_index, "needle7", k=5).collect()]
+    got = [(r["doc_id"], r["score"]) for r in fuzzy_search_topk(tiny_index, "needl7", k=5).collect()]
+    assert got == want and got
+    # in-vocab terms are never rewritten
+    same = [(r["doc_id"], r["score"]) for r in fuzzy_search_topk(tiny_index, "needle7", k=5).collect()]
+    assert same == want
+    # uncorrectable term: dropped under or, empty under and
+    assert fuzzy_search_topk(tiny_index, "qqqqqqqqq needle7", k=5).count() > 0
+    assert fuzzy_search_topk(tiny_index, "qqqqqqqqq needle7", k=5, mode="and").count() == 0
+
+
 def test_collapse_topk_best_per_key_and_singletons(spark):
     import pandas as pd
 
