@@ -132,6 +132,44 @@ def main() -> None:
     timed("ann_bruteforce", lambda: entry_mod.q_ann_cosine_topk(spark, sf_dir).collect())
     timed("tpch_q1", lambda: entry_mod.q_tpch_q1(spark, sf_dir).collect())
 
+    # round-2 result-set operators over the warm index
+    from hadoop_search_engine_spark.operators.query_exec import (
+        facet_counts,
+        fuzzy_search_topk,
+        matched_docs,
+        suggest_terms,
+    )
+
+    docs_meta = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "lang").persist()
+    docs_meta.count()
+    timed(
+        "facet_counts_indexed",
+        lambda: facet_counts(
+            matched_docs(idx, "spark query table"), docs_meta, ["lang"]
+        ).collect(),
+    )
+    timed("suggest_autocomplete", lambda: suggest_terms(idx, "s", k=10).collect())
+    timed("fuzzy_query", lambda: fuzzy_search_topk(idx, "scann quer", k=10).collect())
+
+    # delete lifecycle LAST (mutates the bench index): tombstone 1% of
+    # docs, then a full physical vacuum (block rewrite + stats/lexicon/
+    # counter recompute). Single rep — the first vacuum does the real
+    # rewrite volume.
+    from hadoop_search_engine_spark.operators.index_maint import (
+        delete_docs,
+        vacuum_index,
+    )
+
+    dead = list(range(0, n_docs, 100))
+    t0 = time.time()
+    delete_docs(idx, dead)
+    timings["tombstone_delete"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    vacuum_index(idx)
+    timings["vacuum"] = round(time.time() - t0, 4)
+
     total = round(
         sum(
             v for k, v in timings.items()

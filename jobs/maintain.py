@@ -1,0 +1,63 @@
+"""spark-submit entrypoint: index maintenance (deletes + vacuum).
+
+    spark-submit --py-files dist/hadoop_search_engine_spark.zip \
+        jobs/maintain.py --index /path/to/index --delete 12,34,56
+    ... --delete-file /path/ids.parquet   (a doc_id column)
+    ... --vacuum                          (physical purge + stats refresh)
+    ... --report                          (print index counters)
+
+The reference engine has no maintenance path — removing a document
+means re-running the whole MapReduce build and restarting the server
+(README.md:423-446). Here deletes are O(|delete set|) tombstones
+served immediately, and vacuum is one distributed rewrite pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--delete", help="comma-separated doc_ids to tombstone")
+    ap.add_argument("--delete-file", help="parquet with a doc_id column")
+    ap.add_argument("--vacuum", action="store_true")
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args(argv)
+    if not (args.delete or args.delete_file or args.vacuum or args.report):
+        ap.error("nothing to do: pass --delete/--delete-file/--vacuum/--report")
+
+    from pyspark.sql import SparkSession
+
+    from hadoop_search_engine_spark.operators.index_maint import (
+        delete_docs,
+        vacuum_index,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import Index
+    from hadoop_search_engine_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="hse-maintain")
+    idx = Index.load(spark, args.index)
+
+    if args.delete:
+        ids = [int(x) for x in args.delete.split(",") if x.strip()]
+        total = delete_docs(idx, ids)
+        print(f"tombstones: {total}")
+    if args.delete_file:
+        total = delete_docs(idx, spark.read.parquet(args.delete_file))
+        print(f"tombstones: {total}")
+    if args.vacuum:
+        idx = vacuum_index(idx)
+        print("vacuum: done")
+    if args.report:
+        print(json.dumps(idx.report(), indent=2))
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

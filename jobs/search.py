@@ -31,6 +31,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--compat-or-union", action="store_true")
     ap.add_argument("--phrase", action="store_true",
                     help="exact-phrase match (needs an index built with positions)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="treat --query as an autocomplete prefix")
+    ap.add_argument("--fuzzy", action="store_true",
+                    help="spell-correct out-of-vocabulary query terms")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,8 +50,21 @@ def main(argv: list[str] | None = None) -> None:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-search")
     idx = Index.load(spark, args.index)
-    if args.compat_or_union:
+    if args.suggest:
+        from hadoop_search_engine_spark.operators.query_exec import suggest_terms
+
+        result = suggest_terms(idx, args.query, k=args.k)
+    elif args.compat_or_union:
         result = or_union_search(idx, args.query, limit=args.k)
+    elif args.fuzzy:
+        from hadoop_search_engine_spark.operators.query_exec import (
+            fuzzy_search_topk,
+        )
+
+        result = fuzzy_search_topk(idx, args.query, k=args.k, mode=args.mode)
+        if args.documents:
+            docs = spark.read.parquet(args.documents)
+            result = materialize(result, docs)
     elif args.phrase:
         from hadoop_search_engine_spark.operators.query_exec import phrase_search
 
