@@ -153,6 +153,32 @@ def main() -> None:
     timed("suggest_autocomplete", lambda: suggest_terms(idx, "s", k=10).collect())
     timed("fuzzy_query", lambda: fuzzy_search_topk(idx, "scann quer", k=10).collect())
 
+    # physical segment merge: two merge-aligned half-corpus segments
+    # become one index by pure column-arithmetic remap (posting blobs
+    # byte-unchanged) + vocab-sized stats/lexicon recompute. Untimed
+    # segment builds; timed merge only.
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.index_maint import merge_indexes
+
+    half = n_docs // 2
+    span = 2048
+    seg_a, seg_b = "/tmp/hse_bench_segA", "/tmp/hse_bench_segB"
+    merged_dir = "/tmp/hse_bench_merged"
+    for d in (seg_a, seg_b, merged_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    build_index(spark, docs.where(F.col("doc_id") < half), seg_a,
+                shard_span=span, n_buckets=16)
+    build_index(
+        spark,
+        docs.where(F.col("doc_id") >= half)
+        .withColumn("doc_id", F.col("doc_id") - F.lit(half)),
+        seg_b, shard_span=span, n_buckets=16,
+    )
+    t0 = time.time()
+    merge_indexes(spark, [seg_a, seg_b], merged_dir)
+    timings["segment_merge"] = round(time.time() - t0, 4)
+
     # delete lifecycle LAST (mutates the bench index): tombstone 1% of
     # docs, then a full physical vacuum (block rewrite + stats/lexicon/
     # counter recompute). Single rep — the first vacuum does the real

@@ -394,6 +394,7 @@ def build_index(
     out_dir: str,
     *,
     num_shards: int | None = None,
+    shard_span: int | None = None,
     n_buckets: int = 16,
     block_size: int = BLOCK_SIZE,
     k1: float = BM25_K1,
@@ -478,6 +479,10 @@ def build_index(
             {"num_shards": (prior.num_shards, num_shards)}
             if num_shards is not None and prior.num_shards != num_shards
             else {}
+        ) | (
+            {"shard_span": (prior.shard_span, shard_span)}
+            if shard_span is not None and prior.shard_span != shard_span
+            else {}
         )
         if mismatches:
             raise ValueError(
@@ -508,16 +513,28 @@ def build_index(
                 "doc_ids.assign_doc_ids) before indexing"
             )
         mark("max_id")
-        if num_shards is None:
-            # Fixed shard span (~128k docs), NOT a function of the
-            # session's parallelism: tying shards to core count makes
-            # the number of (term, shard) encode groups — i.e. total
-            # work — grow with the cluster, which inverts scaling
-            # (4x cores -> 4x groups -> flat wall-clock). A fixed span
-            # also makes the index layout invariant across parallelism
-            # levels, which the determinism tests assert.
-            num_shards = max(1, (max_id + 1 + (1 << 17) - 1) >> 17)
-        shard_span = max(1, -(-(max_id + 1) // num_shards))
+        if shard_span is not None:
+            # Explicit span: segments built with the SAME span are
+            # merge-compatible (operators.index_maint.merge_indexes
+            # remaps shard/first_doc_id by pure column arithmetic —
+            # valid only when every segment's shards cover identical
+            # doc_id-range widths).
+            if num_shards is not None:
+                raise ValueError(
+                    "pass num_shards or shard_span, not both"
+                )
+            num_shards = max(1, -(-(max_id + 1) // shard_span))
+        else:
+            if num_shards is None:
+                # Fixed shard span (~128k docs), NOT a function of the
+                # session's parallelism: tying shards to core count makes
+                # the number of (term, shard) encode groups — i.e. total
+                # work — grow with the cluster, which inverts scaling
+                # (4x cores -> 4x groups -> flat wall-clock). A fixed span
+                # also makes the index layout invariant across parallelism
+                # levels, which the determinism tests assert.
+                num_shards = max(1, (max_id + 1 + (1 << 17) - 1) >> 17)
+            shard_span = max(1, -(-(max_id + 1) // num_shards))
         # Provisional stats: the encoder stores (max_tf, min_dl) block
         # bounds, not BM25 partials, so NO corpus statistic is needed
         # before encoding. n_docs/avgdl are finalized after the

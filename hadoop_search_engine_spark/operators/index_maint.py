@@ -44,8 +44,10 @@ from ..functions import codec
 from .index_build import (
     _POSTINGS_COLUMNS,
     POSTINGS_SCHEMA,
+    IndexStats,
     _commit_checkpoint,
     _write_lexicon,
+    read_stats,
     write_stats,
 )
 from .query_exec import Index
@@ -216,6 +218,24 @@ def vacuum_index(index: Index) -> Index:
     # 4. term_stats + checkpoint counters + lexicon, all from ONE
     # metadata-column scan of the rewritten postings (binary columns
     # pruned away) — the same derivation chain the build uses.
+    _derive_term_stats_and_checkpoints(spark, out_dir, stats.n_buckets)
+
+    _write_lexicon(spark, out_dir, new_stats)
+
+    shutil.rmtree(_tomb_dir(out_dir))
+    tomb_bc.unpersist()
+    return Index.load(spark, out_dir)
+
+
+def _derive_term_stats_and_checkpoints(
+    spark, out_dir: str, n_buckets: int
+) -> None:
+    """Recompute ``term_stats`` and the per-bucket lineage counters /
+    checkpoint rows from ONE metadata-column scan of the postings
+    (binary blob columns pruned away at the parquet reader) — the same
+    derivation chain the build uses. Shared by :func:`vacuum_index`
+    and :func:`merge_indexes`."""
+    postings_dir = os.path.join(out_dir, "postings")
     term_stats_dir = os.path.join(out_dir, "term_stats")
     stats_df = (
         spark.read.parquet(postings_dir)
@@ -228,7 +248,7 @@ def vacuum_index(index: Index) -> Index:
         )
         .persist()
     )
-    tmp_ts = term_stats_dir + ".vacuum"
+    tmp_ts = term_stats_dir + ".derive"
     (
         stats_df.write.mode("overwrite")
         .partitionBy("bucket")
@@ -254,16 +274,216 @@ def vacuum_index(index: Index) -> Index:
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     if os.path.exists(ckpt_dir):
         shutil.rmtree(ckpt_dir)
-    # every original bucket is re-marked done (a bucket whose terms all
-    # vanished still must not look resumable), plus the -1 completion row
+    # every bucket is marked done (a bucket whose terms all vanished
+    # still must not look resumable), plus the -1 completion row
     _commit_checkpoint(
         spark, ckpt_dir,
-        buckets=[-1] + list(range(stats.n_buckets)),
+        buckets=[-1] + list(range(n_buckets)),
         per_bucket=per_bucket,
     )
 
+
+def shift_doc_ids(docs: DataFrame, offset: int) -> DataFrame:
+    """Remap a segment's documents table into a merged index's doc_id
+    space: ``doc_id += offset`` (offsets from :func:`segment_offsets`).
+    Use before :func:`~.query_exec.materialize` against a merged
+    index's results."""
+    return docs.withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(int(offset))).cast("long")
+    )
+
+
+def segment_offsets(out_dir: str) -> list[dict]:
+    """Per-source-segment remap metadata written by
+    :func:`merge_indexes` (``src``, ``doc_offset``, ``shard_offset``,
+    ``num_shards``, ``n_docs``)."""
+    import json
+
+    with open(os.path.join(out_dir, "segments.json")) as f:
+        return json.load(f)
+
+
+def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
+    """Physically merge built index segments into ONE index — the
+    external posting-list merge of the classic segment lifecycle
+    (Lucene's segment merge; the reference engine, whose index is a
+    single one-shot MapReduce artifact README.md:423-427, has no
+    equivalent): base + compacted streaming deltas, or
+    time-partitioned generations, become a single segment so serving
+    no longer pays :func:`~.query_exec.search_topk_segments`'s
+    per-segment probe overhead.
+
+    The merge never re-tokenizes and never decodes a posting blob.
+    Shards are contiguous doc_id ranges (``shard = doc_id //
+    shard_span``) and blob bytes are delta-encoded relative to the
+    stored ``first_doc_id`` column, so giving segment *i* a doc_id
+    offset that is a multiple of the (shared) shard span makes the
+    remap pure column arithmetic: ``shard += shard_offset_i``,
+    ``first_doc_id += doc_offset_i``, ``doc_id += doc_offset_i`` —
+    with every compressed blob byte-unchanged, and the per-term global
+    doc_id sort order (ORDER BY term, shard, block_id) preserved
+    because all of segment *i*'s shards precede segment *i+1*'s.
+    The whole job is two JVM-expression-only unions (postings +
+    doc_stats) plus the vocab-sized term_dict/term_stats/lexicon
+    recompute; cost is one copy of the index bytes, embarrassingly
+    parallel, no Python on any row path.
+
+    Requirements (validated): identical ``shard_span``, ``n_buckets``,
+    ``block_size``, ``k1``, ``b`` and ``positions`` across segments —
+    build merge-ready segments with ``build_index(...,
+    shard_span=...)``. Tombstones carry forward remapped; statistics
+    (n_docs, avgdl, df, idf) are recomputed globally, so post-merge
+    queries are rank- and score-identical to a fresh build over the
+    remapped union corpus (by test, including blob byte-identity).
+
+    doc_id spaces shift: remap each segment's documents table with
+    :func:`shift_doc_ids` (offsets in ``segments.json`` /
+    :func:`segment_offsets`) before materializing.
+    """
+    import json
+
+    if not index_dirs:
+        raise ValueError("need at least one index dir")
+    stats_list = [read_stats(d) for d in index_dirs]
+    s0 = stats_list[0]
+    for d, s in zip(index_dirs[1:], stats_list[1:]):
+        mism = {
+            name: (getattr(s0, name), getattr(s, name))
+            for name in (
+                "shard_span", "n_buckets", "block_size", "k1", "b",
+                "positions",
+            )
+            if getattr(s0, name) != getattr(s, name)
+        }
+        if mism:
+            raise ValueError(
+                f"segment {d} layout differs from {index_dirs[0]}: "
+                f"{mism}; build merge-compatible segments with "
+                "build_index(..., shard_span=...) and matching params"
+            )
+    span = int(s0.shard_span)
+    shard_offs: list[int] = []
+    acc = 0
+    for s in stats_list:
+        shard_offs.append(acc)
+        acc += int(s.num_shards)
+    total_shards = acc
+    doc_offs = [so * span for so in shard_offs]
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+
+    # postings: remap columns, blobs byte-unchanged; same layout /
+    # sort contract the build writes (bucket-partitioned, term-hash
+    # co-located, (term_hash, shard, block_id) run order).
+    parts = []
+    ds_parts = []
+    tomb_parts = []
+    for d, soff, doff in zip(index_dirs, shard_offs, doc_offs):
+        p = (
+            spark.read.parquet(os.path.join(d, "postings"))
+            .select(*_POSTINGS_COLUMNS)
+            .withColumn(
+                "shard", (F.col("shard") + F.lit(soff)).cast("int")
+            )
+            .withColumn("first_doc_id", F.col("first_doc_id") + F.lit(doff))
+        )
+        parts.append(p)
+        ds_parts.append(
+            spark.read.parquet(os.path.join(d, "doc_stats"))
+            .select("doc_id", "doc_len", "shard")
+            .withColumn("doc_id", F.col("doc_id") + F.lit(doff))
+            .withColumn(
+                "shard", (F.col("shard") + F.lit(soff)).cast("int")
+            )
+        )
+        td = os.path.join(d, "tombstones")
+        if os.path.isdir(td):
+            tomb_parts.append(
+                spark.read.parquet(td)
+                .select((F.col("doc_id") + F.lit(doff)).alias("doc_id"))
+            )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    (
+        merged.repartition("bucket", "term_hash")
+        .sortWithinPartitions("term_hash", "shard", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "postings"))
+    )
+
+    ds = ds_parts[0]
+    for p in ds_parts[1:]:
+        ds = ds.unionByName(p)
+    (
+        ds.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(out_dir, "doc_stats"))
+    )
+
+    # vocab: union-distinct of the (term, term_hash) dictionaries
+    tds = [
+        spark.read.parquet(os.path.join(d, "term_dict"))
+        for d in index_dirs
+    ]
+    td = tds[0]
+    for t in tds[1:]:
+        td = td.unionByName(t)
+    td.distinct().write.mode("overwrite").parquet(
+        os.path.join(out_dir, "term_dict")
+    )
+
+    if tomb_parts:
+        t = tomb_parts[0]
+        for p in tomb_parts[1:]:
+            t = t.unionByName(p)
+        t.distinct().coalesce(1).write.mode("overwrite").parquet(
+            _tomb_dir(out_dir)
+        )
+
+    # global statistics from the merged doc_stats (doc_len >= 1 only,
+    # the build's oracle-aligned semantics) — NOT a weighted average
+    # of per-segment floats, so idf/avgdl match a fresh union build.
+    row = (
+        spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+        .where(F.col("doc_len") >= 1)
+        .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+        .collect()[0]
+    )
+    new_stats = IndexStats(
+        n_docs=int(row["n"]),
+        avgdl=float(row["avgdl"] or 0.0),
+        shard_span=span,
+        num_shards=total_shards,
+        n_buckets=int(s0.n_buckets),
+        block_size=int(s0.block_size),
+        k1=float(s0.k1),
+        b=float(s0.b),
+        positions=bool(s0.positions),
+    )
+    write_stats(out_dir, new_stats)
+
+    _derive_term_stats_and_checkpoints(spark, out_dir, new_stats.n_buckets)
     _write_lexicon(spark, out_dir, new_stats)
 
-    shutil.rmtree(_tomb_dir(out_dir))
-    tomb_bc.unpersist()
+    with open(os.path.join(out_dir, "segments.json"), "w") as f:
+        json.dump(
+            [
+                {
+                    "src": d,
+                    "doc_offset": doff,
+                    "shard_offset": soff,
+                    "num_shards": int(s.num_shards),
+                    "n_docs": int(s.n_docs),
+                }
+                for d, s, soff, doff in zip(
+                    index_dirs, stats_list, shard_offs, doc_offs
+                )
+            ],
+            f,
+        )
     return Index.load(spark, out_dir)

@@ -6,6 +6,11 @@
     ... --vacuum                          (physical purge + stats refresh)
     ... --report                          (print index counters)
 
+    spark-submit ... jobs/maintain.py \
+        --merge /idx/base,/idx/delta1,/idx/delta2 --index /idx/merged
+    (physical segment merge: segments built with the same shard_span;
+    doc_id offsets land in <merged>/segments.json)
+
 The reference engine has no maintenance path — removing a document
 means re-running the whole MapReduce build and restarting the server
 (README.md:423-446). Here deletes are O(|delete set|) tombstones
@@ -26,14 +31,23 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--delete-file", help="parquet with a doc_id column")
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--report", action="store_true")
+    ap.add_argument(
+        "--merge",
+        help="comma-separated source index dirs to merge INTO --index",
+    )
     args = ap.parse_args(argv)
-    if not (args.delete or args.delete_file or args.vacuum or args.report):
-        ap.error("nothing to do: pass --delete/--delete-file/--vacuum/--report")
+    if not (args.delete or args.delete_file or args.vacuum or args.report
+            or args.merge):
+        ap.error(
+            "nothing to do: pass --delete/--delete-file/--vacuum/"
+            "--merge/--report"
+        )
 
     from pyspark.sql import SparkSession
 
     from hadoop_search_engine_spark.operators.index_maint import (
         delete_docs,
+        merge_indexes,
         vacuum_index,
     )
     from hadoop_search_engine_spark.operators.query_exec import Index
@@ -41,7 +55,12 @@ def main(argv: list[str] | None = None) -> None:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-maintain")
-    idx = Index.load(spark, args.index)
+    if args.merge:
+        srcs = [s for s in args.merge.split(",") if s.strip()]
+        idx = merge_indexes(spark, srcs, args.index)
+        print(f"merged {len(srcs)} segments -> {args.index}")
+    else:
+        idx = Index.load(spark, args.index)
 
     if args.delete:
         ids = [int(x) for x in args.delete.split(",") if x.strip()]
