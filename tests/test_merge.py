@@ -194,3 +194,73 @@ def test_merge_rejects_mismatched_layout(spark, seg_corpora, tmp_path):
             spark, [str(tmp_path / "A"), str(tmp_path / "B")],
             str(tmp_path / "M"),
         )
+
+
+def test_stream_compact_merge_lifecycle(spark, tmp_path):
+    """The full incremental lifecycle: batch base index + streamed
+    arrivals -> delta compaction -> PHYSICAL merge into one segment;
+    results match the NumPy oracle over the union corpus (compared by
+    url — each stage mints its own dense doc_id space)."""
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+    from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+    from hadoop_search_engine_spark.streaming.incremental import (
+        compact_deltas,
+        incremental_tf_sink,
+        stream_documents,
+    )
+
+    all_docs = gen_documents(spark, 500, n_partitions=2).persist()
+    base_docs = assign_doc_ids(
+        all_docs.limit(300), num_partitions=2
+    ).persist()
+    base_urls = {r["url"] for r in base_docs.select("url").collect()}
+    new_docs = all_docs.where(~F.col("url").isin(list(base_urls)))
+    assert new_docs.count() == 200
+
+    # batch base segment
+    base_dir = str(tmp_path / "base")
+    build_index(spark, base_docs.select("doc_id", "text"), base_dir,
+                shard_span=SPAN, n_buckets=8, block_size=16)
+
+    # the 200 new docs arrive on the stream and compact to a segment
+    src = str(tmp_path / "incoming")
+    import os
+
+    os.makedirs(src)
+    new_docs.write.mode("append").parquet(src)
+    q = incremental_tf_sink(
+        stream_documents(spark, src, max_files=2),
+        str(tmp_path / "delta"), str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    delta_dir = str(tmp_path / "delta_idx")
+    compact_deltas(spark, str(tmp_path / "delta"), delta_dir,
+                   shard_span=SPAN, n_buckets=8, block_size=16)
+
+    # physical merge: base + compacted delta -> one segment
+    merged = merge_indexes(spark, [base_dir, delta_dir],
+                           str(tmp_path / "M"))
+    offs = segment_offsets(str(tmp_path / "M"))
+    assert merged.stats.n_docs == 500
+
+    # merged doc_id -> url across both sources
+    id_to_url = {
+        int(r["doc_id"]): r["url"]
+        for r in base_docs.select("doc_id", "url").collect()
+    }
+    doc_map = spark.read.parquet(os.path.join(delta_dir, "doc_map"))
+    for r in doc_map.collect():
+        id_to_url[int(r["doc_id"]) + offs[1]["doc_offset"]] = r["url"]
+
+    rows = all_docs.select("url", "text").collect()
+    urls = [r["url"] for r in rows]
+    oracle = BM25Oracle(list(enumerate(r["text"] for r in rows)))
+    for query in ("w00000 w00010", "needle7"):
+        want = oracle.search(query, k=10)
+        want_urls = {urls[d] for d, _ in want}
+        got = search_topk(merged, query, k=10).collect()
+        assert {id_to_url[int(r["doc_id"])] for r in got} == want_urls
+        assert sorted(round(r["score"], 9) for r in got) == sorted(
+            round(s, 9) for _, s in want
+        ), query
