@@ -407,10 +407,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (bit-level hash family not expressible in DuckDB SQL)."""
+    """Near-dup pairs by simhash Hamming distance — oracle-checked:
+    the signatures are murmur3-based JVM expressions that replay
+    exactly in DuckDB SQL (functions.hashes), and the banded candidate
+    generation is complete by pigeonhole (pytest-verified), so the
+    banded Spark result equals the oracle's brute-force Hamming join."""
     from hadoop_search_engine_spark.operators.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+    out = simhash_near_dup_pairs(_read(spark, sf_dir, "documents"), max_hamming=8)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +495,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: rolling hash uses xxhash64 (no DuckDB equivalent)."""
+    """Rolling polynomial fingerprint — oracle-checked: the token hash
+    is murmur3 (Spark's hash()), replayed exactly in DuckDB SQL
+    (functions.hashes.sql_murmur3_u32_duckdb)."""
     from hadoop_search_engine_spark.operators.text_analysis import fingerprint
 
     docs = _read(spark, sf_dir, "documents")
@@ -630,6 +637,71 @@ tf AS (
 def _dd_count_in(list_expr: str, words: list[str]) -> str:
     preds = " OR ".join(f"t = '{w}'" for w in words)
     return f"len(list_filter({list_expr}, t -> {preds}))"
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB mirror of operators.text_analysis.fingerprint: fold
+    acc*31 + murmur3(token) mod 2^56-5, left to right, empty/null -> 0."""
+    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
+
+    mm = sql_murmur3_u32_duckdb("_w")
+    mod = (1 << 56) - 5
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               coalesce(list_reduce(
+                   list_prepend(0::bigint, list_transform(toks, _w -> {mm})),
+                   (_acc, _h) -> (_acc * 31 + _h) % {mod}), 0)::bigint
+               AS fingerprint
+        FROM t
+    """
+
+
+def _dd_simhash_cte(toks_expr: str) -> str:
+    """DuckDB CTE tail computing per-doc 64-bit simhash signatures —
+    the exact murmur3-based majority-vote packing of
+    operators.dedup.simhash_signatures (low word = murmur3(token),
+    high word = salt-chained murmur3; bit 63 folds back to the signed
+    long range)."""
+    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
+    from hadoop_search_engine_spark.operators.dedup import SIMHASH_HI_SALT
+
+    lo = sql_murmur3_u32_duckdb("_w")
+    hi = sql_murmur3_u32_duckdb(f"'{SIMHASH_HI_SALT}'", seed=lo)
+    bit_terms = []
+    for k in range(64):
+        src, s = ("los", k) if k < 32 else ("his", k - 32)
+        cnt = (
+            f"coalesce(list_sum(list_transform({src}, "
+            f"_h -> (_h // {1 << s}) % 2)), 0)"
+        )
+        bit_terms.append(
+            f"(CASE WHEN 2 * {cnt} >= n THEN {1 << k}::hugeint "
+            f"ELSE 0::hugeint END)"
+        )
+    total = "\n          + ".join(bit_terms)
+    return f"""
+        simtok AS (SELECT doc_id, {toks_expr} AS toks FROM documents),
+        simh AS (
+          SELECT doc_id,
+                 list_transform(toks, _w -> {lo}) AS los,
+                 list_transform(toks, _w -> {hi}) AS his,
+                 len(toks) AS n
+          FROM simtok
+        ),
+        simraw AS (
+          SELECT doc_id,
+                 CASE WHEN n > 0 THEN {total} ELSE 0::hugeint END AS raw
+          FROM simh
+        ),
+        simsig AS (
+          SELECT doc_id,
+                 (CASE WHEN raw >= {1 << 63}::hugeint
+                       THEN raw - {1 << 64}::hugeint
+                       ELSE raw END)::bigint AS simhash
+          FROM simraw
+        )
+    """
 
 
 def _dd_lsh_bucket(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:
@@ -991,6 +1063,14 @@ def oracle_sql() -> dict[str, str]:
                    ) / 4.0, 6) AS quality
             FROM t
         """,
+        "fingerprint": _fingerprint_sql(),
+        "simhash": f"""
+            WITH {_dd_simhash_cte(_TOKS)}
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.simhash, y.simhash))::int AS hamming
+            FROM simsig x JOIN simsig y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+        """,
         "multimodal_metadata": """
             SELECT doc_id, octet_length(text::blob) AS n_bytes,
                    'application/octet-stream' AS media_type
@@ -1011,8 +1091,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
-        # rows-only (non-SQL-expressible): minhash_lsh, simhash,
-        # ann_ivf, fingerprint, media_features — each hash/quantizer
-        # family has no DuckDB equivalent; determinism and recall are
-        # pytest-verified instead
+        # rows-only (non-SQL-expressible): minhash_lsh (64 affine
+        # permutations over SipHash token hashes), ann_ivf (iterative
+        # k-means centroids), media_features (stubbed decode) —
+        # determinism and recall are pytest-verified instead
     }

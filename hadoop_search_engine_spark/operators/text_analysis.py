@@ -80,15 +80,26 @@ def fingerprint(text: Column, mod: int = (1 << 56) - 5) -> Column:
     folded left to right. Reordered tokens change the fingerprint;
     useful as a cheap content-version id.
 
+    Token hash = Murmur3_x86_32 (Spark's built-in ``hash()``, a pure
+    JVM expression), which functions.hashes replays exactly in DuckDB
+    SQL — so the whole fingerprint sits on the DuckDB correctness
+    board (previously xxhash64, which DuckDB can't express — the
+    operator was stuck rows-only).
+
     The modulus is < 2^56 so the fold step `acc*31 + h` peaks below
-    2^61 + 2^56 and never overflows int64 under ANSI mode (Spark 4
-    default) — a 2^61-1 modulus would overflow at `acc*31`."""
+    2^61 + 2^32 and never overflows int64 under ANSI mode (Spark 4
+    default) — a 2^61-1 modulus would overflow at `acc*31`. Null text
+    fingerprints to 0 (the empty fold), matching the oracle's
+    coalesce."""
+    from ..functions.hashes import murmur3_u32
+
     toks = tokens_col(text)
-    return F.aggregate(
+    fold = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, w: F.pmod(acc * 31 + F.pmod(F.xxhash64(w), F.lit(mod)), F.lit(mod)),
+        lambda acc, w: F.pmod(acc * 31 + murmur3_u32(w), F.lit(mod)),
     )
+    return F.coalesce(fold, F.lit(0).cast("long"))
 
 
 def analyze(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
