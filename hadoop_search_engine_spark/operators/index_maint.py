@@ -22,8 +22,10 @@ Scale notes: the vacuum ships the tombstone set to executors as a
 sorted int64 broadcast (8 bytes/id — fine to tens of millions of
 deletes; vacuum regularly so the set stays "deletes since last
 vacuum", not "all deletes ever"). Block rewrite is embarrassingly
-parallel (mapInPandas over posting rows, vectorized NumPy masking per
-block); untouched blocks are passed through without re-encoding. The
+parallel (mapInPandas over posting rows; one batched decode + one
+sorted searchsorted probe per Arrow batch — O(B·log T), flat in the
+tombstone count); untouched blocks are passed through without
+re-encoding. The
 rewritten tables land in ``<table>.vacuum`` staging dirs and are
 swapped in with directory renames — single-writer maintenance, same
 filesystem; on an object store you would write a new index generation
@@ -96,51 +98,74 @@ def delete_docs(index: Index, doc_ids: DataFrame | Iterable[int]) -> int:
 
 def _make_vacuum_rewriter(positions: bool, tomb_bc):
     """mapInPandas rewriter: drop tombstoned doc_ids from every posting
-    block. Blocks untouched by the delete set pass through with their
-    original encoded bytes; touched blocks are decoded, masked with one
-    vectorized ``np.isin``, and re-encoded. ``min_dl`` is kept as-is:
-    the stored minimum is over a superset of the surviving docs, so the
-    derived block-max WAND bound stays a valid (merely less tight)
-    upper bound until the next full build tightens it.
+    block. Per Arrow batch, ALL blocks decode in one batched varint
+    pass (``codec.decode_blocks``) and the tombstone membership test is
+    ONE ``np.searchsorted`` probe of the flat doc_id array against the
+    already-sorted broadcast tombstone array — O(B·log T) for B batch
+    postings and T tombstones. (The previous per-block
+    ``np.isin(..., assume_unique=True)`` re-sorted the T-element array
+    once per block — O((B+T)·log T) *per block*, hours of pure sort
+    overhead at T = 10^7 over millions of blocks.) Blocks untouched by
+    the delete set pass through with their original encoded bytes
+    (sliced wholesale from the input frame); only touched blocks
+    re-encode. ``min_dl`` is kept as-is: the stored minimum is over a
+    superset of the surviving docs, so the derived block-max WAND bound
+    stays a valid (merely less tight) upper bound until the next full
+    build tightens it.
     """
 
     def rewrite(batches):
-        tomb = tomb_bc.value
+        tomb = tomb_bc.value  # sorted unique int64
         for pdf in batches:
             if pdf.empty:
                 continue
+            ns = pdf["n_docs"].to_numpy(np.int64)
+            ids, tfs, offsets = codec.decode_blocks(
+                pdf["doc_ids"].tolist(), pdf["tfs"].tolist(), ns,
+                pdf["first_doc_id"].to_numpy(np.int64),
+            )
+            j = np.searchsorted(tomb, ids)
+            dead = (j < tomb.size) & (
+                tomb[np.minimum(j, tomb.size - 1)] == ids
+            )
+            # posting blocks are never empty (n_docs >= 1), so the
+            # reduceat segments are all non-degenerate
+            ndead = np.add.reduceat(dead, offsets[:-1])
+            untouched = ndead == 0
+            if untouched.all():
+                yield pdf
+                continue
+            if untouched.any():
+                yield pdf.iloc[np.flatnonzero(untouched)]
             rows: list = []
-            for row in pdf.itertuples(index=False):
-                ids = codec.decode_doc_ids(
-                    bytes(row.doc_ids), n=int(row.n_docs),
-                    base=int(row.first_doc_id),
-                )
-                mask = np.isin(ids, tomb, invert=True, assume_unique=True)
-                if mask.all():
-                    rows.append(tuple(row))
-                    continue
+            for bi in np.flatnonzero(~untouched):
+                s, e = int(offsets[bi]), int(offsets[bi + 1])
+                mask = ~dead[s:e]
                 if not mask.any():
-                    continue
-                tfs = codec.decode_tfs(bytes(row.tfs), n=int(row.n_docs))
-                kept = ids[mask]
-                kept_tf = tfs[mask]
+                    continue  # whole block deleted
+                kept = ids[s:e][mask]
+                kept_tf = tfs[s:e][mask]
+                row = pdf.iloc[bi]
                 enc_d = codec.encode_doc_ids(kept, base=int(kept[0]))
                 enc_t = codec.encode_tfs(kept_tf)
-                if positions and row.positions is not None:
-                    pos = codec.decode_positions(bytes(row.positions), tfs)
-                    occ_mask = np.repeat(mask, tfs)
+                if positions and row["positions"] is not None:
+                    block_tfs = tfs[s:e]
+                    pos = codec.decode_positions(
+                        bytes(row["positions"]), block_tfs
+                    )
+                    occ_mask = np.repeat(mask, block_tfs)
                     enc_p = codec.encode_positions(pos[occ_mask], kept_tf)
                 else:
                     enc_p = None
                 rows.append(
                     (
-                        int(row.term_hash), int(row.shard),
-                        int(row.block_id), int(kept[0]), enc_d, enc_t,
+                        int(row["term_hash"]), int(row["shard"]),
+                        int(row["block_id"]), int(kept[0]), enc_d, enc_t,
                         int(kept.shape[0]), int(kept_tf.sum()),
                         len(enc_d) + len(enc_t)
                         + (len(enc_p) if enc_p else 0),
-                        int(kept_tf.max()), int(row.min_dl), enc_p,
-                        int(row.bucket),
+                        int(kept_tf.max()), int(row["min_dl"]), enc_p,
+                        int(row["bucket"]),
                     )
                 )
             if rows:

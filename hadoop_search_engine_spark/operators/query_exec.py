@@ -150,6 +150,40 @@ class Index:
                 }
         return self._lex_map if self._lex_map else None
 
+    _lex_by_len: dict | None = None
+
+    def lexicon_by_length(self) -> dict | None:
+        """Length-bucketed view of :meth:`lexicon_map` for the fuzzy
+        driver path: ``len(term) -> (terms, dfs, charmasks)`` with the
+        dfs/charmasks as NumPy arrays, or None when the vocabulary is
+        too large to cache. A Levenshtein match within e edits needs
+        ``|len(a) - len(b)| <= e``, so a fuzzy probe scans only 2e+1
+        buckets instead of the whole vocabulary; the charmask (chars
+        folded to 64 bits) pre-filters a whole bucket in one vectorized
+        popcount — one edit flips at most 2 mask bits, so
+        ``popcount(mask ^ query_mask) > 2e`` rules a candidate out
+        before any DP runs. Built once per Index from the
+        already-pinned map."""
+        lm = self.lexicon_map()
+        if lm is None:
+            return None
+        if self._lex_by_len is None:
+            grouped: dict[int, list] = {}
+            for t, v in lm.items():
+                mask = 0
+                for ch in t:
+                    mask |= 1 << (ord(ch) & 63)
+                grouped.setdefault(len(t), []).append((t, int(v["df"]), mask))
+            self._lex_by_len = {
+                length: (
+                    [t for t, _, _ in rows],
+                    np.array([d for _, d, _ in rows], dtype=np.int64),
+                    np.array([m for _, _, m in rows], dtype=np.uint64),
+                )
+                for length, rows in grouped.items()
+            }
+        return self._lex_by_len
+
     def tombstone_count(self) -> int:
         """Number of tombstoned (deleted-but-not-vacuumed) doc_ids —
         a driver-side pyarrow row count, no Spark job; 0 when the
@@ -765,13 +799,6 @@ def _score_dense(
     return _topk_pairs(idx + base, scores[idx], k)
 
 
-def _decode(row) -> tuple[np.ndarray, np.ndarray]:
-    n = int(row["n_docs"])
-    d = codec.decode_doc_ids(bytes(row["doc_ids"]), n=n, base=int(row["first_doc_id"]))
-    t = codec.decode_tfs(bytes(row["tfs"]), n=n)
-    return d, t
-
-
 class _TermBlocks:
     """Per-(term, shard) block metadata with lazy, cached decode.
 
@@ -1232,19 +1259,23 @@ def or_union_search(
     blocks = index.postings.where(
         F.col("bucket").isin(sorted({meta[t]["bucket"] for t in hit}))
         & F.col("term_hash").isin(hit_hashes)
-    )
+    ).select("term_hash", "first_doc_id", "n_docs", "doc_ids", "tfs")
     hash_to_term = {int(meta[t]["hash"]): t for t in hit}
 
     def expand(batches):
+        # batched decode of the whole Arrow batch (the matched_docs
+        # form) — per-block iterrows costs ~50 µs of dispatch per
+        # block, seconds of pure overhead on a head-term query
         for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                d, _t = _decode(row)
-                outs.append(pd.DataFrame(
-                    {"term": hash_to_term[int(row["term_hash"])], "doc_id": d}
-                ))
-            if outs:
-                yield pd.concat(outs)
+            if pdf.empty:
+                continue
+            ns = pdf["n_docs"].to_numpy(np.int64)
+            d, _t, _off = codec.decode_blocks(
+                pdf["doc_ids"].tolist(), pdf["tfs"].tolist(), ns,
+                pdf["first_doc_id"].to_numpy(np.int64),
+            )
+            terms = pdf["term_hash"].map(hash_to_term).to_numpy()
+            yield pd.DataFrame({"term": np.repeat(terms, ns), "doc_id": d})
 
     pairs = blocks.mapInPandas(expand, schema="term string, doc_id long")
     order_df = spark.createDataFrame(
@@ -1435,6 +1466,11 @@ def suggest_terms_dataframe(docs: DataFrame, prefix: str, k: int = 10) -> DataFr
     )
 
 
+# byte-popcount lookup table for the fuzzy charmask pre-filter
+# (NumPy < 2 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
 def _edit_distance(a: str, b: str, cap: int) -> int:
     """Banded Levenshtein with early abort past ``cap`` (driver-side
     vocab scan only — executor-scale matching uses the JVM
@@ -1459,21 +1495,36 @@ def _edit_distance(a: str, b: str, cap: int) -> int:
 def fuzzy_terms(index: Index, term: str, max_edits: int = 1, k: int = 5) -> DataFrame:
     """Spell-correction candidates: lexicon terms within ``max_edits``
     Levenshtein edits of ``term``, ranked (distance asc, df desc, term
-    asc). Driver-cached vocabularies scan the pinned term map in
-    Python (banded DP, early abort); larger ones run the JVM
-    ``levenshtein`` expression over the vocab-sized lexicon — never
-    the postings or the corpus."""
+    asc). Driver-cached vocabularies probe the length-bucketed pinned
+    map (:meth:`Index.lexicon_by_length`): only the 2e+1 buckets with
+    ``|len - len(term)| <= e`` are visited, a 64-bit character-mask
+    popcount rules most candidates out before any DP, and the banded
+    DP early-aborts past e — sub-ms at web vocabularies (BENCH.md)
+    instead of a full-vocabulary Python scan. Larger vocabularies run
+    the JVM ``levenshtein`` expression over the vocab-sized lexicon —
+    never the postings or the corpus."""
     p = term.strip().lower()
     spark = index.spark
     if not p:
         return _empty_df(spark, "term string, dist int, df long")
-    lm = index.lexicon_map()
-    if lm is not None:
+    by_len = index.lexicon_by_length()
+    if by_len is not None:
+        pmask = 0
+        for ch in p:
+            pmask |= 1 << (ord(ch) & 63)
         cands = []
-        for t, v in lm.items():
-            d = _edit_distance(p, t, max_edits)
-            if d <= max_edits:
-                cands.append((t, int(d), int(v["df"])))
+        for length in range(max(1, len(p) - max_edits), len(p) + max_edits + 1):
+            bucket = by_len.get(length)
+            if bucket is None:
+                continue
+            terms_b, dfs_b, masks_b = bucket
+            xor = masks_b ^ np.uint64(pmask)
+            pc = _POP8[xor.view(np.uint8)].reshape(-1, 8).sum(axis=1)
+            for i in np.flatnonzero(pc <= 2 * max_edits):
+                t = terms_b[i]
+                d = _edit_distance(p, t, max_edits)
+                if d <= max_edits:
+                    cands.append((t, int(d), int(dfs_b[i])))
         cands.sort(key=lambda e: (e[1], -e[2], e[0]))
         if not cands:
             return _empty_df(spark, "term string, dist int, df long")

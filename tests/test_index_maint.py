@@ -103,6 +103,49 @@ def test_vacuum_identical_to_fresh_build(spark, tiny_corpus, maint_index, tmp_pa
             ), (q, serving)
 
 
+def test_vacuum_large_tombstone_set(spark, tmp_path):
+    """>= 10^5 tombstones through the batched searchsorted probe
+    (operators/index_maint.py _make_vacuum_rewriter): results stay
+    rank- AND score-identical to a fresh build over the survivors.
+    The set mixes real doc_ids (every 3rd doc) with a large synthetic
+    range past the corpus (exercising the probe's out-of-range path —
+    deleting absent ids is a no-op by definition)."""
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        gen_documents(spark, 3000, n_partitions=4), num_partitions=4
+    ).select("doc_id", "text").persist()
+    out = str(tmp_path / "big")
+    build_index(spark, docs, out, num_shards=4, n_buckets=8, block_size=16)
+    idx = Index.load(spark, out)
+
+    real_dead = list(range(0, 3000, 3))
+    synthetic = list(range(200_000, 300_000))
+    dead = real_dead + synthetic
+    assert len(dead) >= 100_000
+    delete_docs(idx, dead)
+    vac = vacuum_index(idx)
+    assert vac.tombstone_count() == 0
+
+    fresh_dir = str(tmp_path / "big_fresh")
+    build_index(
+        spark, docs.where(~F.col("doc_id").isin(real_dead)), fresh_dir,
+        num_shards=4, n_buckets=8, block_size=16,
+    )
+    fresh = Index.load(spark, fresh_dir)
+    assert vac.stats.n_docs == fresh.stats.n_docs
+    rv, rf = vac.report(), fresh.report()
+    for key in ("postings", "tokens", "terms"):
+        assert rv[key] == rf[key], key
+    for q in QUERIES:
+        for serving in ("driver", "spark"):
+            assert _pairs(search_topk(vac, q, k=10, serving=serving)) == _pairs(
+                search_topk(fresh, q, k=10, serving=serving)
+            ), (q, serving)
+    docs.unpersist()
+
+
 def test_vacuum_positional_phrase(spark, tiny_corpus, tmp_path):
     out = str(tmp_path / "pos")
     build_index(
