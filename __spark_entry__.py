@@ -118,6 +118,87 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+# One real block index per sf_dir, built once per process and reused by
+# every *_indexed query below (cached under /tmp keyed by the sf path;
+# the lexicon is written last, so its _SUCCESS is the completion marker
+# that guards against a half-built leftover from a killed process).
+_ORACLE_INDEXES: dict = {}
+
+
+def _oracle_index(spark: SparkSession, sf_dir: str, positions: bool = False):
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    key = (os.path.abspath(sf_dir), positions)
+    ix = _ORACLE_INDEXES.get(key)
+    if ix is not None and ix.spark is spark:
+        return ix
+    tag = hashlib.md5(key[0].encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_index_{'pos_' if positions else ''}{tag}"
+    if not (
+        os.path.exists(os.path.join(d, "stats.json"))
+        and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
+    ):
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        build_index(spark, docs, d, n_buckets=8, positions=positions)
+    ix = Index.load(spark, d)
+    _ORACLE_INDEXES[key] = ix
+    return ix
+
+
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION serving path on the oracle board: a real block
+    index (delta+varint postings, block-max metadata) built over the
+    sf documents, queried through search_topk's distributed scorer —
+    checked against the SAME DuckDB SQL as the exhaustive bm25_topk.
+    Reference analog: the serving map IS the whole reference engine
+    (server/src/services/search.service.js:12-16)."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=20, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_indexed_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_topk's driver serving mode (bucket-pruned pyarrow reads +
+    the same NumPy scorer, NO Spark job) against the bm25_topk oracle."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=20, serving="driver")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_indexed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive search_topk over the block index (WAND cover
+    pruning path) against the bm25_topk_and oracle."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(
+        ix, " ".join(FLAGSHIP_TERMS), k=20, mode="and", serving="spark"
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_filtered_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search_topk over the block index: the
+    doc_filter eligibility mask rides the cogroup scorer's doc-length
+    page (global statistics) — against the filtered_search oracle."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    filt = docs.where(F.col("lang") == "en").select("doc_id")
+    top = search_topk(
+        ix, " ".join(FLAGSHIP_TERMS), k=20, serving="spark", doc_filter=filt
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered BM25: eligibility mask (lang = 'en'), GLOBAL
     corpus statistics — surviving scores equal the unfiltered query's
@@ -141,6 +222,42 @@ def q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     top = bm25_topk_dataframe(docs, " ".join(FLAGSHIP_TERMS), k=20, mode="and")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _flagship_phrase(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic data-derived phrase: doc 0's first two tokens.
+    The oracle SQL derives the SAME pair in a CTE, so both engines
+    query the identical phrase without hard-coding corpus content."""
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+
+    docs = _read(spark, sf_dir, "documents")
+    text = docs.where(F.col("doc_id") == 0).select("text").first()[0]
+    toks = tokenize(text)
+    return " ".join(toks[:2])
+
+
+def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25 over a POSITIONAL block index (gap-encoded
+    per-doc token positions), driver serving — the oracle replays the
+    adjacency as a token-array window filter and scores matches with
+    the standard BM25 sum. Capability the reference's OR-only engine
+    lacks entirely (SURVEY §2.6)."""
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    top = phrase_search(ix, _flagship_phrase(spark, sf_dir), k=20,
+                        serving="driver")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_phrase_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query through the distributed cogroup scorer."""
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    top = phrase_search(ix, _flagship_phrase(spark, sf_dir), k=20,
+                        serving="spark")
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -577,6 +694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_and": q_bm25_topk_and,
         "filtered_search": q_filtered_search,
+        "bm25_topk_indexed": q_bm25_topk_indexed,
+        "bm25_topk_indexed_driver": q_bm25_topk_indexed_driver,
+        "bm25_topk_indexed_and": q_bm25_topk_indexed_and,
+        "filtered_search_indexed": q_filtered_search_indexed,
+        "phrase_search_indexed": q_phrase_indexed,
+        "phrase_search_indexed_spark": q_phrase_indexed_spark,
         "facet_counts": q_facet_counts,
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
@@ -739,7 +862,7 @@ def oracle_sql() -> dict[str, str]:
     es_cnt = _dd_count_in("toks", ES_STOPWORDS)
     stop_cnt = _dd_count_in("toks", EN_STOPWORDS + ES_STOPWORDS)
 
-    return {
+    out = {
         "explode_tokens": f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents",
         "term_frequencies": f"WITH {_TF_CTE} SELECT term, doc_id, tf FROM tf",
         "doc_stats": f"WITH {_TF_CTE} SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY doc_id",
@@ -1096,3 +1219,42 @@ def oracle_sql() -> dict[str, str]:
         # k-means centroids), media_features (stubbed decode) —
         # determinism and recall are pytest-verified instead
     }
+    # the indexed serving paths answer the SAME queries as the
+    # exhaustive scorers — the oracle certifies the production engine
+    # (compressed postings + WAND/dense/driver serving), not just the
+    # DataFrame baseline
+    out["bm25_topk_indexed"] = out["bm25_topk"]
+    out["bm25_topk_indexed_driver"] = out["bm25_topk"]
+    out["bm25_topk_indexed_and"] = out["bm25_topk_and"]
+    out["filtered_search_indexed"] = out["filtered_search"]
+    # exact-phrase BM25: the phrase is doc 0's first two tokens,
+    # derived in-SQL (ph CTE) exactly as q_phrase_indexed derives it
+    # driver-side; adjacency = a token-array window filter
+    out["phrase_search_indexed"] = f"""
+        WITH {_TF_CTE},
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ph AS (SELECT toks[1] AS a, toks[2] AS b FROM t WHERE doc_id = 0),
+        m AS (
+          SELECT t.doc_id FROM t, ph
+          WHERE len(list_filter(range(1, len(toks)),
+                                i -> toks[i] = a AND toks[i+1] = b)) > 0
+        ),
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          WHERE tf.doc_id IN (SELECT doc_id FROM m)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    out["phrase_search_indexed_spark"] = out["phrase_search_indexed"]
+    return out
