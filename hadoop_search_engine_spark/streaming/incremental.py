@@ -89,8 +89,24 @@ def compact_deltas(spark: SparkSession, delta_dir: str, out_dir: str, **build_kw
         .agg(F.max("tf").alias("tf"))
         .withColumnRenamed("doc_id", "orig_id")
     )
+    docs_delta = spark.read.parquet(os.path.join(delta_dir, "docs"))
+    # streaming doc_ids are xxhash64(url): a collision (two urls, one
+    # hash) would silently merge two documents' tf rows into one —
+    # detect it here the same way _write_lexicon guards term hashes
+    # (one agg over the url-sized delta, probability ~n²/2^65).
+    cnt = docs_delta.agg(
+        F.countDistinct("url").alias("nu"),
+        F.countDistinct("doc_id").alias("nh"),
+    ).collect()[0]
+    if int(cnt["nu"]) != int(cnt["nh"]):
+        raise RuntimeError(
+            f"xxhash64 url collision in streaming deltas: "
+            f"{int(cnt['nu'])} distinct urls map to {int(cnt['nh'])} "
+            "distinct doc_ids; re-ingest the colliding batch with a "
+            "salted id (e.g. xxhash64(url, seed))"
+        )
     urls = (
-        spark.read.parquet(os.path.join(delta_dir, "docs"))
+        docs_delta
         .groupBy("doc_id")
         .agg(F.min("url").alias("url"))
         .withColumnRenamed("doc_id", "orig_id")

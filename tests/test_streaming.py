@@ -81,6 +81,33 @@ def test_incremental_tf_sink_end_to_end(spark, tmp_path):
     assert got_scores == want_scores
 
 
+def test_compact_deltas_detects_doc_id_collision(spark, tmp_path):
+    """Streaming doc_ids are xxhash64(url): a forged delta where two
+    urls share one doc_id (the collision the hash could produce with
+    probability ~n²/2^65) must fail loudly at compaction instead of
+    silently merging two documents."""
+    import pandas as pd
+    import pytest
+
+    from hadoop_search_engine_spark.streaming.incremental import compact_deltas
+
+    delta = str(tmp_path / "delta")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"term": ["alpha", "beta"], "doc_id": [7, 7], "tf": [1, 1],
+             "epoch": [0, 1]}
+        ).astype({"doc_id": "int64", "tf": "int64", "epoch": "int64"})
+    ).write.mode("append").parquet(os.path.join(delta, "tf"))
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [7, 7], "url": ["https://a.example", "https://b.example"],
+             "epoch": [0, 1]}
+        ).astype({"doc_id": "int64", "epoch": "int64"})
+    ).write.mode("append").parquet(os.path.join(delta, "docs"))
+    with pytest.raises(RuntimeError, match="collision"):
+        compact_deltas(spark, delta, str(tmp_path / "idx"), n_buckets=4)
+
+
 def test_windowed_event_counts_stream(spark, tmp_path):
     import pandas as pd
 
