@@ -514,8 +514,11 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-SQL-expressible (custom hash family) — rows-only check;
-    determinism + recall are pytest-verified."""
+    """Banded MinHash-LSH near-dup pairs — oracle-checked: shingle
+    hashes are murmur3 (SQL-replayable via functions.hashes), the 64
+    affine permutations replay with hugeint arithmetic (the uint64
+    wraparound is part of the definition), and Spark's band-hash
+    equality equals the oracle's band content equality."""
     from hadoop_search_engine_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -777,6 +780,56 @@ def _fingerprint_sql() -> str:
                    (_acc, _h) -> (_acc * 31 + _h) % {mod}), 0)::bigint
                AS fingerprint
         FROM t
+    """
+
+
+def _dd_minhash_sql(toks_expr: str, n_hashes: int = 64, bands: int = 16,
+                    shingle_n: int = 3, threshold: float = 0.3) -> str:
+    """DuckDB replay of operators.dedup.minhash_lsh_pairs: murmur3
+    word-shingle hashes (functions.hashes emitter), the 64 affine
+    permutations with their uint64 wraparound done in hugeint, banded
+    candidate generation as list-slice equality (band-hash equality in
+    Spark ⟺ band content equality, xxhash collisions aside), and the
+    matching-component Jaccard estimate as the verdict."""
+    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
+    from hadoop_search_engine_spark.operators.dedup import _MERSENNE, _affine_params
+
+    a_vec, b_vec = _affine_params(n_hashes)
+    r = n_hashes // bands
+    mm_win = sql_murmur3_u32_duckdb(
+        f"array_to_string(toks[_i : _i + {shingle_n - 1}], ' ')"
+    )
+    mm_all = sql_murmur3_u32_duckdb("array_to_string(toks, ' ')")
+    sig_terms = ", ".join(
+        f"coalesce(list_min(list_transform(sh, _h -> "
+        f"(((_h::hugeint * {int(a_vec[k])} + {int(b_vec[k])}) % {1 << 64}) "
+        f"% {_MERSENNE})::bigint)), 0)"
+        for k in range(n_hashes)
+    )
+    band_match = (
+        f"len(list_filter(range(0, {bands}), _b -> "
+        f"x.sig[_b*{r}+1 : _b*{r}+{r}] = y.sig[_b*{r}+1 : _b*{r}+{r}])) > 0"
+    )
+    est = (
+        f"len(list_filter(range(1, {n_hashes + 1}), "
+        f"_i -> x.sig[_i] = y.sig[_i])) / {float(n_hashes)}"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {toks_expr} AS toks FROM documents),
+        shl AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= {shingle_n} THEN
+                        list_transform(range(1, len(toks) - {shingle_n - 2}),
+                                       _i -> {mm_win})
+                      WHEN len(toks) > 0 THEN [{mm_all}]
+                      ELSE []::bigint[] END AS sh
+          FROM t
+        ),
+        sigs AS (SELECT doc_id, [{sig_terms}] AS sig FROM shl)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               round({est}, 6) AS est_jaccard
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE {band_match} AND {est} >= {threshold}
     """
 
 
@@ -1186,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
                    ) / 4.0, 6) AS quality
             FROM t
         """,
+        "minhash_lsh": _dd_minhash_sql(_TOKS),
         "fingerprint": _fingerprint_sql(),
         "simhash": f"""
             WITH {_dd_simhash_cte(_TOKS)}
@@ -1214,10 +1268,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
-        # rows-only (non-SQL-expressible): minhash_lsh (64 affine
-        # permutations over SipHash token hashes), ann_ivf (iterative
-        # k-means centroids), media_features (stubbed decode) —
-        # determinism and recall are pytest-verified instead
+        # rows-only (non-SQL-expressible): ann_ivf (iterative k-means
+        # centroids), media_features (stubbed decode) — determinism
+        # and recall are pytest-verified instead
     }
     # the indexed serving paths answer the SAME queries as the
     # exhaustive scorers — the oracle certifies the production engine

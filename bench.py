@@ -129,6 +129,11 @@ def main() -> None:
         lambda: entry_mod.q_minhash_lsh(spark, sf_dir).count(),
         reps=3,
     )
+    timed(
+        "simhash_dedup",
+        lambda: entry_mod.q_simhash(spark, sf_dir).count(),
+        reps=3,
+    )
     timed("ann_bruteforce", lambda: entry_mod.q_ann_cosine_topk(spark, sf_dir).collect())
     timed("tpch_q1", lambda: entry_mod.q_tpch_q1(spark, sf_dir).collect())
 
@@ -178,6 +183,28 @@ def main() -> None:
     t0 = time.time()
     merge_indexes(spark, [seg_a, seg_b], merged_dir)
     timings["segment_merge"] = round(time.time() - t0, 4)
+
+    # federated serving: the same two segments queried WITHOUT merging
+    # (base + not-yet-compacted deltas shape) — global statistics,
+    # per-segment top-k, k-row merge
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_segments,
+    )
+
+    segs = [Index.load(spark, seg_a), Index.load(spark, seg_b)]
+    search_topk_segments(segs, "table", k=10).collect()  # warm-up
+    timed(
+        "federated_query",
+        lambda: search_topk_segments(
+            segs, "spark query table", k=10, serving="spark"
+        ).collect(),
+    )
+    timed(
+        "federated_query_driver",
+        lambda: search_topk_segments(
+            segs, "spark query table", k=10, serving="driver"
+        ).collect(),
+    )
 
     # delete lifecycle LAST (mutates the bench index): tombstone 1% of
     # docs, then a full physical vacuum (block rewrite + stats/lexicon/

@@ -145,90 +145,75 @@ def _affine_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
     return a.astype(np.uint64), b.astype(np.uint64)
 
 
+def shingle_hashes(docs: DataFrame, shingle_n: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sh array<long>) word-shingle hashes, pure JVM.
+
+    Shingle at position p = murmur3 of the space-joined tokens
+    p..p+n-1 (functions.hashes — replays exactly in DuckDB SQL);
+    rows with 0 < len < n contribute ONE gram joining all their
+    tokens; empty/null rows an empty array."""
+    from ..functions.hashes import murmur3_u32
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    full = F.transform(
+        F.sequence(F.lit(1), n - shingle_n + 1),
+        lambda i: murmur3_u32(F.concat_ws(" ", F.slice(toks, i, shingle_n))),
+    )
+    short = F.array(murmur3_u32(F.concat_ws(" ", toks)))
+    sh = (
+        F.when(n >= shingle_n, full)
+        .when(n > 0, short)
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return docs.select(F.col(id_col), sh.alias("sh"))
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 64, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, sig array<long>) minhash signatures, Arrow-vectorized.
+    """(doc_id, sig array<long>) minhash signatures.
 
-    Shingle hashing and the n_hashes affine permutations run as one
-    pandas UDF over the token arrays — a (batch × n_hashes) NumPy
-    min-reduction, no per-row Python beyond the batch loop.
+    Two stages, both DuckDB-replayable (the operator sits on the
+    value-hash oracle board):
+
+    * shingle hashing stays JVM (:func:`shingle_hashes` — murmur3 of
+      the joined token window, exactly expressible in SQL via
+      functions.hashes);
+    * the n_hashes affine permutations run as one Arrow-batched pandas
+      UDF over the fixed-width hash arrays — a (batch × n_hashes)
+      ``np.minimum.reduceat``, no per-row Python. Each permutation is
+      ``((sh*a + b) mod 2^64) mod (2^61-1)`` — the uint64 wraparound
+      is part of the definition so DuckDB replays it with hugeint-mod.
     """
-    from ..corpus import _splitmix64
-
     a_vec, b_vec = _affine_params(n_hashes)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        # Fully batch-vectorized: tokenize the whole Arrow batch
-        # (pandas str ops), hash every token once
-        # (pd.util.hash_array — deterministic fixed-key siphash; never
-        # the builtin hash(), which is salted per process), derive
-        # shingle hashes ARITHMETICALLY from consecutive token hashes
-        # (splitmix-mix of the n aligned hash arrays — no per-row
-        # string assembly), then per-row minima via
-        # np.minimum.reduceat. The only Python-level loops are over
-        # shingle_n (3) and n_hashes (64), never over rows or tokens.
-        from ..functions.tokenizer import tokenize_series
-
-        token_lists = tokenize_series(texts)
-        counts = token_lists.map(len).to_numpy(dtype=np.int64)
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        counts = hashes.map(
+            lambda a: 0 if a is None else len(a)
+        ).to_numpy(np.int64)
         n_rows = len(counts)
         sig = np.zeros((n_rows, n_hashes), dtype=np.int64)
-        flat = [t for toks in token_lists for t in toks]
-        if flat:
-            th = _splitmix64(pd.util.hash_array(np.array(flat, dtype=object)))
-            starts = np.zeros(n_rows, dtype=np.int64)
-            starts[1:] = np.cumsum(counts)[:-1]
-            row_of = np.repeat(np.arange(n_rows), counts)
-            # full-width shingles for rows with >= shingle_n tokens:
-            # shingle hash at token position p = mix of th[p..p+n-1],
-            # computed as shingle_n aligned array ops.
-            span = len(th) - shingle_n + 1
-            if span > 0:
-                acc = th[:span].copy()
-                for j in range(1, shingle_n):
-                    acc = _splitmix64(acc ^ th[j : j + span])
-                ok = (row_of[:span] == row_of[shingle_n - 1 :]) & (
-                    counts[row_of[:span]] >= shingle_n
+        nz = np.flatnonzero(counts)
+        if len(nz):
+            sh = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hashes[counts > 0]]
+            ).astype(np.uint64)
+            offsets = np.zeros(len(nz), dtype=np.int64)
+            offsets[1:] = np.cumsum(counts[nz])[:-1]
+            M = np.uint64(_MERSENNE)
+            for k in range(n_hashes):
+                vals = (sh * a_vec[k] + b_vec[k]) % M
+                sig[nz, k] = np.minimum.reduceat(vals, offsets).astype(
+                    np.int64
                 )
-                sh = acc[ok]
-                srow = row_of[:span][ok]
-            else:
-                sh = np.empty(0, dtype=np.uint64)
-                srow = np.empty(0, dtype=np.int64)
-            # rows with 0 < len < shingle_n contribute one gram mixing
-            # all their tokens (the "join all words" analog) — rare,
-            # so the per-row loop here touches only those rows.
-            short_rows = np.flatnonzero((counts > 0) & (counts < shingle_n))
-            if len(short_rows):
-                extra = np.empty(len(short_rows), dtype=np.uint64)
-                for i, r in enumerate(short_rows):
-                    s0, w = int(starts[r]), int(counts[r])
-                    g = th[s0]
-                    for j in range(1, w):
-                        g = _splitmix64(np.uint64(g) ^ th[s0 + j])
-                    extra[i] = g
-                sh = np.concatenate([sh, extra])
-                srow = np.concatenate([srow, short_rows])
-                order = np.argsort(srow, kind="stable")
-                sh, srow = sh[order], srow[order]
-            if len(sh):
-                # per-row segment boundaries for the min-reductions
-                seg_counts = np.bincount(srow, minlength=n_rows)
-                nz = np.flatnonzero(seg_counts)
-                offsets = np.zeros(len(nz), dtype=np.int64)
-                offsets[1:] = np.cumsum(seg_counts[nz])[:-1]
-                M = np.uint64(_MERSENNE)
-                for k in range(n_hashes):
-                    vals = (sh * a_vec[k] + b_vec[k]) % M
-                    sig[nz, k] = np.minimum.reduceat(vals, offsets).astype(
-                        np.int64
-                    )
         return pd.Series(list(sig))
 
-    return docs.select(F.col(id_col), sig_udf(F.col(text_col)).alias("sig"))
+    sh = shingle_hashes(docs, shingle_n, text_col, id_col)
+    return sh.select(F.col(id_col), sig_udf(F.col("sh")).alias("sig"))
 
 
 def minhash_lsh_pairs(
