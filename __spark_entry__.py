@@ -36,8 +36,10 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 for a multi-term query over sf0.001 docs."""
-    return q_bm25_topk(spark, "/root/testdata/sf0.001")
+    """Flagship: BM25 top-k for a multi-term query over sf0.001 docs,
+    served by the REAL engine — block index + search_topk — not the
+    exhaustive DataFrame baseline."""
+    return q_bm25_topk_indexed(spark, "/root/testdata/sf0.001")
 
 
 # ---------------------------------------------------------------------------
@@ -672,6 +674,24 @@ def q_blob_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_ARGS = dict(min_tokens=5, max_tokens=100_000, min_quality=0.3,
+                   langs=("en", "es"), near_threshold=0.5)
+
+
+def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline on the oracle board:
+    annotate (tokens/lang/quality/fingerprint) -> filter -> exact dedup
+    (md5 groupBy) -> near dedup (MinHash-LSH greedy drop). Every stage
+    replays in DuckDB SQL, so the composed pipeline is value-hash
+    checked, not just its pieces."""
+    from hadoop_search_engine_spark.operators.curate import curate_corpus
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = curate_corpus(docs, **CURATE_ARGS)
+    return out.select("doc_id", "n_tokens", "lang_pred", "quality",
+                      "fingerprint")
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event aggregation (batch form of the streaming
     operator in streaming/incremental.py)."""
@@ -740,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "media_features": q_media_features,
         "blob_range": q_blob_range,
+        "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
     }
 
@@ -783,14 +804,17 @@ def _fingerprint_sql() -> str:
     """
 
 
-def _dd_minhash_sql(toks_expr: str, n_hashes: int = 64, bands: int = 16,
-                    shingle_n: int = 3, threshold: float = 0.3) -> str:
-    """DuckDB replay of operators.dedup.minhash_lsh_pairs: murmur3
-    word-shingle hashes (functions.hashes emitter), the 64 affine
-    permutations with their uint64 wraparound done in hugeint, banded
-    candidate generation as list-slice equality (band-hash equality in
-    Spark ⟺ band content equality, xxhash collisions aside), and the
-    matching-component Jaccard estimate as the verdict."""
+def _dd_minhash_pairs_subquery(src: str, threshold: float,
+                               n_hashes: int = 64, bands: int = 16,
+                               shingle_n: int = 3) -> str:
+    """Parenthesized DuckDB subquery producing the near-dup pairs
+    (a, b, est_jaccard) of relation ``src(doc_id, toks)`` — the replay
+    of operators.dedup.minhash_lsh_pairs: murmur3 word-shingle hashes
+    (functions.hashes emitter), the 64 affine permutations with their
+    uint64 wraparound done in hugeint, banded candidate generation as
+    list-slice equality (band-hash equality in Spark ⟺ band content
+    equality, xxhash collisions aside), and the matching-component
+    Jaccard estimate as the verdict."""
     from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
     from hadoop_search_engine_spark.operators.dedup import _MERSENNE, _affine_params
 
@@ -814,22 +838,28 @@ def _dd_minhash_sql(toks_expr: str, n_hashes: int = 64, bands: int = 16,
         f"len(list_filter(range(1, {n_hashes + 1}), "
         f"_i -> x.sig[_i] = y.sig[_i])) / {float(n_hashes)}"
     )
-    return f"""
-        WITH t AS (SELECT doc_id, {toks_expr} AS toks FROM documents),
-        shl AS (
+    return f"""(
+        WITH shl AS (
           SELECT doc_id,
                  CASE WHEN len(toks) >= {shingle_n} THEN
                         list_transform(range(1, len(toks) - {shingle_n - 2}),
                                        _i -> {mm_win})
                       WHEN len(toks) > 0 THEN [{mm_all}]
                       ELSE []::bigint[] END AS sh
-          FROM t
+          FROM {src}
         ),
         sigs AS (SELECT doc_id, [{sig_terms}] AS sig FROM shl)
         SELECT x.doc_id AS a, y.doc_id AS b,
                round({est}, 6) AS est_jaccard
         FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
         WHERE {band_match} AND {est} >= {threshold}
+    )"""
+
+
+def _dd_minhash_sql(toks_expr: str, threshold: float = 0.3) -> str:
+    return f"""
+        WITH t AS (SELECT doc_id, {toks_expr} AS toks FROM documents)
+        SELECT * FROM {_dd_minhash_pairs_subquery("t", threshold)} pairs
     """
 
 
@@ -1272,6 +1302,62 @@ def oracle_sql() -> dict[str, str]:
         # centroids), media_features (stubbed decode) — determinism
         # and recall are pytest-verified instead
     }
+    # the composed curation pipeline (annotate -> filter -> exact dedup
+    # -> minhash near-dedup, operators/curate.py): every stage already
+    # has an exact SQL replay, so the end-to-end result does too
+    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
+
+    mm_w = sql_murmur3_u32_duckdb("_w")
+    fp_core = (
+        f"coalesce(list_reduce(list_prepend(0::bigint, "
+        f"list_transform(toks, _w -> {mm_w})), "
+        f"(_acc, _h) -> (_acc * 31 + _h) % {(1 << 56) - 5}), 0)::bigint"
+    )
+    lang_core = (
+        f"CASE WHEN {en_cnt} = 0 AND {es_cnt} = 0 THEN 'und' "
+        f"WHEN {en_cnt} >= {es_cnt} THEN 'en' ELSE 'es' END"
+    )
+    quality_core = f"""round((
+        least(len(toks) / 100.0, 1.0)
+        + CASE WHEN length(text) > 0
+               THEN 1.0 - least((length(text)
+                    - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    * 5.0 / length(text), 1.0)
+               ELSE 0.0 END
+        + CASE WHEN len(toks) > 0
+               THEN least({stop_cnt} * 10.0 / len(toks), 1.0)
+               ELSE 0.0 END
+        + CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks)) / len(toks)
+               ELSE 0.0 END
+      ) / 4.0, 6)"""
+    out["curated_docs"] = f"""
+        WITH toks0 AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        ann AS (
+          SELECT doc_id, text, toks,
+                 len(toks) AS n_tokens,
+                 {lang_core} AS lang_pred,
+                 {quality_core} AS quality,
+                 {fp_core} AS fingerprint
+          FROM toks0
+        ),
+        s1 AS (
+          SELECT * FROM ann
+          WHERE n_tokens >= 5 AND n_tokens <= 100000
+            AND quality >= 0.3 AND lang_pred IN ('en', 'es')
+        ),
+        w AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id, md5(text) AS dg FROM s1) GROUP BY dg
+        ),
+        s2 AS (SELECT s1.* FROM s1 JOIN w USING (doc_id)),
+        drops AS (
+          SELECT DISTINCT b AS doc_id
+          FROM {_dd_minhash_pairs_subquery("s2", 0.5)} p
+        )
+        SELECT doc_id, n_tokens, lang_pred, quality, fingerprint
+        FROM s2 ANTI JOIN drops USING (doc_id)
+    """
     # the indexed serving paths answer the SAME queries as the
     # exhaustive scorers — the oracle certifies the production engine
     # (compressed postings + WAND/dense/driver serving), not just the
