@@ -25,8 +25,6 @@ so results are invariant under partitioning and parallelism.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
