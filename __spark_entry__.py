@@ -263,6 +263,84 @@ def q_phrase_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_facet_counts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceting over the INDEX's recall path (matched_docs: pruned
+    postings scan + batched blob decode), same oracle as facet_counts."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        facet_counts,
+        matched_docs,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return facet_counts(
+        matched_docs(ix, " ".join(FLAGSHIP_TERMS)), docs, ["lang"]
+    )
+
+
+def q_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippets/highlighting materialized from the INDEXED hit set."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        materialize_with_snippets,
+        matched_docs,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    hits = matched_docs(ix, " ".join(FLAGSHIP_TERMS)).select(
+        "doc_id", F.lit(0.0).alias("score")
+    )
+    out = materialize_with_snippets(
+        hits, docs.select("doc_id", "text"), FLAGSHIP_TERMS,
+        width=40, mark=("[", "]"),
+    )
+    return out.select("doc_id", "match_pos", "snippet")
+
+
+def q_collapsed_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing over the indexed scorer's top-50."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        collapse_topk,
+        search_topk,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=50, serving="spark")
+    out = collapse_topk(top, docs.select("doc_id", "lang"), "lang", k=20)
+    return out.select("doc_id", "lang", F.round("score", 4).alias("score"))
+
+
+def q_suggest_terms_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete from the driver-cached lexicon (no Spark job on the
+    lookup), same oracle as the corpus-scan suggest_terms."""
+    from hadoop_search_engine_spark.operators.query_exec import suggest_terms
+
+    ix = _oracle_index(spark, sf_dir)
+    return suggest_terms(ix, "s", k=10)
+
+
+def q_fuzzy_terms_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo candidates from the length-bucketed, charmask-prefiltered
+    driver lexicon, same oracle as the corpus-scan fuzzy_terms."""
+    from hadoop_search_engine_spark.operators.query_exec import fuzzy_terms
+
+    ix = _oracle_index(spark, sf_dir)
+    return fuzzy_terms(ix, "scann", max_edits=1, k=5)
+
+
+def q_or_union_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REFERENCE's exact serving semantics through the real index:
+    or_union_search (terms in query order, posting order, first-seen
+    dedup — search.service.js:58-90) producing (rank, doc_id,
+    matched_term); the oracle replays the ranking as a window over
+    (first matching term position, doc_id)."""
+    from hadoop_search_engine_spark.operators.query_exec import or_union_search
+
+    ix = _oracle_index(spark, sf_dir)
+    return or_union_search(ix, " ".join(FLAGSHIP_TERMS))
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: per-lang counts of docs matching any flagship
     term (operators/query_exec.py matched_docs_dataframe + facet_counts;
@@ -723,6 +801,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
+        "facet_counts_indexed": q_facet_counts_indexed,
+        "snippets_indexed": q_snippets_indexed,
+        "collapsed_search_indexed": q_collapsed_search_indexed,
+        "suggest_terms_indexed": q_suggest_terms_indexed,
+        "fuzzy_terms_indexed": q_fuzzy_terms_indexed,
+        "or_union_indexed": q_or_union_indexed,
         "facet_counts": q_facet_counts,
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
@@ -1366,6 +1450,32 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
     out["bm25_topk_indexed_and"] = out["bm25_topk_and"]
     out["filtered_search_indexed"] = out["filtered_search"]
+    out["facet_counts_indexed"] = out["facet_counts"]
+    out["snippets_indexed"] = out["snippets"]
+    out["collapsed_search_indexed"] = out["collapsed_search"]
+    out["suggest_terms_indexed"] = out["suggest_terms"]
+    out["fuzzy_terms_indexed"] = out["fuzzy_terms"]
+    # the reference's OR-union first-seen ranking (query-order term
+    # position, then doc_id) replayed as a window function
+    pos_case = " ".join(
+        f"WHEN '{t}' THEN {i}" for i, t in enumerate(FLAGSHIP_TERMS)
+    )
+    term_case = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(FLAGSHIP_TERMS)
+    )
+    out["or_union_indexed"] = f"""
+        WITH {_TF_CTE},
+        m AS (
+          SELECT doc_id,
+                 min(CASE term {pos_case} END) AS term_pos
+          FROM tf WHERE term IN ({terms_in}) GROUP BY doc_id
+        )
+        SELECT (row_number() OVER (ORDER BY term_pos, doc_id) - 1)::int
+                 AS rank,
+               doc_id,
+               CASE term_pos {term_case} END AS matched_term
+        FROM m
+    """
     # exact-phrase BM25: the phrase is doc 0's first two tokens,
     # derived in-SQL (ph CTE) exactly as q_phrase_indexed derives it
     # driver-side; adjacency = a token-array window filter
