@@ -646,8 +646,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF coarse quantizer (k-means-lite) is not
-    SQL-expressible; recall vs brute force is pytest-verified."""
+    """IVF ANN — oracle-checked END TO END, training included: the
+    trainer is cross-engine reproducible (murmur3 seeding, 6-decimal
+    centroid quantization per Lloyd iteration, scale-invariant argmax
+    assignment), so the DuckDB oracle unrolls the same k-means
+    iterations as SQL CTEs (_dd_ivf_sql) and lands on identical
+    centroids, probes, candidates, and top-k."""
     from hadoop_search_engine_spark.operators.similarity import ivf_topk, ivf_train
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1009,6 +1013,86 @@ def _dd_lsh_bucket(vec_expr: str, n_planes: int = 6, dim: int = 64) -> str:
             f"THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(bits) + ")"
+
+
+def _dd_ivf_sql(n_centroids: int, n_iters: int, n_probe: int, k: int) -> str:
+    """DuckDB replay of the WHOLE IVF pipeline — ivf_train's Lloyd
+    iterations unrolled as chained CTEs, then the n_probe nearest-
+    centroid scan (operators/similarity.py ivf_train/ivf_topk).
+
+    Exactness rests on three trainer properties (see ivf_train's
+    docstring): murmur3 seeding (replayed via functions.hashes),
+    6-decimal centroid quantization each iteration (kills cross-engine
+    float summation-order drift), and scale-invariant assignment
+    (argmax of raw dot products, ties to the lowest cluster index)."""
+    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
+
+    mm = sql_murmur3_u32_duckdb("(vec_id::varchar)")
+
+    def assign(name: str, cent: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT h.vec_id, h.v, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY h.vec_id
+                     ORDER BY list_dot_product(h.v, c.cv) DESC, c.cluster
+                   ) AS rn
+            FROM hashed h CROSS JOIN {cent} c
+          ) WHERE rn = 1
+        )"""
+
+    ctes = [
+        f"""hashed AS (
+          SELECT vec_id, embedding::double[] AS v, {mm} AS h
+          FROM embeddings
+        )""",
+        f"""seeds AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, v
+          FROM (SELECT * FROM hashed ORDER BY h, vec_id LIMIT {n_centroids})
+        )""",
+        """cent0 AS (
+          SELECT cluster, unnest(range(len(v))) AS dim, unnest(v) AS val
+          FROM seeds
+        )""",
+        """centv0 AS (
+          SELECT cluster, list(val ORDER BY dim) AS cv FROM cent0 GROUP BY cluster
+        )""",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(assign(f"assign{i}", f"centv{i - 1}"))
+        ctes.append(f"""mean{i} AS (
+          SELECT cluster, dim, round(avg(val), 6) AS mval
+          FROM (SELECT cluster, unnest(range(len(v))) AS dim, unnest(v) AS val
+                FROM assign{i})
+          GROUP BY cluster, dim
+        )""")
+        ctes.append(f"""cent{i} AS (
+          SELECT c.cluster, c.dim, coalesce(m.mval, c.val) AS val
+          FROM cent{i - 1} c LEFT JOIN mean{i} m USING (cluster, dim)
+        )""")
+        ctes.append(f"""centv{i} AS (
+          SELECT cluster, list(val ORDER BY dim) AS cv FROM cent{i} GROUP BY cluster
+        )""")
+    ctes.append("q AS (SELECT embedding::double[] AS qv FROM embeddings WHERE vec_id = 0)")
+    ctes.append(f"""probe AS (
+          SELECT cluster FROM (
+            SELECT c.cluster,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cluster
+                   ) AS rn
+            FROM centv{n_iters} c, q
+          ) WHERE rn <= {n_probe}
+        )""")
+    ctes.append(assign("final_assign", f"centv{n_iters}"))
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+        FROM final_assign a, q
+        WHERE a.cluster IN (SELECT cluster FROM probe)
+        ORDER BY cosine DESC, a.vec_id ASC LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1382,9 +1466,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
-        # rows-only (non-SQL-expressible): ann_ivf (iterative k-means
-        # centroids), media_features (stubbed decode) — determinism
-        # and recall are pytest-verified instead
+        "ann_ivf": _dd_ivf_sql(n_centroids=8, n_iters=2, n_probe=4, k=ANN_K),
+        # rows-only (non-SQL-expressible): media_features (stubbed
+        # decode) — plumbing shape is pytest-verified instead
     }
     # the composed curation pipeline (annotate -> filter -> exact dedup
     # -> minhash near-dedup, operators/curate.py): every stage already

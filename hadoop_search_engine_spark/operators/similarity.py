@@ -215,16 +215,32 @@ def ivf_train(
 ) -> np.ndarray:
     """Deterministic Lloyd iterations for the IVF coarse quantizer.
 
-    Seeds are the vectors with the smallest ``xxhash64(vec_id)`` (a
+    Seeds are the vectors with the smallest ``murmur3(vec_id)`` (a
     deterministic pseudo-random sample — no RNG state, invariant under
-    partitioning). Updates run distributed: assignment is a vectorized
-    Arrow matmul, the centroid mean is ``posexplode → groupBy(cluster,
-    dim) → avg`` (k×dim rows to the driver per iteration — tiny).
+    partitioning; ties broken by id). Updates run distributed:
+    assignment is a vectorized Arrow matmul, the centroid mean is
+    ``posexplode → groupBy(cluster, dim) → avg`` (k×dim rows to the
+    driver per iteration — tiny).
+
+    The trainer is CROSS-ENGINE reproducible, not merely
+    run-to-run deterministic: centroid means are quantized to 6
+    decimals each iteration, so an independent replay (the DuckDB
+    oracle unrolls these same iterations as SQL CTEs) lands on
+    bit-identical centroids — float summation-order noise cannot
+    accumulate across iterations. Assignment needs no such guard:
+    argmax_c(v̂·c) is invariant to v's normalization, so both engines
+    compare raw dot products and ties break by lowest cluster index.
     """
+    from ..functions.hashes import murmur3_u32
+
     dim = len(embeddings.select(vec_col).first()[0])
     seeds = (
-        embeddings.select(vec_col, F.xxhash64(F.col(id_col).cast("string")).alias("h"))
-        .orderBy("h")
+        embeddings.select(
+            vec_col,
+            murmur3_u32(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("h", "_id")
         .limit(n_centroids)
         .collect()
     )
@@ -234,7 +250,7 @@ def ivf_train(
         means = (
             assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("dim", "v"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.round(F.avg("v"), 6).alias("m"))
             .collect()
         )
         new = centroids.copy()
@@ -269,7 +285,11 @@ def _probe_clusters(query_vec: list[float], centroids: np.ndarray,
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
-    return [int(p) for p in np.argsort(-(cn @ qn))[:n_probe]]
+    sims = cn @ qn
+    # stable (sim DESC, cluster ASC) — ties resolve identically in the
+    # SQL replay's `ORDER BY cos DESC, cluster`
+    order = np.lexsort((np.arange(sims.size), -sims))
+    return [int(p) for p in order[:n_probe]]
 
 
 def write_ivf_clustered(
