@@ -263,6 +263,40 @@ def q_phrase_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+#: the batch-serving query set: one multi-term OR, one mid, one single
+BATCH_QUERIES = {
+    "flagship_or": " ".join(FLAGSHIP_TERMS),
+    "pair": " ".join(FLAGSHIP_TERMS[:2]),
+    "single": FLAGSHIP_TERMS[1],
+}
+
+
+def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving: the whole query set in ONE distributed pass
+    (union-pruned postings scan, per-shard decode shared across
+    queries), per query bit-identical to search_topk — the oracle
+    replays each query's BM25 and unions the per-query top-20."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk_batch
+
+    ix = _oracle_index(spark, sf_dir)
+    out = search_topk_batch(ix, BATCH_QUERIES, k=20, serving="spark")
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def q_bm25_topk_batch_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving with NO Spark job: one pyarrow read of the union
+    filter, all queries scored from the driver-pinned pages."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk_batch
+
+    ix = _oracle_index(spark, sf_dir)
+    out = search_topk_batch(ix, BATCH_QUERIES, k=20, serving="driver")
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_facet_counts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceting over the INDEX's recall path (matched_docs: pruned
     postings scan + batched blob decode), same oracle as facet_counts."""
@@ -805,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
+        "bm25_topk_batch": q_bm25_topk_batch,
+        "bm25_topk_batch_driver": q_bm25_topk_batch_driver,
         "facet_counts_indexed": q_facet_counts_indexed,
         "snippets_indexed": q_snippets_indexed,
         "collapsed_search_indexed": q_collapsed_search_indexed,
@@ -1534,6 +1570,41 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
     out["bm25_topk_indexed_and"] = out["bm25_topk_and"]
     out["filtered_search_indexed"] = out["filtered_search"]
+    # batch serving: per-query BM25 replay unioned under query_id; the
+    # tf/dl/corpus-stats CTEs are shared, each query gets its own df
+    # CTE (aliased d so the shared score fragment binds) and top-20
+    batch_parts = []
+    batch_ctes = []
+    for qid, qtext in sorted(BATCH_QUERIES.items()):
+        q_terms = sorted(set(qtext.split()))
+        q_in = ", ".join(f"'{t}'" for t in q_terms)
+        batch_ctes.append(f"""
+            d_{qid} AS (
+              SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({q_in}) GROUP BY term
+            ),
+            s_{qid} AS (
+              SELECT tf.doc_id, sum({score}) AS score
+              FROM tf
+              JOIN d_{qid} d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN c
+              GROUP BY tf.doc_id
+            ),
+            t_{qid} AS (
+              SELECT '{qid}' AS query_id, doc_id, score
+              FROM s_{qid} ORDER BY score DESC, doc_id ASC LIMIT 20
+            )""")
+        batch_parts.append(f"SELECT * FROM t_{qid}")
+    out["bm25_topk_batch"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        {", ".join(batch_ctes)}
+        SELECT query_id, doc_id, round(score, 4) AS score
+        FROM ({" UNION ALL ".join(batch_parts)})
+    """
+    out["bm25_topk_batch_driver"] = out["bm25_topk_batch"]
     out["facet_counts_indexed"] = out["facet_counts"]
     out["snippets_indexed"] = out["snippets"]
     out["collapsed_search_indexed"] = out["collapsed_search"]

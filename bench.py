@@ -116,6 +116,29 @@ def main() -> None:
     timings["fixture_p50"] = round(ls[len(ls) // 2], 4)
     timings["fixture_p95"] = round(ls[int(0.95 * (len(ls) - 1))], 4)
 
+    # the same 50 fixture queries served as ONE batch (union-pruned
+    # scan, per-shard decode shared across queries) — the offline
+    # query-log / evaluation-set workload shape
+    from hadoop_search_engine_spark.operators.query_exec import search_topk_batch
+
+    batch_qs = {
+        f"q{i}": rq["query_text"] for i, rq in enumerate(reference_queries())
+    }
+    timed(
+        "batch_50q",
+        lambda: search_topk_batch(
+            idx, batch_qs, k=10, synonyms=SYNONYMS, serving="spark"
+        ).collect(),
+        reps=3,
+    )
+    timed(
+        "batch_50q_driver",
+        lambda: search_topk_batch(
+            idx, batch_qs, k=10, synonyms=SYNONYMS, serving="driver"
+        ).collect(),
+        reps=3,
+    )
+
     timed(
         "bm25_dataframe_exhaustive",
         lambda: bm25_topk_dataframe(docs, "spark query table", k=20).collect(),

@@ -612,6 +612,268 @@ def search_topk_segments(
     ).limit(k)
 
 
+BATCH_TOPK_SCHEMA = "query_id string, doc_id long, score double"
+
+
+def search_topk_batch(
+    index: Index,
+    queries: dict[str, str],
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    serving: str = "auto",
+) -> DataFrame:
+    """Serve a whole query set in ONE pass — the offline workload shape
+    (evaluation query sets, training-data mining, query-log replay) the
+    per-query path can't amortize: at 1000 executors a single
+    :func:`search_topk` call is one job whose scan cost is paid per
+    query, while here the q queries' term unions prune ONE postings
+    scan, each shard task decodes every distinct term's blocks ONCE
+    (shared across the queries that contain it — head terms recur
+    constantly in real query logs), and per-shard top-k rows for all
+    queries come back in one wave. The global merge is a window over
+    q·k·num_shards tiny rows, partitioned by query.
+
+    Returns ``(query_id, doc_id, score)`` — per query its exact top-k,
+    **bit-identical** to running :func:`search_topk` per query (same
+    ascending-term summation, same dense accumulator; the shared
+    decode caches the idf-free partial, not the scores). Queries whose
+    terms are all absent (or, under ``mode="and"``, missing any term)
+    contribute zero rows, exactly like their single-query calls.
+
+    ``serving="driver"`` reads the union filter once via pyarrow and
+    scores every query with no Spark job at all; ``"auto"`` picks it
+    under the same thresholds as :func:`search_topk`. Tombstones ride
+    the same over-retrieve + post-filter (small sets) or cogroup
+    eligibility page (large sets) as the single-query path.
+    """
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if serving not in ("auto", "driver", "spark"):
+        raise ValueError(f"serving must be auto|driver|spark, got {serving!r}")
+    spark = index.spark
+    stats = index.stats
+    parsed = {qid: parse_query(text, synonyms) for qid, text in queries.items()}
+    all_terms = sorted({t for ts in parsed.values() for t in ts})
+    meta = _lookup_terms(index, all_terms)
+    per_q: list[tuple[str, list[tuple[int, str, float]]]] = []
+    for qid, ts in parsed.items():
+        qmeta = {t: meta[t] for t in ts if t in meta}
+        if not qmeta:
+            continue
+        if mode == "and" and len(qmeta) < len(set(ts)):
+            continue  # a term with no postings anywhere: no conjunctive hit
+        per_q.append((
+            qid,
+            [(int(m["hash"]), t, float(m["idf"])) for t, m in sorted(qmeta.items())],
+        ))
+    if not per_q:
+        return _empty_df(spark, BATCH_TOPK_SCHEMA)
+
+    all_hashes = sorted({h for _, ot in per_q for h, _, _ in ot})
+    buckets = sorted({h % stats.n_buckets for h in all_hashes})
+    blocks = index.postings.where(
+        F.col("bucket").isin(buckets) & F.col("term_hash").isin(all_hashes)
+    )
+
+    tomb = None
+    exclude_df = None
+    tomb_n = index.tombstone_count()
+    if tomb_n:
+        if tomb_n > TOMBSTONE_OVERFETCH_MAX:
+            exclude_df = index.tombstones
+        else:
+            tomb = index.tombstone_array()
+    k_eff = k + (int(tomb.size) if tomb is not None else 0)
+
+    if exclude_df is None and (
+        serving == "driver"
+        or (serving == "auto"
+            and index.dl_array() is not None
+            and index.lexicon_map() is not None)
+    ):
+        if index.dl_array() is None:
+            raise ValueError(
+                f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): "
+                "too large for driver serving; use serving='spark' (or 'auto')"
+            )
+        return _driver_search_batch(
+            index, per_q, buckets, all_hashes, k_eff, mode,
+            exclude=tomb, final_k=k, stats=stats,
+        )
+    if serving == "driver":  # exclude_df set: needs the cogroup page
+        raise ValueError(
+            f"a tombstone set past {TOMBSTONE_OVERFETCH_MAX} needs the "
+            "distributed cogroup scorer; use serving='spark' (or "
+            "'auto'), or vacuum_index to shrink the tombstones"
+        )
+
+    n_parts = max(1, min(stats.num_shards,
+                         spark.sparkContext.defaultParallelism))
+    dl_bc = index.dl_broadcast() if exclude_df is None else None
+    scorer = _make_batch_shard_scorer(
+        per_q, stats, k_eff, dl_bc=dl_bc, mode=mode,
+        require_dl=exclude_df is not None,
+    )
+    if dl_bc is not None:
+        per_shard = (
+            blocks.repartition(n_parts, "shard")
+            .groupBy("shard")
+            .applyInPandas(scorer, schema=BATCH_TOPK_SCHEMA)
+        )
+    else:
+        shards = blocks.select("shard").distinct()
+        dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
+        if exclude_df is not None:
+            dls = dls.join(exclude_df.select("doc_id"), "doc_id", "left_anti")
+        per_shard = (
+            blocks.repartition(n_parts, "shard")
+            .groupBy("shard")
+            .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
+            .applyInPandas(scorer, schema=BATCH_TOPK_SCHEMA)
+        )
+    if tomb is not None:
+        per_shard = per_shard.join(
+            F.broadcast(index.tombstones), "doc_id", "left_anti"
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_shard.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def _make_batch_shard_scorer(
+    per_query_terms: list[tuple[str, list[tuple[int, str, float]]]],
+    stats: IndexStats, k: int, dl_bc=None, mode: str = "or",
+    require_dl: bool = False,
+):
+    """One-shard scorer for the batch path: a per-shard decode cache
+    shares each term's block decode and idf-free partial across
+    queries; every query then runs the same dense accumulation as its
+    single-query call (see :func:`_score_dense`'s cache note)."""
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    span = stats.shard_span
+
+    _empty = pd.DataFrame({
+        "query_id": pd.Series(dtype="object"),
+        "doc_id": pd.Series(dtype="int64"),
+        "score": pd.Series(dtype="float64"),
+    })
+
+    def _score_all(left: pd.DataFrame, dl: np.ndarray, base: int) -> pd.DataFrame:
+        cache: dict = {}
+        frames = []
+        for qid, ordered in per_query_terms:
+            required = len(ordered) if mode == "and" else 0
+            pairs = _score_dense(
+                left, dl, base, ordered, k1, b, avgdl, k, required,
+                require_dl=require_dl, decode_cache=cache,
+            )
+            if pairs:
+                f = pd.DataFrame(pairs, columns=["doc_id", "score"])
+                f.insert(0, "query_id", qid)
+                frames.append(f)
+        if not frames:
+            return _empty.copy()
+        return pd.concat(frames, ignore_index=True).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+
+    if dl_bc is not None:
+        def scorer_bc(left: pd.DataFrame) -> pd.DataFrame:
+            if left.empty:
+                return _empty.copy()
+            base = int(left["shard"].iat[0]) * span
+            dl = dl_bc.value[base : base + span]
+            if dl.shape[0] < span:
+                dl = np.concatenate([dl, np.zeros(span - dl.shape[0])])
+            return _score_all(left, dl, base)
+
+        return scorer_bc
+
+    def scorer(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return _empty.copy()
+        base = int(left["shard"].iat[0]) * span
+        dl = np.zeros(span, dtype=np.float64)
+        ridx = right["doc_id"].to_numpy(np.int64) - base
+        dl[ridx] = right["doc_len"].to_numpy(np.float64)
+        return _score_all(left, dl, base)
+
+    return scorer
+
+
+def _driver_search_batch(
+    index: Index,
+    per_query_terms: list[tuple[str, list[tuple[int, str, float]]]],
+    buckets: list[int],
+    hit_hashes: list[int],
+    k: int,
+    mode: str,
+    exclude=None,
+    final_k: int | None = None,
+    stats: IndexStats | None = None,
+) -> DataFrame:
+    """Batch driver serving: ONE bucket-pruned pyarrow read of the
+    union of every query's postings, then per shard a shared decode
+    cache scores all queries — no Spark job (cf. :func:`_driver_search`)."""
+    import pyarrow.dataset as pads
+
+    stats = stats if stats is not None else index.stats
+    spark = index.spark
+    if index._pads is None:
+        index._pads = pads.dataset(
+            os.path.join(index.out_dir, "postings"),
+            format="parquet",
+            partitioning="hive",
+        )
+    filt = pads.field("bucket").isin(buckets) & pads.field("term_hash").isin(
+        hit_hashes
+    )
+    pdf = index._pads.to_table(filter=filt).to_pandas()
+    if pdf.empty:
+        return _empty_df(spark, BATCH_TOPK_SCHEMA)
+    arr = index.dl_array()
+    span = stats.shard_span
+    per_qid: dict[str, list[tuple[int, float]]] = {qid: [] for qid, _ in per_query_terms}
+    for shard, grp in pdf.groupby("shard"):
+        base = int(shard) * span
+        dl = arr[base : base + span]
+        if dl.shape[0] < span:
+            dl = np.concatenate([dl, np.zeros(span - dl.shape[0])])
+        cache: dict = {}
+        for qid, ordered in per_query_terms:
+            required = len(ordered) if mode == "and" else 0
+            per_qid[qid].extend(
+                _score_dense(grp, dl, base, ordered, stats.k1, stats.b,
+                             stats.avgdl, k, required, decode_cache=cache)
+            )
+    dead = set(int(i) for i in exclude) if exclude is not None else None
+    rows = []
+    for qid, _ in per_query_terms:
+        pairs = per_qid[qid]
+        if dead:
+            pairs = [p for p in pairs if int(p[0]) not in dead]
+        pairs.sort(key=lambda e: (-e[1], e[0]))
+        rows.extend(
+            (qid, int(d), float(s))
+            for d, s in pairs[: (final_k if final_k is not None else k)]
+        )
+    if not rows:
+        return _empty_df(spark, BATCH_TOPK_SCHEMA)
+    out = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"]).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    return spark.createDataFrame(out)
+
+
 def _driver_search(
     index: Index,
     ordered_terms: list[tuple[int, str, float]],
@@ -762,6 +1024,7 @@ def _score_dense(
     k1: float, b: float, avgdl: float, k: int,
     required: int = 0,
     require_dl: bool = False,
+    decode_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     span = dl.shape[0]
     scores = np.zeros(span, dtype=np.float64)
@@ -772,18 +1035,33 @@ def _score_dense(
     # summation order matches the oracle. All of a term's blocks decode
     # in ONE batched pass (codec.decode_blocks) — block order is
     # irrelevant for the dense accumulator, so no sort either.
+    # ``decode_cache`` (batch serving: term_hash -> (off, partial))
+    # shares each term's decode + idf-free BM25 partial across the
+    # queries of one shard; the cached partial is the SAME float array
+    # the uncached path computes, and scores still accumulate as
+    # ``idf * partial`` per term in ascending term order, so batch
+    # scores are bit-identical to single-query scores.
     for th, _term, idf in ordered_terms:
-        grp = left[hashes == th]
-        if not len(grp):
+        got = None if decode_cache is None else decode_cache.get(th)
+        if got is None:
+            grp = left[hashes == th]
+            if len(grp):
+                d, t, _ = codec.decode_blocks(
+                    grp["doc_ids"].tolist(), grp["tfs"].tolist(),
+                    grp["n_docs"].to_numpy(np.int64),
+                    grp["first_doc_id"].to_numpy(np.int64),
+                )
+                off = d - base
+                got = (off, _partial(t, dl[off], k1, b, avgdl))
+            else:
+                got = ()
+            if decode_cache is not None:
+                decode_cache[th] = got
+        if len(got) == 0:
             continue
+        off, part = got
         present += 1
-        d, t, _ = codec.decode_blocks(
-            grp["doc_ids"].tolist(), grp["tfs"].tolist(),
-            grp["n_docs"].to_numpy(np.int64),
-            grp["first_doc_id"].to_numpy(np.int64),
-        )
-        off = d - base
-        scores[off] += idf * _partial(t, dl[off], k1, b, avgdl)
+        scores[off] += idf * part
         nterms[off] += 1
     if required:
         if present < required:
