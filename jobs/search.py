@@ -10,7 +10,9 @@ With ``--documents`` the top-k ids are materialized back to full rows
 (/root/reference/server/src/services/search.service.js:66-83) done as
 one broadcast join instead of k sequential round trips.
 ``--compat-or-union`` runs the reference's exact unscored OR-union
-first-seen semantics instead of BM25.
+first-seen semantics instead of BM25. ``--queries-file queries.json``
+(a ``{query_id: query_text}`` object) serves the whole set in ONE
+batch pass instead of per-query jobs.
 """
 
 from __future__ import annotations
@@ -22,7 +24,11 @@ import sys
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query",
+                    help="query text (required unless --queries-file)")
+    ap.add_argument("--queries-file",
+                    help="JSON file {query_id: query_text, ...}: serve the "
+                         "whole set in one batch pass (search_topk_batch)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--algorithm", choices=["auto", "wand", "dense"], default="auto")
     ap.add_argument("--mode", choices=["or", "and"], default="or",
@@ -47,9 +53,26 @@ def main(argv: list[str] | None = None) -> None:
     )
     from hadoop_search_engine_spark.session import get_spark
 
+    if bool(args.query) == bool(args.queries_file):
+        ap.error("exactly one of --query / --queries-file is required")
+
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-search")
     idx = Index.load(spark, args.index)
+    if args.queries_file:
+        import json
+
+        from hadoop_search_engine_spark.operators.query_exec import (
+            search_topk_batch,
+        )
+
+        with open(args.queries_file) as fh:
+            qs = json.load(fh)
+        result = search_topk_batch(idx, qs, k=args.k, mode=args.mode)
+        result.show(args.k * len(qs), truncate=80)
+        if owns_session:
+            spark.stop()
+        return
     if args.suggest:
         from hadoop_search_engine_spark.operators.query_exec import suggest_terms
 
