@@ -186,6 +186,20 @@ def q_bm25_topk_indexed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time (k1, b) override on the real index — relevance
+    tuning with NO rebuild (blocks store raw (max_tf, min_dl), so any
+    parameterization's bounds/partials recompute at query time); the
+    oracle rescores in SQL with the same tuned constants."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(
+        ix, " ".join(FLAGSHIP_TERMS), k=20, serving="spark", k1=0.9, b=0.25
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_filtered_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered search_topk over the block index: the
     doc_filter eligibility mask rides the cogroup scorer's doc-length
@@ -836,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_indexed_driver": q_bm25_topk_indexed_driver,
         "bm25_topk_indexed_and": q_bm25_topk_indexed_and,
+        "bm25_topk_tuned": q_bm25_topk_tuned,
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
@@ -1570,6 +1585,24 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
     out["bm25_topk_indexed_and"] = out["bm25_topk_and"]
     out["filtered_search_indexed"] = out["filtered_search"]
+    # query-time (k1, b) tuning: same pipeline, tuned score constants
+    score_tuned = sql_score("tf.tf", "dl.doc_len", idf, "c.avgdl", 0.9, 0.25)
+    out["bm25_topk_tuned"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score_tuned}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     # batch serving: per-query BM25 replay unioned under query_id; the
     # tf/dl/corpus-stats CTEs are shared, each query gets its own df
     # CTE (aliased d so the shared score fragment binds) and top-20

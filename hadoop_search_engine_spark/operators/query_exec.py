@@ -308,8 +308,18 @@ def search_topk(
     mode: str = "or",
     serving: str = "auto",
     doc_filter: DataFrame | None = None,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query, BM25-ranked.
+
+    ``k1`` / ``b`` override the index's build-time BM25 parameters for
+    THIS query — relevance tuning with no rebuild. This is free by
+    design: blocks store the raw ``(max_tf, min_dl)`` pair rather than
+    a precomputed score bound (see ``_TermBlocks``), so WAND's block
+    upper bounds — and every scorer's partials — recompute for any
+    ``(k1, b)`` at query time. idf depends only on (N, df) and is
+    untouched.
 
     ``algorithm``: ``"wand"`` = segment-vectorized block-max WAND
     (theta-pruned); ``"dense"`` = batch-decode every query-term block
@@ -365,6 +375,15 @@ def search_topk(
     if algorithm not in ("auto", "wand", "dense"):
         raise ValueError(f"algorithm must be auto|wand|dense, got {algorithm!r}")
     spark = index.spark
+    stats = index.stats
+    if k1 is not None or b is not None:
+        import dataclasses
+
+        stats = dataclasses.replace(
+            stats,
+            k1=stats.k1 if k1 is None else float(k1),
+            b=stats.b if b is None else float(b),
+        )
     terms = parse_query(query_text, synonyms)
     meta = _lookup_terms(index, terms)
     if not meta:
@@ -383,7 +402,7 @@ def search_topk(
         (int(m["hash"]), t, float(m["idf"]))
         for t, m in sorted(meta.items())
     ]
-    return _execute_topk(index, index.stats, ordered_terms, k, mode,
+    return _execute_topk(index, stats, ordered_terms, k, mode,
                          serving, algorithm, doc_filter)
 
 
@@ -622,6 +641,8 @@ def search_topk_batch(
     synonyms: dict[str, str] | None = None,
     mode: str = "or",
     serving: str = "auto",
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """Serve a whole query set in ONE pass — the offline workload shape
     (evaluation query sets, training-data mining, query-log replay) the
@@ -653,6 +674,15 @@ def search_topk_batch(
         raise ValueError(f"serving must be auto|driver|spark, got {serving!r}")
     spark = index.spark
     stats = index.stats
+    if k1 is not None or b is not None:
+        # per-call BM25 tuning, no rebuild (see search_topk)
+        import dataclasses
+
+        stats = dataclasses.replace(
+            stats,
+            k1=stats.k1 if k1 is None else float(k1),
+            b=stats.b if b is None else float(b),
+        )
     parsed = {qid: parse_query(text, synonyms) for qid, text in queries.items()}
     all_terms = sorted({t for ts in parsed.values() for t in ts})
     meta = _lookup_terms(index, all_terms)

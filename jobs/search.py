@@ -30,6 +30,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="JSON file {query_id: query_text, ...}: serve the "
                          "whole set in one batch pass (search_topk_batch)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--k1", type=float, default=None,
+                    help="override BM25 k1 for this query (no rebuild)")
+    ap.add_argument("--b", type=float, default=None,
+                    help="override BM25 b for this query (no rebuild)")
     ap.add_argument("--algorithm", choices=["auto", "wand", "dense"], default="auto")
     ap.add_argument("--mode", choices=["or", "and"], default="or",
                     help="or = reference-style disjunctive; and = conjunctive")
@@ -68,7 +72,8 @@ def main(argv: list[str] | None = None) -> None:
 
         with open(args.queries_file) as fh:
             qs = json.load(fh)
-        result = search_topk_batch(idx, qs, k=args.k, mode=args.mode)
+        result = search_topk_batch(idx, qs, k=args.k, mode=args.mode,
+                                   k1=args.k1, b=args.b)
         result.show(args.k * len(qs), truncate=80)
         if owns_session:
             spark.stop()
@@ -94,7 +99,7 @@ def main(argv: list[str] | None = None) -> None:
         result = phrase_search(idx, args.query, k=args.k)
     else:
         result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm,
-                             mode=args.mode)
+                             mode=args.mode, k1=args.k1, b=args.b)
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)
