@@ -417,7 +417,11 @@ def build_index(
     ``(doc_id long, doc_len long, term string)`` — one row per token
     occurrence (tf = multiplicity) — instead of raw documents. Used by
     streaming-delta compaction, where tokenization already happened in
-    the micro-batches.
+    the micro-batches. Combined with ``positions=True`` the events
+    must also carry ``pos int`` (the occurrence's 0-based token
+    position, the positional sink's delta shape) and the compacted
+    index serves :func:`~..operators.query_exec.phrase_search` exactly
+    like a batch positional build.
 
     ``positions=True`` builds a positional index: each block gains a
     ``positions`` varint blob (per-doc gap-encoded token positions),
@@ -434,10 +438,12 @@ def build_index(
     """
     if arrow_tokenize is None:
         arrow_tokenize = _arrow_tokenize_default()
-    if positions and docs_are_events:
-        raise NotImplementedError(
-            "positional build from pre-aggregated tf events: the deltas "
-            "don't carry token positions"
+    if positions and docs_are_events and "pos" not in docs.columns:
+        raise ValueError(
+            "positional build from events needs a 'pos' column (one row "
+            "per token occurrence with its 0-based position — the shape "
+            "streaming.incremental's positional sink writes); these "
+            "events carry only aggregated tf"
         )
     mark = _phase_timer()
     postings_dir = os.path.join(out_dir, "postings")
@@ -672,12 +678,19 @@ def build_index(
                 "doc_len"
             ),
             "term",
+            *(["pos"] if positions else []),
         )
+        if positions:
+            # same tail-truncation regime as the tokenize branches: the
+            # phrase scorer packs positions into 21 bits (doc_len was
+            # counted BEFORE this filter, so it still matches size(toks))
+            occ = occ.where(F.col("pos") < F.lit(1 << 20))
         event_cols = [
             F.xxhash64("term").alias("term_hash"),
             (F.shiftleft(F.col("doc_id"), 20) + F.col("doc_len")).alias(
                 "packed"
             ),
+            *([F.col("pos").cast("int")] if positions else []),
         ]
         flat = occ.select(*event_cols)
     elif arrow_tokenize:

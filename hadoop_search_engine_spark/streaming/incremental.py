@@ -36,21 +36,41 @@ def stream_documents(spark: SparkSession, path: str, max_files: int = 4) -> Data
     )
 
 
-def incremental_tf_sink(docs_stream: DataFrame, delta_dir: str, checkpoint_dir: str):
+def incremental_tf_sink(
+    docs_stream: DataFrame, delta_dir: str, checkpoint_dir: str,
+    positions: bool = False,
+):
     """documents stream -> append-only delta tables under ``delta_dir``:
     ``tf/`` holds (term, doc_id, tf, epoch), ``docs/`` holds
     (doc_id, url, epoch) for the compaction-time url mapping.
 
+    ``positions=True`` writes ``pos/`` occurrence deltas
+    (doc_id, term, pos, epoch) — one row per token with its 0-based
+    position — instead of aggregated tf, so compaction can build a
+    POSITIONAL index (phrase search over streamed documents). The
+    volume is one row per token either way pre-aggregation; positions
+    just keep the occurrence granularity the phrase scorer needs.
+
     doc_id is xxhash64(url) in the streaming path (dense re-assignment
     happens at compaction, where the global order is known).
     """
+    from ..functions.tokenizer import tokens_col
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "url", "text")
-        tf = term_frequencies(docs.select("doc_id", "text")).withColumn(
-            "epoch", F.lit(epoch_id)
-        )
-        tf.write.mode("append").parquet(os.path.join(delta_dir, "tf"))
+        if positions:
+            occ = (
+                docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+                .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+                .select("doc_id", "term", "pos")
+                .withColumn("epoch", F.lit(epoch_id))
+            )
+            occ.write.mode("append").parquet(os.path.join(delta_dir, "pos"))
+        else:
+            tf = term_frequencies(docs.select("doc_id", "text")).withColumn(
+                "epoch", F.lit(epoch_id)
+            )
+            tf.write.mode("append").parquet(os.path.join(delta_dir, "tf"))
         docs.select("doc_id", "url").withColumn("epoch", F.lit(epoch_id)).write.mode(
             "append"
         ).parquet(os.path.join(delta_dir, "docs"))
@@ -79,16 +99,36 @@ def compact_deltas(spark: SparkSession, delta_dir: str, out_dir: str, **build_kw
     Returns IndexStats. At 10^12 scale the deltas are already
     bucket-partitioned by the sink's groupBy, so the compaction cost is
     the same single sort-shuffle as a batch build of the delta volume.
+
+    With ``positions=True`` (in ``build_kwargs``) the compaction reads
+    the positional sink's ``pos/`` occurrence deltas instead of
+    ``tf/``: re-delivered docs dedup by keeping each doc's FIRST epoch
+    (documents are immutable, so any epoch's occurrence set is
+    identical), ``doc_len`` is the occurrence count, and the events
+    carry ``pos`` into the batch builder's positional event path —
+    the compacted index serves phrase queries like a batch build.
     """
     from ..operators.doc_ids import assign_doc_ids
     from ..operators.index_build import build_index
 
-    tf = (
-        spark.read.parquet(os.path.join(delta_dir, "tf"))
-        .groupBy("term", "doc_id")
-        .agg(F.max("tf").alias("tf"))
-        .withColumnRenamed("doc_id", "orig_id")
-    )
+    positional = bool(build_kwargs.get("positions"))
+    occ = None
+    if positional:
+        pos_df = spark.read.parquet(os.path.join(delta_dir, "pos"))
+        first = pos_df.groupBy("doc_id").agg(F.min("epoch").alias("epoch"))
+        occ = (
+            pos_df.join(first, ["doc_id", "epoch"])
+            .withColumnRenamed("doc_id", "orig_id")
+            .select("orig_id", "term", "pos")
+        )
+        tf = occ.groupBy("term", "orig_id").agg(F.count("*").alias("tf"))
+    else:
+        tf = (
+            spark.read.parquet(os.path.join(delta_dir, "tf"))
+            .groupBy("term", "doc_id")
+            .agg(F.max("tf").alias("tf"))
+            .withColumnRenamed("doc_id", "orig_id")
+        )
     docs_delta = spark.read.parquet(os.path.join(delta_dir, "docs"))
     # streaming doc_ids are xxhash64(url): a collision (two urls, one
     # hash) would silently merge two documents' tf rows into one —
@@ -113,15 +153,22 @@ def compact_deltas(spark: SparkSession, delta_dir: str, out_dir: str, **build_kw
     )
     mapping = assign_doc_ids(urls, key_col="orig_id").persist()
     dls = tf.groupBy("orig_id").agg(F.sum("tf").alias("doc_len"))
-    events = (
-        tf.join(dls, "orig_id")
-        .join(mapping.select("orig_id", "doc_id"), "orig_id")
-        .select(
-            "doc_id",
-            "doc_len",
-            F.explode(F.array_repeat("term", F.col("tf").cast("int"))).alias("term"),
+    if positional:
+        events = (
+            occ.join(dls, "orig_id")
+            .join(mapping.select("orig_id", "doc_id"), "orig_id")
+            .select("doc_id", "doc_len", "term", "pos")
         )
-    )
+    else:
+        events = (
+            tf.join(dls, "orig_id")
+            .join(mapping.select("orig_id", "doc_id"), "orig_id")
+            .select(
+                "doc_id",
+                "doc_len",
+                F.explode(F.array_repeat("term", F.col("tf").cast("int"))).alias("term"),
+            )
+        )
     stats = build_index(spark, events, out_dir, docs_are_events=True, **build_kwargs)
     mapping.select("doc_id", "url").write.mode("overwrite").parquet(
         os.path.join(out_dir, "doc_map")

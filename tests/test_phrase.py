@@ -139,12 +139,34 @@ def test_adversarial_skew_term_in_every_doc(spark, tmp_path):
         _check(got, want, f"skew:{q}")
 
 
-def test_positions_from_events_unsupported(spark, tmp_path):
-    """Pre-aggregated tf events carry no token positions — the build
-    must refuse rather than silently emit an unusable positional index."""
-    ev = spark.createDataFrame(
+def test_positions_from_events(spark, tmp_path):
+    """Positional EVENT builds (the streaming-compaction shape) are
+    supported when events carry pos; tf-only events still refuse
+    rather than silently emit an unusable positional index."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        phrase_search,
+    )
+
+    ev_tf = spark.createDataFrame(
         [(0, 2, "a"), (0, 2, "b")], "doc_id long, doc_len long, term string"
     )
-    with pytest.raises(NotImplementedError, match="position"):
-        build_index(spark, ev, str(tmp_path / "x"), docs_are_events=True,
+    with pytest.raises(ValueError, match="pos"):
+        build_index(spark, ev_tf, str(tmp_path / "x"), docs_are_events=True,
                     positions=True)
+
+    # occurrence events WITH positions: "alpha beta" adjacent in doc 0,
+    # reversed in doc 1 — phrase hits exactly doc 0
+    ev_pos = spark.createDataFrame(
+        [
+            (0, 2, "alpha", 0), (0, 2, "beta", 1),
+            (1, 2, "beta", 0), (1, 2, "alpha", 1),
+        ],
+        "doc_id long, doc_len long, term string, pos int",
+    )
+    out = str(tmp_path / "evpos")
+    build_index(spark, ev_pos, out, docs_are_events=True, positions=True,
+                n_buckets=2, block_size=16)
+    idx = Index.load(spark, out)
+    assert [r["doc_id"] for r in phrase_search(idx, "alpha beta", k=5).collect()] == [0]
+    assert [r["doc_id"] for r in phrase_search(idx, "beta alpha", k=5).collect()] == [1]

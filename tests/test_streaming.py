@@ -141,3 +141,80 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     # the final watermark closes the first window (00:00-00:05)
     got = {(r["win_start"].minute, r["event_type"], r["n"]) for r in rows}
     assert (0, "click", 2) in got
+
+
+def test_positional_stream_compact_phrase(spark, tmp_path):
+    """Streamed docs -> positional occurrence deltas -> compacted
+    POSITIONAL index: phrase search matches the NumPy oracle over the
+    same corpus (url-mapped — compaction mints its own dense ids),
+    re-delivered docs dedup to one epoch."""
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+    from hadoop_search_engine_spark.operators.query_exec import Index, phrase_search
+    from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+    from hadoop_search_engine_spark.streaming.incremental import compact_deltas
+
+    src = str(tmp_path / "pincoming")
+    delta = str(tmp_path / "pdelta")
+    ckpt = str(tmp_path / "pckpt")
+    os.makedirs(src)
+    gen_documents(spark, 40, n_partitions=1).write.mode("append").parquet(src)
+    # second arrival re-delivers a subset (same urls, same content)
+    gen_documents(spark, 40, n_partitions=1).where(
+        F.col("url").endswith("7")
+    ).write.mode("append").parquet(src)
+
+    stream = stream_documents(spark, src, max_files=1)
+    q = (
+        incremental_tf_sink(stream, delta, ckpt, positions=True)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(delta, "pos"))
+
+    idx_dir = str(tmp_path / "pcompacted")
+    stats = compact_deltas(
+        spark, delta, idx_dir, n_buckets=4, block_size=16, positions=True
+    )
+    assert stats.positions
+    idx = Index.load(spark, idx_dir)
+
+    corpus = gen_documents(spark, 40, n_partitions=1).select("url", "text").collect()
+    url_to_text = {r["url"]: r["text"] for r in corpus}
+    assert stats.n_docs == len([t for t in url_to_text.values() if tokenize(t)])
+    doc_map = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(os.path.join(idx_dir, "doc_map")).collect()
+    }
+    urls_sorted = list(url_to_text)
+    oracle = BM25Oracle(list(enumerate(url_to_text.values())))
+
+    toks = tokenize(corpus[0]["text"])
+    for phrase in [" ".join(toks[:2]), " ".join(reversed(toks[:2])), "w00001 zzz"]:
+        got = phrase_search(idx, phrase, k=10).collect()
+        want = oracle.phrase_search(phrase, k=10)
+        assert {doc_map[r["doc_id"]] for r in got} == {
+            urls_sorted[d] for d, _ in want
+        }, phrase
+        assert sorted(round(r["score"], 9) for r in got) == sorted(
+            round(s, 9) for _, s in want
+        ), phrase
+    # the fixture's first-doc head phrase must actually hit
+    assert phrase_search(idx, " ".join(toks[:2]), k=10).count() > 0
+
+
+def test_compact_deltas_positions_requires_pos_column(spark, tmp_path):
+    """Feeding tf-only events to a positional build fails loudly."""
+    import pytest
+
+    from hadoop_search_engine_spark.operators.index_build import build_index
+
+    events = spark.createDataFrame(
+        [(0, 2, "alpha"), (0, 2, "beta")], "doc_id long, doc_len long, term string"
+    )
+    with pytest.raises(ValueError, match="pos"):
+        build_index(
+            spark, events, str(tmp_path / "noposidx"),
+            docs_are_events=True, positions=True,
+        )
