@@ -285,6 +285,64 @@ BATCH_QUERIES = {
 }
 
 
+def _oracle_segments(spark: SparkSession, sf_dir: str) -> list:
+    """Two segment indexes per sf (documents split by doc_id parity,
+    ORIGINAL ids kept — so federated results compare directly against
+    the union-corpus SQL oracles), cached like _oracle_index."""
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    key = ("segs", os.path.abspath(sf_dir))
+    segs = _ORACLE_INDEXES.get(key)
+    if segs is not None and segs[0].spark is spark:
+        return segs
+    tag = hashlib.md5(key[1].encode()).hexdigest()[:12]
+    out = []
+    for i in range(2):
+        d = f"/tmp/hse_entry_seg{i}_{tag}"
+        if not (
+            os.path.exists(os.path.join(d, "stats.json"))
+            and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
+        ):
+            docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+            build_index(
+                spark, docs.where(F.col("doc_id") % 2 == i), d, n_buckets=8
+            )
+        out.append(Index.load(spark, d))
+    _ORACLE_INDEXES[key] = out
+    return out
+
+
+def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated serving across two segments with GLOBAL statistics —
+    oracle-checked against the union-corpus BM25 SQL (the segments
+    keep original doc_ids, so federation must be invisible)."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_segments,
+    )
+
+    segs = _oracle_segments(spark, sf_dir)
+    top = search_topk_segments(segs, " ".join(FLAGSHIP_TERMS), k=20)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_federated_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch serving over the federated deployment — whole query set,
+    global stats, one pass per segment; same oracle as the
+    single-index batch (federation + batching both invisible)."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_segments_batch,
+    )
+
+    segs = _oracle_segments(spark, sf_dir)
+    out = search_topk_segments_batch(segs, BATCH_QUERIES, k=20)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch serving: the whole query set in ONE distributed pass
     (union-pruned postings scan, per-shard decode shared across
@@ -856,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
         "bm25_topk_batch": q_bm25_topk_batch,
         "bm25_topk_batch_driver": q_bm25_topk_batch_driver,
+        "federated_search": q_federated_search,
+        "federated_batch": q_federated_batch,
         "facet_counts_indexed": q_facet_counts_indexed,
         "snippets_indexed": q_snippets_indexed,
         "collapsed_search_indexed": q_collapsed_search_indexed,
@@ -1638,6 +1698,10 @@ def oracle_sql() -> dict[str, str]:
         FROM ({" UNION ALL ".join(batch_parts)})
     """
     out["bm25_topk_batch_driver"] = out["bm25_topk_batch"]
+    # federation is invisible: global stats make the segmented result
+    # equal the union-corpus query, so the same oracles apply
+    out["federated_search"] = out["bm25_topk"]
+    out["federated_batch"] = out["bm25_topk_batch"]
     out["facet_counts_indexed"] = out["facet_counts"]
     out["snippets_indexed"] = out["snippets"]
     out["collapsed_search_indexed"] = out["collapsed_search"]

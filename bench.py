@@ -229,6 +229,28 @@ def main() -> None:
         ).collect(),
     )
 
+    # the 50-query set over the federated deployment in one pass per
+    # segment (global stats, shared decode) — offline replay against a
+    # base + deltas layout without merging first
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_segments_batch,
+    )
+
+    timed(
+        "federated_batch_50q",
+        lambda: search_topk_segments_batch(
+            segs, batch_qs, k=10, synonyms=SYNONYMS, serving="spark"
+        ).collect(),
+        reps=3,
+    )
+    timed(
+        "federated_batch_50q_driver",
+        lambda: search_topk_segments_batch(
+            segs, batch_qs, k=10, synonyms=SYNONYMS, serving="driver"
+        ).collect(),
+        reps=3,
+    )
+
     # delete lifecycle LAST (mutates the bench index): tombstone 1% of
     # docs, then a full physical vacuum (block rewrite + stats/lexicon/
     # counter recompute). Single rep — the first vacuum does the real

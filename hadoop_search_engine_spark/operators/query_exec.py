@@ -632,6 +632,107 @@ def search_topk_segments(
 
 
 BATCH_TOPK_SCHEMA = "query_id string, doc_id long, score double"
+SEGMENT_BATCH_TOPK_SCHEMA = (
+    "query_id string, segment int, doc_id long, score double"
+)
+
+
+def search_topk_segments_batch(
+    indexes: list,
+    queries: dict[str, str],
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    serving: str = "auto",
+) -> DataFrame:
+    """Batch serving over a FEDERATED deployment (base index plus
+    not-yet-compacted streaming deltas): the whole query set runs once
+    per segment with GLOBAL statistics (same federation math as
+    :func:`search_topk_segments` — N = Σ n_docs, weighted avgdl,
+    df(t) summed across segments → one global idf per term), each
+    segment's batch pass amortizes its postings scan across all
+    queries, and the cross-segment merge is a per-query window over
+    q·k·num_segments rows. Returns ``(query_id, segment, doc_id,
+    score)`` — per query the exact global top-k, bit-identical to
+    calling :func:`search_topk_segments` per query."""
+    if not indexes:
+        raise ValueError("need at least one index segment")
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    from ..functions.bm25 import idf as idf_scalar
+
+    spark = indexes[0].spark
+    parsed = {qid: parse_query(text, synonyms) for qid, text in queries.items()}
+    all_terms = sorted({t for ts in parsed.values() for t in ts})
+    if not all_terms:
+        return _empty_df(spark, SEGMENT_BATCH_TOPK_SCHEMA)
+    metas = [_lookup_terms(ix, all_terms) for ix in indexes]
+    n_total = sum(int(ix.stats.n_docs) for ix in indexes)
+    if n_total == 0:
+        return _empty_df(spark, SEGMENT_BATCH_TOPK_SCHEMA)
+    avgdl_g = (
+        sum(float(ix.stats.avgdl) * int(ix.stats.n_docs) for ix in indexes)
+        / n_total
+    )
+    df_g: dict[str, int] = {}
+    for m in metas:
+        for t, d in m.items():
+            df_g[t] = df_g.get(t, 0) + int(d["df"])
+    idf_g = {t: idf_scalar(n_total, d) for t, d in df_g.items()}
+
+    # per-query GLOBAL term lists (conjunctive queries missing a term
+    # globally contribute no rows, like their single-query calls)
+    live: dict[str, list[str]] = {}
+    for qid, ts in parsed.items():
+        qterms = sorted({t for t in ts if t in df_g})
+        if not qterms:
+            continue
+        if mode == "and" and len(qterms) < len(set(ts)):
+            continue
+        live[qid] = qterms
+
+    import dataclasses
+
+    parts = []
+    for i, (ix, m) in enumerate(zip(indexes, metas)):
+        per_q = []
+        for qid, qterms in live.items():
+            seg_terms = [t for t in qterms if t in m]
+            if not seg_terms:
+                continue
+            if mode == "and" and len(seg_terms) < len(qterms):
+                # a doc lives wholly in one segment: a segment missing
+                # any query term can't host a conjunctive match
+                continue
+            per_q.append((
+                qid,
+                [(int(m[t]["hash"]), t, float(idf_g[t])) for t in seg_terms],
+            ))
+        if not per_q:
+            continue
+        stats_g = dataclasses.replace(ix.stats, avgdl=avgdl_g)
+        res = _execute_topk_batch(ix, stats_g, per_q, k, mode, serving)
+        parts.append(res.select(
+            "query_id", F.lit(i).cast("int").alias("segment"),
+            "doc_id", "score",
+        ))
+    if not parts:
+        return _empty_df(spark, SEGMENT_BATCH_TOPK_SCHEMA)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("segment").asc(), F.col("doc_id").asc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.col("score").desc(), F.col("segment").asc(),
+                 F.col("doc_id").asc())
+    )
 
 
 def search_topk_batch(
@@ -699,7 +800,21 @@ def search_topk_batch(
         ))
     if not per_q:
         return _empty_df(spark, BATCH_TOPK_SCHEMA)
+    return _execute_topk_batch(index, stats, per_q, k, mode, serving)
 
+
+def _execute_topk_batch(
+    index: Index,
+    stats: IndexStats,
+    per_q: list[tuple[str, list[tuple[int, str, float]]]],
+    k: int,
+    mode: str,
+    serving: str,
+) -> DataFrame:
+    """Batch scoring tail shared by :func:`search_topk_batch` and
+    :func:`search_topk_segments_batch` (which passes federated-global
+    idf inside ``per_q`` and avgdl inside ``stats``)."""
+    spark = index.spark
     all_hashes = sorted({h for _, ot in per_q for h, _, _ in ot})
     buckets = sorted({h % stats.n_buckets for h in all_hashes})
     blocks = index.postings.where(

@@ -93,3 +93,32 @@ def test_segments_respect_tombstones(spark, tiny_corpus, tmp_path):
     after = _multi(search_topk_segments(segs, "needle7", k=5))
     assert dead_doc not in {d for d, _ in after}
     assert [d for d, _ in after] == [d for d, _ in before if d != dead_doc]
+
+
+@pytest.mark.parametrize("serving", ["driver", "spark"])
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_segments_batch_matches_per_query(segmented, serving, mode):
+    """Federated batch serving: per query bit-identical to per-query
+    search_topk_segments (global stats, per-segment batch pass)."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_segments_batch,
+    )
+
+    _, segs = segmented
+    qs = {f"q{i}": q for i, q in enumerate(QUERIES + ["zzz absent", ""])}
+    got: dict[str, list] = {}
+    rows = search_topk_segments_batch(
+        segs, qs, k=10, mode=mode, serving=serving
+    ).collect()
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["segment"], r["doc_id"], r["score"])
+        )
+    for qid, text in qs.items():
+        want = [
+            (r["segment"], r["doc_id"], r["score"])
+            for r in search_topk_segments(
+                segs, text, k=10, mode=mode, serving=serving
+            ).collect()
+        ]
+        assert got.get(qid, []) == want, (qid, text, mode, serving)
