@@ -23,7 +23,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index",
+                    help="index dir (required unless --segments)")
+    ap.add_argument("--segments",
+                    help="comma-separated index dirs: federated serving "
+                         "with global BM25 stats (base + delta segments), "
+                         "instead of --index")
     ap.add_argument("--query",
                     help="query text (required unless --queries-file)")
     ap.add_argument("--queries-file",
@@ -59,9 +64,33 @@ def main(argv: list[str] | None = None) -> None:
 
     if bool(args.query) == bool(args.queries_file):
         ap.error("exactly one of --query / --queries-file is required")
+    if bool(args.index) == bool(args.segments):
+        ap.error("exactly one of --index / --segments is required")
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-search")
+    if args.segments:
+        from hadoop_search_engine_spark.operators.query_exec import (
+            search_topk_segments,
+            search_topk_segments_batch,
+        )
+
+        segs = [Index.load(spark, d) for d in args.segments.split(",")]
+        if args.queries_file:
+            import json
+
+            with open(args.queries_file) as fh:
+                qs = json.load(fh)
+            result = search_topk_segments_batch(segs, qs, k=args.k,
+                                                mode=args.mode)
+            result.show(args.k * len(qs), truncate=80)
+        else:
+            result = search_topk_segments(segs, args.query, k=args.k,
+                                          mode=args.mode)
+            result.show(args.k, truncate=80)
+        if owns_session:
+            spark.stop()
+        return
     idx = Index.load(spark, args.index)
     if args.queries_file:
         import json
