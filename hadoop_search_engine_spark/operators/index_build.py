@@ -90,6 +90,33 @@ POSTINGS_SCHEMA = (
     "doc_ids binary, tfs binary, n_docs int, tf_sum long, n_bytes int, "
     "max_tf long, min_dl long, positions binary, bucket int"
 )
+TERM_STATS_SCHEMA = (
+    "term_hash long, df long, n_blocks long, tokens long, bytes long, "
+    "bucket int"
+)
+TERM_DICT_SCHEMA = "term string, term_hash long"
+
+
+def read_parquet_tolerant(spark, path: str, schema: str):
+    """Read an index table, tolerating the legitimately-EMPTY case: a
+    zero-row (possibly partitioned) write leaves only _SUCCESS, so a
+    later read dies on schema inference. Found by the differential
+    fuzzer with a corpus whose every document tokenizes to nothing.
+    The try/except keeps the happy path free and stays correct on
+    remote filesystems where a driver-side listing would lie."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+    from pyspark.sql import functions as _F
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        cols = []
+        for field in schema.split(","):
+            name, typ = field.strip().split(" ", 1)
+            cols.append(_F.lit(None).cast(typ.strip()).alias(name))
+        return spark.range(0).select(*cols)
 
 
 @dataclass(frozen=True)
@@ -853,7 +880,7 @@ def _run_waves(
         # per-bucket counter rollup) so the postings metadata columns
         # are scanned once per wave, not twice.
         stats_df = (
-            spark.read.parquet(postings_dir)
+            read_parquet_tolerant(spark, postings_dir, POSTINGS_SCHEMA)
             .where(F.col("bucket").isin(todo))
             .groupBy("term_hash", "bucket")
             .agg(
@@ -938,8 +965,12 @@ def _write_lexicon(spark: SparkSession, out_dir: str, stats: IndexStats) -> None
     # (term_hash, bucket)) joined back to term strings through the
     # term_dict — never a re-scan of the binary postings. Both sides
     # are vocab-sized; the join key is the hash both are bucketed by.
-    term_stats = spark.read.parquet(os.path.join(out_dir, "term_stats"))
-    term_dict = spark.read.parquet(os.path.join(out_dir, "term_dict"))
+    term_stats = read_parquet_tolerant(
+        spark, os.path.join(out_dir, "term_stats"), TERM_STATS_SCHEMA
+    )
+    term_dict = read_parquet_tolerant(
+        spark, os.path.join(out_dir, "term_dict"), TERM_DICT_SCHEMA
+    )
     # 64-bit hash-collision detection (probability ~n²/2^65, ≈3e-6 for
     # a 10M-term vocabulary): a collision would silently merge two
     # terms' postings and double-count df through the lexicon join.

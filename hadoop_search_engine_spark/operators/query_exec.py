@@ -48,6 +48,16 @@ from .index_build import IndexStats, read_stats, term_frequencies
 
 TOPK_SCHEMA = "doc_id long, score double"
 
+# read-side schemas for index tables that can legitimately be EMPTY
+# (a corpus whose every document tokenizes to nothing — found by the
+# differential fuzzer): Spark writes only _SUCCESS for a zero-row
+# partitioned write, and a later read dies on schema inference.
+LEXICON_SCHEMA = (
+    "term string, term_hash long, bucket int, df long, n_blocks long, "
+    "idf double"
+)
+DOC_STATS_SCHEMA = "doc_id long, doc_len long, shard int"
+
 def _empty_df(spark: SparkSession, schema: str) -> DataFrame:
     """Empty DataFrame without a Python-worker round trip.
 
@@ -60,6 +70,13 @@ def _empty_df(spark: SparkSession, schema: str) -> DataFrame:
         name, typ = field.strip().split(" ", 1)
         cols.append(F.lit(None).cast(typ.strip()).alias(name))
     return spark.range(0).select(*cols)
+
+
+def _read_parquet_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """See :func:`..operators.index_build.read_parquet_tolerant`."""
+    from .index_build import read_parquet_tolerant
+
+    return read_parquet_tolerant(spark, path, schema)
 
 
 
@@ -223,15 +240,23 @@ class Index:
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "postings"))
+        from .index_build import POSTINGS_SCHEMA
+
+        return _read_parquet_or_empty(
+            self.spark, os.path.join(self.out_dir, "postings"), POSTINGS_SCHEMA
+        )
 
     @property
     def lexicon(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "lexicon"))
+        return _read_parquet_or_empty(
+            self.spark, os.path.join(self.out_dir, "lexicon"), LEXICON_SCHEMA
+        )
 
     @property
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.out_dir, "doc_stats"))
+        return _read_parquet_or_empty(
+            self.spark, os.path.join(self.out_dir, "doc_stats"), DOC_STATS_SCHEMA
+        )
 
     @property
     def checkpoints(self) -> DataFrame:

@@ -1,0 +1,121 @@
+"""Randomized differential testing: hypothesis-generated corpora and
+queries, every serving path vs the NumPy oracle.
+
+Corpora are drawn to stress the structures the fixed fixtures can't:
+tiny/empty docs, single-doc corpora, a term present in EVERY doc
+(minimal idf), heavy duplication, unicode tokens — and the index is
+built with tiny blocks (block_size=4) and a tiny shard span so block
+and shard boundaries land mid-posting-list constantly. Every failure
+here is a real serving bug, not a flake: the oracle recomputes BM25
+from scratch in pure Python/NumPy with the documented summation order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadoop_search_engine_spark.oracle.bm25_oracle import BM25Oracle
+from hadoop_search_engine_spark.operators.index_build import build_index
+from hadoop_search_engine_spark.operators.query_exec import (
+    Index,
+    search_topk,
+    search_topk_batch,
+)
+
+# small, skewed vocabulary so terms collide across docs constantly;
+# a unicode word exercises the tokenizer/hash path end to end
+VOCAB = ["apple", "pear", "zebra", "qq", "wörld", "x1", "xx2", "deep", "rare9"]
+
+doc_strategy = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=24).map(" ".join)
+corpus_strategy = st.lists(doc_strategy, min_size=1, max_size=32)
+query_strategy = st.lists(
+    st.sampled_from(VOCAB + ["absentterm"]), min_size=1, max_size=4
+).map(" ".join)
+
+
+@pytest.fixture(scope="module")
+def fuzz_tmp(tmp_path_factory):
+    return tmp_path_factory.mktemp("fuzz")
+
+
+_COUNTER = [0]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_strategy, queries=st.lists(query_strategy, min_size=1, max_size=5))
+def test_all_serving_paths_match_oracle(spark, fuzz_tmp, corpus, queries):
+    _COUNTER[0] += 1
+    out = str(fuzz_tmp / f"ix{_COUNTER[0]}")
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    # tiny blocks + tiny shards: boundaries land mid-list constantly
+    build_index(spark, docs, out, shard_span=8, n_buckets=4, block_size=4)
+    idx = Index.load(spark, out)
+    oracle = BM25Oracle(list(enumerate(corpus)))
+
+    for q in queries:
+        want = oracle.search(q, k=10)
+        for algorithm in ("wand", "dense"):
+            for serving in ("driver", "spark"):
+                got = [
+                    (r["doc_id"], r["score"])
+                    for r in search_topk(
+                        idx, q, k=10, algorithm=algorithm, serving=serving
+                    ).collect()
+                ]
+                assert len(got) == len(want), (q, algorithm, serving, corpus)
+                for (gd, gs), (wd, ws) in zip(got, want):
+                    assert gd == wd, (q, algorithm, serving, corpus)
+                    assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-12), (
+                        q, algorithm, serving, corpus
+                    )
+        # conjunctive: the four serving paths must agree with each other
+        and_results = [
+            [
+                (r["doc_id"], r["score"])
+                for r in search_topk(
+                    idx, q, k=10, mode="and", algorithm=a, serving=s
+                ).collect()
+            ]
+            for a in ("wand", "dense")
+            for s in ("driver", "spark")
+        ]
+        assert all(r == and_results[0] for r in and_results[1:]), (q, corpus)
+    # the batch path serves the same queries in one pass, bit-identical
+    qs = {f"q{i}": q for i, q in enumerate(queries)}
+    by_q: dict[str, list] = {}
+    for r in search_topk_batch(idx, qs, k=10, serving="spark").collect():
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qs.items():
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search_topk(idx, q, k=10, serving="spark").collect()
+        ]
+        assert by_q.get(qid, []) == want, (q, corpus)
+
+
+def test_all_empty_corpus_index_serves_empty(spark, tmp_path):
+    """Regression for the fuzzer's find: a corpus whose every document
+    tokenizes to nothing builds a valid zero-posting index (zero-row
+    partitioned writes leave only _SUCCESS) and every serving path
+    answers empty instead of dying on parquet schema inference."""
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "!!??")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "emptyidx")
+    build_index(spark, docs, out, n_buckets=4)
+    idx = Index.load(spark, out)
+    assert idx.stats.n_docs == 0
+    assert search_topk(idx, "anything", k=5).count() == 0
+    assert search_topk(idx, "anything", k=5, serving="spark").count() == 0
+    assert search_topk_batch(idx, {"a": "anything", "b": ""}, k=5).count() == 0
+    assert idx.report()["postings"] == 0
