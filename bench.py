@@ -116,6 +116,19 @@ def main() -> None:
     timings["fixture_p50"] = round(ls[len(ls) // 2], 4)
     timings["fixture_p95"] = round(ls[int(0.95 * (len(ls) - 1))], 4)
 
+    # same 50 queries again, now HOT: the first pass filled the
+    # per-Index postings LRU (Index.postings_rows), so this pass is
+    # the steady-state serving-node shape — Zipfian-hot terms score
+    # straight from pinned rows, no parquet read
+    lat = []
+    for rq in reference_queries():
+        t0 = time.time()
+        search_topk(idx, rq["query_text"], k=rq["k"], synonyms=SYNONYMS).collect()
+        lat.append(time.time() - t0)
+    ls = sorted(lat)
+    timings["fixture_hot_p50"] = round(ls[len(ls) // 2], 4)
+    timings["fixture_hot_p95"] = round(ls[int(0.95 * (len(ls) - 1))], 4)
+
     # the same 50 fixture queries served as ONE batch (union-pruned
     # scan, per-shard decode shared across queries) — the offline
     # query-log / evaluation-set workload shape

@@ -12,7 +12,9 @@ three executors over the sharded block index:
     doc-length table** (``applyInPandas`` over a cogroup — each task
     scores one contiguous doc_id range with a dense local dl array, no
     per-doc join). Each shard emits its local top-k; the global merge
-    is a k*num_shards-row sort — trivially small.
+    is a k*num_shards-row sort — trivially small. Driver serving
+    additionally pins recently-probed posting rows in a per-Index LRU
+    (:meth:`Index.postings_rows`) so Zipfian-hot terms skip parquet.
   * ``algorithm="dense"``: same plumbing, but the per-shard scorer is
     a fully vectorized dense accumulator (decode all blocks, one
     ``np.add.at`` per term in ascending term order). No pruning, pure
@@ -102,6 +104,24 @@ LEXICON_CACHE_MAX_TERMS = 2_000_000
 # mechanism); vacuum_index regularly to stay under the threshold.
 TOMBSTONE_OVERFETCH_MAX = 10_000
 
+# Driver-serving hot-postings cache budget (MB; env
+# SPARK_GRAFT_POSTINGS_CACHE_MB overrides, <= 0 disables). Web query
+# logs are Zipfian — a small set of head terms dominates — so a
+# serving node that pins recently-probed posting rows answers hot
+# queries from memory instead of re-reading parquet per query (the
+# analog of Lucene/OS page cache on a search node). The cache lives on
+# the Index instance (same lifetime as the cached pyarrow dataset
+# listing), keyed by term_hash; entries are the raw stored rows
+# (parameter-free (max_tf, min_dl) block bounds), so tuned k1/b
+# queries and tombstone over-retrieve reuse them unchanged.
+POSTINGS_CACHE_MB_DEFAULT = 256.0
+
+
+def _postings_cache_bytes() -> int:
+    mb = float(os.environ.get("SPARK_GRAFT_POSTINGS_CACHE_MB",
+                              str(POSTINGS_CACHE_MB_DEFAULT)))
+    return int(mb * (1 << 20))
+
 
 @dataclass
 class Index:
@@ -112,6 +132,8 @@ class Index:
     _lex_map: dict | None = None
     _pads: object = None
     _tomb: object = None
+    _pcache: object = None
+    _pcache_nbytes: int = 0
 
     @classmethod
     def load(cls, spark: SparkSession, out_dir: str) -> "Index":
@@ -200,6 +222,86 @@ class Index:
                 for length, rows in grouped.items()
             }
         return self._lex_by_len
+
+    def _postings_dataset(self):
+        if self._pads is None:
+            import pyarrow.dataset as pads
+
+            self._pads = pads.dataset(
+                os.path.join(self.out_dir, "postings"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._pads
+
+    def postings_rows(self, hit_hashes) -> pd.DataFrame:
+        """Posting rows for the probed term hashes, driver-side (no
+        Spark job): bucket = pmod(hash, B) prunes at the hive file
+        listing, term_hash is a row-group min/max filter. Rows are
+        cached per term in a byte-bounded LRU (see
+        ``POSTINGS_CACHE_MB_DEFAULT``) so repeated probes of hot terms
+        skip parquet entirely; an uncached query costs ONE dataset
+        read for all of its missing terms, exactly like the uncached
+        path. Cache lifetime is this Index instance — the same
+        snapshot semantics as the cached dataset listing itself
+        (vacuum/merge return a reloaded Index)."""
+        import pyarrow.dataset as pads
+
+        ds = self._postings_dataset()
+        nb = self.stats.n_buckets
+        wanted = list(dict.fromkeys(int(h) for h in hit_hashes))
+        cap = _postings_cache_bytes()
+        if cap <= 0:
+            filt = pads.field("bucket").isin(
+                sorted({h % nb for h in wanted})
+            ) & pads.field("term_hash").isin(wanted)
+            return ds.to_table(filter=filt).to_pandas()
+        if self._pcache is None:
+            from collections import OrderedDict
+
+            self._pcache = OrderedDict()
+        cache = self._pcache
+        frames: list[pd.DataFrame] = []
+        missing: list[int] = []
+        for h in wanted:
+            hit = cache.get(h)
+            if hit is not None:
+                cache.move_to_end(h)
+                frames.append(hit[0])
+            else:
+                missing.append(h)
+        if missing:
+            filt = pads.field("bucket").isin(
+                sorted({h % nb for h in missing})
+            ) & pads.field("term_hash").isin(missing)
+            pdf = ds.to_table(filter=filt).to_pandas()
+            by_hash = (
+                {int(h): grp for h, grp in pdf.groupby("term_hash")}
+                if not pdf.empty
+                else {}
+            )
+            empty = pdf.iloc[0:0]
+            for h in missing:
+                grp = by_hash.get(h)
+                # absent terms cache the empty frame too: a repeated
+                # miss (OOV term, stopword-stripped query) must not
+                # re-read parquet every time
+                grp = empty if grp is None else grp.reset_index(drop=True)
+                nbytes = int(grp.memory_usage(deep=True).sum())
+                cache[h] = (grp, nbytes)
+                self._pcache_nbytes += nbytes
+                frames.append(grp)
+            # evict least-recent past the byte budget; frames already
+            # collected for THIS query stay alive via the local list
+            while self._pcache_nbytes > cap and cache:
+                _, (_, n0) = cache.popitem(last=False)
+                self._pcache_nbytes -= n0
+        nonempty = [f for f in frames if len(f)]
+        if not nonempty:
+            return frames[0] if frames else pd.DataFrame()
+        if len(nonempty) == 1:
+            return nonempty[0]
+        return pd.concat(nonempty, ignore_index=True)
 
     def tombstone_count(self) -> int:
         """Number of tombstoned (deleted-but-not-vacuumed) doc_ids —
@@ -994,20 +1096,9 @@ def _driver_search_batch(
     """Batch driver serving: ONE bucket-pruned pyarrow read of the
     union of every query's postings, then per shard a shared decode
     cache scores all queries — no Spark job (cf. :func:`_driver_search`)."""
-    import pyarrow.dataset as pads
-
     stats = stats if stats is not None else index.stats
     spark = index.spark
-    if index._pads is None:
-        index._pads = pads.dataset(
-            os.path.join(index.out_dir, "postings"),
-            format="parquet",
-            partitioning="hive",
-        )
-    filt = pads.field("bucket").isin(buckets) & pads.field("term_hash").isin(
-        hit_hashes
-    )
-    pdf = index._pads.to_table(filter=filt).to_pandas()
+    pdf = index.postings_rows(hit_hashes)
     if pdf.empty:
         return _empty_df(spark, BATCH_TOPK_SCHEMA)
     arr = index.dl_array()
@@ -1062,23 +1153,14 @@ def _driver_search(
     pruning happens at the file listing; term_hash is a row-group
     min/max filter) and score with the same NumPy segment scorer the
     executors run. No Spark job is launched; typical latency is
-    milliseconds instead of the ~0.5 s distributed-job floor. Falls
-    back implicitly only through search_topk's `serving` gate — the
-    function itself assumes the driver-pinned dl array exists."""
-    import pyarrow.dataset as pads
-
+    milliseconds instead of the ~0.5 s distributed-job floor; hot
+    terms additionally skip the parquet read via the per-Index
+    postings LRU (:meth:`Index.postings_rows`). Falls back implicitly
+    only through search_topk's `serving` gate — the function itself
+    assumes the driver-pinned dl array exists."""
     stats = stats if stats is not None else index.stats
     required = len(ordered_terms) if mode == "and" else 0
-    if index._pads is None:
-        index._pads = pads.dataset(
-            os.path.join(index.out_dir, "postings"),
-            format="parquet",
-            partitioning="hive",
-        )
-    filt = pads.field("bucket").isin(buckets) & pads.field("term_hash").isin(
-        hit_hashes
-    )
-    pdf = index._pads.to_table(filter=filt).to_pandas()
+    pdf = index.postings_rows(hit_hashes)
     spark = index.spark
     if pdf.empty:
         return _empty_df(spark, TOPK_SCHEMA)
