@@ -60,18 +60,35 @@ LEXICON_SCHEMA = (
 )
 DOC_STATS_SCHEMA = "doc_id long, doc_len long, shard int"
 
+import weakref
+
+_EMPTY_DF_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _empty_df(spark: SparkSession, schema: str) -> DataFrame:
     """Empty DataFrame without a Python-worker round trip.
 
     ``createDataFrame([], schema)`` still plans a Python RDD scan whose
     every evaluation forks a non-reused worker (~5 s per job); an empty
-    ``spark.range(0)`` projection stays entirely JVM-side.
+    ``spark.range(0)`` projection stays entirely JVM-side. The plan is
+    additionally cached per (session, schema): DataFrames are immutable
+    lazy plans, and *constructing* this one costs ~15 ms of py4j
+    round trips — which used to dominate empty-result query latency on
+    the driver serving path (profiled: 17 ms/query of a 30 ms total).
     """
-    cols = []
-    for field in schema.split(","):
-        name, typ = field.strip().split(" ", 1)
-        cols.append(F.lit(None).cast(typ.strip()).alias(name))
-    return spark.range(0).select(*cols)
+    per = _EMPTY_DF_CACHE.get(spark)
+    if per is None:
+        per = {}
+        _EMPTY_DF_CACHE[spark] = per
+    df = per.get(schema)
+    if df is None:
+        cols = []
+        for field in schema.split(","):
+            name, typ = field.strip().split(" ", 1)
+            cols.append(F.lit(None).cast(typ.strip()).alias(name))
+        df = spark.range(0).select(*cols)
+        per[schema] = df
+    return df
 
 
 def _read_parquet_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -495,13 +512,34 @@ def search_topk(
     eligibility page. ``vacuum_index`` purges them physically and
     refreshes the statistics.
     """
-    if mode not in ("or", "and"):
-        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if serving not in ("auto", "driver", "spark"):
         raise ValueError(f"serving must be auto|driver|spark, got {serving!r}")
+    resolved = _resolve_query(index, query_text, synonyms, mode, algorithm,
+                              k1, b)
+    if resolved is None:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    stats, ordered_terms, algorithm = resolved
+    return _execute_topk(index, stats, ordered_terms, k, mode,
+                         serving, algorithm, doc_filter)
+
+
+def _resolve_query(
+    index: Index,
+    query_text: str,
+    synonyms: dict[str, str] | None,
+    mode: str,
+    algorithm: str,
+    k1: float | None,
+    b: float | None,
+) -> tuple[IndexStats, list[tuple[int, str, float]], str] | None:
+    """Shared query front end: validate, apply (k1, b) overrides,
+    tokenize/rewrite, probe the lexicon, pick the algorithm. Returns
+    None when the query can produce no hits (no known term; conjunctive
+    query with an absent term)."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if algorithm not in ("auto", "wand", "dense"):
         raise ValueError(f"algorithm must be auto|wand|dense, got {algorithm!r}")
-    spark = index.spark
     stats = index.stats
     if k1 is not None or b is not None:
         import dataclasses
@@ -514,10 +552,10 @@ def search_topk(
     terms = parse_query(query_text, synonyms)
     meta = _lookup_terms(index, terms)
     if not meta:
-        return _empty_df(spark, TOPK_SCHEMA)
+        return None
     if mode == "and" and len(meta) < len(set(terms)):
         # some query term has no postings anywhere -> no conjunctive hit
-        return _empty_df(spark, TOPK_SCHEMA)
+        return None
     if algorithm == "auto":
         min_df = min(m["df"] for m in meta.values())
         algorithm = "wand" if (mode == "and" and min_df <= 20_000) else "dense"
@@ -529,8 +567,59 @@ def search_topk(
         (int(m["hash"]), t, float(m["idf"]))
         for t, m in sorted(meta.items())
     ]
-    return _execute_topk(index, stats, ordered_terms, k, mode,
-                         serving, algorithm, doc_filter)
+    return stats, ordered_terms, algorithm
+
+
+def search_topk_rows(
+    index: Index,
+    query_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    algorithm: str = "auto",
+    mode: str = "or",
+    k1: float | None = None,
+    b: float | None = None,
+) -> list[tuple[int, float]]:
+    """:func:`search_topk` with ``serving="driver"``, returning plain
+    ``[(doc_id, score)]`` pairs instead of a DataFrame — the serving
+    fast path for an online search node. Wrapping k rows into a Spark
+    DataFrame costs ~10-20 ms of py4j round trips per query (profiled;
+    the scoring itself is sub-millisecond on a hot index), so the
+    DataFrame contract dominates latency once the postings LRU is
+    warm. Rank- and score-identical to ``search_topk`` on every
+    serving path by test.
+
+    Same constraints as driver serving: the index must fit the
+    driver-pinned doc-norms array, and tombstone sets past
+    ``TOMBSTONE_OVERFETCH_MAX`` need the distributed scorer (use
+    :func:`search_topk` / ``vacuum_index``). No ``doc_filter`` —
+    filtered search is cogroup-only."""
+    resolved = _resolve_query(index, query_text, synonyms, mode, algorithm,
+                              k1, b)
+    if resolved is None:
+        return []
+    stats, ordered_terms, algorithm = resolved
+    if index.dl_array() is None:
+        raise ValueError(
+            f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): too "
+            "large for driver serving; use search_topk(serving='spark')"
+        )
+    tomb = None
+    tomb_n = index.tombstone_count()
+    if tomb_n:
+        if tomb_n > TOMBSTONE_OVERFETCH_MAX:
+            raise ValueError(
+                f"a tombstone set past {TOMBSTONE_OVERFETCH_MAX} needs the "
+                "distributed cogroup scorer; use search_topk(serving="
+                "'spark') or vacuum_index to shrink the tombstones"
+            )
+        tomb = index.tombstone_array()
+    k_eff = k + (int(tomb.size) if tomb is not None else 0)
+    hit_hashes = sorted(h for h, _, _ in ordered_terms)
+    return _driver_search_pairs(
+        index, ordered_terms, hit_hashes, k_eff, mode, algorithm,
+        exclude=tomb, final_k=k, stats=stats,
+    )
 
 
 def _execute_topk(
@@ -1135,10 +1224,9 @@ def _driver_search_batch(
     return spark.createDataFrame(out)
 
 
-def _driver_search(
+def _driver_search_pairs(
     index: Index,
     ordered_terms: list[tuple[int, str, float]],
-    buckets: list[int],
     hit_hashes: list[int],
     k: int,
     mode: str,
@@ -1147,23 +1235,18 @@ def _driver_search(
     exclude=None,
     final_k: int | None = None,
     stats: IndexStats | None = None,
-) -> DataFrame:
-    """Driver-side serving: read ONLY the probed (bucket, term_hash)
-    posting rows via a pyarrow dataset (bucket = hive partition dir, so
-    pruning happens at the file listing; term_hash is a row-group
-    min/max filter) and score with the same NumPy segment scorer the
-    executors run. No Spark job is launched; typical latency is
-    milliseconds instead of the ~0.5 s distributed-job floor; hot
-    terms additionally skip the parquet read via the per-Index
-    postings LRU (:meth:`Index.postings_rows`). Falls back implicitly
-    only through search_topk's `serving` gate — the function itself
-    assumes the driver-pinned dl array exists."""
+) -> list[tuple[int, float]]:
+    """Driver-side serving core: read ONLY the probed posting rows via
+    the per-Index pyarrow dataset / hot-postings LRU
+    (:meth:`Index.postings_rows` — bucket prunes at the file listing,
+    term_hash is a row-group min/max filter) and score with the same
+    NumPy segment scorer the executors run. Returns plain
+    ``[(doc_id, score)]`` pairs; no Spark job, no DataFrame."""
     stats = stats if stats is not None else index.stats
     required = len(ordered_terms) if mode == "and" else 0
     pdf = index.postings_rows(hit_hashes)
-    spark = index.spark
     if pdf.empty:
-        return _empty_df(spark, TOPK_SCHEMA)
+        return []
     arr = index.dl_array()
     span = stats.shard_span
     score_fn = _score_dense if algorithm == "dense" else _score_wand
@@ -1187,7 +1270,35 @@ def _driver_search(
         dead = set(int(i) for i in exclude)
         pairs = [p for p in pairs if int(p[0]) not in dead]
     pairs.sort(key=lambda e: (-e[1], e[0]))
-    top = pairs[: (final_k if final_k is not None else k)]
+    return [
+        (int(d), float(s))
+        for d, s in pairs[: (final_k if final_k is not None else k)]
+    ]
+
+
+def _driver_search(
+    index: Index,
+    ordered_terms: list[tuple[int, str, float]],
+    buckets: list[int],
+    hit_hashes: list[int],
+    k: int,
+    mode: str,
+    algorithm: str,
+    pairs_fn=None,
+    exclude=None,
+    final_k: int | None = None,
+    stats: IndexStats | None = None,
+) -> DataFrame:
+    """:func:`_driver_search_pairs` wrapped back into the DataFrame
+    contract (typical latency: milliseconds instead of the ~0.5 s
+    distributed-job floor). Falls back implicitly only through
+    search_topk's `serving` gate — the function itself assumes the
+    driver-pinned dl array exists."""
+    spark = index.spark
+    top = _driver_search_pairs(
+        index, ordered_terms, hit_hashes, k, mode, algorithm,
+        pairs_fn=pairs_fn, exclude=exclude, final_k=final_k, stats=stats,
+    )
     if not top:
         return _empty_df(spark, TOPK_SCHEMA)
     out = pd.DataFrame(top, columns=["doc_id", "score"]).astype(

@@ -1,0 +1,116 @@
+"""search_topk_rows: the no-DataFrame driver serving fast path.
+
+Wrapping k result rows into a Spark DataFrame costs ~10-20 ms of py4j
+round trips per query; an online search node wants plain pairs. The
+contract: rank- AND score-identical to search_topk on every input —
+including tuned (k1, b), conjunctive mode, tombstones, and empty
+results — with the same driver-serving eligibility gates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import hadoop_search_engine_spark.operators.query_exec as qe
+from hadoop_search_engine_spark.operators.query_exec import (
+    Index,
+    _empty_df,
+    search_topk,
+    search_topk_rows,
+)
+
+QUERIES = [
+    ("w00000", "or"), ("w00001 w00200 w04000", "or"),
+    ("needle7", "or"), ("needle7 w00000", "and"),
+    ("W00006!!", "or"), ("zzzz-nothere", "or"),
+    ("w00003 zzzz-nothere", "and"), ("", "or"),
+]
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _same(got, want, label):
+    assert len(got) == len(want), f"{label}: {got} vs {want}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd, f"{label}: {got} vs {want}"
+        assert math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-12), label
+
+
+def test_rows_identical_to_dataframe_path(tiny_index):
+    for q, mode in QUERIES:
+        want = _pairs(search_topk(tiny_index, q, k=7, mode=mode,
+                                  serving="driver"))
+        got = search_topk_rows(tiny_index, q, k=7, mode=mode)
+        _same(got, want, f"{q}/{mode}")
+        # and repeated (hot postings LRU) stays identical
+        _same(search_topk_rows(tiny_index, q, k=7, mode=mode), want,
+              f"{q}/{mode} hot")
+
+
+def test_rows_tuned_parameters(tiny_index):
+    q = "w00000 w00010"
+    want = _pairs(search_topk(tiny_index, q, k=5, serving="driver",
+                              k1=0.9, b=0.25))
+    _same(search_topk_rows(tiny_index, q, k=5, k1=0.9, b=0.25), want,
+          "tuned")
+
+
+def test_rows_respects_tombstones(spark, tiny_index, tmp_path):
+    import shutil
+
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+
+    mine = str(tmp_path / "idx")
+    shutil.copytree(tiny_index.out_dir, mine)
+    idx = Index.load(spark, mine)
+    q = "w00000"
+    before = search_topk_rows(idx, q, k=5)
+    delete_docs(idx, [before[0][0]])
+    after = search_topk_rows(idx, q, k=5)
+    assert all(d != before[0][0] for d, _ in after)
+    _same(after, _pairs(search_topk(idx, q, k=5, serving="driver")),
+          "post-delete")
+
+
+def test_rows_gates_match_driver_serving(spark, tiny_index, tmp_path,
+                                         monkeypatch):
+    # oversized index -> same ValueError as serving="driver"
+    monkeypatch.setattr(qe, "DL_BROADCAST_MAX_DOCS", 1)
+    fresh = Index.load(spark, tiny_index.out_dir)
+    with pytest.raises(ValueError, match="too large for driver serving"):
+        search_topk_rows(fresh, "w00000", k=3)
+    monkeypatch.undo()
+
+    # oversized tombstone set -> same ValueError as the driver gate
+    import shutil
+
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+
+    mine = str(tmp_path / "idx2")
+    shutil.copytree(tiny_index.out_dir, mine)
+    idx = Index.load(spark, mine)
+    delete_docs(idx, [0, 1, 2])
+    monkeypatch.setattr(qe, "TOMBSTONE_OVERFETCH_MAX", 2)
+    with pytest.raises(ValueError, match="tombstone set past"):
+        search_topk_rows(idx, "w00000", k=3)
+
+
+def test_rows_validation_errors(tiny_index):
+    with pytest.raises(ValueError, match="mode must be"):
+        search_topk_rows(tiny_index, "w00000", mode="xor")
+    with pytest.raises(ValueError, match="algorithm must be"):
+        search_topk_rows(tiny_index, "w00000", algorithm="bogus")
+
+
+def test_empty_df_plan_is_cached_per_session_and_schema(spark):
+    a = _empty_df(spark, "doc_id long, score double")
+    b = _empty_df(spark, "doc_id long, score double")
+    c = _empty_df(spark, "x int")
+    assert a is b
+    assert a is not c
+    assert a.count() == 0 and c.count() == 0
+    assert [f.name for f in c.schema.fields] == ["x"]
