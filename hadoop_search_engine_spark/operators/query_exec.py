@@ -756,6 +756,114 @@ def _execute_topk(
 SEGMENT_TOPK_SCHEMA = "segment int, doc_id long, score double"
 
 
+def _federated_plan(
+    indexes: list,
+    query_text: str,
+    synonyms: dict[str, str] | None,
+    mode: str,
+    algorithm: str,
+) -> list[tuple]:
+    """Shared federation front end: global statistics (N = Σ n_docs,
+    doc-weighted avgdl, df(t) summed across segments → one global idf
+    per term) and the per-segment scoring plan. Returns
+    ``[(segment_i, index, stats_with_global_avgdl, ordered_terms,
+    algorithm)]`` — empty when no segment can produce a hit."""
+    if not indexes:
+        raise ValueError("need at least one index segment")
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    from ..functions.bm25 import idf as idf_scalar
+
+    terms = parse_query(query_text, synonyms)
+    if not terms:
+        return []
+    metas = [_lookup_terms(ix, terms) for ix in indexes]
+    n_total = sum(int(ix.stats.n_docs) for ix in indexes)
+    if n_total == 0:
+        return []
+    avgdl_g = (
+        sum(float(ix.stats.avgdl) * int(ix.stats.n_docs) for ix in indexes)
+        / n_total
+    )
+    df_g: dict[str, int] = {}
+    for m in metas:
+        for t, d in m.items():
+            df_g[t] = df_g.get(t, 0) + int(d["df"])
+    required = set(terms)
+    if not df_g or (mode == "and" and set(df_g) < required):
+        return []
+    idf_g = {t: idf_scalar(n_total, d) for t, d in df_g.items()}
+
+    import dataclasses
+
+    plan = []
+    for i, (ix, m) in enumerate(zip(indexes, metas)):
+        if not m:
+            continue
+        if mode == "and" and set(m) < required:
+            # a doc lives wholly in one segment: if the segment lacks
+            # any query term, none of its docs can match conjunctively
+            continue
+        algo = algorithm
+        if algo == "auto":
+            min_df = min(int(d["df"]) for d in m.values())
+            algo = "wand" if (mode == "and" and min_df <= 20_000) else "dense"
+        stats_g = dataclasses.replace(ix.stats, avgdl=avgdl_g)
+        ordered = [
+            (int(d["hash"]), t, float(idf_g[t])) for t, d in sorted(m.items())
+        ]
+        plan.append((i, ix, stats_g, ordered, algo))
+    return plan
+
+
+def search_topk_segments_rows(
+    indexes: list,
+    query_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    algorithm: str = "auto",
+) -> list[tuple[int, int, float]]:
+    """:func:`search_topk_segments` as the serving fast path: plain
+    ``[(segment, doc_id, score)]`` triples, every segment served on
+    the driver (:func:`_driver_search_pairs` — postings LRU, no Spark
+    job, no DataFrame wrap), the cross-segment merge a k·segments-row
+    Python sort with the same ordering (score desc, segment asc,
+    doc_id asc). Rank- and score-identical to the DataFrame path by
+    test; same per-segment gates as :func:`search_topk_rows`."""
+    rows: list[tuple[int, int, float]] = []
+    for i, ix, stats_g, ordered, algo in _federated_plan(
+        indexes, query_text, synonyms, mode, algorithm
+    ):
+        if ix.dl_array() is None:
+            raise ValueError(
+                f"segment {i} has {ix.stats.n_docs} docs "
+                f"(> {DL_BROADCAST_MAX_DOCS}): too large for driver "
+                "serving; use search_topk_segments(serving='spark')"
+            )
+        tomb = None
+        tomb_n = ix.tombstone_count()
+        if tomb_n:
+            if tomb_n > TOMBSTONE_OVERFETCH_MAX:
+                raise ValueError(
+                    f"segment {i}'s tombstone set is past "
+                    f"{TOMBSTONE_OVERFETCH_MAX}; use "
+                    "search_topk_segments(serving='spark') or vacuum_index"
+                )
+            tomb = ix.tombstone_array()
+        k_eff = k + (int(tomb.size) if tomb is not None else 0)
+        hit_hashes = sorted(h for h, _, _ in ordered)
+        rows.extend(
+            (i, d, s)
+            for d, s in _driver_search_pairs(
+                ix, ordered, hit_hashes, k_eff, mode, algo,
+                exclude=tomb, final_k=k, stats=stats_g,
+            )
+        )
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
 def search_topk_segments(
     indexes: list,
     query_text: str,
@@ -786,51 +894,10 @@ def search_topk_segments(
     per-segment (segment is the position in ``indexes``), since
     independent builds mint independent dense ids.
     """
-    if not indexes:
-        raise ValueError("need at least one index segment")
-    if mode not in ("or", "and"):
-        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    from ..functions.bm25 import idf as idf_scalar
-
     spark = indexes[0].spark
-    terms = parse_query(query_text, synonyms)
-    if not terms:
-        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
-    metas = [_lookup_terms(ix, terms) for ix in indexes]
-    n_total = sum(int(ix.stats.n_docs) for ix in indexes)
-    if n_total == 0:
-        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
-    avgdl_g = (
-        sum(float(ix.stats.avgdl) * int(ix.stats.n_docs) for ix in indexes)
-        / n_total
-    )
-    df_g: dict[str, int] = {}
-    for m in metas:
-        for t, d in m.items():
-            df_g[t] = df_g.get(t, 0) + int(d["df"])
-    required = set(terms)
-    if not df_g or (mode == "and" and set(df_g) < required):
-        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
-    idf_g = {t: idf_scalar(n_total, d) for t, d in df_g.items()}
-
-    import dataclasses
-
+    plan = _federated_plan(indexes, query_text, synonyms, mode, algorithm)
     parts = []
-    for i, (ix, m) in enumerate(zip(indexes, metas)):
-        if not m:
-            continue
-        if mode == "and" and set(m) < required:
-            # a doc lives wholly in one segment: if the segment lacks
-            # any query term, none of its docs can match conjunctively
-            continue
-        algo = algorithm
-        if algo == "auto":
-            min_df = min(int(d["df"]) for d in m.values())
-            algo = "wand" if (mode == "and" and min_df <= 20_000) else "dense"
-        stats_g = dataclasses.replace(ix.stats, avgdl=avgdl_g)
-        ordered = [
-            (int(d["hash"]), t, float(idf_g[t])) for t, d in sorted(m.items())
-        ]
+    for i, ix, stats_g, ordered, algo in plan:
         res = _execute_topk(ix, stats_g, ordered, k, mode, serving, algo, None)
         parts.append(
             res.select(

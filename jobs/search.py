@@ -50,6 +50,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="treat --query as an autocomplete prefix")
     ap.add_argument("--fuzzy", action="store_true",
                     help="spell-correct out-of-vocabulary query terms")
+    ap.add_argument("--rows", action="store_true",
+                    help="serving fast path: print (doc_id, score) pairs "
+                         "as one JSON line via search_topk_rows — no Spark "
+                         "DataFrame (the DataFrame wrap alone costs 10-180 "
+                         "ms of py4j round trips per query)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -84,6 +89,19 @@ def main(argv: list[str] | None = None) -> None:
             result = search_topk_segments_batch(segs, qs, k=args.k,
                                                 mode=args.mode)
             result.show(args.k * len(qs), truncate=80)
+        elif args.rows:
+            import json
+
+            from hadoop_search_engine_spark.operators.query_exec import (
+                search_topk_segments_rows,
+            )
+
+            triples = search_topk_segments_rows(segs, args.query, k=args.k,
+                                                mode=args.mode)
+            print(json.dumps([
+                {"segment": i, "doc_id": d, "score": s}
+                for i, d, s in triples
+            ]))
         else:
             result = search_topk_segments(segs, args.query, k=args.k,
                                           mode=args.mode)
@@ -127,6 +145,20 @@ def main(argv: list[str] | None = None) -> None:
 
         result = phrase_search(idx, args.query, k=args.k)
     else:
+        if args.rows and not args.documents:
+            import json
+
+            from hadoop_search_engine_spark.operators.query_exec import (
+                search_topk_rows,
+            )
+
+            pairs = search_topk_rows(idx, args.query, k=args.k,
+                                     algorithm=args.algorithm,
+                                     mode=args.mode, k1=args.k1, b=args.b)
+            print(json.dumps([{"doc_id": d, "score": s} for d, s in pairs]))
+            if owns_session:
+                spark.stop()
+            return
         result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm,
                              mode=args.mode, k1=args.k1, b=args.b)
         if args.documents:

@@ -114,3 +114,32 @@ def test_empty_df_plan_is_cached_per_session_and_schema(spark):
     assert a is not c
     assert a.count() == 0 and c.count() == 0
     assert [f.name for f in c.schema.fields] == ["x"]
+
+
+def test_federated_rows_identical_to_dataframe_path(spark, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_segments,
+        search_topk_segments_rows,
+    )
+
+    rows_a = [(i, f"alpha beta w{i % 7} gamma") for i in range(30)]
+    rows_b = [(i, f"alpha delta w{i % 5} epsilon gamma") for i in range(30)]
+    segs = []
+    for name, rows in (("a", rows_a), ("b", rows_b)):
+        d = str(tmp_path / name)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        build_index(spark, docs, d, shard_span=16, n_buckets=4, block_size=8)
+        segs.append(Index.load(spark, d))
+    for q, mode in [("alpha", "or"), ("alpha gamma", "and"),
+                    ("w1 delta", "or"), ("beta epsilon", "and"),
+                    ("zzz-absent", "or"), ("", "or")]:
+        want = [
+            (r["segment"], r["doc_id"], r["score"])
+            for r in search_topk_segments(segs, q, k=6, mode=mode).collect()
+        ]
+        got = search_topk_segments_rows(segs, q, k=6, mode=mode)
+        assert len(got) == len(want), (q, mode, got, want)
+        for (gs, gd, gv), (ws, wd, wv) in zip(got, want):
+            assert (gs, gd) == (ws, wd), (q, mode, got, want)
+            assert math.isclose(gv, wv, rel_tol=1e-12, abs_tol=1e-12)
