@@ -542,3 +542,113 @@ def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
             f,
         )
     return Index.load(spark, out_dir)
+
+
+# ----------------------------------------------------------------------
+# Compaction policy
+
+
+def _segment_profile(d: str) -> dict:
+    """Driver-side segment profile, no Spark job: committed size from
+    the lineage counters (one tiny checkpoints read), doc/tombstone
+    counts, and the merge-compatibility key."""
+    import pyarrow.dataset as pads
+
+    s = read_stats(d)
+    ck = (
+        pads.dataset(os.path.join(d, "checkpoints"), format="parquet")
+        .to_table(columns=["bucket", "bytes"])
+        .to_pandas()
+    )
+    size = int(ck.loc[ck["bucket"] >= 0, "bytes"].sum())
+    tomb = 0
+    td = _tomb_dir(d)
+    if os.path.isdir(td):
+        tomb = int(pads.dataset(td, format="parquet").count_rows())
+    return {
+        "dir": d,
+        "size_bytes": size,
+        "n_docs": int(s.n_docs),
+        "tombstones": tomb,
+        "key": (s.shard_span, s.n_buckets, s.block_size, s.k1, s.b,
+                bool(s.positions)),
+    }
+
+
+def plan_compaction(
+    segment_dirs: list[str],
+    *,
+    max_width: int = 10,
+    tier_ratio: float = 3.0,
+    min_merge: int = 2,
+    tombstone_ratio: float = 0.2,
+) -> dict:
+    """Size-tiered merge scheduling over index segments — the policy
+    layer above :func:`merge_indexes` (Lucene's TieredMergePolicy
+    analog; the reference has one immutable index and no lifecycle).
+    A streaming deployment accretes segments (base + per-epoch
+    compacted deltas); merging everything into the base on every epoch
+    rewrites the base repeatedly (write amplification ~O(total/delta)),
+    while tiering only merges segments of SIMILAR size, so each byte
+    is rewritten O(log(total/delta)) times — at 100 TB the difference
+    between continuous full-index rewrites and a bounded background
+    task.
+
+    Pure driver-side planning (pyarrow metadata reads, no Spark job):
+
+    * segments group only with MERGE-COMPATIBLE peers (identical
+      shard_span/n_buckets/block_size/k1/b/positions — the
+      :func:`merge_indexes` precondition);
+    * within a compatibility group, ascending-size sweep: a segment
+      joins the current tier while its committed postings size is
+      <= ``tier_ratio`` x the tier's smallest member; tiers with
+      >= ``min_merge`` members become merges, capped at ``max_width``;
+    * each planned merge lists its inputs LARGEST FIRST — segment 0 is
+      merge_indexes' zero-offset hardlinked segment, so the biggest
+      input ingests for free and only the smaller tiers' bytes move;
+    * segments whose tombstone fraction is >= ``tombstone_ratio`` are
+      routed to ``vacuum`` instead (vacuum reclaims in place; merging
+      first would rewrite bytes that vacuum is about to drop).
+
+    Returns ``{"merges": [[dir, ...], ...], "vacuum": [dir, ...],
+    "profiles": [...]}`` — deterministic for a given input. Apply with
+    ``merge_indexes(spark, group, out_dir)`` per group (or
+    ``jobs/maintain.py --merge``) and :func:`vacuum_index` per vacuum
+    entry; re-plan after applying."""
+    profiles = [_segment_profile(d) for d in segment_dirs]
+    vacuum = [
+        p["dir"] for p in profiles
+        if p["n_docs"] and p["tombstones"] / p["n_docs"] >= tombstone_ratio
+    ]
+    skip = set(vacuum)
+    compat: dict[tuple, list[dict]] = {}
+    for p in profiles:
+        if p["dir"] not in skip:
+            compat.setdefault(p["key"], []).append(p)
+    merges: list[list[dict]] = []
+    for key in sorted(compat, key=str):
+        tier: list[dict] = []
+        for p in sorted(compat[key],
+                        key=lambda q: (q["size_bytes"], q["dir"])):
+            if not tier or p["size_bytes"] <= tier_ratio * max(
+                1, tier[0]["size_bytes"]
+            ):
+                tier.append(p)
+                if len(tier) == max_width:
+                    merges.append(tier)
+                    tier = []
+            else:
+                if len(tier) >= min_merge:
+                    merges.append(tier)
+                tier = [p]
+        if len(tier) >= min_merge:
+            merges.append(tier)
+    return {
+        "merges": [
+            [p["dir"] for p in sorted(g, key=lambda q: (-q["size_bytes"],
+                                                        q["dir"]))]
+            for g in merges
+        ],
+        "vacuum": vacuum,
+        "profiles": profiles,
+    }

@@ -26,7 +26,8 @@ import sys
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index",
+                    help="index dir (required except --plan-compaction)")
     ap.add_argument("--delete", help="comma-separated doc_ids to tombstone")
     ap.add_argument("--delete-file", help="parquet with a doc_id column")
     ap.add_argument("--vacuum", action="store_true")
@@ -35,13 +36,39 @@ def main(argv: list[str] | None = None) -> None:
         "--merge",
         help="comma-separated source index dirs to merge INTO --index",
     )
+    ap.add_argument(
+        "--plan-compaction",
+        help="comma-separated segment dirs: print a size-tiered merge "
+             "plan (JSON; merges largest-first per group, "
+             "tombstone-heavy segments routed to vacuum) without "
+             "touching anything — no Spark job",
+    )
     args = ap.parse_args(argv)
+    if args.plan_compaction:
+        import json as _json
+
+        from hadoop_search_engine_spark.operators.index_maint import (
+            plan_compaction,
+        )
+
+        plan = plan_compaction(
+            [d for d in args.plan_compaction.split(",") if d.strip()]
+        )
+        plan["profiles"] = [
+            {k: (list(v) if isinstance(v, tuple) else v)
+             for k, v in p.items()}
+            for p in plan["profiles"]
+        ]
+        print(_json.dumps(plan, indent=2))
+        return
     if not (args.delete or args.delete_file or args.vacuum or args.report
             or args.merge):
         ap.error(
             "nothing to do: pass --delete/--delete-file/--vacuum/"
-            "--merge/--report"
+            "--merge/--plan-compaction/--report"
         )
+    if not args.index:
+        ap.error("--index is required for this action")
 
     from pyspark.sql import SparkSession
 
