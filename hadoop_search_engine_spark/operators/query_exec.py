@@ -320,6 +320,37 @@ class Index:
             return nonempty[0]
         return pd.concat(nonempty, ignore_index=True)
 
+    def warm(self, top_terms: int = 0) -> dict:
+        """Serving-node startup warm-up — the analog of the reference
+        server loading its whole index into memory before accepting
+        queries (server/src/utils/index.js), done proportionately: pin
+        the doc-norms array, the lexicon map (+ its length-bucketed
+        fuzzy view), the postings dataset listing, and optionally the
+        ``top_terms`` highest-df terms' posting rows into the hot LRU
+        (Zipfian traffic means those terms dominate; the byte budget
+        still bounds memory). After ``warm``, first-query latency is
+        the hot-path latency. Returns a summary of what got pinned."""
+        out: dict = {"docs_pinned": 0, "lexicon_terms": 0,
+                     "terms_cached": 0, "postings_cache_bytes": 0}
+        arr = self.dl_array()
+        if arr is not None:
+            out["docs_pinned"] = int(self.stats.n_docs)
+        lm = self.lexicon_map()
+        if lm is not None:
+            out["lexicon_terms"] = len(lm)
+            self.lexicon_by_length()
+        self._postings_dataset()
+        if top_terms and lm:
+            hot = sorted(lm.items(), key=lambda kv: (-kv[1]["df"], kv[0]))
+            hashes = [int(v["hash"]) for _, v in hot[:top_terms]]
+            if hashes:
+                self.postings_rows(hashes)
+                out["terms_cached"] = (
+                    len(self._pcache) if self._pcache is not None else 0
+                )
+                out["postings_cache_bytes"] = int(self._pcache_nbytes)
+        return out
+
     def tombstone_count(self) -> int:
         """Number of tombstoned (deleted-but-not-vacuumed) doc_ids —
         a driver-side pyarrow row count, no Spark job; 0 when the

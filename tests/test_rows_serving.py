@@ -143,3 +143,27 @@ def test_federated_rows_identical_to_dataframe_path(spark, tmp_path):
         for (gs, gd, gv), (ws, wd, wv) in zip(got, want):
             assert (gs, gd) == (ws, wd), (q, mode, got, want)
             assert math.isclose(gv, wv, rel_tol=1e-12, abs_tol=1e-12)
+
+
+def test_warm_pins_serving_state_and_preserves_results(spark, tiny_index):
+    fresh = Index.load(spark, tiny_index.out_dir)
+    want = {
+        q: search_topk_rows(fresh, q, k=5)
+        for q in ("w00000", "needle7", "w00001 w00200")
+    }
+    idx = Index.load(spark, tiny_index.out_dir)
+    summary = idx.warm(top_terms=20)
+    assert summary["docs_pinned"] == idx.stats.n_docs
+    assert summary["lexicon_terms"] > 0
+    assert summary["terms_cached"] > 0
+    assert summary["postings_cache_bytes"] > 0
+    for q, w in want.items():
+        _same(search_topk_rows(idx, q, k=5), w, f"warm {q}")
+
+
+def test_warm_survives_disabled_cache(spark, tiny_index, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_POSTINGS_CACHE_MB", "0")
+    idx = Index.load(spark, tiny_index.out_dir)
+    summary = idx.warm(top_terms=5)
+    assert summary["terms_cached"] == 0  # budget 0: nothing pinned
+    assert search_topk_rows(idx, "w00000", k=3)
