@@ -140,3 +140,53 @@ def test_cli_plan_compaction(tmp_path, capsys):
 
     plan = json.loads(out)
     assert plan["merges"] == [[b, a]]
+
+
+# ---------------------------------------------------------------------
+# property-based invariants (pure planning logic, no Spark)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=10**9),
+                       min_size=0, max_size=24),
+        spans=st.lists(st.sampled_from([512, 1024]), min_size=0,
+                       max_size=24),
+        ratio=st.floats(min_value=1.5, max_value=10.0),
+        width=st.integers(min_value=2, max_value=8),
+    )
+    def test_plan_invariants(tmp_path_factory, sizes, spans, ratio, width):
+        tmp = tmp_path_factory.mktemp("plan")
+        dirs, meta = [], {}
+        for i, size in enumerate(sizes):
+            span = spans[i % len(spans)] if spans else 1024
+            d = _fake_segment(tmp, f"s{i}", size, shard_span=span)
+            dirs.append(d)
+            meta[d] = (size, span)
+        plan = plan_compaction(dirs, tier_ratio=ratio, max_width=width)
+        seen: set[str] = set()
+        for group in plan["merges"]:
+            # width bounds and no dir in two merges
+            assert 2 <= len(group) <= width
+            assert not (set(group) & seen)
+            seen.update(group)
+            # only merge-compatible members
+            assert len({meta[d][1] for d in group}) == 1
+            # largest first; tier ratio holds between extremes
+            gs = [meta[d][0] for d in group]
+            assert gs == sorted(gs, reverse=True)
+            assert max(gs) <= ratio * max(1, min(gs))
+        # deterministic under input permutation
+        assert plan["merges"] == plan_compaction(
+            list(reversed(dirs)), tier_ratio=ratio, max_width=width
+        )["merges"]
