@@ -359,11 +359,26 @@ def main() -> None:
         ),
         4,
     )
+    # round-over-round comparability: "value" sums EVERY timed entry,
+    # but the entry set grows each round (batch, federated, hot/rows
+    # percentiles...), so the raw total inflates as coverage widens.
+    # value_shared_r02 sums only the entries that existed in round 2's
+    # suite — the like-for-like regression signal.
+    shared_r02 = [
+        "index_build", "wand_head_term", "wand_multi_term",
+        "wand_tail_term", "wand_k100", "bm25_dataframe_exhaustive",
+        "inverted_index_build", "minhash_lsh_dedup", "ann_bruteforce",
+        "tpch_q1", "facet_counts_indexed", "suggest_autocomplete",
+        "fuzzy_query", "segment_merge", "tombstone_delete", "vacuum",
+    ]
     print(
         json.dumps(
             {
                 "metric": "index_build+query headline suite (sec, lower is better)",
                 "value": total,
+                "value_shared_r02": round(
+                    sum(timings[k] for k in shared_r02 if k in timings), 4
+                ),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
