@@ -1083,11 +1083,27 @@ def search_topk_batch(
     the same over-retrieve + post-filter (small sets) or cogroup
     eligibility page (large sets) as the single-query path.
     """
-    if mode not in ("or", "and"):
-        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     if serving not in ("auto", "driver", "spark"):
         raise ValueError(f"serving must be auto|driver|spark, got {serving!r}")
-    spark = index.spark
+    stats, per_q = _resolve_batch(index, queries, synonyms, mode, k1, b)
+    if not per_q:
+        return _empty_df(index.spark, BATCH_TOPK_SCHEMA)
+    return _execute_topk_batch(index, stats, per_q, k, mode, serving)
+
+
+def _resolve_batch(
+    index: Index,
+    queries: dict[str, str],
+    synonyms: dict[str, str] | None,
+    mode: str,
+    k1: float | None,
+    b: float | None,
+) -> tuple[IndexStats, list[tuple[str, list[tuple[int, str, float]]]]]:
+    """Shared batch front end: ONE lexicon probe for the union of all
+    queries' terms, per-query ascending-term (hash, term, idf) lists.
+    Queries that can produce no hits contribute no entry."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     stats = index.stats
     if k1 is not None or b is not None:
         # per-call BM25 tuning, no rebuild (see search_topk)
@@ -1112,9 +1128,52 @@ def search_topk_batch(
             qid,
             [(int(m["hash"]), t, float(m["idf"])) for t, m in sorted(qmeta.items())],
         ))
+    return stats, per_q
+
+
+def search_topk_batch_rows(
+    index: Index,
+    queries: dict[str, str],
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    k1: float | None = None,
+    b: float | None = None,
+) -> dict[str, list[tuple[int, float]]]:
+    """:func:`search_topk_batch` as the serving fast path: the whole
+    query set scored driver-side (one union-pruned postings read via
+    the hot LRU, per-shard decode shared across queries) and returned
+    as plain ``{query_id: [(doc_id, score)]}`` — no Spark job and no
+    DataFrame wrap, the shape an evaluation harness or query-log
+    replayer consumes directly. Per-query results are bit-identical to
+    :func:`search_topk` / :func:`search_topk_batch` by test. Queries
+    that can produce no hits map to no key (exactly the rows they'd
+    contribute). Same gates as :func:`search_topk_rows`: driver-sized
+    index, tombstone set within ``TOMBSTONE_OVERFETCH_MAX``."""
+    stats, per_q = _resolve_batch(index, queries, synonyms, mode, k1, b)
     if not per_q:
-        return _empty_df(spark, BATCH_TOPK_SCHEMA)
-    return _execute_topk_batch(index, stats, per_q, k, mode, serving)
+        return {}
+    if index.dl_array() is None:
+        raise ValueError(
+            f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): too "
+            "large for driver serving; use search_topk_batch(serving='spark')"
+        )
+    tomb = None
+    tomb_n = index.tombstone_count()
+    if tomb_n:
+        if tomb_n > TOMBSTONE_OVERFETCH_MAX:
+            raise ValueError(
+                f"a tombstone set past {TOMBSTONE_OVERFETCH_MAX} needs the "
+                "distributed cogroup scorer; use search_topk_batch(serving="
+                "'spark') or vacuum_index to shrink the tombstones"
+            )
+        tomb = index.tombstone_array()
+    k_eff = k + (int(tomb.size) if tomb is not None else 0)
+    all_hashes = sorted({h for _, ot in per_q for h, _, _ in ot})
+    return _driver_search_batch_pairs(
+        index, per_q, all_hashes, k_eff, mode,
+        exclude=tomb, final_k=k, stats=stats,
+    )
 
 
 def _execute_topk_batch(
@@ -1283,14 +1342,46 @@ def _driver_search_batch(
     """Batch driver serving: ONE bucket-pruned pyarrow read of the
     union of every query's postings, then per shard a shared decode
     cache scores all queries — no Spark job (cf. :func:`_driver_search`)."""
-    stats = stats if stats is not None else index.stats
+    per_qid = _driver_search_batch_pairs(
+        index, per_query_terms, hit_hashes, k, mode,
+        exclude=exclude, final_k=final_k, stats=stats,
+    )
     spark = index.spark
+    rows = [
+        (qid, d, s)
+        for qid, _ in per_query_terms
+        for d, s in per_qid.get(qid, ())
+    ]
+    if not rows:
+        return _empty_df(spark, BATCH_TOPK_SCHEMA)
+    out = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"]).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    return spark.createDataFrame(out)
+
+
+def _driver_search_batch_pairs(
+    index: Index,
+    per_query_terms: list[tuple[str, list[tuple[int, str, float]]]],
+    hit_hashes: list[int],
+    k: int,
+    mode: str,
+    exclude=None,
+    final_k: int | None = None,
+    stats: IndexStats | None = None,
+) -> dict[str, list[tuple[int, float]]]:
+    """Batch driver core: shared postings read (hot LRU) + per-shard
+    shared decode, returning ``{query_id: [(doc_id, score)]}`` —
+    per-query results bit-identical to single-query serving."""
+    stats = stats if stats is not None else index.stats
     pdf = index.postings_rows(hit_hashes)
     if pdf.empty:
-        return _empty_df(spark, BATCH_TOPK_SCHEMA)
+        return {}
     arr = index.dl_array()
     span = stats.shard_span
-    per_qid: dict[str, list[tuple[int, float]]] = {qid: [] for qid, _ in per_query_terms}
+    per_qid: dict[str, list[tuple[int, float]]] = {
+        qid: [] for qid, _ in per_query_terms
+    }
     for shard, grp in pdf.groupby("shard"):
         base = int(shard) * span
         dl = arr[base : base + span]
@@ -1304,22 +1395,17 @@ def _driver_search_batch(
                              stats.avgdl, k, required, decode_cache=cache)
             )
     dead = set(int(i) for i in exclude) if exclude is not None else None
-    rows = []
+    out: dict[str, list[tuple[int, float]]] = {}
     for qid, _ in per_query_terms:
         pairs = per_qid[qid]
         if dead:
             pairs = [p for p in pairs if int(p[0]) not in dead]
         pairs.sort(key=lambda e: (-e[1], e[0]))
-        rows.extend(
-            (qid, int(d), float(s))
+        out[qid] = [
+            (int(d), float(s))
             for d, s in pairs[: (final_k if final_k is not None else k)]
-        )
-    if not rows:
-        return _empty_df(spark, BATCH_TOPK_SCHEMA)
-    out = pd.DataFrame(rows, columns=["query_id", "doc_id", "score"]).astype(
-        {"doc_id": "int64", "score": "float64"}
-    )
-    return spark.createDataFrame(out)
+        ]
+    return out
 
 
 def _driver_search_pairs(

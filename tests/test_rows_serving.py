@@ -167,3 +167,52 @@ def test_warm_survives_disabled_cache(spark, tiny_index, monkeypatch):
     summary = idx.warm(top_terms=5)
     assert summary["terms_cached"] == 0  # budget 0: nothing pinned
     assert search_topk_rows(idx, "w00000", k=3)
+
+
+def test_batch_rows_identical_to_batch_dataframe(spark, tiny_index, tmp_path):
+    import shutil
+
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_batch,
+        search_topk_batch_rows,
+    )
+
+    queries = {
+        "head": "w00000",
+        "multi": "w00001 w00200 w04000",
+        "needle": "needle7 w00000",
+        "noise": "W00006!!",
+        "absent": "zzzz-nothere",
+    }
+    want: dict = {}
+    for r in search_topk_batch(tiny_index, queries, k=5,
+                               serving="driver").collect():
+        want.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for v in want.values():
+        v.sort(key=lambda p: (-p[1], p[0]))
+    got = search_topk_batch_rows(tiny_index, queries, k=5)
+    assert set(got) == set(want)
+    for qid in want:
+        _same(got[qid], want[qid], f"batch rows {qid}")
+    # tuned parameters flow through identically
+    tuned_df: dict = {}
+    for r in search_topk_batch(tiny_index, queries, k=5, serving="driver",
+                               k1=0.8, b=0.3).collect():
+        tuned_df.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"])
+        )
+    for v in tuned_df.values():
+        v.sort(key=lambda p: (-p[1], p[0]))
+    tuned_rows = search_topk_batch_rows(tiny_index, queries, k=5,
+                                        k1=0.8, b=0.3)
+    for qid in tuned_df:
+        _same(tuned_rows[qid], tuned_df[qid], f"tuned batch rows {qid}")
+    # tombstones respected
+    mine = str(tmp_path / "idx3")
+    shutil.copytree(tiny_index.out_dir, mine)
+    idx = Index.load(spark, mine)
+    top = search_topk_batch_rows(idx, {"q": "w00000"}, k=3)["q"][0][0]
+    delete_docs(idx, [top])
+    after = search_topk_batch_rows(idx, {"q": "w00000"}, k=3)["q"]
+    assert all(d != top for d, _ in after)
