@@ -186,6 +186,29 @@ def q_bm25_topk_indexed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-node fast path (search_topk_rows: hot-postings LRU
+    + plain pairs, no Spark job, no DataFrame on the serving side) on
+    the oracle board — the pairs are wrapped into a DataFrame HERE
+    only so the driver can compare them to the SAME DuckDB SQL as
+    bm25_topk; the serving call itself never touches Spark."""
+    import pandas as pd
+
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_rows,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    pairs = search_topk_rows(ix, " ".join(FLAGSHIP_TERMS), k=20)
+    pairs = search_topk_rows(ix, " ".join(FLAGSHIP_TERMS), k=20)  # hot LRU
+    pdf = pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    return spark.createDataFrame(pdf).select(
+        "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_bm25_topk_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time (k1, b) override on the real index — relevance
     tuning with NO rebuild (blocks store raw (max_tf, min_dl), so any
@@ -908,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_indexed_driver": q_bm25_topk_indexed_driver,
         "bm25_topk_indexed_and": q_bm25_topk_indexed_and,
+        "bm25_topk_rows": q_bm25_topk_rows,
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
@@ -1643,6 +1667,7 @@ def oracle_sql() -> dict[str, str]:
     # DataFrame baseline
     out["bm25_topk_indexed"] = out["bm25_topk"]
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
+    out["bm25_topk_rows"] = out["bm25_topk"]
     out["bm25_topk_indexed_and"] = out["bm25_topk_and"]
     out["filtered_search_indexed"] = out["filtered_search"]
     # query-time (k1, b) tuning: same pipeline, tuned score constants

@@ -119,6 +119,21 @@ def main(argv: list[str] | None = None) -> None:
 
         with open(args.queries_file) as fh:
             qs = json.load(fh)
+        if args.rows:
+            from hadoop_search_engine_spark.operators.query_exec import (
+                search_topk_batch_rows,
+            )
+
+            per_q = search_topk_batch_rows(idx, qs, k=args.k,
+                                           mode=args.mode,
+                                           k1=args.k1, b=args.b)
+            print(json.dumps({
+                qid: [{"doc_id": d, "score": s} for d, s in pairs]
+                for qid, pairs in per_q.items()
+            }))
+            if owns_session:
+                spark.stop()
+            return
         result = search_topk_batch(idx, qs, k=args.k, mode=args.mode,
                                    k1=args.k1, b=args.b)
         result.show(args.k * len(qs), truncate=80)
