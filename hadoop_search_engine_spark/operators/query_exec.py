@@ -310,15 +310,17 @@ class Index:
             )
         return self._pads
 
-    def postings_rows(self, hit_hashes) -> pd.DataFrame:
+    def postings_rows_by_term(self, hit_hashes) -> dict[int, pd.DataFrame]:
         """Posting rows for the probed term hashes, driver-side (no
-        Spark job): bucket = pmod(hash, B) prunes at the hive file
-        listing, term_hash is a row-group min/max filter. Rows are
-        cached per term in a byte-bounded LRU (see
+        Spark job), one frame PER TERM: bucket = pmod(hash, B) prunes
+        at the hive file listing, term_hash is a row-group min/max
+        filter. Rows are cached per term in a byte-bounded LRU (see
         ``POSTINGS_CACHE_MB_DEFAULT``) so repeated probes of hot terms
         skip parquet entirely; an uncached query costs ONE dataset
-        read for all of its missing terms, exactly like the uncached
-        path. Cache lifetime is this Index instance — the same
+        read for all of its missing terms. The per-term shape lets the
+        dense scorer iterate terms without re-concatenating frames
+        (``pd.concat`` of blob-object columns profiled at ~20% of hot
+        query time). Cache lifetime is this Index instance — the same
         snapshot semantics as the cached dataset listing itself
         (vacuum/merge return a reloaded Index)."""
         import pyarrow.dataset as pads
@@ -331,19 +333,26 @@ class Index:
             filt = pads.field("bucket").isin(
                 sorted({h % nb for h in wanted})
             ) & pads.field("term_hash").isin(wanted)
-            return ds.to_table(filter=filt).to_pandas()
+            pdf = ds.to_table(filter=filt).to_pandas()
+            by_hash = (
+                {int(h): grp.reset_index(drop=True)
+                 for h, grp in pdf.groupby("term_hash")}
+                if not pdf.empty else {}
+            )
+            empty = pdf.iloc[0:0]
+            return {h: by_hash.get(h, empty) for h in wanted}
         if self._pcache is None:
             from collections import OrderedDict
 
             self._pcache = OrderedDict()
         cache = self._pcache
-        frames: list[pd.DataFrame] = []
+        out: dict[int, pd.DataFrame] = {}
         missing: list[int] = []
         for h in wanted:
             hit = cache.get(h)
             if hit is not None:
                 cache.move_to_end(h)
-                frames.append(hit[0])
+                out[h] = hit[0]
             else:
                 missing.append(h)
         if missing:
@@ -366,12 +375,19 @@ class Index:
                 nbytes = int(grp.memory_usage(deep=True).sum())
                 cache[h] = (grp, nbytes)
                 self._pcache_nbytes += nbytes
-                frames.append(grp)
+                out[h] = grp
             # evict least-recent past the byte budget; frames already
-            # collected for THIS query stay alive via the local list
+            # collected for THIS query stay alive via the local dict
             while self._pcache_nbytes > cap and cache:
                 _, (_, n0) = cache.popitem(last=False)
                 self._pcache_nbytes -= n0
+        return out
+
+    def postings_rows(self, hit_hashes) -> pd.DataFrame:
+        """:meth:`postings_rows_by_term` concatenated back into one
+        frame — for the WAND / phrase / batch paths that group by
+        shard across terms."""
+        frames = list(self.postings_rows_by_term(hit_hashes).values())
         nonempty = [f for f in frames if len(f)]
         if not nonempty:
             return frames[0] if frames else pd.DataFrame()
@@ -1488,31 +1504,56 @@ def _driver_search_pairs(
     ``[(doc_id, score)]`` pairs; no Spark job, no DataFrame."""
     stats = stats if stats is not None else index.stats
     required = len(ordered_terms) if mode == "and" else 0
-    pdf = index.postings_rows(hit_hashes)
-    if pdf.empty:
-        return []
     arr = index.dl_array()
     span = stats.shard_span
-    score_fn = _score_dense if algorithm == "dense" else _score_wand
     pairs: list[tuple[int, float]] = []
-    for shard, grp in pdf.groupby("shard"):
-        base = int(shard) * span
-        dl = arr[base : base + span]
-        if dl.shape[0] < span:
-            dl = np.concatenate([dl, np.zeros(span - dl.shape[0])])
-        if pairs_fn is not None:
-            pairs.extend(pairs_fn(grp, dl, base))
-        elif algorithm == "dense":
+    if pairs_fn is None and algorithm == "dense":
+        # dense fast path: per-term cached frames, no pd.concat (the
+        # blob-object concat profiled at ~20% of hot query time); with
+        # the decoded-(off, tf) LRU hot, frames are only touched to
+        # list each term's shards
+        frames = index.postings_rows_by_term(hit_hashes)
+        tfc = index._tf_cache()
+        shard_ids = sorted({
+            int(s)
+            for f in frames.values() if len(f)
+            for s in np.unique(f["shard"].to_numpy(np.int64))
+        })
+        for s in shard_ids:
+            base = s * span
+            dl = arr[base : base + span]
+            if dl.shape[0] < span:
+                dl = np.concatenate([dl, np.zeros(span - dl.shape[0])])
+
+            def rows_for(th, _s=s):
+                f = frames.get(th)
+                if f is None or not len(f):
+                    return f if f is not None else pd.DataFrame()
+                m = f["shard"].to_numpy(np.int64) == _s
+                return f[m] if m.any() else f.iloc[0:0]
+
             pairs.extend(
-                _score_dense(grp, dl, base, ordered_terms, stats.k1,
+                _score_dense(None, dl, base, ordered_terms, stats.k1,
                              stats.b, stats.avgdl, k, required,
-                             tf_cache=index._tf_cache(), shard=int(shard))
+                             tf_cache=tfc, shard=s, rows_for=rows_for)
             )
-        else:
-            pairs.extend(
-                score_fn(grp, dl, base, ordered_terms, stats.k1, stats.b,
-                         stats.avgdl, k, required)
-            )
+    else:
+        pdf = index.postings_rows(hit_hashes)
+        if pdf.empty:
+            return []
+        score_fn = _score_dense if algorithm == "dense" else _score_wand
+        for shard, grp in pdf.groupby("shard"):
+            base = int(shard) * span
+            dl = arr[base : base + span]
+            if dl.shape[0] < span:
+                dl = np.concatenate([dl, np.zeros(span - dl.shape[0])])
+            if pairs_fn is not None:
+                pairs.extend(pairs_fn(grp, dl, base))
+            else:
+                pairs.extend(
+                    score_fn(grp, dl, base, ordered_terms, stats.k1,
+                             stats.b, stats.avgdl, k, required)
+                )
     if exclude is not None and pairs:
         # tombstone mask, still driver-side (no Spark job): the
         # scorers over-retrieved k + |tombstones| per shard, so the
@@ -1658,11 +1699,17 @@ def _score_dense(
     decode_cache: dict | None = None,
     tf_cache: "_ByteLRU | None" = None,
     shard: int | None = None,
+    rows_for=None,
 ) -> list[tuple[int, float]]:
     span = dl.shape[0]
     scores = np.zeros(span, dtype=np.float64)
     nterms = np.zeros(span, dtype=np.int32)
-    hashes = left["term_hash"].to_numpy(np.int64)
+    if rows_for is None:
+        hashes = left["term_hash"].to_numpy(np.int64)
+
+        def rows_for(th, _l=left, _h=hashes):
+            return _l[_h == th]
+
     present = 0
     # ordered_terms is in ascending term-string order => per-doc
     # summation order matches the oracle. All of a term's blocks decode
@@ -1684,7 +1731,7 @@ def _score_dense(
         if got is None:
             dt = None if tf_cache is None else tf_cache.get((th, shard))
             if dt is None:
-                grp = left[hashes == th]
+                grp = rows_for(th)
                 if len(grp):
                     d, t, _ = codec.decode_blocks(
                         grp["doc_ids"].tolist(), grp["tfs"].tolist(),
