@@ -285,9 +285,17 @@ def main() -> None:
         .withColumn("doc_id", F.col("doc_id") - F.lit(half)),
         seg_b, shard_span=span, n_buckets=16,
     )
-    t0 = time.time()
-    merge_indexes(spark, [seg_a, seg_b], merged_dir)
-    timings["segment_merge"] = round(time.time() - t0, 4)
+    # min-of-2: merge is cheap enough to repeat, and a single-shot
+    # timing is exposed to this host's multi-second stall bursts
+    # (observed: 2.3 s and 19.3 s for the identical merge in adjacent
+    # runs)
+    merge_secs = []
+    for _ in range(2):
+        shutil.rmtree(merged_dir, ignore_errors=True)
+        t0 = time.time()
+        merge_indexes(spark, [seg_a, seg_b], merged_dir)
+        merge_secs.append(time.time() - t0)
+    timings["segment_merge"] = round(min(merge_secs), 4)
 
     # federated serving: the same two segments queried WITHOUT merging
     # (base + not-yet-compacted deltas shape) — global statistics,
