@@ -91,6 +91,19 @@ for rq in reference_queries():
 lat_s = sorted(lat)
 p50 = lat_s[len(lat_s) // 2]
 p95 = lat_s[int(0.95 * (len(lat_s) - 1))]
+# serving-node shape at this level: hot rows path (postings + decoded
+# LRUs warm after one pass), no Spark job, no DataFrame wrap
+from hadoop_search_engine_spark.operators.query_exec import search_topk_rows
+for rq in reference_queries():
+    search_topk_rows(idx, rq["query_text"], k=rq["k"], synonyms=SYNONYMS)
+rlat = []
+for rq in reference_queries():
+    t0 = time.time()
+    search_topk_rows(idx, rq["query_text"], k=rq["k"], synonyms=SYNONYMS)
+    rlat.append(time.time() - t0)
+rlat_s = sorted(rlat)
+rows_p50 = rlat_s[len(rlat_s) // 2]
+rows_p95 = rlat_s[int(0.95 * (len(rlat_s) - 1))]
 spark.stop()
 print("LEVELRESULT " + json.dumps({{
     "cores": cores, "n_docs": n_docs,
@@ -103,6 +116,8 @@ print("LEVELRESULT " + json.dumps({{
     "fixture_qps": round(len(lat) / sum(lat), 2),
     "fixture_p50_sec": round(p50, 3),
     "fixture_p95_sec": round(p95, 3),
+    "rows_hot_p50_sec": round(rows_p50, 4),
+    "rows_hot_p95_sec": round(rows_p95, 4),
 }}))
 """
 
@@ -195,12 +210,14 @@ def main() -> None:
         "",
         f"## Scaling run {stamp} — {N_DOCS} synthetic docs (corpus parquet -> index build)",
         "",
-        "| level | build sec | docs/sec | queries/sec (4-query set) | 50-query q/s | p50 sec | p95 sec |",
-        "|---|---|---|---|---|---|---|",
+        "| level | build sec | docs/sec | queries/sec (4-query set) | 50-query q/s | p50 sec | p95 sec | hot rows p50/p95 |",
+        "|---|---|---|---|---|---|---|---|",
         f"| local[{lo_cores}] | {low['build_sec']} | {low['docs_per_sec']} | {low['queries_per_sec']} |"
-        f" {low.get('fixture_qps', '-')} | {low.get('fixture_p50_sec', '-')} | {low.get('fixture_p95_sec', '-')} |",
+        f" {low.get('fixture_qps', '-')} | {low.get('fixture_p50_sec', '-')} | {low.get('fixture_p95_sec', '-')} |"
+        f" {low.get('rows_hot_p50_sec', '-')}/{low.get('rows_hot_p95_sec', '-')} |",
         f"| local[{hi_cores}] | {high['build_sec']} | {high['docs_per_sec']} | {high['queries_per_sec']} |"
-        f" {high.get('fixture_qps', '-')} | {high.get('fixture_p50_sec', '-')} | {high.get('fixture_p95_sec', '-')} |",
+        f" {high.get('fixture_qps', '-')} | {high.get('fixture_p50_sec', '-')} | {high.get('fixture_p95_sec', '-')} |"
+        f" {high.get('rows_hot_p50_sec', '-')}/{high.get('rows_hot_p95_sec', '-')} |",
         "",
         f"**Scaling efficiency (docs/sec@{hi_cores} / docs/sec@{lo_cores})"
         f" / {hi_cores // lo_cores} = {eff:.3f}**"
