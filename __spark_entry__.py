@@ -300,6 +300,51 @@ def q_phrase_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+#: the boolean flagship: conjunction, nested disjunction, and an
+#: exclusion — every operator of the ranked-boolean surface in one query
+BOOLEAN_QUERY = "spark AND (query OR merge) NOT vector"
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-boolean retrieval (nested AND/OR/NOT), exhaustive two-scan
+    baseline — capability the reference's flat OR-union engine lacks
+    (search.service.js:12-16 unions per-term probes only)."""
+    from hadoop_search_engine_spark.operators.boolean import (
+        boolean_topk_dataframe,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    top = boolean_topk_dataframe(docs, BOOLEAN_QUERY, k=20)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_boolean_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same boolean query through the block index: per-shard
+    posting-set algebra (presence vectors + NumPy tree evaluation) and
+    the distributed grouped-map scorer, against the same SQL oracle."""
+    from hadoop_search_engine_spark.operators.boolean import (
+        search_topk_boolean,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk_boolean(ix, BOOLEAN_QUERY, k=20, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_boolean_search_indexed_driver(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boolean serving from the driver (bucket-pruned pyarrow reads +
+    hot-postings LRU, no Spark job) — same oracle."""
+    from hadoop_search_engine_spark.operators.boolean import (
+        search_topk_boolean,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk_boolean(ix, BOOLEAN_QUERY, k=20, serving="driver")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 #: the batch-serving query set: one multi-term OR, one mid, one single
 BATCH_QUERIES = {
     "flagship_or": " ".join(FLAGSHIP_TERMS),
@@ -936,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
+        "boolean_search": q_boolean_search,
+        "boolean_search_indexed": q_boolean_search_indexed,
+        "boolean_search_indexed_driver": q_boolean_search_indexed_driver,
         "bm25_topk_batch": q_bm25_topk_batch,
         "bm25_topk_batch_driver": q_bm25_topk_batch_driver,
         "federated_search": q_federated_search,
@@ -1283,6 +1331,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 4) AS score
             FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        # boolean flagship: spark AND (query OR merge) NOT vector —
+        # eligibility via per-leaf presence flags, score over the
+        # positive terms only (same BM25 sum as bm25_topk)
+        "boolean_search": f"""
+            WITH {_TF_CTE},
+            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+            d AS (SELECT term, count(*)::double AS df FROM tf
+                  WHERE term IN ('merge', 'query', 'spark') GROUP BY term),
+            pres AS (
+              SELECT doc_id,
+                     bool_or(term = 'spark')  AS has_spark,
+                     bool_or(term = 'query')  AS has_query,
+                     bool_or(term = 'merge')  AS has_merge,
+                     bool_or(term = 'vector') AS has_vector
+              FROM tf GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT tf.doc_id, sum({score}) AS score
+              FROM tf
+              JOIN d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN c
+              GROUP BY tf.doc_id
+            )
+            SELECT s.doc_id, round(s.score, 4) AS score
+            FROM scored s JOIN pres p ON s.doc_id = p.doc_id
+            WHERE p.has_spark AND (p.has_query OR p.has_merge)
+              AND NOT p.has_vector
+            ORDER BY score DESC, s.doc_id ASC LIMIT 20
         """,
         "collapsed_search": f"""
             WITH {_TF_CTE},
@@ -1667,6 +1746,8 @@ def oracle_sql() -> dict[str, str]:
     # DataFrame baseline
     out["bm25_topk_indexed"] = out["bm25_topk"]
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
+    out["boolean_search_indexed"] = out["boolean_search"]
+    out["boolean_search_indexed_driver"] = out["boolean_search"]
     out["bm25_topk_rows"] = out["bm25_topk"]
     out["bm25_topk_indexed_and"] = out["bm25_topk_and"]
     out["filtered_search_indexed"] = out["filtered_search"]

@@ -263,6 +263,25 @@ def main() -> None:
     timed("suggest_autocomplete", lambda: suggest_terms(idx, "s", k=10).collect())
     timed("fuzzy_query", lambda: fuzzy_search_topk(idx, "scann quer", k=10).collect())
 
+    # ranked-boolean (nested AND/OR/NOT): per-shard posting-set algebra
+    # + BM25 over the positive terms, both serving modes
+    from hadoop_search_engine_spark.operators.boolean import (
+        search_topk_boolean,
+    )
+
+    timed(
+        "boolean_query",
+        lambda: search_topk_boolean(
+            idx, entry_mod.BOOLEAN_QUERY, k=10, serving="spark"
+        ).collect(),
+    )
+    timed(
+        "boolean_query_driver",
+        lambda: search_topk_boolean(
+            idx, entry_mod.BOOLEAN_QUERY, k=10, serving="driver"
+        ).collect(),
+    )
+
     # physical segment merge: two merge-aligned half-corpus segments
     # become one index by pure column-arithmetic remap (posting blobs
     # byte-unchanged) + vocab-sized stats/lexicon recompute. Untimed

@@ -111,6 +111,50 @@ class BM25Oracle:
         scored.sort(key=lambda kv: (-kv[1], kv[0]))
         return scored[:k]
 
+    def boolean_search(
+        self,
+        query_text: str,
+        k: int = 10,
+        synonyms: dict[str, str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Ranked-boolean oracle (set algebra, trusted by inspection):
+        eligibility = the AST evaluated over per-term doc-id SETS (NOT
+        complements against the token-bearing universe), ranking = BM25
+        over the positive leaves in ascending term order, score-0 docs
+        excluded — the exact semantics of
+        :func:`~..operators.boolean.search_topk_boolean`."""
+        from ..operators.boolean import parse_boolean_query, query_terms
+
+        ast = parse_boolean_query(query_text, synonyms)
+        pos_terms, _neg = query_terms(ast)
+        universe = set(self.doc_len)
+
+        def ev(node) -> set[int]:
+            kind = node[0]
+            if kind == "term":
+                return set(self.postings.get(node[1], {}))
+            if kind == "not":
+                return universe - ev(node[1])
+            sets = [ev(c) for c in node[1]]
+            acc = sets[0]
+            for s in sets[1:]:
+                acc = (acc & s) if kind == "and" else (acc | s)
+            return acc
+
+        eligible = ev(ast)
+        scored = []
+        for doc in eligible:
+            s = 0.0
+            hit = False
+            for t in sorted(pos_terms):  # ascending term order
+                if doc in self.postings.get(t, {}):
+                    s += self.score_one(t, doc)
+                    hit = True
+            if hit:
+                scored.append((doc, s))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scored[:k]
+
     def or_union_first_seen(
         self,
         query_text: str,

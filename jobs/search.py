@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--compat-or-union", action="store_true")
     ap.add_argument("--phrase", action="store_true",
                     help="exact-phrase match (needs an index built with positions)")
+    ap.add_argument("--boolean", action="store_true",
+                    help="ranked-boolean query: nested AND/OR/NOT with "
+                         "parens, e.g. 'spark AND (query OR merge) NOT "
+                         "vector' (BM25 over the positive terms)")
     ap.add_argument("--suggest", action="store_true",
                     help="treat --query as an autocomplete prefix")
     ap.add_argument("--fuzzy", action="store_true",
@@ -159,6 +163,16 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_search_engine_spark.operators.query_exec import phrase_search
 
         result = phrase_search(idx, args.query, k=args.k)
+    elif args.boolean:
+        from hadoop_search_engine_spark.operators.boolean import (
+            search_topk_boolean,
+        )
+
+        result = search_topk_boolean(idx, args.query, k=args.k,
+                                     k1=args.k1, b=args.b)
+        if args.documents:
+            docs = spark.read.parquet(args.documents)
+            result = materialize(result, docs)
     else:
         if args.rows and not args.documents:
             import json
