@@ -300,6 +300,41 @@ def q_phrase_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _flagship_prox(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic data-derived proximity pair: doc 0's 1st and 3rd
+    tokens (one intervening token — matches at slop >= 1, so slop=2
+    exercises a real window). The oracle SQL derives the SAME pair."""
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+
+    docs = _read(spark, sf_dir, "documents")
+    text = docs.where(F.col("doc_id") == 0).select("text").first()[0]
+    toks = tokenize(text)
+    return f"{toks[0]} {toks[2]}"
+
+
+def q_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-proximity search (phrase with slop=2: up to two
+    intervening tokens per gap, order enforced) over the positional
+    block index, driver serving — the oracle replays the window as a
+    position self-join over the unnested token arrays."""
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    top = phrase_search(ix, _flagship_prox(spark, sf_dir), k=20,
+                        serving="driver", slop=2)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_proximity_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same proximity query through the distributed cogroup scorer."""
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    top = phrase_search(ix, _flagship_prox(spark, sf_dir), k=20,
+                        serving="spark", slop=2)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 #: the boolean flagship: conjunction, nested disjunction, and an
 #: exclusion — every operator of the ranked-boolean surface in one query
 BOOLEAN_QUERY = "spark AND (query OR merge) NOT vector"
@@ -981,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
+        "proximity_search_indexed": q_proximity_indexed,
+        "proximity_search_indexed_spark": q_proximity_indexed_spark,
         "boolean_search": q_boolean_search,
         "boolean_search_indexed": q_boolean_search_indexed,
         "boolean_search_indexed_driver": q_boolean_search_indexed_driver,
@@ -1864,4 +1901,42 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["phrase_search_indexed_spark"] = out["phrase_search_indexed"]
+    # ordered proximity (slop=2): doc 0's 1st and 3rd tokens; a doc
+    # matches iff token b follows token a within 1..3 positions. The
+    # window is a position self-join over the parallel-unnested token
+    # array; scoring is the standard BM25 sum over the two terms.
+    out["proximity_search_indexed"] = f"""
+        WITH {_TF_CTE},
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ph AS (SELECT toks[1] AS a, toks[3] AS b FROM t WHERE doc_id = 0),
+        tpos AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM t
+        ),
+        m AS (
+          SELECT DISTINCT p1.doc_id
+          FROM tpos p1, tpos p2, ph
+          WHERE p1.doc_id = p2.doc_id
+            AND p1.term = ph.a AND p2.term = ph.b
+            AND p2.pos - p1.pos BETWEEN 1 AND 3
+        ),
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          WHERE tf.doc_id IN (SELECT doc_id FROM m)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    out["proximity_search_indexed_spark"] = out["proximity_search_indexed"]
     return out

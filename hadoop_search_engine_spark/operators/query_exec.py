@@ -1931,8 +1931,10 @@ def _phrase_pairs(
     ordered_terms: list[tuple[int, str, float]],
     seq_hashes: list[int],
     k1: float, b: float, avgdl: float, k: int,
+    slop: int = 0,
 ) -> list[tuple[int, float]]:
-    """Exact-phrase matches in one shard, BM25-scored.
+    """Exact-phrase (or, with ``slop`` > 0, ordered-proximity) matches
+    in one shard, BM25-scored.
 
     1. batch-decode each distinct term's postings AND positions (one
        varint pass each — position blobs concatenate safely because
@@ -1941,7 +1943,13 @@ def _phrase_pairs(
        intersection);
     3. adjacency: walk the phrase left to right, intersecting
        (positions so far + 1) with the next term's positions per doc —
-       duplicates in the phrase reuse the same decoded postings;
+       duplicates in the phrase reuse the same decoded postings. With
+       ``slop``, the probe widens to a RANGE: the next term may sit up
+       to ``slop`` intervening tokens later (same doc, still in
+       order), tested as "exists a predecessor occurrence in
+       [key - slop - 1, key - 1]" — one searchsorted per step, both
+       sides stay sorted, and the window never crosses a doc boundary
+       because the lower bound clamps to the packed doc prefix;
     4. score survivors with the standard per-term partials in ascending
        term order (identical formula to mode="and", restricted to
        phrase-matching docs).
@@ -1979,10 +1987,22 @@ def _phrase_pairs(
     cur = per_term[seq_hashes[0]][2]
     for th in seq_hashes[1:]:
         nxt = per_term[th][2]
-        shifted = cur + 1
-        j = np.searchsorted(nxt, shifted)
-        j[j == nxt.size] = 0  # out-of-range probes can't match
-        cur = shifted[nxt[j] == shifted]
+        if slop == 0:
+            shifted = cur + 1
+            j = np.searchsorted(nxt, shifted)
+            j[j == nxt.size] = 0  # out-of-range probes can't match
+            cur = shifted[nxt[j] == shifted]
+        else:
+            # proximity: keep each next-term occurrence that has a
+            # predecessor within [key - slop - 1, key - 1], clamped to
+            # the occurrence's own doc (pos bits < 2^20, so the packed
+            # doc prefix is the hard floor of the window)
+            doc_start = nxt & ~np.int64((1 << 21) - 1)
+            lo = np.maximum(nxt - np.int64(slop + 1), doc_start)
+            j = np.searchsorted(cur, lo, side="left")
+            jc = np.minimum(j, max(cur.size - 1, 0))
+            ok = (j < cur.size) & (cur[jc] <= nxt - 1)
+            cur = nxt[ok]
         if not cur.size:
             return []
     docs_arr = np.unique(cur >> np.int64(21)) + base
@@ -2000,6 +2020,7 @@ def phrase_search(
     k: int = 10,
     synonyms: dict[str, str] | None = None,
     serving: str = "auto",
+    slop: int = 0,
 ) -> DataFrame:
     """Exact-phrase BM25 top-k over a positional index
     (``build_index(..., positions=True)``).
@@ -2008,12 +2029,25 @@ def phrase_search(
     rewrite applies per token without dedup). A doc matches iff the
     terms occur at consecutive token positions. Matching docs are
     ranked by the same BM25 per-term partials as ``mode="and"``.
+
+    ``slop`` relaxes adjacency into ORDERED PROXIMITY: each adjacent
+    pair of phrase terms may be separated by up to ``slop`` intervening
+    tokens (still in phrase order, still within one document) —
+    ``slop=0`` is the exact phrase. This is the per-gap window
+    semantics (each step independently within ``slop``), simpler and
+    strictly cheaper than Lucene's move-count slop: evaluation stays
+    one vectorized searchsorted probe per phrase step. A slop match is
+    always a superset of the exact-phrase match set and a subset of
+    ``mode="and"`` (by test).
     """
     if not getattr(index.stats, "positions", False):
         raise ValueError(
             "phrase_search needs a positional index: build_index(..., "
             "positions=True)"
         )
+    slop = int(slop)
+    if not (0 <= slop < (1 << 20)):
+        raise ValueError(f"slop must be in [0, 2^20), got {slop}")
     from ..functions.tokenizer import tokenize
 
     syn = synonyms or {}
@@ -2052,7 +2086,7 @@ def phrase_search(
 
     pairs_fn = functools.partial(
         _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
-        k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff,
+        k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff, slop=slop,
     )
 
     # auto picks driver serving whenever the index is small enough for

@@ -80,9 +80,12 @@ class BM25Oracle:
         phrase_text: str,
         k: int = 10,
         synonyms: dict[str, str] | None = None,
+        slop: int = 0,
     ) -> list[tuple[int, float]]:
         """Exact-phrase top-k: terms at consecutive positions, ranked by
-        the same per-term partials (ascending-term summation)."""
+        the same per-term partials (ascending-term summation). With
+        ``slop`` > 0, ordered proximity: each adjacent pair may be up
+        to ``slop`` intervening tokens apart (per-gap window)."""
         syn = synonyms or {}
         seq = [syn.get(t, t) for t in tokenize(phrase_text)]
         if not seq:
@@ -97,7 +100,11 @@ class BM25Oracle:
         for doc in cand:
             cur = set(self.positions[(seq[0], doc)])
             for t in seq[1:]:
-                cur = {p + 1 for p in cur} & set(self.positions[(t, doc)])
+                nxt = set(self.positions[(t, doc)])
+                cur = {
+                    p for p in nxt
+                    if any(1 <= p - c <= slop + 1 for c in cur)
+                }
                 if not cur:
                     break
             if cur:

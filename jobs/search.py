@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--compat-or-union", action="store_true")
     ap.add_argument("--phrase", action="store_true",
                     help="exact-phrase match (needs an index built with positions)")
+    ap.add_argument("--slop", type=int, default=0,
+                    help="with --phrase: allow up to SLOP intervening "
+                         "tokens per gap (ordered proximity; 0 = exact)")
     ap.add_argument("--boolean", action="store_true",
                     help="ranked-boolean query: nested AND/OR/NOT with "
                          "parens, e.g. 'spark AND (query OR merge) NOT "
@@ -162,7 +165,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.phrase:
         from hadoop_search_engine_spark.operators.query_exec import phrase_search
 
-        result = phrase_search(idx, args.query, k=args.k)
+        result = phrase_search(idx, args.query, k=args.k, slop=args.slop)
     elif args.boolean:
         from hadoop_search_engine_spark.operators.boolean import (
             search_topk_boolean,

@@ -67,6 +67,56 @@ def test_phrase_matches_oracle(phrase_setup, serving):
         _check(got, want, f"{serving}:{q!r}")
 
 
+PROX = [
+    ("quick fox", 0),    # not adjacent anywhere except... doc4? "brown quick fox": quick->fox gap 0? positions: brown0 quick1 fox2 -> adjacent! doc4 matches even exact
+    ("quick fox", 1),    # doc0 "quick brown fox" gap 1; doc2 both
+    ("quick fox", 2),
+    ("the dog", 2),      # doc0 "the lazy dog" gap 1
+    ("quick dog", 3),
+    ("fox dog", 8),      # wide window
+    ("dog fox", 1),      # order still enforced
+    ("the the", 1),
+    ("quick brown fox", 1),
+]
+
+
+@pytest.mark.parametrize("serving", ["driver", "spark"])
+def test_proximity_matches_oracle(phrase_setup, serving):
+    idx, oracle = phrase_setup
+    for q, slop in PROX:
+        got = _pairs(phrase_search(idx, q, k=10, serving=serving, slop=slop))
+        want = oracle.phrase_search(q, k=10, slop=slop)
+        _check(got, want, f"{serving}:{q!r}~{slop}")
+
+
+def test_proximity_widens_monotonically(phrase_setup):
+    """slop=0 == exact phrase; match sets grow with slop and stay
+    within mode='and'."""
+    idx, _ = phrase_setup
+    exact = {d for d, _ in _pairs(phrase_search(idx, "quick fox", k=10))}
+    s0 = {d for d, _ in _pairs(phrase_search(idx, "quick fox", k=10, slop=0))}
+    assert s0 == exact
+    prev = s0
+    for slop in (1, 2, 4, 8):
+        cur = {d for d, _ in _pairs(
+            phrase_search(idx, "quick fox", k=10, slop=slop)
+        )}
+        assert prev <= cur
+        prev = cur
+    conj = {d for d, _ in _pairs(
+        search_topk(idx, "quick fox", k=10, mode="and")
+    )}
+    assert prev <= conj
+
+
+def test_proximity_slop_validation(phrase_setup):
+    idx, _ = phrase_setup
+    with pytest.raises(ValueError, match="slop"):
+        phrase_search(idx, "quick fox", slop=-1)
+    with pytest.raises(ValueError, match="slop"):
+        phrase_search(idx, "quick fox", slop=1 << 20)
+
+
 def test_phrase_is_subset_of_and_mode(phrase_setup):
     idx, _ = phrase_setup
     ph = {d for d, _ in _pairs(phrase_search(idx, "brown fox", k=10))}
