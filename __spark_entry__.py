@@ -335,6 +335,42 @@ def q_proximity_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
+    BM25 query, source doc excluded — the oracle derives the same term
+    selection (tf from the token CTE, idf from the corpus formula) and
+    replays the search in SQL."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        more_like_this,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    top = more_like_this(ix, docs, 0, m=3, k=10, serving="driver")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 breakdown (Lucene-Explanation analog) for the
+    flagship query's top-1 document: term, tf-in-doc, global df, idf,
+    and contribution — contributions sum to the search score (by test);
+    the oracle recomputes every column in SQL for the same doc."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        explain_score,
+        search_topk_rows,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    q = " ".join(FLAGSHIP_TERMS)
+    (doc_id, _score), *_ = search_topk_rows(ix, q, k=1)
+    ex = explain_score(ix, q, doc_id)
+    return ex.select(
+        "term", "tf", "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
 #: the boolean flagship: conjunction, nested disjunction, and an
 #: exclusion — every operator of the ranked-boolean surface in one query
 BOOLEAN_QUERY = "spark AND (query OR merge) NOT vector"
@@ -1016,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
+        "more_like_this": q_more_like_this,
+        "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
         "proximity_search_indexed_spark": q_proximity_indexed_spark,
         "boolean_search": q_boolean_search,
@@ -1939,4 +1977,65 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["proximity_search_indexed_spark"] = out["proximity_search_indexed"]
+    # MoreLikeThis: doc 0's top-3 tf*idf terms -> OR search, source
+    # excluded; the term selection replays in SQL (tf from the token
+    # CTE, idf from the corpus formula, ties by term ascending)
+    out["more_like_this"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        dfall AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
+        sel AS (
+          SELECT s.term
+          FROM tf s JOIN dfall ON s.term = dfall.term CROSS JOIN c
+          WHERE s.doc_id = 0
+          ORDER BY s.tf * ln(1.0 + (c.n - dfall.df + 0.5) / (dfall.df + 0.5))
+                   DESC, s.term ASC
+          LIMIT 3
+        ),
+        d AS (SELECT term, df FROM dfall
+              WHERE term IN (SELECT term FROM sel)),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          WHERE tf.doc_id <> 0
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+    # explain: per-term BM25 breakdown for the flagship query's top-1
+    # doc — every output column recomputed in SQL
+    _x_idf = sql_idf("c.n", "d.df")
+    _x_contrib = sql_score("tf.tf", "dl.doc_len", _x_idf, "c.avgdl",
+                           BM25_K1, BM25_B)
+    out["explain_score"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        best AS (SELECT doc_id FROM scored
+                 ORDER BY score DESC, doc_id ASC LIMIT 1)
+        SELECT tf.term, tf.tf::bigint AS tf, d.df::bigint AS df,
+               round({_x_idf}, 6) AS idf,
+               round({_x_contrib}, 6) AS contribution
+        FROM tf
+        JOIN d ON tf.term = d.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN c
+        WHERE tf.doc_id IN (SELECT doc_id FROM best)
+        ORDER BY tf.term ASC
+    """
     return out

@@ -2714,3 +2714,152 @@ def materialize_with_snippets(
         F.coalesce(first_pos, F.lit(0)).alias("match_pos"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+
+
+# ---------------------------------------------------------------------------
+# More-like-this and score explain
+# ---------------------------------------------------------------------------
+
+def more_like_this_terms(
+    index: Index,
+    text: str,
+    m: int = 5,
+    synonyms: dict[str, str] | None = None,
+) -> list[str]:
+    """The ``m`` most characteristic terms of ``text``: rank the
+    document's distinct in-vocabulary terms by ``tf * idf`` (tf within
+    the text, idf from the index's lexicon), ties by term ascending —
+    the classic MoreLikeThis query-building step (the reference engine
+    has no analog; its only query shape is a user-typed term list).
+    One driver-side tokenize of ONE document plus a lexicon probe —
+    no job, no corpus access."""
+    from collections import Counter
+
+    # per-token synonym rewrite WITHOUT rewrite_terms' first-seen dedup
+    # (tf counts need every occurrence)
+    syn = synonyms or {}
+    tf = Counter(syn.get(t, t) for t in tokenize(text))
+    meta = _lookup_terms(index, sorted(tf))
+    ranked = sorted(
+        ((t, tf[t] * float(meta[t]["idf"])) for t in meta),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return [t for t, _w in ranked[:m]]
+
+
+def more_like_this(
+    index: Index,
+    documents: DataFrame,
+    doc_id: int,
+    m: int = 5,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    serving: str = "auto",
+) -> DataFrame:
+    """Find documents similar to ``doc_id``: select its top-``m``
+    ``tf * idf`` terms (:func:`more_like_this_terms`) and run the
+    standard disjunctive BM25 search, excluding the source document
+    from the results (over-retrieve k+1, post-filter, re-sort — the
+    same trick the tombstone path uses). ``documents`` supplies the
+    source text via one pushed-filter row fetch."""
+    row = (
+        documents.where(F.col("doc_id") == int(doc_id))
+        .select("text")
+        .first()
+    )
+    if row is None:
+        raise ValueError(f"doc_id {doc_id} not found in documents")
+    terms = more_like_this_terms(index, row["text"], m=m, synonyms=synonyms)
+    if not terms:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    top = search_topk(index, " ".join(terms), k=k + 1, serving=serving)
+    return (
+        top.where(F.col("doc_id") != int(doc_id))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+EXPLAIN_SCHEMA = (
+    "term string, tf long, df long, idf double, contribution double"
+)
+
+
+def explain_score(
+    index: Index,
+    query_text: str,
+    doc_id: int,
+    synonyms: dict[str, str] | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Per-term BM25 breakdown of one (query, document) pair — the
+    relevance-debugging surface (Lucene's ``Explanation``): one row per
+    query term the document contains, with the term's tf in the doc,
+    global df, idf, and its score contribution
+    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``; the contributions
+    sum to exactly the doc's :func:`search_topk` score (same float64
+    partials, same per-term math — by test). Driver-side: a lexicon
+    probe plus ONE bucket-pruned postings read of the doc's shard — no
+    corpus scan, no Spark job on the hot path."""
+    resolved = _resolve_query(index, query_text, synonyms, "or", "dense",
+                              k1, b)
+    spark = index.spark
+    if resolved is None:
+        return _empty_df(spark, EXPLAIN_SCHEMA)
+    stats, ordered_terms, _algorithm = resolved
+    meta = _lookup_terms(index, [t for _h, t, _i in ordered_terms])
+    doc_id = int(doc_id)
+    span = stats.shard_span
+    shard = doc_id // span
+
+    # doc length: driver-pinned norms array when available, else a
+    # shard-pruned doc_stats fetch
+    arr = index.dl_array()
+    if arr is not None:
+        if doc_id >= arr.shape[0] or arr[doc_id] <= 0:
+            return _empty_df(spark, EXPLAIN_SCHEMA)
+        dl = float(arr[doc_id])
+    else:
+        row = (
+            index.doc_stats
+            .where((F.col("shard") == shard) & (F.col("doc_id") == doc_id))
+            .select("doc_len")
+            .first()
+        )
+        if row is None:
+            return _empty_df(spark, EXPLAIN_SCHEMA)
+        dl = float(row["doc_len"])
+
+    hit_hashes = sorted(h for h, _, _ in ordered_terms)
+    pdf = index.postings_rows(hit_hashes)
+    if len(pdf):
+        pdf = pdf[pdf["shard"].to_numpy(np.int64) == shard]
+    rows = []
+    hashes = pdf["term_hash"].to_numpy(np.int64) if len(pdf) else None
+    for th, term, idf in ordered_terms:  # ascending term order
+        if hashes is None:
+            continue
+        grp = pdf[hashes == th]
+        if not len(grp):
+            continue
+        d, t, _ = codec.decode_blocks(
+            grp["doc_ids"].tolist(), grp["tfs"].tolist(),
+            grp["n_docs"].to_numpy(np.int64),
+            grp["first_doc_id"].to_numpy(np.int64),
+        )
+        j = int(np.searchsorted(d, doc_id))
+        if j >= d.shape[0] or int(d[j]) != doc_id:
+            continue  # term absent from this doc: contributes exact 0
+        tf = int(t[j])
+        contrib = float(
+            idf * _partial(np.array([tf]), np.array([dl]),
+                           stats.k1, stats.b, stats.avgdl)[0]
+        )
+        rows.append((term, tf, int(meta[term]["df"]), float(idf), contrib))
+    if not rows:
+        return _empty_df(spark, EXPLAIN_SCHEMA)
+    out = pd.DataFrame(
+        rows, columns=["term", "tf", "df", "idf", "contribution"]
+    ).astype({"tf": "int64", "df": "int64"})
+    return spark.createDataFrame(out, schema=EXPLAIN_SCHEMA)
