@@ -335,6 +335,18 @@ def q_proximity_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment — a pure
+    function of (doc_id, salt): stable across reruns, partitioning,
+    cluster sizes, and engines (the DuckDB oracle replays the murmur3
+    split bit-exactly). The reproducible-split primitive a training
+    pipeline needs instead of plan-dependent randomSplit."""
+    from hadoop_search_engine_spark.operators.curate import split_corpus
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return split_corpus(docs).select("doc_id", "split")
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
     BM25 query, source doc excluded — the oracle derives the same term
@@ -1052,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
+        "train_val_split": q_train_val_split,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -1977,6 +1990,14 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["proximity_search_indexed_spark"] = out["proximity_search_indexed"]
+    # deterministic split: the murmur3 bucket CASE replayed in SQL
+    from hadoop_search_engine_spark.operators.curate import (
+        sql_split_duckdb,
+    )
+
+    out["train_val_split"] = (
+        f"SELECT doc_id, {sql_split_duckdb()} AS split FROM documents"
+    )
     # MoreLikeThis: doc 0's top-3 tf*idf terms -> OR search, source
     # excluded; the term selection replays in SQL (tf from the token
     # CTE, idf from the corpus formula, ties by term ascending)

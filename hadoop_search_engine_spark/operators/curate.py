@@ -102,3 +102,78 @@ def curation_report(docs: DataFrame, curated: DataFrame) -> dict:
         "dropped": int(n_in) - n_out,
         "tokens_out": int(row["tokens_out"] or 0),
     }
+
+
+DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+SPLIT_BUCKETS = 10_000
+
+
+def split_corpus(
+    docs: DataFrame,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    salt: str = "split",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column from
+    a salted murmur3 of the document id — the reproducible-split shape
+    a training pipeline needs at 100 TB. Unlike ``randomSplit`` /
+    ``sample`` (plan- and partitioning-dependent RNG), the assignment
+    is a PURE FUNCTION of (id, salt): stable across reruns, cluster
+    sizes, repartitioning, and engines (``functions.hashes`` replays
+    the hash bit-exactly in DuckDB SQL, so the split is on the oracle
+    board), and adding corpus later never reshuffles earlier docs
+    between splits. Map-only projection — no shuffle, no sampling job.
+
+    ``splits``: ordered (name, weight) pairs, weights summing to 1;
+    each doc lands in bucket ``murmur3(id, salt) % 10000`` and the
+    buckets partition by cumulative weight (so weights are exact to
+    1/10000 — corpus-scale splits are within ~1% of target even at
+    tiny corpora, exactly at large N by uniformity of murmur3).
+    """
+    from ..functions.hashes import murmur3_u32
+
+    total = sum(w for _n, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = F.pmod(
+        murmur3_u32(F.col(id_col).cast("string"), salt=salt),
+        F.lit(SPLIT_BUCKETS),
+    )
+    acc = 0.0
+    expr = None
+    cuts: list[tuple[str, int]] = []
+    for name, w in splits:
+        acc += w
+        cuts.append((name, int(round(acc * SPLIT_BUCKETS))))
+    cuts[-1] = (cuts[-1][0], SPLIT_BUCKETS)  # close the last interval
+    for name, hi in reversed(cuts):
+        expr = (
+            F.lit(name) if expr is None
+            else F.when(bucket < hi, F.lit(name)).otherwise(expr)
+        )
+    return docs.withColumn("split", expr)
+
+
+def sql_split_duckdb(
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    salt: str = "split",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB CASE expression computing the SAME ``split`` assignment
+    as :func:`split_corpus` (murmur3 replay via ``functions.hashes``)."""
+    from ..functions.hashes import sql_murmur3_u32_duckdb
+
+    h1 = sql_murmur3_u32_duckdb(f"({id_expr})::varchar")
+    h = sql_murmur3_u32_duckdb(f"'{salt}'", seed=h1)
+    bucket = f"(({h}) % {SPLIT_BUCKETS})"
+    acc = 0.0
+    cuts: list[tuple[str, int]] = []
+    for name, w in splits:
+        acc += w
+        cuts.append((name, int(round(acc * SPLIT_BUCKETS))))
+    cuts[-1] = (cuts[-1][0], SPLIT_BUCKETS)
+    case = "CASE"
+    for name, hi in cuts[:-1]:
+        case += f" WHEN {bucket} < {hi} THEN '{name}'"
+    case += f" ELSE '{cuts[-1][0]}' END"
+    return case

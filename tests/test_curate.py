@@ -63,3 +63,56 @@ def test_curate_greedy_drop_keeps_lowest_id_per_chain(spark):
         near_threshold=0.5,
     )
     assert {r["doc_id"] for r in curated.collect()} == {10, 13}
+
+
+def test_split_corpus_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.curate import split_corpus
+
+    docs = spark.range(5000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"]
+         for r in split_corpus(docs).collect()}
+    # pure function of (id, salt): repartitioning must not move docs
+    b = {r["doc_id"]: r["split"]
+         for r in split_corpus(docs.repartition(7)).collect()}
+    assert a == b
+    from collections import Counter
+
+    frac = {k: v / 5000 for k, v in Counter(a.values()).items()}
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # a different salt reshuffles assignments
+    c = {r["doc_id"]: r["split"]
+         for r in split_corpus(docs, salt="other").collect()}
+    assert a != c
+
+
+def test_split_corpus_weight_validation(spark):
+    import pytest as _pytest
+
+    from hadoop_search_engine_spark.operators.curate import split_corpus
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(docs, splits=(("a", 0.5), ("b", 0.4)))
+
+
+def test_split_matches_python_reference(spark):
+    """The Spark assignment equals the pure-Python murmur reference —
+    the same guarantee the DuckDB oracle row checks cross-engine."""
+    from hadoop_search_engine_spark.functions.hashes import mm3_u32_ref
+    from hadoop_search_engine_spark.operators.curate import (
+        SPLIT_BUCKETS,
+        split_corpus,
+    )
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"] for r in split_corpus(docs).collect()}
+    for i in range(300):
+        h1 = mm3_u32_ref(str(i).encode())
+        h = mm3_u32_ref("split".encode(), seed=h1)
+        b = h % SPLIT_BUCKETS
+        want = "train" if b < 9000 else ("val" if b < 9500 else "test")
+        assert got[i] == want, (i, b, got[i], want)
