@@ -335,6 +335,30 @@ def q_proximity_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-30 over the REAL block index fused
+    with exact-cosine top-30 over the embeddings table by reciprocal
+    rank fusion (operators/hybrid.py). The oracle replays both branch
+    rankings (BM25 CTE + list_cosine_similarity) and the exact RRF sum
+    over the same integer ranks."""
+    from hadoop_search_engine_spark.operators.hybrid import hybrid_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = hybrid_topk(
+        ix, " ".join(FLAGSHIP_TERMS), emb, list(qvec),
+        k=15, k_lex=30, k_vec=30,
+    )
+    # rank 0 = "not surfaced by this branch" (NULL would round-trip
+    # as NaN through the duckdb/pandas compare)
+    return top.select(
+        "doc_id", "rrf",
+        F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+    )
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — a pure
     function of (doc_id, salt): stable across reruns, partitioning,
@@ -1065,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
         "train_val_split": q_train_val_split,
+        "hybrid_search": q_hybrid_search,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -1998,6 +2023,51 @@ def oracle_sql() -> dict[str, str]:
     out["train_val_split"] = (
         f"SELECT doc_id, {sql_split_duckdb()} AS split FROM documents"
     )
+    # hybrid RRF: lexical branch = the bm25 scored CTE's top-30 (same
+    # exact-score selection search_topk uses), re-ranked at 4 dp with
+    # doc_id tie-break (rank_branch's contract); vector branch =
+    # cosine_topk's rounded-cosine top-30; fused by 1/(60+rank)
+    out["hybrid_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        lexsel AS (SELECT doc_id, score FROM scored
+                   ORDER BY score DESC, doc_id ASC LIMIT 30),
+        lex AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY round(score, 4) DESC, doc_id ASC) AS r
+                FROM lexsel),
+        vecsel AS (
+          SELECT vec_id AS doc_id,
+                 round(list_cosine_similarity(
+                     embedding::double[], qv::double[]), 6) AS cz
+          FROM embeddings,
+               (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+          ORDER BY cz DESC, doc_id ASC LIMIT 30
+        ),
+        vec AS (SELECT doc_id, row_number() OVER (
+                    ORDER BY cz DESC, doc_id ASC) AS r
+                FROM vecsel),
+        u AS (
+          SELECT doc_id, r, 'lex' AS br FROM lex
+          UNION ALL
+          SELECT doc_id, r, 'vec' AS br FROM vec
+        )
+        SELECT doc_id,
+               round(sum(1.0 / (60 + r)), 6) AS rrf,
+               coalesce(max(CASE WHEN br = 'lex' THEN r END), 0)::int AS lex_rank,
+               coalesce(max(CASE WHEN br = 'vec' THEN r END), 0)::int AS vec_rank
+        FROM u GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id ASC LIMIT 15
+    """
     # MoreLikeThis: doc 0's top-3 tf*idf terms -> OR search, source
     # excluded; the term selection replays in SQL (tf from the token
     # CTE, idf from the corpus formula, ties by term ascending)

@@ -1,0 +1,137 @@
+"""Hybrid search: lexical BM25 + vector cosine, fused by Reciprocal
+Rank Fusion (RRF, Cormack et al. 2009).
+
+The reference engine is lexical-only (its serving map is a flat
+term -> [url] dict, server/src/services/search.service.js:12-16); a
+modern retrieval stack over the same corpus pairs that lexical branch
+with an embedding ANN branch and fuses the two rankings. RRF is the
+standard fusion because it needs no score calibration: each branch
+contributes ``w / (rrf_k + rank)`` and documents found by both
+branches accumulate.
+
+Scale shape: the EXPENSIVE work is the two branch searches, and both
+are the already-scale-proven paths (``search_topk``'s block-index
+scorer; ``cosine_topk`` / ``lsh_bucket_topk``'s pruned scans). Fusion
+itself only ever touches ``k_lex + k_vec`` rows — a bounded union +
+groupBy that AQE collapses to a single tiny stage, so the single-
+partition ranking windows here are windows over <= a few hundred rows
+by construction, never over a corpus.
+
+Determinism contract (what the DuckDB oracle replays): each branch is
+ranked by its ROUNDED score (BM25 at 4 dp, cosine at 6 dp — the same
+precision the board compares those branches at) with ascending-id
+tie-break, so rank assignment is bit-identical across engines; the
+RRF sum over identical integer ranks is then exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+RRF_K_DEFAULT = 60
+
+
+def rank_branch(
+    branch: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    k: int | None = None,
+    ndigits: int = 4,
+) -> DataFrame:
+    """(id, rank) from a branch's (id, score) result: rank 1 = best,
+    ordered by rounded score desc then id asc. The input is a top-k
+    result (bounded rows), so the single-partition window is safe."""
+    w = Window.orderBy(
+        F.round(F.col(score_col), ndigits).desc(), F.col(id_col).asc()
+    )
+    ranked = branch.select(
+        F.col(id_col).alias("doc_id"),
+        F.row_number().over(w).alias("rank"),
+    )
+    return ranked.where(F.col("rank") <= k) if k is not None else ranked
+
+
+def rrf_fuse(
+    branches: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = RRF_K_DEFAULT,
+    weights: list[float] | None = None,
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Fuse ranked branches (each ``(doc_id, rank)``) into a top-k by
+    ``sum_i w_i / (rrf_k + rank_i)``, ties by doc_id ascending.
+
+    Returns ``(doc_id, rrf, <name>_rank ...)`` — one nullable rank
+    column per named branch so callers can see which branch surfaced
+    each hit."""
+    if weights is None:
+        weights = [1.0] * len(branches)
+    if names is None:
+        names = [f"b{i}" for i in range(len(branches))]
+    if not (len(branches) == len(weights) == len(names)):
+        raise ValueError("branches, weights, names must align")
+    tagged = None
+    for br, w, name in zip(branches, weights, names):
+        t = br.select(
+            "doc_id",
+            F.col("rank"),
+            F.lit(float(w)).alias("w"),
+            F.lit(name).alias("branch"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    aggs = [
+        F.round(
+            F.sum(F.col("w") / (F.lit(float(rrf_k)) + F.col("rank"))), 6
+        ).alias("rrf")
+    ]
+    for name in names:
+        aggs.append(
+            F.max(
+                F.when(F.col("branch") == name, F.col("rank"))
+            ).alias(f"{name}_rank")
+        )
+    fused = tagged.groupBy("doc_id").agg(*aggs)
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def hybrid_topk(
+    index,
+    query_text: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    k_lex: int = 50,
+    k_vec: int = 50,
+    rrf_k: int = RRF_K_DEFAULT,
+    w_lex: float = 1.0,
+    w_vec: float = 1.0,
+    serving: str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BM25 top-``k_lex`` (block index, :func:`~.query_exec.search_topk`)
+    fused with exact-cosine top-``k_vec`` (:func:`~.similarity.cosine_topk`)
+    by weighted RRF. ``embeddings``' ``id_col`` is the document id the
+    vectors are keyed by.
+
+    Swap the vector branch for :func:`~.similarity.lsh_bucket_topk` /
+    ``ivf_topk`` output at scale — any ``(id, cosine)`` frame fuses the
+    same way via :func:`rank_branch` + :func:`rrf_fuse`."""
+    from .query_exec import search_topk
+    from .similarity import cosine_topk
+
+    lex = search_topk(index, query_text, k=k_lex, serving=serving)
+    vec = cosine_topk(
+        embeddings, query_vec, k=k_vec, id_col=id_col, vec_col=vec_col
+    )
+    return rrf_fuse(
+        [
+            rank_branch(lex, "score", "doc_id", ndigits=4),
+            rank_branch(vec, "cosine", id_col, ndigits=6),
+        ],
+        k=k,
+        rrf_k=rrf_k,
+        weights=[w_lex, w_vec],
+        names=["lex", "vec"],
+    )

@@ -1,0 +1,127 @@
+"""Hybrid BM25 + vector RRF fusion against a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from hadoop_search_engine_spark.operators.hybrid import (
+    hybrid_topk,
+    rank_branch,
+    rrf_fuse,
+)
+from hadoop_search_engine_spark.operators.index_build import build_index
+from hadoop_search_engine_spark.operators.query_exec import (
+    Index,
+    search_topk,
+)
+from hadoop_search_engine_spark.operators.similarity import cosine_topk
+
+ROWS = [
+    (0, "spark query table merge fast spark"),
+    (1, "spark query vector slow table"),
+    (2, "spark merge merge merge rare"),
+    (3, "query table vector fast fast"),
+    (4, "spark table unique words appear once"),
+    (5, "merge vector spark query fast"),
+    (6, "completely unrelated content here"),
+    (7, "rare rare spark"),
+]
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    # deterministic distinct unit-ish vectors
+    rng = np.sin(np.arange(1, dim + 1, dtype=np.float64) * (i + 1) * 0.7)
+    return [float(x) for x in rng]
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup(spark, tmp_path_factory):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("hidx") / "idx")
+    build_index(spark, docs, out, n_buckets=4, block_size=4)
+    emb = spark.createDataFrame(
+        [(i, _vec(i)) for i, _t in ROWS],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    return Index.load(spark, out), emb
+
+
+def _py_rrf(branches, weights, rrf_k=60):
+    """branches: list of ordered id lists (best first)."""
+    acc = {}
+    for ids, w in zip(branches, weights):
+        for r, i in enumerate(ids, start=1):
+            acc[i] = acc.get(i, 0.0) + w / (rrf_k + r)
+    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_hybrid_matches_python_reference(hybrid_setup):
+    idx, emb = hybrid_setup
+    qvec = _vec(1)
+    lex = search_topk(idx, "spark merge", k=5).collect()
+    lex_ids = [
+        r["doc_id"]
+        for r in sorted(lex, key=lambda r: (-round(r["score"], 4), r["doc_id"]))
+    ]
+    vec = cosine_topk(emb, qvec, k=5).collect()
+    vec_ids = [
+        r["vec_id"]
+        for r in sorted(vec, key=lambda r: (-round(r["cosine"], 6), r["vec_id"]))
+    ]
+    want = _py_rrf([lex_ids, vec_ids], [1.0, 0.5])[:6]
+
+    got = hybrid_topk(
+        idx, "spark merge", emb, qvec, k=6, k_lex=5, k_vec=5,
+        w_lex=1.0, w_vec=0.5,
+    ).collect()
+    assert [(r["doc_id"], round(r["rrf"], 6)) for r in got] == [
+        (i, round(s, 6)) for i, s in want
+    ]
+    # rank columns: doc found by both branches carries both ranks
+    both = set(lex_ids) & set(vec_ids)
+    for r in got:
+        if r["doc_id"] in both:
+            assert r["lex_rank"] is not None and r["vec_rank"] is not None
+        lr = lex_ids.index(r["doc_id"]) + 1 if r["doc_id"] in lex_ids else None
+        assert r["lex_rank"] == lr
+
+
+def test_hybrid_rrf_accumulates_across_branches(hybrid_setup):
+    """A doc in BOTH branches must outrank a doc appearing in only one
+    at comparable ranks (the point of RRF)."""
+    idx, emb = hybrid_setup
+    # query doc 0's own vector: doc 0 is cosine rank 1; "spark merge"
+    # also ranks doc 0 highly -> fused rank 1 with contributions from both
+    got = hybrid_topk(idx, "spark merge", emb, _vec(0), k=3, k_lex=5, k_vec=5)
+    top = got.collect()[0]
+    assert top["doc_id"] == 0
+    assert top["lex_rank"] is not None and top["vec_rank"] == 1
+    assert abs(top["rrf"] - (1.0 / (60 + top["lex_rank"]) + 1.0 / 61)) < 1e-6
+
+
+def test_rank_branch_rounds_before_ranking(spark):
+    # two scores equal at 4 dp -> tie broken by id, not raw float order
+    df = spark.createDataFrame(
+        [(7, 1.00001), (3, 1.00004), (5, 0.5)], "doc_id long, score double"
+    )
+    ranked = {r["doc_id"]: r["rank"] for r in rank_branch(df, "score").collect()}
+    assert ranked == {3: 1, 7: 2, 5: 3}
+
+
+def test_rrf_fuse_validates_alignment(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(ValueError, match="align"):
+        rrf_fuse([df, df], weights=[1.0], names=["a", "b"])
+
+
+def test_hybrid_deterministic_under_repartition(hybrid_setup):
+    idx, emb = hybrid_setup
+    qvec = _vec(2)
+    a = hybrid_topk(idx, "spark query", emb, qvec, k=6).collect()
+    b = hybrid_topk(idx, "spark query", emb.repartition(5), qvec, k=6).collect()
+    assert [(r["doc_id"], r["rrf"]) for r in a] == [
+        (r["doc_id"], r["rrf"]) for r in b
+    ]
