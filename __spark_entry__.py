@@ -359,6 +359,29 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix query over the real index: 's' expands to its top-4
+    lexicon terms by (df desc, term asc) — the capped MultiTermQuery
+    rewrite — then standard disjunctive BM25. The oracle replays the
+    expansion (LIKE + df ranking + cap) and the expanded-terms score."""
+    from hadoop_search_engine_spark.operators.query_exec import prefix_search
+
+    ix = _oracle_index(spark, sf_dir)
+    top = prefix_search(ix, "s", k=20, max_expansions=4, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard query 's?a*' (? = one char, * = any run) over the real
+    index — lexicon-only expansion, BM25 over the expansions; the
+    oracle's LIKE 's_a%' is the exact same pattern algebra."""
+    from hadoop_search_engine_spark.operators.query_exec import wildcard_search
+
+    ix = _oracle_index(spark, sf_dir)
+    top = wildcard_search(ix, "s?a*", k=20, max_expansions=10, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — a pure
     function of (doc_id, salt): stable across reruns, partitioning,
@@ -1090,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
         "train_val_split": q_train_val_split,
         "hybrid_search": q_hybrid_search,
+        "prefix_search_indexed": q_prefix_search,
+        "wildcard_search_indexed": q_wildcard_search,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -2023,6 +2048,36 @@ def oracle_sql() -> dict[str, str]:
     out["train_val_split"] = (
         f"SELECT doc_id, {sql_split_duckdb()} AS split FROM documents"
     )
+    # prefix/wildcard: expansion = lexicon terms matching the pattern,
+    # capped by (df desc, term asc) — then the standard BM25 sum over
+    # the expanded term set
+    def _expansion_bm25(like: str, cap: int) -> str:
+        return f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        exp AS (
+          SELECT term FROM (
+            SELECT term, count(*) AS df FROM tf
+            WHERE term LIKE '{like}' GROUP BY term)
+          ORDER BY df DESC, term ASC LIMIT {cap}
+        ),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM exp) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+        """
+
+    out["prefix_search_indexed"] = _expansion_bm25("s%", 4)
+    out["wildcard_search_indexed"] = _expansion_bm25("s_a%", 10)
     # hybrid RRF: lexical branch = the bm25 scored CTE's top-30 (same
     # exact-score selection search_topk uses), re-ranked at 4 dp with
     # doc_id tie-break (rank_branch's contract); vector branch =

@@ -2604,6 +2604,89 @@ def fuzzy_search_topk(
     return search_topk(index, " ".join(corrected), k=k, **search_kwargs)
 
 
+def expand_terms(
+    index: Index, pattern: str, max_expansions: int = 50
+) -> list[str]:
+    """Expand a wildcard pattern (``*`` = any run, ``?`` = one char)
+    against the LEXICON — never the postings or the corpus — returning
+    at most ``max_expansions`` matching terms by (df desc, term asc),
+    Lucene's MultiTermQuery rewrite cap. Driver-pinned vocabularies
+    answer from the cached map with one compiled-regex pass; larger
+    vocabularies run a SQL ``LIKE`` over the vocab-sized lexicon table
+    (``*``/``?`` map 1:1 to ``%``/``_`` — tokens are ``[a-z0-9]+`` so
+    no escaping collision). Pure-prefix patterns take the
+    ``StartsWith`` pushdown path instead (:func:`prefix_search`)."""
+    import re as _re
+
+    p = pattern.strip().lower()
+    if not p or p.strip("*") == "":
+        return []
+    lm = index.lexicon_map()
+    if lm is not None:
+        rx = _re.compile(
+            "^"
+            + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in p
+            )
+            + "$"
+        )
+        cands = [(t, int(v["df"])) for t, v in lm.items() if rx.match(t)]
+        cands.sort(key=lambda e: (-e[1], e[0]))
+        return [t for t, _df in cands[:max_expansions]]
+    like = p.replace("%", "").replace("_", "").replace("*", "%").replace("?", "_")
+    rows = (
+        index.lexicon.where(F.col("term").like(like))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def wildcard_search(
+    index: Index,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """Wildcard query: expand the pattern against the lexicon
+    (:func:`expand_terms`, capped at ``max_expansions`` by df), then
+    run the standard disjunctive BM25 :func:`search_topk` over the
+    expanded terms — a doc matching several expansions sums their
+    contributions. Cost is bounded by ``max_expansions`` posting
+    lists; the expansion itself is vocab-sized."""
+    terms = expand_terms(index, pattern, max_expansions=max_expansions)
+    if not terms:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    return search_topk(index, " ".join(terms), k=k, **search_kwargs)
+
+
+def prefix_search(
+    index: Index,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """Prefix query (``prefix*``): expansion rides
+    :func:`suggest_terms`' df-ranked prefix probe (pinned-map linear
+    pass, or a pushed-down ``StartsWith`` lexicon filter — cheaper
+    than the generic wildcard regex), then the standard disjunctive
+    :func:`search_topk` over the expansions."""
+    p = prefix.strip().lower().rstrip("*")
+    if not p:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    rows = suggest_terms(index, p, k=max_expansions).collect()
+    if not rows:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    return search_topk(
+        index, " ".join(r["term"] for r in rows), k=k, **search_kwargs
+    )
+
+
 def collapse_topk(
     topk: DataFrame,
     keys: DataFrame,

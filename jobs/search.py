@@ -55,6 +55,15 @@ def main(argv: list[str] | None = None) -> None:
                          "vector' (BM25 over the positive terms)")
     ap.add_argument("--suggest", action="store_true",
                     help="treat --query as an autocomplete prefix")
+    ap.add_argument("--wildcard", action="store_true",
+                    help="treat --query as a wildcard pattern (* = any "
+                         "run, ? = one char; trailing-star prefix patterns "
+                         "take the cheaper StartsWith lexicon probe): "
+                         "expand against the lexicon capped at "
+                         "--max-expansions by df, then BM25 over the "
+                         "expansions")
+    ap.add_argument("--max-expansions", type=int, default=50,
+                    help="with --wildcard: expansion cap (df-ranked)")
     ap.add_argument("--fuzzy", action="store_true",
                     help="spell-correct out-of-vocabulary query terms")
     ap.add_argument("--rows", action="store_true",
@@ -151,6 +160,20 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_search_engine_spark.operators.query_exec import suggest_terms
 
         result = suggest_terms(idx, args.query, k=args.k)
+    elif args.wildcard:
+        from hadoop_search_engine_spark.operators.query_exec import (
+            prefix_search,
+            wildcard_search,
+        )
+
+        pat = args.query.strip()
+        core = pat.rstrip("*")
+        fn = prefix_search if ("*" not in core and "?" not in core) else wildcard_search
+        result = fn(idx, pat, k=args.k, max_expansions=args.max_expansions,
+                    k1=args.k1, b=args.b)
+        if args.documents:
+            docs = spark.read.parquet(args.documents)
+            result = materialize(result, docs)
     elif args.compat_or_union:
         result = or_union_search(idx, args.query, limit=args.k)
     elif args.fuzzy:
