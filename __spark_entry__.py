@@ -382,6 +382,34 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_paginated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor pagination (search_after) on the real index: page 2 is
+    fetched with after = last pair of page 1 — the oracle computes the
+    same rows as LIMIT 20 OFFSET 20 over the full ranking, proving the
+    cursor is exact (no deep-paging over-fetch)."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    q = " ".join(FLAGSHIP_TERMS)
+    p1 = search_topk(ix, q, k=20, serving="spark").collect()
+    after = (p1[-1]["doc_id"], p1[-1]["score"])
+    top = search_topk(ix, q, k=20, serving="spark", after=after)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf*idf terms (sparse doc vectors / keyword
+    extraction) — distributed window over per-doc term weights; the
+    oracle replays tf, df, idf, the rounded weight, and the
+    (weight desc, term asc) rank in SQL."""
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, n=3)
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — a pure
     function of (doc_id, salt): stable across reruns, partitioning,
@@ -1115,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
+        "paginated_search": q_paginated_search,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -2076,6 +2106,45 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
         """
 
+    # per-doc tf*idf top-3: same idf formula as the lexicon row, rank
+    # by rounded weight desc then term asc
+    out["tfidf_top_terms"] = f"""
+        WITH {_TF_CTE},
+        n AS (SELECT count(*) AS n FROM documents),
+        d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        wt AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * ln(1.0 + ((SELECT n FROM n) - d.df + 0.5)
+                                  / (d.df + 0.5)), 6) AS weight
+          FROM tf JOIN d ON tf.term = d.term
+        ),
+        r AS (
+          SELECT doc_id, term, tf, weight,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY weight DESC, term ASC) AS rank
+          FROM wt
+        )
+        SELECT doc_id, term, tf::bigint AS tf, weight, rank::int AS rank
+        FROM r WHERE rank <= 3
+    """
+    # cursor page 2 == OFFSET 20 of the full ranking
+    out["paginated_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20 OFFSET 20
+    """
     out["prefix_search_indexed"] = _expansion_bm25("s%", 4)
     out["wildcard_search_indexed"] = _expansion_bm25("s_a%", 10)
     # hybrid RRF: lexical branch = the bm25 scored CTE's top-30 (same

@@ -560,8 +560,18 @@ def search_topk(
     doc_filter: DataFrame | None = None,
     k1: float | None = None,
     b: float | None = None,
+    after: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query, BM25-ranked.
+
+    ``after``: cursor pagination — the ``(doc_id, score)`` pair of the
+    LAST hit of the previous page, exactly as the engine returned it
+    (exact float64 score). Returns the next k in the total order (score desc,
+    doc_id asc), Elasticsearch ``search_after`` semantics: the mask is
+    applied inside every shard scorer BEFORE top-k selection, so page
+    n+1 is exact with no deep-paging over-fetch, on every serving
+    path and algorithm (WAND's theta then tracks the kth eligible
+    doc, keeping the segment-bound pruning exact for the page).
 
     ``k1`` / ``b`` override the index's build-time BM25 parameters for
     THIS query — relevance tuning with no rebuild. This is free by
@@ -620,13 +630,25 @@ def search_topk(
     """
     if serving not in ("auto", "driver", "spark"):
         raise ValueError(f"serving must be auto|driver|spark, got {serving!r}")
+    after = _check_after(after)
     resolved = _resolve_query(index, query_text, synonyms, mode, algorithm,
                               k1, b)
     if resolved is None:
         return _empty_df(index.spark, TOPK_SCHEMA)
     stats, ordered_terms, algorithm = resolved
     return _execute_topk(index, stats, ordered_terms, k, mode,
-                         serving, algorithm, doc_filter)
+                         serving, algorithm, doc_filter, after=after)
+
+
+def _check_after(after) -> tuple[int, float] | None:
+    if after is None:
+        return None
+    if (not isinstance(after, (tuple, list)) or len(after) != 2):
+        raise ValueError(
+            f"after must be a (doc_id, score) cursor — the last result "
+            f"pair of the previous page — got {after!r}"
+        )
+    return (int(after[0]), float(after[1]))
 
 
 def _resolve_query(
@@ -685,6 +707,7 @@ def search_topk_rows(
     mode: str = "or",
     k1: float | None = None,
     b: float | None = None,
+    after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     """:func:`search_topk` with ``serving="driver"``, returning plain
     ``[(doc_id, score)]`` pairs instead of a DataFrame — the serving
@@ -700,6 +723,7 @@ def search_topk_rows(
     ``TOMBSTONE_OVERFETCH_MAX`` need the distributed scorer (use
     :func:`search_topk` / ``vacuum_index``). No ``doc_filter`` —
     filtered search is cogroup-only."""
+    after = _check_after(after)
     resolved = _resolve_query(index, query_text, synonyms, mode, algorithm,
                               k1, b)
     if resolved is None:
@@ -724,7 +748,7 @@ def search_topk_rows(
     hit_hashes = sorted(h for h, _, _ in ordered_terms)
     return _driver_search_pairs(
         index, ordered_terms, hit_hashes, k_eff, mode, algorithm,
-        exclude=tomb, final_k=k, stats=stats,
+        exclude=tomb, final_k=k, stats=stats, after=after,
     )
 
 
@@ -737,6 +761,7 @@ def _execute_topk(
     serving: str,
     algorithm: str,
     doc_filter: DataFrame | None,
+    after: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Scoring tail shared by :func:`search_topk` and
     :func:`search_topk_segments`. ``ordered_terms`` carry the idf
@@ -791,7 +816,7 @@ def _execute_topk(
                 exclude_df.select("doc_id"), "doc_id", "left_anti"
             )
         scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
-                                    mode=mode, require_dl=True)
+                                    mode=mode, require_dl=True, after=after)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -814,7 +839,7 @@ def _execute_topk(
     ):
         return _driver_search(
             index, ordered_terms, buckets, hit_hashes, k_eff, mode,
-            algorithm, exclude=tomb, final_k=k, stats=stats,
+            algorithm, exclude=tomb, final_k=k, stats=stats, after=after,
         )
 
     # Size the scorer shuffle to the work, not the session: the
@@ -832,7 +857,7 @@ def _execute_topk(
         # fast path: doc lengths are a session-broadcast dense array;
         # one job, no dl shuffle, no cogroup.
         scorer = _make_shard_scorer(ordered_terms, stats, k_eff, algorithm,
-                                    dl_bc=dl_bc, mode=mode)
+                                    dl_bc=dl_bc, mode=mode, after=after)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -845,7 +870,7 @@ def _execute_topk(
         shards = blocks.select("shard").distinct()
         dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
         scorer = _make_shard_scorer(ordered_terms, stats, k_eff, algorithm,
-                                    mode=mode)
+                                    mode=mode, after=after)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -1495,6 +1520,7 @@ def _driver_search_pairs(
     exclude=None,
     final_k: int | None = None,
     stats: IndexStats | None = None,
+    after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Driver-side serving core: read ONLY the probed posting rows via
     the per-Index pyarrow dataset / hot-postings LRU
@@ -1535,7 +1561,8 @@ def _driver_search_pairs(
             pairs.extend(
                 _score_dense(None, dl, base, ordered_terms, stats.k1,
                              stats.b, stats.avgdl, k, required,
-                             tf_cache=tfc, shard=s, rows_for=rows_for)
+                             tf_cache=tfc, shard=s, rows_for=rows_for,
+                             after=after)
             )
     else:
         pdf = index.postings_rows(hit_hashes)
@@ -1552,7 +1579,7 @@ def _driver_search_pairs(
             else:
                 pairs.extend(
                     score_fn(grp, dl, base, ordered_terms, stats.k1,
-                             stats.b, stats.avgdl, k, required)
+                             stats.b, stats.avgdl, k, required, after=after)
                 )
     if exclude is not None and pairs:
         # tombstone mask, still driver-side (no Spark job): the
@@ -1579,6 +1606,7 @@ def _driver_search(
     exclude=None,
     final_k: int | None = None,
     stats: IndexStats | None = None,
+    after: tuple[int, float] | None = None,
 ) -> DataFrame:
     """:func:`_driver_search_pairs` wrapped back into the DataFrame
     contract (typical latency: milliseconds instead of the ~0.5 s
@@ -1589,6 +1617,7 @@ def _driver_search(
     top = _driver_search_pairs(
         index, ordered_terms, hit_hashes, k, mode, algorithm,
         pairs_fn=pairs_fn, exclude=exclude, final_k=final_k, stats=stats,
+        after=after,
     )
     if not top:
         return _empty_df(spark, TOPK_SCHEMA)
@@ -1601,7 +1630,8 @@ def _driver_search(
 def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
                        stats: IndexStats, k: int, algorithm: str,
                        dl_bc=None, mode: str = "or", pairs_fn=None,
-                       require_dl: bool = False):
+                       require_dl: bool = False,
+                       after: tuple[int, float] | None = None):
     """Scorer for one shard. With ``dl_bc`` (broadcast dense doc_len
     array) it is an ``applyInPandas`` group function over blocks only;
     without, a cogroup function joining blocks with the shard's dl rows.
@@ -1620,10 +1650,11 @@ def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
             pairs = pairs_fn(left, dl, base)
         elif algorithm == "dense":
             pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl,
-                                 k, required, require_dl=require_dl)
+                                 k, required, require_dl=require_dl,
+                                 after=after)
         else:
             pairs = _score_wand(left, dl, base, ordered_terms, k1, b, avgdl,
-                                k, required)
+                                k, required, after=after)
         return pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"}
         )
@@ -1660,7 +1691,27 @@ def _partial(tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float) 
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def _topk_pairs(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+def _apply_after(
+    doc_ids: np.ndarray, scores: np.ndarray, after: tuple[int, float]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cursor-pagination eligibility mask: keep docs ranked STRICTLY
+    after ``after = (doc_id, score)`` — the last result pair of the
+    previous page, in the exact shape the engine returns it — in the
+    total order (score desc, doc_id asc). The cursor score must be the
+    exact float64 the previous page returned — the mask commutes with
+    per-shard top-k selection, so applying it before every shard's
+    selection plus the unchanged global merge yields exactly the next
+    page (Elasticsearch search_after semantics, no deep-paging
+    over-fetch)."""
+    d, s = int(after[0]), float(after[1])
+    m = (scores < s) | ((scores == s) & (doc_ids > d))
+    return doc_ids[m], scores[m]
+
+
+def _topk_pairs(
+    doc_ids: np.ndarray, scores: np.ndarray, k: int,
+    after: tuple[int, float] | None = None,
+) -> list[tuple[int, float]]:
     """k best by (score desc, doc_id asc).
 
     O(n) selection, not an O(n log n) full sort: a head-term query
@@ -1671,6 +1722,8 @@ def _topk_pairs(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[i
     top-k (at most k-1 rows), and ties AT the boundary are broken by
     smallest doc_id via a second partition — bit-identical results to
     the full lexsort by construction (and by test)."""
+    if after is not None:
+        doc_ids, scores = _apply_after(doc_ids, scores, after)
     n = doc_ids.size
     if n == 0:
         return []
@@ -1700,6 +1753,7 @@ def _score_dense(
     tf_cache: "_ByteLRU | None" = None,
     shard: int | None = None,
     rows_for=None,
+    after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     span = dl.shape[0]
     scores = np.zeros(span, dtype=np.float64)
@@ -1767,7 +1821,7 @@ def _score_dense(
         # zero entry means "filtered out" (a doc with postings always
         # has dl >= 1) — mask before top-k selection.
         idx = idx[dl[idx] > 0]
-    return _topk_pairs(idx + base, scores[idx], k)
+    return _topk_pairs(idx + base, scores[idx], k, after=after)
 
 
 class _TermBlocks:
@@ -1816,8 +1870,14 @@ def _score_wand(
     ordered_terms: list[tuple[int, str, float]],
     k1: float, b: float, avgdl: float, k: int,
     required: int = 0,
+    after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one shard, segment-vectorized.
+
+    ``after`` (cursor pagination) masks candidates at insertion — theta
+    then tracks the kth best ELIGIBLE doc, so the segment-bound pruning
+    stays exact for the page being served (a pruned segment cannot
+    contain an eligible doc above theta).
 
     Classic per-doc DAAT WAND spends microseconds of Python per pivot —
     at web-corpus dfs that is seconds per head-term query. Here the
@@ -1910,6 +1970,12 @@ def _score_wand(
             continue
         cand_scores = acc[idx]
         cand_docs = idx + lo
+        if after is not None:
+            cand_docs, cand_scores = _apply_after(
+                cand_docs, cand_scores, after
+            )
+            if not cand_docs.size:
+                continue
         if best_docs.size >= k:
             m = cand_scores >= theta  # keep ties: smaller doc_id can win
             if not m.any():
@@ -1932,6 +1998,7 @@ def _phrase_pairs(
     seq_hashes: list[int],
     k1: float, b: float, avgdl: float, k: int,
     slop: int = 0,
+    after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact-phrase (or, with ``slop`` > 0, ordered-proximity) matches
     in one shard, BM25-scored.
@@ -2011,7 +2078,7 @@ def _phrase_pairs(
         d, t, _keys = per_term[th]
         ix = np.searchsorted(d, docs_arr)
         scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b, avgdl)
-    return _topk_pairs(docs_arr, scores, k)
+    return _topk_pairs(docs_arr, scores, k, after=after)
 
 
 def phrase_search(
@@ -2021,6 +2088,7 @@ def phrase_search(
     synonyms: dict[str, str] | None = None,
     serving: str = "auto",
     slop: int = 0,
+    after: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Exact-phrase BM25 top-k over a positional index
     (``build_index(..., positions=True)``).
@@ -2087,6 +2155,7 @@ def phrase_search(
     pairs_fn = functools.partial(
         _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
         k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff, slop=slop,
+        after=_check_after(after),
     )
 
     # auto picks driver serving whenever the index is small enough for

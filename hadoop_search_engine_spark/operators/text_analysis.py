@@ -102,6 +102,52 @@ def fingerprint(text: Column, mod: int = (1 << 56) - 5) -> Column:
     return F.coalesce(fold, F.lit(0).cast("long"))
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``n`` terms per document by ``tf * idf`` — the sparse
+    document vector / keyword-extraction export a training pipeline
+    materializes per doc (and the driver-side primitive behind
+    ``more_like_this``, here as a corpus-wide distributed operator).
+
+    Returns ``(doc_id, term, tf, weight, rank)``; ranking ties break
+    by term ascending (deterministic, cross-engine). Weight uses the
+    BM25-style idf (:func:`~..functions.bm25.idf_col`).
+
+    Scale shape: one tokenize pass → tf groupBy (shuffle keyed on
+    (doc_id, term), map-side combined) → df groupBy over distinct
+    (term, doc) pairs → broadcast-join the vocab-sized df table back
+    onto tf → per-doc row_number window. The window partitions by
+    doc_id, so its sort is per-doc (bounded by distinct terms per
+    doc), never corpus-wide; no driver-side materialization.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.bm25 import idf_col
+    from .index_build import term_frequencies
+
+    tf = term_frequencies(docs.select(id_col, text_col))
+    n_docs = docs.count()
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .withColumn(
+            "weight",
+            F.round(F.col("tf") * idf_col(n_docs, F.col("df")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                "weight", "rank")
+    )
+
+
 def analyze(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """All analysis columns in one projection (single scan, codegen'd)."""
     t = F.col(text_col)

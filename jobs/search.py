@@ -21,6 +21,13 @@ import argparse
 import sys
 
 
+def _parse_after(s: str | None) -> tuple[int, float] | None:
+    if not s:
+        return None
+    doc, score = s.split(":", 1)
+    return (int(doc), float(score))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index",
@@ -64,6 +71,10 @@ def main(argv: list[str] | None = None) -> None:
                          "expansions")
     ap.add_argument("--max-expansions", type=int, default=50,
                     help="with --wildcard: expansion cap (df-ranked)")
+    ap.add_argument("--after", metavar="DOC_ID:SCORE",
+                    help="cursor pagination: the last result pair of the "
+                         "previous page (exact score) — returns the next "
+                         "--k hits")
     ap.add_argument("--fuzzy", action="store_true",
                     help="spell-correct out-of-vocabulary query terms")
     ap.add_argument("--rows", action="store_true",
@@ -188,7 +199,8 @@ def main(argv: list[str] | None = None) -> None:
     elif args.phrase:
         from hadoop_search_engine_spark.operators.query_exec import phrase_search
 
-        result = phrase_search(idx, args.query, k=args.k, slop=args.slop)
+        result = phrase_search(idx, args.query, k=args.k, slop=args.slop,
+                               after=_parse_after(args.after))
     elif args.boolean:
         from hadoop_search_engine_spark.operators.boolean import (
             search_topk_boolean,
@@ -209,13 +221,15 @@ def main(argv: list[str] | None = None) -> None:
 
             pairs = search_topk_rows(idx, args.query, k=args.k,
                                      algorithm=args.algorithm,
-                                     mode=args.mode, k1=args.k1, b=args.b)
+                                     mode=args.mode, k1=args.k1, b=args.b,
+                                     after=_parse_after(args.after))
             print(json.dumps([{"doc_id": d, "score": s} for d, s in pairs]))
             if owns_session:
                 spark.stop()
             return
         result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm,
-                             mode=args.mode, k1=args.k1, b=args.b)
+                             mode=args.mode, k1=args.k1, b=args.b,
+                             after=_parse_after(args.after))
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)

@@ -123,3 +123,55 @@ def test_blob_chunks_reassemble_byte_identical(spark):
            for r in blob_range(df, offset=20, length=10).collect()}
     assert rng[0] == b"a" * 5
     assert rng[3] == b""
+
+
+def test_tfidf_top_terms_matches_python(spark):
+    from collections import Counter
+
+    from hadoop_search_engine_spark.functions.bm25 import idf as idf_fn
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (0, "spark spark query merge table"),
+        (1, "merge merge merge rare spark"),
+        (2, "query table table fast"),
+        (3, "unique words appear here once"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["weight"])
+        for r in tfidf_top_terms(docs, n=2).collect()
+    }
+    # pure-python recompute
+    toks = {i: tokenize(t) for i, t in rows}
+    df = Counter()
+    for i, ts in toks.items():
+        for t in set(ts):
+            df[t] += 1
+    n = len(rows)
+    for i, ts in toks.items():
+        tf = Counter(ts)
+        want = sorted(
+            ((t, c, round(c * idf_fn(n, df[t]), 6)) for t, c in tf.items()),
+            key=lambda e: (-e[2], e[0]),
+        )[:2]
+        for rank, (t, c, w) in enumerate(want, start=1):
+            g = got[(i, rank)]
+            assert g == (t, c, pytest.approx(w, abs=1e-9)), (i, rank, g, (t, c, w))
+    # every doc contributes exactly min(2, n_distinct) rows
+    assert len(got) == sum(min(2, len(set(ts))) for ts in toks.values())
+
+
+def test_tfidf_top_terms_partition_invariant(spark):
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    rows = [(i, f"w{i % 7} w{i % 3} common common") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, tfidf_top_terms(docs, n=3).collect()))
+    b = sorted(map(tuple, tfidf_top_terms(docs.repartition(11), n=3).collect()))
+    assert a == b
