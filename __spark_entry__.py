@@ -410,6 +410,44 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, n=3)
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-evaluation harness on the real index: a 3-query batch
+    run (one query per flagship term, k=10) scored against
+    deterministic graded qrels (every doc containing the term, rel =
+    1 + doc_id % 2); nDCG/MRR/P/R@10 per query. The oracle replays the
+    run (BM25 row_number per query), the qrels, and every metric
+    formula in SQL."""
+    from hadoop_search_engine_spark.operators.evaluate import (
+        evaluate_ranking,
+        run_from_batch,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_batch,
+    )
+    from hadoop_search_engine_spark.functions.tokenizer import tokens_col
+
+    ix = _oracle_index(spark, sf_dir)
+    queries = {f"q_{t}": t for t in FLAGSHIP_TERMS}
+    run = run_from_batch(search_topk_batch(ix, queries, k=10))
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    qrels = None
+    for t in FLAGSHIP_TERMS:
+        qr = docs.where(F.array_contains("toks", t)).select(
+            F.lit(f"q_{t}").alias("query_id"),
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 2).cast("int").alias("rel"),
+        )
+        qrels = qr if qrels is None else qrels.unionByName(qr)
+    per_q = evaluate_ranking(run, qrels, k=10)
+    return per_q.select(
+        "query_id", "n_rel", "n_rel_ret", "ndcg", "mrr",
+        F.col("precision").alias("p_at_k"),
+        F.col("recall").alias("r_at_k"),
+    )
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment — a pure
     function of (doc_id, salt): stable across reruns, partitioning,
@@ -1145,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_search_indexed": q_wildcard_search,
         "paginated_search": q_paginated_search,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "ranking_metrics": q_ranking_metrics,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -2106,6 +2145,77 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
         """
 
+    # ranking metrics: replay the 3-query run (BM25 row_number per
+    # query), the deterministic qrels, and the TREC formulas in SQL
+    def _run_branch(t: str) -> str:
+        return f"""
+          SELECT 'q_{t}' AS query_id, doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+          FROM (
+            SELECT tf.doc_id, sum({score}) AS score
+            FROM tf
+            JOIN (SELECT term, count(*)::double AS df FROM tf
+                  WHERE term = '{t}' GROUP BY term) d ON tf.term = d.term
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN c
+            GROUP BY tf.doc_id
+          ) QUALIFY rank <= 10
+        """
+
+    def _qrel_branch(t: str) -> str:
+        return f"""
+          SELECT 'q_{t}' AS query_id, doc_id,
+                 (1 + doc_id % 2)::int AS rel
+          FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{t}')
+        """
+
+    _runs = " UNION ALL ".join(_run_branch(t) for t in FLAGSHIP_TERMS)
+    _qrels = " UNION ALL ".join(_qrel_branch(t) for t in FLAGSHIP_TERMS)
+    out["ranking_metrics"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        runs AS ({_runs}),
+        qrels AS ({_qrels}),
+        hits AS (
+          SELECT r.query_id, r.rank,
+                 (pow(2.0, q.rel) - 1) / log2(r.rank + 1.0) AS gain,
+                 1.0 / r.rank AS rr
+          FROM runs r JOIN qrels q
+            ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+          WHERE q.rel > 0
+        ),
+        perq AS (
+          SELECT query_id, count(*) AS n_rel_ret, sum(gain) AS dcg,
+                 max(rr) AS mrr
+          FROM hits GROUP BY query_id
+        ),
+        ideal AS (
+          SELECT query_id,
+                 sum((pow(2.0, rel) - 1) / log2(irank + 1.0)) AS idcg
+          FROM (
+            SELECT query_id, rel, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id ASC) AS irank
+            FROM qrels WHERE rel > 0
+          ) WHERE irank <= 10 GROUP BY query_id
+        ),
+        nrel AS (
+          SELECT query_id, count(*) AS n_rel FROM qrels
+          WHERE rel > 0 GROUP BY query_id
+        )
+        SELECT n.query_id,
+               n.n_rel::bigint AS n_rel,
+               coalesce(p.n_rel_ret, 0)::bigint AS n_rel_ret,
+               round(coalesce(p.dcg / i.idcg, 0), 6) AS ndcg,
+               round(coalesce(p.mrr, 0), 6) AS mrr,
+               round(coalesce(p.n_rel_ret, 0) / 10.0, 6) AS p_at_k,
+               round(coalesce(p.n_rel_ret, 0)::double / n.n_rel, 6) AS r_at_k
+        FROM nrel n
+        JOIN ideal i ON n.query_id = i.query_id
+        LEFT JOIN perq p ON n.query_id = p.query_id
+    """
     # per-doc tf*idf top-3: same idf formula as the lexicon row, rank
     # by rounded weight desc then term asc
     out["tfidf_top_terms"] = f"""
