@@ -282,6 +282,74 @@ def main() -> None:
         ).collect(),
     )
 
+    # hybrid retrieval: BM25 top-30 over the index fused with exact
+    # cosine top-30 over the sf embeddings table by RRF
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.hybrid import hybrid_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).persist()
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").first()[0])
+    timed(
+        "hybrid_query",
+        lambda: hybrid_topk(
+            idx, "spark query table", emb, qvec, k=10, k_lex=30, k_vec=30
+        ).collect(),
+        reps=3,
+    )
+
+    # wildcard expansion + expanded-terms BM25 (lexicon-only expansion)
+    from hadoop_search_engine_spark.operators.query_exec import wildcard_search
+
+    timed(
+        "wildcard_query",
+        lambda: wildcard_search(idx, "s*", k=10, max_expansions=10).collect(),
+    )
+
+    # cursor pagination: page 2 should cost ~a normal query (the mask
+    # rides the scorers; no deep-paging over-fetch)
+    _p1 = search_topk(idx, "spark query table", k=10).collect()
+    _after = (_p1[-1]["doc_id"], _p1[-1]["score"])
+    timed(
+        "paginated_page2",
+        lambda: search_topk(
+            idx, "spark query table", k=10, after=_after
+        ).collect(),
+    )
+
+    # per-doc tf*idf top-3 export (corpus-wide window over per-doc terms)
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    timed(
+        "tfidf_top_terms",
+        lambda: tfidf_top_terms(docs, n=3).count(),
+        reps=3,
+    )
+
+    # relevance evaluation of the 50-query batch run against synthetic
+    # qrels (every 2nd retrieved doc judged relevant) — measures the
+    # metric join + windows at query-log scale
+    from hadoop_search_engine_spark.operators.evaluate import (
+        evaluate_ranking,
+        run_from_batch,
+    )
+
+    _run = run_from_batch(
+        search_topk_batch(idx, batch_qs, k=10, serving="spark")
+    ).persist()
+    _run.count()
+    _qrels = _run.where(F.col("doc_id") % 2 == 0).select(
+        "query_id", "doc_id", F.lit(1).alias("rel")
+    ).persist()
+    _qrels.count()
+    timed(
+        "ranking_eval_50q",
+        lambda: evaluate_ranking(_run, _qrels, k=10).count(),
+        reps=3,
+    )
+
     # physical segment merge: two merge-aligned half-corpus segments
     # become one index by pure column-arithmetic remap (posting blobs
     # byte-unchanged) + vocab-sized stats/lexicon recompute. Untimed
