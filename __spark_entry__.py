@@ -410,6 +410,34 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, n=3)
 
 
+def q_bm25_topk_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relayout certification: the oracle index resharded (decode +
+    re-encode of index bytes — corpus never re-tokenized: new shard
+    span/buckets/blocks via operators/index_maint.reshard_index), then
+    queried through search_topk against the SAME bm25 oracle SQL —
+    proving the physical layout is score-invisible."""
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.index_maint import reshard_index
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        search_topk,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_reshard_{tag}"
+    if not (
+        os.path.exists(os.path.join(d, "stats.json"))
+        and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
+    ):
+        reshard_index(spark, ix.out_dir, d, shard_span=512, n_buckets=4,
+                      block_size=64)
+    nd = Index.load(spark, d)
+    top = search_topk(nd, " ".join(FLAGSHIP_TERMS), k=20, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-evaluation harness on the real index: a 3-query batch
     run (one query per flagship term, k=10) scored against
@@ -1184,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paginated_search": q_paginated_search,
         "tfidf_top_terms": q_tfidf_top_terms,
         "ranking_metrics": q_ranking_metrics,
+        "bm25_topk_resharded": q_bm25_topk_resharded,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -1952,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
     # (compressed postings + WAND/dense/driver serving), not just the
     # DataFrame baseline
     out["bm25_topk_indexed"] = out["bm25_topk"]
+    out["bm25_topk_resharded"] = out["bm25_topk"]
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
     out["boolean_search_indexed"] = out["boolean_search"]
     out["boolean_search_indexed_driver"] = out["boolean_search"]

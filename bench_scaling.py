@@ -50,6 +50,16 @@ from hadoop_search_engine_spark.operators.query_exec import Index, search_topk
 from hadoop_search_engine_spark.session import get_spark
 
 cores, n_docs, corpus, queries = {cores}, {n_docs}, {corpus!r}, {queries!r}
+# Pin the whole process tree (JVM, Python workers, Arrow/GC threads —
+# all inherit affinity) to exactly `cores` CPUs: local[N] alone is N
+# TASK SLOTS, not N CPUs, so on an idle 32-core box the low level's
+# helper threads spill onto free cores and inflate its throughput,
+# understating the N->4N ratio (measured: unpinned local[2] ran 24%
+# above its own pinned-era best). A real cluster's executor is
+# cgroup-bounded to its core count — affinity reproduces that.
+import os as _os
+if {pin}:
+    _os.sched_setaffinity(0, set(range(cores)))
 spark = get_spark(app_name=f"hse-scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores)
 out = f"/tmp/hse_scaling_index_{{cores}}"
@@ -154,9 +164,10 @@ def gen_corpus(n_docs: int) -> None:
 
 
 def run_level(cores: int, n_docs: int, trials: int = 1) -> dict:
+    pin = os.environ.get("SPARK_GRAFT_PIN_CPUS", "1") == "1"
     code = _LEVEL_SCRIPT.format(
         repo=REPO, cores=cores, n_docs=n_docs, corpus=CORPUS, queries=QUERIES,
-        trials=trials,
+        trials=trials, pin=pin,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600

@@ -652,3 +652,97 @@ def plan_compaction(
         "vacuum": vacuum,
         "profiles": profiles,
     }
+
+
+def index_to_events(index: Index, positions: bool | None = None) -> DataFrame:
+    """Decode an index's postings back into the token-event shape the
+    builder accepts (``doc_id, doc_len, term[, pos]`` — one row per
+    occurrence): the reverse of the encode path, enabling REINDEX
+    WITHOUT RE-TOKENIZING the corpus (relayout, vacuum-included
+    migration, analyzer-free schema changes). Tombstoned docs are
+    excluded (so any rebuild from these events has vacuum semantics).
+
+    Scale shape: a distributed ``mapInPandas`` over posting rows — one
+    batched ``decode_blocks`` per Arrow batch (the scorers' decode
+    primitive), term strings attached by broadcasting the vocab-sized
+    lexicon, ``doc_len`` attached by an equi-join against doc_stats
+    (sum-of-tf rows shuffle once, the same cost class as the build's
+    own event shuffle). No driver materialization anywhere.
+    """
+    pos = bool(index.stats.positions) if positions is None else positions
+    if pos and not index.stats.positions:
+        raise ValueError(
+            "index has no positions; cannot emit positional events"
+        )
+    lex = index.lexicon.select("term_hash", "term")
+    cols = ["term", "n_docs", "first_doc_id", "doc_ids", "tfs"]
+    if pos:
+        cols.append("positions")
+    post = index.postings.join(F.broadcast(lex), "term_hash").select(*cols)
+    schema = "doc_id long, term string" + (", pos int" if pos else "")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n_docs"].to_numpy(np.int64)
+            d, t, _ = codec.decode_blocks(
+                pdf["doc_ids"].tolist(), pdf["tfs"].tolist(),
+                ns, pdf["first_doc_id"].to_numpy(np.int64),
+            )
+            terms = np.repeat(pdf["term"].to_numpy(object), ns)
+            out = {
+                "doc_id": np.repeat(d, t),
+                "term": np.repeat(terms, t),
+            }
+            if pos:
+                blob = b"".join(map(bytes, pdf["positions"].tolist()))
+                out["pos"] = codec.decode_positions(blob, t).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    ev = post.mapInPandas(gen, schema=schema)
+    ev = ev.join(index.doc_stats.select("doc_id", "doc_len"), "doc_id")
+    if index.tombstone_count():
+        ev = ev.join(index.tombstones, "doc_id", "left_anti")
+    keep = ["doc_id", "doc_len", "term"] + (["pos"] if pos else [])
+    return ev.select(*keep)
+
+
+def reshard_index(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    *,
+    shard_span: int | None = None,
+    n_buckets: int = 16,
+    block_size: int | None = None,
+    positions: bool | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+) -> IndexStats:
+    """Rebuild ``src_dir``'s index at ``out_dir`` with a NEW physical
+    layout (shard span, bucket count, block size) from its own
+    postings — the corpus is never read or re-tokenized. The cluster-
+    growth operation: an index sharded for N executors relayouts for
+    4N with one decode+encode pass over index bytes (typically ~5% of
+    corpus bytes), tombstones vacuumed on the way. Queries on the
+    resharded index are rank- and score-identical (by test).
+
+    ``positions=False`` drops positions from a positional index (a
+    pure relayout can't ADD positions — the blocks never stored them;
+    asking for that raises)."""
+    from .index_build import BLOCK_SIZE, build_index
+
+    src = Index.load(spark, src_dir)
+    pos = bool(src.stats.positions) if positions is None else positions
+    ev = index_to_events(src, positions=pos)
+    return build_index(
+        spark, ev, out_dir,
+        docs_are_events=True,
+        positions=pos,
+        shard_span=shard_span,
+        n_buckets=n_buckets,
+        block_size=block_size if block_size is not None else BLOCK_SIZE,
+        k1=float(k1 if k1 is not None else src.stats.k1),
+        b=float(b if b is not None else src.stats.b),
+    )

@@ -947,6 +947,30 @@ def _federated_plan(
     return plan
 
 
+def _segment_after(
+    after: tuple[int, int, float] | None, segment: int
+) -> tuple[int, float] | None:
+    """Reduce a federated cursor ``(segment, doc_id, score)`` to the
+    per-segment ``(doc_id, score)`` cursor the shard scorers take.
+    The federated total order is (score desc, segment asc, doc_id
+    asc), so relative to cursor segment g with score s:
+
+      * segment < g: only strictly-lower scores rank after the cursor
+        -> synthetic cursor (doc_id = +inf sentinel, s);
+      * segment = g: the ordinary (doc_id, score) cursor;
+      * segment > g: any doc with score <= s ranks after the cursor
+        -> synthetic cursor (doc_id = -1, s) (doc ids are >= 0).
+    """
+    if after is None:
+        return None
+    g, d, s = int(after[0]), int(after[1]), float(after[2])
+    if segment < g:
+        return ((1 << 62), s)
+    if segment == g:
+        return (d, s)
+    return (-1, s)
+
+
 def search_topk_segments_rows(
     indexes: list,
     query_text: str,
@@ -954,6 +978,7 @@ def search_topk_segments_rows(
     synonyms: dict[str, str] | None = None,
     mode: str = "or",
     algorithm: str = "auto",
+    after: tuple[int, int, float] | None = None,
 ) -> list[tuple[int, int, float]]:
     """:func:`search_topk_segments` as the serving fast path: plain
     ``[(segment, doc_id, score)]`` triples, every segment served on
@@ -989,6 +1014,7 @@ def search_topk_segments_rows(
             for d, s in _driver_search_pairs(
                 ix, ordered, hit_hashes, k_eff, mode, algo,
                 exclude=tomb, final_k=k, stats=stats_g,
+                after=_segment_after(after, i),
             )
         )
     rows.sort(key=lambda r: (-r[2], r[0], r[1]))
@@ -1003,6 +1029,7 @@ def search_topk_segments(
     mode: str = "or",
     serving: str = "auto",
     algorithm: str = "auto",
+    after: tuple[int, int, float] | None = None,
 ) -> DataFrame:
     """Federated BM25 top-k across multiple index segments — the
     serving shape for a base index plus not-yet-compacted streaming
@@ -1024,12 +1051,17 @@ def search_topk_segments(
     Returns ``(segment, doc_id, score)`` — doc_id spaces are
     per-segment (segment is the position in ``indexes``), since
     independent builds mint independent dense ids.
+
+    ``after``: federated cursor pagination — the previous page's last
+    ``(segment, doc_id, score)`` triple; each segment gets the reduced
+    per-segment cursor (:func:`_segment_after`), so page n+1 is exact.
     """
     spark = indexes[0].spark
     plan = _federated_plan(indexes, query_text, synonyms, mode, algorithm)
     parts = []
     for i, ix, stats_g, ordered, algo in plan:
-        res = _execute_topk(ix, stats_g, ordered, k, mode, serving, algo, None)
+        res = _execute_topk(ix, stats_g, ordered, k, mode, serving, algo,
+                            None, after=_segment_after(after, i))
         parts.append(
             res.select(
                 F.lit(i).cast("int").alias("segment"), "doc_id", "score"

@@ -37,6 +37,18 @@ def main(argv: list[str] | None = None) -> None:
         help="comma-separated source index dirs to merge INTO --index",
     )
     ap.add_argument(
+        "--reshard",
+        help="source index dir: rebuild it INTO --index with a new "
+             "physical layout (decode+encode over index bytes, corpus "
+             "never re-tokenized; tombstones vacuumed on the way)",
+    )
+    ap.add_argument("--shard-span", type=int, default=None,
+                    help="with --reshard: new shard span")
+    ap.add_argument("--n-buckets", type=int, default=16,
+                    help="with --reshard: new bucket count")
+    ap.add_argument("--block-size", type=int, default=None,
+                    help="with --reshard: new posting block size")
+    ap.add_argument(
         "--plan-compaction",
         help="comma-separated segment dirs: print a size-tiered merge "
              "plan (JSON; merges largest-first per group, "
@@ -62,10 +74,10 @@ def main(argv: list[str] | None = None) -> None:
         print(_json.dumps(plan, indent=2))
         return
     if not (args.delete or args.delete_file or args.vacuum or args.report
-            or args.merge):
+            or args.merge or args.reshard):
         ap.error(
             "nothing to do: pass --delete/--delete-file/--vacuum/"
-            "--merge/--plan-compaction/--report"
+            "--merge/--reshard/--plan-compaction/--report"
         )
     if not args.index:
         ap.error("--index is required for this action")
@@ -86,6 +98,19 @@ def main(argv: list[str] | None = None) -> None:
         srcs = [s for s in args.merge.split(",") if s.strip()]
         idx = merge_indexes(spark, srcs, args.index)
         print(f"merged {len(srcs)} segments -> {args.index}")
+    elif args.reshard:
+        from hadoop_search_engine_spark.operators.index_maint import (
+            reshard_index,
+        )
+
+        kw = {"n_buckets": args.n_buckets}
+        if args.shard_span is not None:
+            kw["shard_span"] = args.shard_span
+        if args.block_size is not None:
+            kw["block_size"] = args.block_size
+        reshard_index(spark, args.reshard, args.index, **kw)
+        idx = Index.load(spark, args.index)
+        print(f"resharded {args.reshard} -> {args.index}")
     else:
         idx = Index.load(spark, args.index)
 

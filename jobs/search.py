@@ -28,6 +28,13 @@ def _parse_after(s: str | None) -> tuple[int, float] | None:
     return (int(doc), float(score))
 
 
+def _parse_after_seg(s: str | None) -> tuple[int, int, float] | None:
+    if not s:
+        return None
+    seg, doc, score = s.split(":", 2)
+    return (int(seg), int(doc), float(score))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index",
@@ -74,7 +81,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--after", metavar="DOC_ID:SCORE",
                     help="cursor pagination: the last result pair of the "
                          "previous page (exact score) — returns the next "
-                         "--k hits")
+                         "--k hits; with --segments use "
+                         "SEGMENT:DOC_ID:SCORE")
     ap.add_argument("--fuzzy", action="store_true",
                     help="spell-correct out-of-vocabulary query terms")
     ap.add_argument("--rows", action="store_true",
@@ -123,15 +131,17 @@ def main(argv: list[str] | None = None) -> None:
                 search_topk_segments_rows,
             )
 
-            triples = search_topk_segments_rows(segs, args.query, k=args.k,
-                                                mode=args.mode)
+            triples = search_topk_segments_rows(
+                segs, args.query, k=args.k, mode=args.mode,
+                after=_parse_after_seg(args.after))
             print(json.dumps([
                 {"segment": i, "doc_id": d, "score": s}
                 for i, d, s in triples
             ]))
         else:
-            result = search_topk_segments(segs, args.query, k=args.k,
-                                          mode=args.mode)
+            result = search_topk_segments(
+                segs, args.query, k=args.k, mode=args.mode,
+                after=_parse_after_seg(args.after))
             result.show(args.k, truncate=80)
         if owns_session:
             spark.stop()

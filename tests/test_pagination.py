@@ -131,3 +131,45 @@ def test_mid_tie_cursor_is_exact(pidx):
     after = full[tie_at]
     nxt = _pairs(search_topk(pidx, "spark merge", k=3, after=after))
     assert nxt == full[tie_at + 1 : tie_at + 4]
+
+
+def test_federated_pagination(spark, tmp_path_factory):
+    """Federated cursor (segment, doc_id, score): pages reconstruct the
+    full cross-segment ranking on both the DataFrame and rows paths."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_segments,
+        search_topk_segments_rows,
+    )
+
+    base = tmp_path_factory.mktemp("fpg")
+    segs = []
+    for s in range(2):
+        rows = [
+            (i, f"spark {'merge ' * ((i + s) % 4)}query fast")
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = str(base / f"seg{s}")
+        build_index(spark, docs, out, n_buckets=4, block_size=8,
+                    shard_span=512)
+        segs.append(Index.load(spark, out))
+
+    full = search_topk_segments_rows(segs, "spark merge", k=1000)
+    assert len(full) >= 10
+
+    got, after = [], None
+    while True:
+        page = search_topk_segments_rows(segs, "spark merge", k=6,
+                                         after=after)
+        if not page:
+            break
+        got.extend(page)
+        after = page[-1]
+    assert got == full
+
+    # DataFrame path: page 2 via cursor == rows 7..12 of the full order
+    p2 = search_topk_segments(segs, "spark merge", k=6,
+                              after=full[5]).collect()
+    assert [(r["segment"], r["doc_id"], r["score"]) for r in p2] == (
+        full[6:12]
+    )
