@@ -438,6 +438,39 @@ def q_bm25_topk_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_multifield_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-field search (BM25F-lite): the text field (the
+    oracle index) and a SOURCE field index over the same doc_id space,
+    fused as 1.0·BM25_text + 2.0·BM25_source via the exact
+    scored_docs union (a doc outside every field's top-k can still win
+    combined). The oracle replays both fields' BM25 (each with its own
+    df/avgdl/N) and the weighted sum in SQL."""
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        search_topk_fields,
+    )
+
+    ix_text = _oracle_index(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_srcidx_{tag}"
+    if not (
+        os.path.exists(os.path.join(d, "stats.json"))
+        and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
+    ):
+        src_docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", F.col("source").alias("text")
+        )
+        build_index(spark, src_docs, d, n_buckets=4)
+    ix_src = Index.load(spark, d)
+    top = search_topk_fields(
+        [(ix_text, 1.0), (ix_src, 2.0)], "spark src1", k=20
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-evaluation harness on the real index: a 3-query batch
     run (one query per flagship term, k=10) scored against
@@ -1213,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "ranking_metrics": q_ranking_metrics,
         "bm25_topk_resharded": q_bm25_topk_resharded,
+        "multifield_search": q_multifield_search,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -2175,6 +2209,53 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
         """
 
+    # multi-field: each field's BM25 over its OWN token stream /
+    # statistics, weighted union + per-doc sum, top-20
+    from hadoop_search_engine_spark.functions.tokenizer import (
+        sql_tokens_duckdb as _sqltok,
+    )
+
+    _stoks = _sqltok("source")
+    out["multifield_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ('spark', 'src1') GROUP BY term),
+        t_scored AS (
+          SELECT tf.doc_id, 1.0 * sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        stoks AS (SELECT doc_id, unnest({_stoks}) AS term FROM documents),
+        stf AS (SELECT term, doc_id, count(*) AS tf
+                FROM stoks GROUP BY term, doc_id),
+        sdl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM stf GROUP BY doc_id),
+        sc AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM sdl),
+        sd AS (SELECT term, count(*)::double AS df FROM stf
+               WHERE term IN ('spark', 'src1') GROUP BY term),
+        s_scored AS (
+          SELECT stf.doc_id,
+                 2.0 * sum(
+                   ln(1.0 + (sc.n - sd.df + 0.5) / (sd.df + 0.5))
+                   * (stf.tf * ({BM25_K1} + 1.0))
+                   / (stf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * sdl.doc_len / sc.avgdl))
+                 ) AS score
+          FROM stf
+          JOIN sd ON stf.term = sd.term
+          JOIN sdl ON stf.doc_id = sdl.doc_id
+          CROSS JOIN sc
+          GROUP BY stf.doc_id
+        ),
+        u AS (SELECT * FROM t_scored UNION ALL SELECT * FROM s_scored)
+        SELECT doc_id, round(sum(score), 4) AS score
+        FROM u GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     # ranking metrics: replay the 3-query run (BM25 row_number per
     # query), the deterministic qrels, and the TREC formulas in SQL
     def _run_branch(t: str) -> str:

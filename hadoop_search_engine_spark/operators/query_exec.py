@@ -762,6 +762,7 @@ def _execute_topk(
     algorithm: str,
     doc_filter: DataFrame | None,
     after: tuple[int, float] | None = None,
+    merge_topk: bool = True,
 ) -> DataFrame:
     """Scoring tail shared by :func:`search_topk` and
     :func:`search_topk_segments`. ``ordered_terms`` carry the idf
@@ -823,6 +824,8 @@ def _execute_topk(
             .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
             .applyInPandas(scorer, schema=TOPK_SCHEMA)
         )
+        if not merge_topk:
+            return per_shard
         return per_shard.orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         ).limit(k)
@@ -881,6 +884,8 @@ def _execute_topk(
         per_shard = per_shard.join(
             F.broadcast(index.tombstones), "doc_id", "left_anti"
         )
+    if not merge_topk:
+        return per_shard
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
@@ -2522,6 +2527,71 @@ def facet_counts(
         documents.join(matched.select("doc_id"), "doc_id", "left_semi")
         .groupBy(*facet_cols)
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def scored_docs(
+    index: Index,
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """ALL docs matching the query with their full BM25 scores — the
+    recall-side frame (no top-k), sized by the query terms' total df,
+    never the corpus. Runs the distributed shard scorers with the
+    per-shard selection disabled; scores are the same float64 values
+    ``search_topk`` ranks by (its top-k is exactly this frame's k best
+    rows). Feeds rank-free consumers: weighted multi-field fusion
+    (:func:`search_topk_fields`), score-threshold filters, analytics."""
+    after = None
+    resolved = _resolve_query(index, query_text, synonyms, mode, "dense",
+                              k1, b)
+    if resolved is None:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    stats, ordered_terms, _algo = resolved
+    return _execute_topk(index, stats, ordered_terms, (1 << 31), mode,
+                         "spark", "dense", None, after=after,
+                         merge_topk=False)
+
+
+def search_topk_fields(
+    fields: list[tuple[Index, float]],
+    query_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+) -> DataFrame:
+    """Weighted multi-field search (BM25F-lite, Lucene's per-field
+    boosts): ``score(doc) = Σ_f w_f · BM25_f(query)`` over per-field
+    indexes sharing ONE doc_id space (each field of the corpus indexed
+    separately — title/body/anchor at web scale). Exactness needs each
+    field's FULL matched-doc scores (a doc can be outside every
+    field's top-k yet top-k combined), so the per-field frames come
+    from :func:`scored_docs` (df-proportional, the facet cost class),
+    union, and one keyed groupBy-sum feeds the final top-k — no
+    cartesian, no corpus scan. Per-field statistics (df, avgdl, N)
+    stay the field's own, the standard per-field-BM25 combination.
+    ``mode="and"`` is per-field conjunctive: a doc qualifies through
+    any single field containing every term."""
+    if not fields:
+        raise ValueError("need at least one (index, weight) field")
+    spark = fields[0][0].spark
+    parts = []
+    for ix, w in fields:
+        sd = scored_docs(ix, query_text, synonyms, mode=mode)
+        parts.append(
+            sd.select("doc_id", (F.col("score") * float(w)).alias("score"))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
 
 
