@@ -471,6 +471,23 @@ def q_multifield_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static document prior fused at query time over the real index:
+    score = BM25 + 0.5 · (n_chars / 1000) — the pagerank/quality
+    signal shape. Exact via the scored_docs full-match frame (a boost
+    can promote a doc from outside the BM25 top-k); the oracle adds
+    the same prior to the scored CTE in SQL."""
+    from hadoop_search_engine_spark.operators.query_exec import boosted_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    boosts = _read(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / 1000.0).alias("boost")
+    )
+    top = boosted_topk(ix, " ".join(FLAGSHIP_TERMS), boosts, k=20,
+                       boost_weight=0.5)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-evaluation harness on the real index: a 3-query batch
     run (one query per flagship term, k=10) scored against
@@ -1247,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": q_ranking_metrics,
         "bm25_topk_resharded": q_bm25_topk_resharded,
         "multifield_search": q_multifield_search,
+        "boosted_search": q_boosted_search,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -2209,6 +2227,25 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
         """
 
+    # boosted: BM25 + 0.5 * (n_chars / 1000) over the matched docs
+    out["boosted_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id,
+               round(s.score + 0.5 * (doc.n_chars / 1000.0), 4) AS score
+        FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+        ORDER BY score DESC, s.doc_id ASC LIMIT 20
+    """
     # multi-field: each field's BM25 over its OWN token stream /
     # statistics, weighted union + per-doc sum, top-20
     from hadoop_search_engine_spark.functions.tokenizer import (

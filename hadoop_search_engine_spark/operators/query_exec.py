@@ -2595,6 +2595,42 @@ def search_topk_fields(
     )
 
 
+def boosted_topk(
+    index: Index,
+    query_text: str,
+    boosts: DataFrame,
+    k: int = 10,
+    boost_weight: float = 1.0,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    boost_col: str = "boost",
+) -> DataFrame:
+    """Top-k with a static document prior fused at query time:
+    ``score(doc) = BM25(query, doc) + boost_weight · boost(doc)`` —
+    the pagerank / quality-score / freshness signal every web engine
+    folds into ranking. Exactness needs the FULL matched-doc frame (a
+    boost can promote a doc from outside the BM25 top-k), so this
+    rides :func:`scored_docs` (df-proportional) and joins ``boosts``
+    (``doc_id``, ``boost_col``) on the matched docs only — the
+    corpus-sized boost table is never shuffled against itself, and
+    docs absent from ``boosts`` get boost 0. Additive fusion keeps the
+    units explicit; for multiplicative priors pre-transform the boost
+    column (e.g. ``ln(prior)`` under an exp-score model)."""
+    sd = scored_docs(index, query_text, synonyms, mode=mode)
+    b = boosts.select("doc_id", F.col(boost_col).cast("double").alias("_b"))
+    out = (
+        sd.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("score")
+                + float(boost_weight) * F.coalesce(F.col("_b"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def suggest_terms(index: Index, prefix: str, k: int = 10) -> DataFrame:
     """Prefix autocomplete over the lexicon, ranked by document
     frequency (the search-box suggestion list). Driver-cached

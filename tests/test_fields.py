@@ -108,3 +108,46 @@ def test_multi_field_doc_outside_every_field_topk_can_win(spark, tmp_path_factor
 def test_fields_validation(fidx):
     with pytest.raises(ValueError, match="field"):
         search_topk_fields([], "spark")
+
+
+def test_boosted_topk_matches_manual_fusion(fidx, spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.query_exec import boosted_topk
+
+    idx = fidx["body"]
+    boosts = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("boost"),
+    )
+    got = boosted_topk(idx, "spark merge", boosts, k=30,
+                       boost_weight=0.5).collect()
+    sd = {r["doc_id"]: r["score"]
+          for r in scored_docs(idx, "spark merge").collect()}
+    want = sorted(
+        ((d, s + 0.5 * (d % 7)) for d, s in sd.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (d, round(s, 9)) for d, s in want
+    ]
+    # the boost actually reorders vs plain BM25
+    plain = [r["doc_id"] for r in search_topk(idx, "spark merge", k=30).collect()]
+    assert [r["doc_id"] for r in got] != plain
+
+
+def test_boosted_topk_missing_docs_get_zero(fidx, spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.query_exec import boosted_topk
+
+    idx = fidx["body"]
+    boosts = spark.createDataFrame([(0, 100.0)], "doc_id long, boost double")
+    got = boosted_topk(idx, "spark merge", boosts, k=5).collect()
+    assert got[0]["doc_id"] == 0  # massively boosted doc wins
+    sd = {r["doc_id"]: r["score"]
+          for r in scored_docs(idx, "spark merge").collect()}
+    assert got[0]["score"] == pytest.approx(sd[0] + 100.0)
+    assert got[1]["score"] == pytest.approx(
+        max(s for d, s in sd.items() if d != 0)
+    )
