@@ -52,3 +52,41 @@ def test_topk_pairs_all_scores_equal(n, k, seed):
     got = _topk_pairs(doc_ids, scores, k)
     want = [(int(d), 0.5) for d in np.sort(doc_ids)[:k]]
     assert got == want
+
+
+def test_topk_pairs_pagination_property():
+    """Hypothesis: for any scores/ids and any cursor drawn from the
+    full ranking, _topk_pairs(after=cursor) returns exactly the next
+    slice of the lexsort reference ranking."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from hadoop_search_engine_spark.operators.query_exec import _topk_pairs
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=50),
+                st.sampled_from([0.0, 1.0, 1.5, 2.0, 2.5]),
+            ),
+            min_size=1, max_size=60,
+        ),
+        st.integers(min_value=1, max_value=7),
+        st.data(),
+    )
+    def check(pairs, k, data):
+        # unique doc ids (ranking is a total order over docs)
+        seen = {}
+        for d, s in pairs:
+            seen[d] = s
+        ids = np.array(sorted(seen), dtype=np.int64)
+        scores = np.array([seen[d] for d in sorted(seen)], dtype=np.float64)
+        order = np.lexsort((ids, -scores))
+        ranking = [(int(ids[i]), float(scores[i])) for i in order]
+        cut = data.draw(st.integers(min_value=0, max_value=len(ranking)))
+        after = ranking[cut - 1] if cut > 0 else None
+        got = _topk_pairs(ids, scores, k, after=after)
+        assert got == ranking[cut : cut + k]
+
+    check()
