@@ -96,6 +96,10 @@ def evaluate_ranking(
             ).alias("idcg")
         )
     )
+    # base = EVERY judged query (a query whose judgments are all rel=0
+    # still gets a zero-metrics row and counts in the macro means —
+    # dropping it would silently inflate the averages)
+    base = qrels.select("query_id").distinct()
     n_rel = (
         qrels.where(F.col("rel") > 0)
         .groupBy("query_id")
@@ -103,11 +107,12 @@ def evaluate_ranking(
     )
 
     out = (
-        n_rel.join(ideal, "query_id")
+        base.join(n_rel, "query_id", "left")
+        .join(ideal, "query_id", "left")
         .join(per_q, "query_id", "left")
         .select(
             "query_id",
-            F.col("n_rel").cast("long").alias("n_rel"),
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
             F.coalesce("n_rel_ret", F.lit(0)).cast("long").alias("n_rel_ret"),
             F.round(
                 F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
@@ -117,7 +122,11 @@ def evaluate_ranking(
                 F.coalesce("n_rel_ret", F.lit(0)) / F.lit(float(k)), 6
             ).alias("precision"),
             F.round(
-                F.coalesce("n_rel_ret", F.lit(0)) / F.col("n_rel"), 6
+                F.coalesce(
+                    F.coalesce("n_rel_ret", F.lit(0)) / F.col("n_rel"),
+                    F.lit(0.0),
+                ),
+                6,
             ).alias("recall"),
         )
     )

@@ -65,6 +65,8 @@ def rrf_fuse(
     Returns ``(doc_id, rrf, <name>_rank ...)`` — one nullable rank
     column per named branch so callers can see which branch surfaced
     each hit."""
+    if not branches:
+        raise ValueError("need at least one ranked branch")
     if weights is None:
         weights = [1.0] * len(branches)
     if names is None:

@@ -733,6 +733,12 @@ def reshard_index(
     asking for that raises)."""
     from .index_build import BLOCK_SIZE, build_index
 
+    if os.path.abspath(src_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            "reshard_index cannot write over its own source (the build "
+            "reads the source postings lazily while writing): pick a "
+            "different out_dir, then swap directories"
+        )
     src = Index.load(spark, src_dir)
     pos = bool(src.stats.positions) if positions is None else positions
     ev = index_to_events(src, positions=pos)

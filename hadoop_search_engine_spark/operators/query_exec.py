@@ -2545,15 +2545,13 @@ def scored_docs(
     ``search_topk`` ranks by (its top-k is exactly this frame's k best
     rows). Feeds rank-free consumers: weighted multi-field fusion
     (:func:`search_topk_fields`), score-threshold filters, analytics."""
-    after = None
     resolved = _resolve_query(index, query_text, synonyms, mode, "dense",
                               k1, b)
     if resolved is None:
         return _empty_df(index.spark, TOPK_SCHEMA)
     stats, ordered_terms, _algo = resolved
     return _execute_topk(index, stats, ordered_terms, (1 << 31), mode,
-                         "spark", "dense", None, after=after,
-                         merge_topk=False)
+                         "spark", "dense", None, merge_topk=False)
 
 
 def search_topk_fields(
@@ -2828,6 +2826,11 @@ def expand_terms(
     p = pattern.strip().lower()
     if not p or p.strip("*") == "":
         return []
+    # tokens are [a-z0-9]+: any other literal character (including SQL
+    # LIKE metachars % / _) can match no term — return [] on BOTH
+    # paths instead of letting the LIKE fallback mangle the pattern
+    if any(not (c.isascii() and c.isalnum()) for c in p.replace("*", "").replace("?", "")):
+        return []
     lm = index.lexicon_map()
     if lm is not None:
         rx = _re.compile(
@@ -2841,7 +2844,7 @@ def expand_terms(
         cands = [(t, int(v["df"])) for t, v in lm.items() if rx.match(t)]
         cands.sort(key=lambda e: (-e[1], e[0]))
         return [t for t, _df in cands[:max_expansions]]
-    like = p.replace("%", "").replace("_", "").replace("*", "%").replace("?", "_")
+    like = p.replace("*", "%").replace("?", "_")
     rows = (
         index.lexicon.where(F.col("term").like(like))
         .orderBy(F.col("df").desc(), F.col("term").asc())

@@ -129,7 +129,12 @@ def tfidf_top_terms(
     from ..functions.bm25 import idf_col
     from .index_build import term_frequencies
 
-    tf = term_frequencies(docs.select(id_col, text_col))
+    # term_frequencies expects the canonical (doc_id, text) names
+    tf = term_frequencies(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    )
     n_docs = docs.count()
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(

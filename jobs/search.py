@@ -104,6 +104,10 @@ def main(argv: list[str] | None = None) -> None:
 
     if bool(args.query) == bool(args.queries_file):
         ap.error("exactly one of --query / --queries-file is required")
+    if args.after and (args.boolean or args.suggest or args.compat_or_union
+                       or args.queries_file):
+        ap.error("--after is not supported with --boolean/--suggest/"
+                 "--compat-or-union/--queries-file")
     if bool(args.index) == bool(args.segments):
         ap.error("exactly one of --index / --segments is required")
 
@@ -188,10 +192,17 @@ def main(argv: list[str] | None = None) -> None:
         )
 
         pat = args.query.strip()
-        core = pat.rstrip("*")
-        fn = prefix_search if ("*" not in core and "?" not in core) else wildcard_search
+        # only a TRAILING-star pattern is a prefix query; a pattern
+        # with no wildcard at all stays on wildcard_search (exact-term
+        # match), matching the library semantics
+        is_prefix = (
+            pat.endswith("*")
+            and "*" not in pat[:-1]
+            and "?" not in pat[:-1]
+        )
+        fn = prefix_search if is_prefix else wildcard_search
         result = fn(idx, pat, k=args.k, max_expansions=args.max_expansions,
-                    k1=args.k1, b=args.b)
+                    k1=args.k1, b=args.b, after=_parse_after(args.after))
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)
@@ -202,7 +213,8 @@ def main(argv: list[str] | None = None) -> None:
             fuzzy_search_topk,
         )
 
-        result = fuzzy_search_topk(idx, args.query, k=args.k, mode=args.mode)
+        result = fuzzy_search_topk(idx, args.query, k=args.k, mode=args.mode,
+                                   after=_parse_after(args.after))
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)

@@ -26,6 +26,8 @@ QRELS = [
     ("q2", 20, 0), ("q2", 77, 1),
     ("q3", 30, 2),
     ("q4", 40, 1),
+    # judged but NOTHING relevant: must still emit a zero-metrics row
+    ("q5", 50, 0), ("q5", 51, 0),
 ]
 
 
@@ -65,14 +67,23 @@ def test_unrun_judged_query_scores_zero(metrics):
     assert metrics["q4"]["n_rel"] == 1 and metrics["q4"]["n_rel_ret"] == 0
 
 
+def test_all_zero_rel_query_emits_zero_row(metrics):
+    """A judged query whose judgments are all rel=0 stays on the board
+    with zero metrics (dropping it would inflate the macro means)."""
+    assert "q5" in metrics
+    r = metrics["q5"]
+    assert (r["n_rel"], r["n_rel_ret"], r["ndcg"], r["mrr"],
+            r["recall"]) == (0, 0, 0.0, 0.0, 0.0)
+
+
 def test_mean_metrics(spark, metrics):
     run = spark.createDataFrame(RUN, "query_id string, doc_id long, rank int")
     qrels = spark.createDataFrame(QRELS, "query_id string, doc_id long, rel int")
     m = mean_metrics(evaluate_ranking(run, qrels, k=3)).collect()[0]
     per = list(metrics.values())
-    assert m["n_queries"] == 4
+    assert m["n_queries"] == 5
     assert m["mean_ndcg"] == pytest.approx(
-        round(sum(r["ndcg"] for r in per) / 4, 6)
+        round(sum(r["ndcg"] for r in per) / 5, 6)
     )
 
 

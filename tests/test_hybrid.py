@@ -125,3 +125,8 @@ def test_hybrid_deterministic_under_repartition(hybrid_setup):
     assert [(r["doc_id"], r["rrf"]) for r in a] == [
         (r["doc_id"], r["rrf"]) for r in b
     ]
+
+
+def test_rrf_fuse_empty_branches_raises(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])

@@ -114,3 +114,8 @@ def test_reshard_can_drop_positions(spark, src, tmp_path_factory):
     assert _all(nd, "spark merge") == _all(src, "spark merge")
     with pytest.raises(ValueError, match="positional"):
         phrase_search(nd, "spark merge")
+
+
+def test_reshard_refuses_in_place(spark, src):
+    with pytest.raises(ValueError, match="own source"):
+        reshard_index(spark, src.out_dir, src.out_dir)

@@ -105,3 +105,17 @@ def test_wildcard_respects_max_expansions_semantics(widx):
     }
     assert capped == capped_want
     assert capped != full
+
+
+def test_expand_terms_like_metachars_match_nothing(widx):
+    """'%' / '_' (or any non-token char) can match no [a-z0-9]+ token:
+    both the pinned-regex and SQL-LIKE paths return [] (review fix:
+    the LIKE fallback used to DELETE the metachars, changing results
+    with vocabulary size)."""
+    for pat in ("a%b", "a_b", "s%", "s*a-b"):
+        assert expand_terms(widx, pat) == [], pat
+        widx.lexicon_map = lambda: None
+        try:
+            assert expand_terms(widx, pat) == [], (pat, "LIKE path")
+        finally:
+            del widx.lexicon_map
