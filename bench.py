@@ -428,6 +428,22 @@ def main() -> None:
         reps=3,
     )
 
+    # reshard/relayout: rebuild the index with a new physical layout
+    # from its own postings (decode+encode over index bytes, corpus
+    # never re-tokenized) — compare against index_build, which pays
+    # the full tokenize
+    from hadoop_search_engine_spark.operators.index_maint import reshard_index
+
+    rs_dir = "/tmp/hse_bench_reshard"
+    rs_secs = []
+    for _ in range(2):
+        shutil.rmtree(rs_dir, ignore_errors=True)
+        t0 = time.time()
+        reshard_index(spark, idx_dir, rs_dir, shard_span=4096, n_buckets=8)
+        rs_secs.append(time.time() - t0)
+    timings["reshard"] = round(min(rs_secs), 4)
+    shutil.rmtree(rs_dir, ignore_errors=True)
+
     # delete lifecycle LAST (mutates the bench index): tombstone 1% of
     # docs, then a full physical vacuum (block rewrite + stats/lexicon/
     # counter recompute). Single rep — the first vacuum does the real
