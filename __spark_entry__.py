@@ -471,6 +471,22 @@ def q_multifield_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_fuzzy_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant search end-to-end on the real index: 'spark qery'
+    — the OOV term is spell-corrected to its best lexicon candidate
+    (distance asc, df desc, term asc within 1 edit) and the corrected
+    query runs the standard BM25. The oracle replays the correction
+    with DuckDB's levenshtein and scores the corrected terms."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        fuzzy_search_topk,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    top = fuzzy_search_topk(ix, "spark qery", k=20, max_edits=1,
+                            serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Static document prior fused at query time over the real index:
     score = BM25 + 0.5 · (n_chars / 1000) — the pagerank/quality
@@ -1265,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_resharded": q_bm25_topk_resharded,
         "multifield_search": q_multifield_search,
         "boosted_search": q_boosted_search,
+        "fuzzy_search_indexed": q_fuzzy_search_indexed,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -2227,6 +2244,35 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
         """
 
+    # fuzzy search: correct the OOV term in SQL (same (dist, -df,
+    # term) candidate order), then the standard BM25 over
+    # {'spark', corrected}
+    out["fuzzy_search_indexed"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        corr AS (
+          SELECT term FROM (
+            SELECT term, count(DISTINCT doc_id) AS df,
+                   levenshtein(term, 'qery') AS dist
+            FROM tf GROUP BY term)
+          WHERE dist <= 1
+          ORDER BY dist ASC, df DESC, term ASC LIMIT 1
+        ),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term = 'spark' OR term IN (SELECT term FROM corr)
+              GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     # boosted: BM25 + 0.5 * (n_chars / 1000) over the matched docs
     out["boosted_search"] = f"""
         WITH {_TF_CTE},

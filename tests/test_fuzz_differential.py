@@ -119,3 +119,88 @@ def test_all_empty_corpus_index_serves_empty(spark, tmp_path):
     assert search_topk(idx, "anything", k=5, serving="spark").count() == 0
     assert search_topk_batch(idx, {"a": "anything", "b": ""}, k=5).count() == 0
     assert idx.report()["postings"] == 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_strategy, queries=st.lists(query_strategy, min_size=1, max_size=3))
+def test_pagination_walk_matches_oracle_full_ranking(spark, fuzz_tmp, corpus, queries):
+    """Cursor-paged walks reconstruct the oracle's FULL ranking on
+    randomized corpora with mid-list block/shard boundaries, on both
+    algorithms — and a cursor drawn mid-tie-group resumes exactly."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk_rows
+
+    _COUNTER[0] += 1
+    out = str(fuzz_tmp / f"pg{_COUNTER[0]}")
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    build_index(spark, docs, out, shard_span=8, n_buckets=4, block_size=4)
+    idx = Index.load(spark, out)
+    oracle = BM25Oracle(list(enumerate(corpus)))
+
+    for q in queries:
+        want = oracle.search(q, k=10_000)
+        for algorithm in ("wand", "dense"):
+            got, after = [], None
+            for _page in range(len(want) + 2):
+                rows = search_topk_rows(idx, q, k=3, algorithm=algorithm,
+                                        after=after)
+                if not rows:
+                    break
+                got.extend(rows)
+                after = rows[-1]
+            assert len(got) == len(want), (q, algorithm, corpus)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert gd == wd and math.isclose(gs, ws, rel_tol=1e-12,
+                                                 abs_tol=1e-12), (
+                    q, algorithm, corpus
+                )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=corpus_strategy,
+    prefix=st.sampled_from(["a", "x", "q", "w", "z", "pe", "xx", "nope"]),
+)
+def test_wildcard_matches_expanded_or_oracle(spark, fuzz_tmp, corpus, prefix):
+    """wildcard '<prefix>*' == oracle BM25 over the df-ranked capped
+    expansion, on randomized corpora."""
+    from collections import Counter
+
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+    from hadoop_search_engine_spark.operators.query_exec import wildcard_search
+
+    _COUNTER[0] += 1
+    out = str(fuzz_tmp / f"wc{_COUNTER[0]}")
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    build_index(spark, docs, out, shard_span=8, n_buckets=4, block_size=4)
+    idx = Index.load(spark, out)
+    oracle = BM25Oracle(list(enumerate(corpus)))
+
+    df = Counter()
+    for _i, text in enumerate(corpus):
+        for t in set(tokenize(text)):
+            df[t] += 1
+    exp = sorted(
+        (t for t in df if t.startswith(prefix)),
+        key=lambda t: (-df[t], t),
+    )[:2]
+    want = oracle.search(" ".join(exp), k=10) if exp else []
+    got = [
+        (r["doc_id"], r["score"])
+        for r in wildcard_search(idx, prefix + "*", k=10,
+                                 max_expansions=2).collect()
+    ]
+    assert len(got) == len(want), (prefix, exp, corpus)
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd and math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-12)
