@@ -471,6 +471,34 @@ def q_multifield_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static index pruning certified: the oracle index pruned at
+    max_df_ratio=0.79 (stop-like head terms dropped, posting bytes
+    saved), then the flagship query — the oracle replays prune
+    semantics exactly in SQL: tf filtered to kept terms, per-doc
+    lengths CARRIED from the full corpus, n/avgdl over surviving
+    docs."""
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.index_maint import prune_index
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        search_topk,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_pruned_{tag}"
+    if not (
+        os.path.exists(os.path.join(d, "stats.json"))
+        and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
+    ):
+        prune_index(spark, ix.out_dir, d, max_df_ratio=0.79)
+    nd = Index.load(spark, d)
+    top = search_topk(nd, " ".join(FLAGSHIP_TERMS), k=20, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_fuzzy_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typo-tolerant search end-to-end on the real index: 'spark qery'
     — the OOV term is spell-corrected to its best lexicon candidate
@@ -1282,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multifield_search": q_multifield_search,
         "boosted_search": q_boosted_search,
         "fuzzy_search_indexed": q_fuzzy_search_indexed,
+        "bm25_topk_pruned": q_bm25_topk_pruned,
         "more_like_this": q_more_like_this,
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
@@ -2244,6 +2273,33 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
         """
 
+    # pruned index: tf filtered to the kept-df band, doc lengths
+    # CARRIED from the full corpus, n/avgdl over surviving docs
+    out["bm25_topk_pruned"] = f"""
+        WITH {_TF_CTE},
+        kept AS (
+          SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
+          WHERE df <= floor(0.79 * (SELECT count(*) FROM documents))
+        ),
+        ptf AS (SELECT tf.* FROM tf JOIN kept ON tf.term = kept.term),
+        dl0 AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        pdocs AS (SELECT DISTINCT doc_id FROM ptf),
+        dl AS (SELECT dl0.doc_id, dl0.doc_len FROM dl0 JOIN pdocs
+               ON dl0.doc_id = pdocs.doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM ptf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM ptf tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     # fuzzy search: correct the OOV term in SQL (same (dist, -df,
     # term) candidate order), then the standard BM25 over
     # {'spark', corrected}

@@ -752,3 +752,70 @@ def reshard_index(
         k1=float(k1 if k1 is not None else src.stats.k1),
         b=float(b if b is not None else src.stats.b),
     )
+
+
+def prune_index(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    *,
+    min_df: int | None = None,
+    max_df: int | None = None,
+    max_df_ratio: float | None = None,
+    shard_span: int | None = None,
+    n_buckets: int | None = None,
+    block_size: int | None = None,
+) -> "IndexStats":
+    """Static index pruning (the classic 100-TB index-size lever):
+    rebuild ``src_dir`` at ``out_dir`` WITHOUT the terms outside the
+    df band — ``min_df`` drops hapax noise, ``max_df`` /
+    ``max_df_ratio`` (fraction of n_docs) drops stop-like head terms
+    whose posting lists dominate index bytes yet contribute ~no BM25
+    signal. Same machinery as :func:`reshard_index` (postings decoded
+    to events, corpus never re-tokenized, tombstones vacuumed), with a
+    vocab-sized broadcast semi-join filtering the event stream.
+
+    Scoring contract: per-doc lengths are CARRIED (not recomputed), so
+    queries over surviving terms score IDENTICALLY to the source index
+    (by test) as long as every doc retains at least one term (a doc
+    whose every term was pruned drops out of doc_stats, shifting
+    n_docs/avgdl — the standard static-pruning caveat). Positions are
+    carried at their ORIGINAL token offsets, so phrase slop behaves
+    like Lucene position increments across pruned terms.
+    """
+    from .index_build import BLOCK_SIZE, build_index
+
+    if os.path.abspath(src_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            "prune_index cannot write over its own source: pick a "
+            "different out_dir, then swap directories"
+        )
+    if min_df is None and max_df is None and max_df_ratio is None:
+        raise ValueError("pass at least one of min_df/max_df/max_df_ratio")
+    src = Index.load(spark, src_dir)
+    cap = None
+    if max_df is not None:
+        cap = int(max_df)
+    if max_df_ratio is not None:
+        r_cap = int(float(max_df_ratio) * int(src.stats.n_docs))
+        cap = r_cap if cap is None else min(cap, r_cap)
+    keep = src.lexicon.select("term", "df")
+    if min_df is not None:
+        keep = keep.where(F.col("df") >= int(min_df))
+    if cap is not None:
+        keep = keep.where(F.col("df") <= cap)
+    ev = index_to_events(src).join(
+        F.broadcast(keep.select("term")), "term", "left_semi"
+    )
+    return build_index(
+        spark, ev, out_dir,
+        docs_are_events=True,
+        positions=bool(src.stats.positions),
+        shard_span=(shard_span if shard_span is not None
+                    else src.stats.shard_span),
+        n_buckets=(n_buckets if n_buckets is not None
+                   else src.stats.n_buckets),
+        block_size=block_size if block_size is not None else BLOCK_SIZE,
+        k1=float(src.stats.k1),
+        b=float(src.stats.b),
+    )

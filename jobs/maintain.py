@@ -49,6 +49,18 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--block-size", type=int, default=None,
                     help="with --reshard: new posting block size")
     ap.add_argument(
+        "--prune",
+        help="source index dir: static-prune it INTO --index (drop "
+             "terms outside the df band; carried doc lengths keep "
+             "surviving-term scores identical)",
+    )
+    ap.add_argument("--min-df", type=int, default=None,
+                    help="with --prune: drop terms with df below this")
+    ap.add_argument("--max-df", type=int, default=None,
+                    help="with --prune: drop terms with df above this")
+    ap.add_argument("--max-df-ratio", type=float, default=None,
+                    help="with --prune: drop terms with df/n_docs above this")
+    ap.add_argument(
         "--plan-compaction",
         help="comma-separated segment dirs: print a size-tiered merge "
              "plan (JSON; merges largest-first per group, "
@@ -74,10 +86,10 @@ def main(argv: list[str] | None = None) -> None:
         print(_json.dumps(plan, indent=2))
         return
     if not (args.delete or args.delete_file or args.vacuum or args.report
-            or args.merge or args.reshard):
+            or args.merge or args.reshard or args.prune):
         ap.error(
             "nothing to do: pass --delete/--delete-file/--vacuum/"
-            "--merge/--reshard/--plan-compaction/--report"
+            "--merge/--reshard/--prune/--plan-compaction/--report"
         )
     if not args.index:
         ap.error("--index is required for this action")
@@ -111,6 +123,15 @@ def main(argv: list[str] | None = None) -> None:
         reshard_index(spark, args.reshard, args.index, **kw)
         idx = Index.load(spark, args.index)
         print(f"resharded {args.reshard} -> {args.index}")
+    elif args.prune:
+        from hadoop_search_engine_spark.operators.index_maint import (
+            prune_index,
+        )
+
+        prune_index(spark, args.prune, args.index, min_df=args.min_df,
+                    max_df=args.max_df, max_df_ratio=args.max_df_ratio)
+        idx = Index.load(spark, args.index)
+        print(f"pruned {args.prune} -> {args.index}")
     else:
         idx = Index.load(spark, args.index)
 

@@ -119,3 +119,45 @@ def test_reshard_can_drop_positions(spark, src, tmp_path_factory):
 def test_reshard_refuses_in_place(spark, src):
     with pytest.raises(ValueError, match="own source"):
         reshard_index(spark, src.out_dir, src.out_dir)
+
+
+def test_prune_index_keeps_scores_for_surviving_terms(spark, src, tmp_path_factory):
+    """Static pruning: queries over kept terms score IDENTICALLY to
+    the source (carried doc_len, unchanged statistics, no doc lost);
+    pruned terms behave like absent terms."""
+    from hadoop_search_engine_spark.operators.index_maint import prune_index
+
+    out = str(tmp_path_factory.mktemp("pr") / "idx")
+    # every doc has 'spark'+'query'+'fast' (df=60); w{i} terms are df=1.
+    # Prune the hapax tail: min_df=2 drops every w{i}.
+    prune_index(spark, src.out_dir, out, min_df=2)
+    nd = Index.load(spark, out)
+    for q in ("spark merge", "query", "table fast"):
+        assert _all(nd, q) == _all(src, q), q
+    # pruned term: behaves like an absent term (no hits on its own,
+    # ignored in OR queries)
+    assert _all(nd, "w7") == []
+    assert _all(nd, "spark w7") == _all(nd, "spark")
+    # lexicon actually shrank
+    assert nd.lexicon.count() < src.lexicon.count()
+
+
+def test_prune_index_max_df_ratio_drops_head_terms(spark, src, tmp_path_factory):
+    from hadoop_search_engine_spark.operators.index_maint import prune_index
+
+    out = str(tmp_path_factory.mktemp("pr2") / "idx")
+    # 'spark'/'query'/'fast' appear in all 60 docs -> ratio 1.0; drop them
+    prune_index(spark, src.out_dir, out, max_df_ratio=0.9)
+    nd = Index.load(spark, out)
+    assert _all(nd, "spark") == []
+    # mid-df terms survive with identical scores (all docs retain terms)
+    assert _all(nd, "merge") == _all(src, "merge")
+
+
+def test_prune_index_validation(spark, src):
+    from hadoop_search_engine_spark.operators.index_maint import prune_index
+
+    with pytest.raises(ValueError, match="min_df/max_df"):
+        prune_index(spark, src.out_dir, src.out_dir + "_p")
+    with pytest.raises(ValueError, match="own source"):
+        prune_index(spark, src.out_dir, src.out_dir, min_df=2)
