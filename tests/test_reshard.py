@@ -161,3 +161,22 @@ def test_prune_index_validation(spark, src):
         prune_index(spark, src.out_dir, src.out_dir + "_p")
     with pytest.raises(ValueError, match="own source"):
         prune_index(spark, src.out_dir, src.out_dir, min_df=2)
+
+
+def test_reshard_and_prune_are_fsck_clean(spark, src, tmp_path_factory):
+    """Relayout/prune outputs pass the full integrity verification
+    (lineage counters vs postings, lexicon vs rollup, block layout,
+    doc_stats vs header, sampled decode)."""
+    from hadoop_search_engine_spark.operators.fsck import verify_index
+    from hadoop_search_engine_spark.operators.index_maint import prune_index
+
+    base = tmp_path_factory.mktemp("fsckrp")
+    rs = str(base / "rs")
+    reshard_index(spark, src.out_dir, rs, shard_span=64, n_buckets=8)
+    pr = str(base / "pr")
+    prune_index(spark, src.out_dir, pr, min_df=2)
+    for d in (rs, pr):
+        rep = verify_index(Index.load(spark, d), sample_fraction=1.0)
+        bad = {k: v for k, v in rep.items()
+               if isinstance(v, dict) and not v.get("ok", True)}
+        assert not bad, (d, bad)
