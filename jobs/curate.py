@@ -34,6 +34,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="comma-separated lang_pred allowlist")
     ap.add_argument("--near-threshold", type=float, default=0.8,
                     help="minhash est-Jaccard near-dup threshold")
+    ap.add_argument("--split", default=None,
+                    help="add a deterministic train/val/test column: "
+                         "'train:0.9,val:0.05,test:0.05' (salted murmur3 "
+                         "of doc_id — stable across reruns/partitioning/"
+                         "engines, unlike randomSplit)")
+    ap.add_argument("--split-salt", default="split",
+                    help="with --split: salt for the hash assignment")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,6 +62,14 @@ def main(argv: list[str] | None = None) -> None:
         langs=tuple(s for s in args.langs.split(",") if s),
         near_threshold=args.near_threshold,
     ).persist()
+    if args.split:
+        from hadoop_search_engine_spark.operators.curate import split_corpus
+
+        splits = tuple(
+            (name, float(w))
+            for name, w in (p.split(":", 1) for p in args.split.split(","))
+        )
+        curated = split_corpus(curated, splits=splits, salt=args.split_salt)
     curated.write.mode("overwrite").parquet(args.output)
     report = curation_report(docs, curated)
     report["output"] = args.output
