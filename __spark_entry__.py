@@ -833,6 +833,34 @@ def q_or_union_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return or_union_search(ix, " ".join(FLAGSHIP_TERMS))
 
 
+def q_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits counting through the real index (Lucene
+    TotalHitCountCollector / ES track_total_hits): the bucket-pruned
+    postings decode counted without scoring or materializing results
+    (operators/analytics.py count_matches); oracle = COUNT(DISTINCT
+    doc) over the disjunctive token match."""
+    from hadoop_search_engine_spark.operators.analytics import count_matches
+
+    ix = _oracle_index(spark, sf_dir)
+    return count_matches(ix, " ".join(FLAGSHIP_TERMS), mode="or")
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elasticsearch-style significant_terms over the flagship query's
+    result set: foreground doc ids from the index's postings,
+    background df from its lexicon, only the matched docs re-read from
+    the corpus (operators/analytics.py significant_terms, JLH scorer);
+    the oracle replays fg/bg document frequencies and the exact JLH
+    arithmetic over the unnested tokens."""
+    from hadoop_search_engine_spark.operators.analytics import significant_terms
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return significant_terms(
+        ix, docs, " ".join(FLAGSHIP_TERMS), k=20, min_fg_df=2, scorer="jlh"
+    )
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: per-lang counts of docs matching any flagship
     term (operators/query_exec.py matched_docs_dataframe + facet_counts;
@@ -1328,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms_indexed": q_suggest_terms_indexed,
         "fuzzy_terms_indexed": q_fuzzy_terms_indexed,
         "or_union_indexed": q_or_union_indexed,
+        "search_count": q_search_count,
+        "significant_terms": q_significant_terms,
         "facet_counts": q_facet_counts,
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
@@ -2168,6 +2198,30 @@ def oracle_sql() -> dict[str, str]:
                doc_id,
                CASE term_pos {term_case} END AS matched_term
         FROM m
+    """
+    out["search_count"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        SELECT count(DISTINCT doc_id)::bigint AS n_hits
+        FROM toks WHERE term IN ({terms_in})
+    """
+    # significant terms: fg/bg DOCUMENT frequencies over distinct
+    # (doc, term) pairs, JLH = (fg% - bg%) * fg% / bg% in the same
+    # left-to-right double arithmetic as the Spark column expression
+    out["significant_terms"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        fg AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({terms_in})),
+        nfg AS (SELECT count(*)::double AS n_fg FROM fg),
+        nbg AS (SELECT count(*)::double AS n_bg FROM documents),
+        fgc AS (SELECT term, count(*)::bigint AS fg_df
+                FROM dt JOIN fg USING (doc_id) GROUP BY term),
+        bgc AS (SELECT term, count(*)::bigint AS bg_df FROM dt GROUP BY term)
+        SELECT f.term, f.fg_df, b.bg_df,
+               round(((f.fg_df / n_fg) - (b.bg_df / n_bg))
+                     * (f.fg_df / n_fg) / (b.bg_df / n_bg), 6) AS score
+        FROM fgc f JOIN bgc b USING (term), nfg, nbg
+        WHERE f.fg_df >= 2 AND f.term NOT IN ({terms_in})
+        ORDER BY score DESC, term ASC LIMIT 20
     """
     # exact-phrase BM25: the phrase is doc 0's first two tokens,
     # derived in-SQL (ph CTE) exactly as q_phrase_indexed derives it

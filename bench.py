@@ -263,6 +263,25 @@ def main() -> None:
     timed("suggest_autocomplete", lambda: suggest_terms(idx, "s", k=10).collect())
     timed("fuzzy_query", lambda: fuzzy_search_topk(idx, "scann quer", k=10).collect())
 
+    # result-set analytics: total hits (postings decode + count) and
+    # significant terms (fg from postings, bg from lexicon, corpus
+    # touched only via the matched-set semi-join)
+    from hadoop_search_engine_spark.operators.analytics import (
+        count_matches,
+        significant_terms,
+    )
+
+    timed(
+        "search_count",
+        lambda: count_matches(idx, "spark query table").collect(),
+    )
+    timed(
+        "significant_terms",
+        lambda: significant_terms(
+            idx, docs, "spark query table", k=20
+        ).collect(),
+    )
+
     # ranked-boolean (nested AND/OR/NOT): per-shard posting-set algebra
     # + BM25 over the positive terms, both serving modes
     from hadoop_search_engine_spark.operators.boolean import (

@@ -1,0 +1,190 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.analytics import (
+    count_matches,
+    count_matches_dataframe,
+    significant_terms,
+    significant_terms_dataframe,
+)
+
+# tiny_corpus vocabulary is the synthetic Zipf wNNNNN terms (corpus.py)
+QUERY = "w00000 w00010 w00200"
+
+
+def _rows(df):
+    return sorted(
+        (r["term"], r["fg_df"], r["bg_df"], r["score"]) for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------- counts
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_count_matches_indexed_equals_exhaustive(tiny_corpus, tiny_index, mode):
+    n_ix = count_matches(tiny_index, QUERY, mode=mode).collect()[0]["n_hits"]
+    n_df = count_matches_dataframe(tiny_corpus, QUERY, mode=mode).collect()[0][
+        "n_hits"
+    ]
+    assert n_ix == n_df
+    assert n_ix > 0
+
+
+def test_count_matches_manual_or(tiny_corpus, tiny_index):
+    from hadoop_search_engine_spark.functions.tokenizer import tokens_col
+
+    terms = QUERY.split()
+    toks = tiny_corpus.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    pred = F.array_contains("toks", terms[0])
+    for t in terms[1:]:
+        pred = pred | F.array_contains("toks", t)
+    manual = toks.where(pred).count()
+    got = count_matches(tiny_index, QUERY, mode="or").collect()[0]["n_hits"]
+    assert got == manual
+
+
+def test_count_matches_no_hit_term_is_zero(tiny_index):
+    got = count_matches(tiny_index, "zzzznotaterm", mode="or").collect()
+    assert got[0]["n_hits"] == 0
+
+
+def test_count_matches_masks_tombstones(spark, tiny_corpus, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+    from hadoop_search_engine_spark.operators.query_exec import Index, matched_docs
+
+    out = str(tmp_path / "ix")
+    build_index(spark, tiny_corpus, out, num_shards=2, n_buckets=4, block_size=16)
+    ix = Index.load(spark, out)
+    before = count_matches(ix, QUERY).collect()[0]["n_hits"]
+    victims = [r["doc_id"] for r in matched_docs(ix, QUERY).limit(3).collect()]
+    delete_docs(ix, victims)
+    after = count_matches(ix, QUERY).collect()[0]["n_hits"]
+    assert after == before - len(victims)
+
+
+# ------------------------------------------------------- significant terms
+
+
+@pytest.mark.parametrize("scorer", ["jlh", "pmi"])
+def test_significant_terms_indexed_equals_exhaustive(
+    tiny_corpus, tiny_index, scorer
+):
+    ix = significant_terms(
+        tiny_index, tiny_corpus, QUERY, k=15, scorer=scorer
+    )
+    df = significant_terms_dataframe(tiny_corpus, QUERY, k=15, scorer=scorer)
+    assert _rows(ix) == _rows(df)
+    assert ix.count() > 0
+
+
+def test_significant_terms_planted_signal(spark, tmp_path):
+    """Docs about 'zebra' always mention 'stripes'; 'stripes' is rare
+    elsewhere — it must be the top significant term for query zebra."""
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    rows = []
+    for i in range(40):
+        rows.append((i, f"zebra stripes savanna doc{i % 7} grass"))
+    for i in range(40, 400):
+        filler = "stripes" if i % 90 == 0 else f"word{i % 13}"
+        rows.append((i, f"plain {filler} grass river doc{i % 7}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "sig")
+    build_index(spark, docs, out, num_shards=2, n_buckets=4, block_size=16)
+    ix = Index.load(spark, out)
+
+    top = significant_terms(ix, docs, "zebra", k=5).collect()
+    # savanna (fg-exclusive) and stripes (40 fg + 4 bg leaks) are the
+    # planted signals; both must beat every common filler term
+    assert {top[0]["term"], top[1]["term"]} == {"savanna", "stripes"}
+    assert all(r["fg_df"] == 40 for r in top[:2])
+    # the query's own term never appears
+    assert "zebra" not in {r["term"] for r in top}
+
+
+def test_significant_terms_score_formula(spark, tmp_path):
+    """Recompute JLH and PMI by hand for one term."""
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    rows = [(0, "apple pie"), (1, "apple pie"), (2, "apple tart"), (3, "banana pie")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "f")
+    build_index(spark, docs, out, num_shards=1, n_buckets=2, block_size=16)
+    ix = Index.load(spark, out)
+
+    got = {
+        r["term"]: r
+        for r in significant_terms(
+            ix, docs, "apple", k=10, min_fg_df=1
+        ).collect()
+    }
+    # pie: fg 2/3 vs bg 3/4
+    fg, bg = 2 / 3, 3 / 4
+    assert got["pie"]["fg_df"] == 2 and got["pie"]["bg_df"] == 3
+    assert got["pie"]["score"] == pytest.approx(
+        round((fg - bg) * fg / bg, 6), abs=1e-9
+    )
+    pmi = {
+        r["term"]: r
+        for r in significant_terms(
+            ix, docs, "apple", k=10, min_fg_df=1, scorer="pmi"
+        ).collect()
+    }
+    assert pmi["tart"]["score"] == pytest.approx(
+        round(math.log((1 / 3) / (1 / 4)), 6), abs=1e-9
+    )
+
+
+def test_significant_terms_min_fg_df_and_k(tiny_corpus, tiny_index):
+    out = significant_terms(tiny_index, tiny_corpus, QUERY, k=3, min_fg_df=5)
+    rows = out.collect()
+    assert len(rows) <= 3
+    assert all(r["fg_df"] >= 5 for r in rows)
+
+
+def test_significant_terms_no_match_is_empty(tiny_corpus, tiny_index):
+    assert (
+        significant_terms(tiny_index, tiny_corpus, "zzzznotaterm").count() == 0
+    )
+    assert significant_terms(tiny_index, tiny_corpus, "").count() == 0
+
+
+def test_significant_terms_excludes_tombstoned_from_fg(spark, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    rows = [(i, f"topic marker{i % 2} shared") for i in range(20)] + [
+        (i, "filler noise") for i in range(20, 60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "t")
+    build_index(spark, docs, out, num_shards=2, n_buckets=4, block_size=16)
+    ix = Index.load(spark, out)
+    # delete every doc containing marker1 -> fg loses them
+    delete_docs(ix, [i for i in range(20) if i % 2 == 1])
+    got = {
+        r["term"]: r["fg_df"]
+        for r in significant_terms(ix, docs, "topic", k=10, min_fg_df=1).collect()
+    }
+    assert "marker1" not in got
+    assert got["marker0"] == 10
+
+
+def test_significant_terms_rejects_bad_args(tiny_corpus, tiny_index):
+    with pytest.raises(ValueError):
+        significant_terms(tiny_index, tiny_corpus, QUERY, scorer="chi2")
+    with pytest.raises(ValueError):
+        significant_terms(tiny_index, tiny_corpus, QUERY, k=0)
+    with pytest.raises(ValueError):
+        significant_terms_dataframe(tiny_corpus, QUERY, k=-1)
