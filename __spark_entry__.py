@@ -223,6 +223,20 @@ def q_bm25_topk_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_term_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term query boosts (Lucene ``term^w`` syntax) through the
+    real index: parse_query_boosted folds each boost into the term's
+    idf, so every scorer — dense, WAND incl. its block upper bounds,
+    driver rows — stays exact with no scorer changes
+    (operators/query_exec.py). The oracle multiplies the same
+    per-term factor into the idf inside the BM25 sum."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(ix, "spark^2 query table^0.5", k=20, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_filtered_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered search_topk over the block index: the
     doc_filter eligibility mask rides the cogroup scorer's doc-length
@@ -1324,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed_and": q_bm25_topk_indexed_and,
         "bm25_topk_rows": q_bm25_topk_rows,
         "bm25_topk_tuned": q_bm25_topk_tuned,
+        "term_boosted_search": q_term_boosted_search,
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
@@ -2125,6 +2140,32 @@ def oracle_sql() -> dict[str, str]:
         d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
         scored AS (
           SELECT tf.doc_id, sum({score_tuned}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # per-term query boosts: the boost multiplies the term's idf (the
+    # same fold the Spark front end applies), everything else is the
+    # standard BM25 replay
+    boosted_idf = (
+        f"({idf}) * (CASE d.term WHEN 'spark' THEN 2.0 "
+        f"WHEN 'table' THEN 0.5 ELSE 1.0 END)"
+    )
+    score_term_boosted = sql_score(
+        "tf.tf", "dl.doc_len", boosted_idf, "c.avgdl", BM25_K1, BM25_B
+    )
+    out["term_boosted_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score_term_boosted}) AS score
           FROM tf
           JOIN d ON tf.term = d.term
           JOIN dl ON tf.doc_id = dl.doc_id

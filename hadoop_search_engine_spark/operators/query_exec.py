@@ -36,6 +36,7 @@ rank-identical (SURVEY.md §7 hard part #2/#3).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -528,6 +529,48 @@ def parse_query(query_text: str, synonyms: dict[str, str] | None = None) -> list
     return rewrite_terms(tokenize(query_text), synonyms or {})
 
 
+_BOOST_RE = re.compile(r"^(?P<body>.+)\^(?P<boost>\d+(?:\.\d+)?)$")
+
+
+def parse_query_boosted(
+    query_text: str, synonyms: dict[str, str] | None = None
+) -> tuple[list[str], dict[str, float]]:
+    """Query string with optional per-term boosts -> (terms, boosts).
+
+    Lucene query-string subset: a whitespace chunk ending in
+    ``^<number>`` boosts every token that chunk yields, e.g.
+    ``"spark^2 query table^0.5"``. Each chunk's body goes through the
+    SAME tokenize -> synonym rewrite pipeline as :func:`parse_query`
+    (so a boost on a synonym surface form lands on its canonical
+    term), and first-seen dedup keeps the first occurrence's boost. A
+    chunk without a valid numeric suffix is plain text; a zero boost
+    is rejected (it would silently drop the term from scoring while
+    still gating ``mode="and"``). ``boosts`` holds only non-1.0
+    entries — a boost-free query returns ``({}, parse_query(...))``
+    semantics bit-identically.
+    """
+    syn = synonyms or {}
+    if "^" not in (query_text or ""):
+        return parse_query(query_text, syn), {}
+    out: list[str] = []
+    seen: set[str] = set()
+    boosts: dict[str, float] = {}
+    for chunk in (query_text or "").split():
+        m = _BOOST_RE.match(chunk)
+        body, boost = (m["body"], float(m["boost"])) if m else (chunk, 1.0)
+        if m and boost <= 0.0:
+            raise ValueError(f"boost must be > 0, got {chunk!r}")
+        for t in tokenize(body):
+            mapped = syn.get(t, t)
+            if mapped in seen:
+                continue
+            seen.add(mapped)
+            out.append(mapped)
+            if boost != 1.0:
+                boosts[mapped] = boost
+    return out, boosts
+
+
 def _lookup_terms(index: Index, terms: list[str]) -> dict[str, dict]:
     """Lexicon probe for the query terms — bucket partition pruning via
     the pushed-down ``term IN (...)`` filter; result is query metadata
@@ -563,6 +606,13 @@ def search_topk(
     after: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query, BM25-ranked.
+
+    Per-term boosts (Lucene query-string subset): ``"spark^2 query
+    table^0.5"`` multiplies each boosted term's BM25 contribution —
+    folded into the term's idf by the shared front end
+    (:func:`parse_query_boosted`), so every serving path and algorithm
+    (including WAND's block upper bounds) stays exact. Also honored by
+    :func:`search_topk_rows`.
 
     ``after``: cursor pagination — the ``(doc_id, score)`` pair of the
     LAST hit of the previous page, exactly as the engine returned it
@@ -677,7 +727,7 @@ def _resolve_query(
             k1=stats.k1 if k1 is None else float(k1),
             b=stats.b if b is None else float(b),
         )
-    terms = parse_query(query_text, synonyms)
+    terms, boosts = parse_query_boosted(query_text, synonyms)
     meta = _lookup_terms(index, terms)
     if not meta:
         return None
@@ -690,9 +740,16 @@ def _resolve_query(
 
     # (hash, term, idf) in ascending TERM-STRING order: every scorer
     # sums per-doc partials in this order, so float results are
-    # bit-identical to the oracle's ascending-term summation.
+    # bit-identical to the oracle's ascending-term summation. A query
+    # boost folds into the term's idf — BM25 contributions are linear
+    # in idf, so every scorer (dense accumulate, WAND incl. its block
+    # upper bounds, driver rows) stays exact with no scorer changes.
     ordered_terms = [
-        (int(m["hash"]), t, float(m["idf"]))
+        (
+            int(m["hash"]),
+            t,
+            float(m["idf"]) * boosts[t] if t in boosts else float(m["idf"]),
+        )
         for t, m in sorted(meta.items())
     ]
     return stats, ordered_terms, algorithm
