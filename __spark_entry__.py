@@ -237,6 +237,23 @@ def q_term_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_msm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match (ES semantics) through the real index:
+    docs containing >= 2 of the 3 flagship terms, scored with the
+    standard disjunctive BM25 over all their matched terms — the
+    distinct-term count comes from the pruned postings decode and
+    rides the doc_filter eligibility page (operators/query_exec.py
+    search_topk(min_should_match=...)). Oracle: the bm25_topk replay
+    with HAVING count(DISTINCT term) >= 2."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(
+        ix, " ".join(FLAGSHIP_TERMS), k=20, min_should_match=2, serving="spark"
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_filtered_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered search_topk over the block index: the
     doc_filter eligibility mask rides the cogroup scorer's doc-length
@@ -1339,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_rows": q_bm25_topk_rows,
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "term_boosted_search": q_term_boosted_search,
+        "msm_search": q_msm_search,
         "filtered_search_indexed": q_filtered_search_indexed,
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
@@ -2159,6 +2177,25 @@ def oracle_sql() -> dict[str, str]:
     score_term_boosted = sql_score(
         "tf.tf", "dl.doc_len", boosted_idf, "c.avgdl", BM25_K1, BM25_B
     )
+    # minimum_should_match: the standard disjunctive replay, scoring
+    # group gated on >= 2 distinct matched query terms
+    out["msm_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+          HAVING count(DISTINCT tf.term) >= 2
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     out["term_boosted_search"] = f"""
         WITH {_TF_CTE},
         dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),

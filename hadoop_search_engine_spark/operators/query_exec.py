@@ -604,6 +604,7 @@ def search_topk(
     k1: float | None = None,
     b: float | None = None,
     after: tuple[int, float] | None = None,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query, BM25-ranked.
 
@@ -613,6 +614,18 @@ def search_topk(
     (:func:`parse_query_boosted`), so every serving path and algorithm
     (including WAND's block upper bounds) stays exact. Also honored by
     :func:`search_topk_rows`.
+
+    ``min_should_match`` (Elasticsearch semantics, ``mode="or"``
+    only): docs must contain at least this many DISTINCT query terms
+    to be eligible; eligible docs score the standard disjunctive BM25
+    sum over ALL their matched terms. Composed from existing exact
+    machinery: :func:`matched_docs` counts distinct present terms per
+    doc from the pruned postings decode (cost ∝ query df, never a
+    corpus scan), and the resulting doc set rides the ``doc_filter``
+    eligibility page — global statistics, mask applied before top-k
+    selection. ``1`` is a no-op; a value above the number of
+    lexicon-present query terms short-circuits to empty (an absent
+    term can never match, exactly ES's unmatchable-clause behavior).
 
     ``after``: cursor pagination — the ``(doc_id, score)`` pair of the
     LAST hit of the previous page, exactly as the engine returned it
@@ -681,6 +694,27 @@ def search_topk(
     if serving not in ("auto", "driver", "spark"):
         raise ValueError(f"serving must be auto|driver|spark, got {serving!r}")
     after = _check_after(after)
+    if min_should_match is not None:
+        if mode != "or":
+            raise ValueError(
+                "min_should_match applies to mode='or' only "
+                "(mode='and' already requires every term)"
+            )
+        if min_should_match < 1:
+            raise ValueError(
+                f"min_should_match must be >= 1, got {min_should_match}"
+            )
+        if min_should_match > 1:
+            eligible = matched_docs(
+                index, query_text, synonyms, min_match=min_should_match
+            )
+            doc_filter = (
+                eligible
+                if doc_filter is None
+                else doc_filter.select("doc_id").join(
+                    eligible, "doc_id", "left_semi"
+                )
+            )
     resolved = _resolve_query(index, query_text, synonyms, mode, algorithm,
                               k1, b)
     if resolved is None:
@@ -2482,20 +2516,33 @@ def matched_docs(
     query_text: str,
     synonyms: dict[str, str] | None = None,
     mode: str = "or",
+    min_match: int | None = None,
 ) -> DataFrame:
     """All doc_ids matching the query — no scoring. The recall side of
     faceting/analytics: a bucket+term_hash-pruned postings scan, one
     batched Arrow decode of the doc_id blobs, then distinct (``or``) or
     an all-terms-present count filter (``and``). Never tokenizes the
     corpus; cost is proportional to the query terms' total df.
+
+    ``min_match``: docs containing at least this many DISTINCT query
+    terms (overrides ``mode`` — ``min_match=1`` is ``or``,
+    ``min_match=len(terms)`` is ``and``). A query term absent from the
+    lexicon can never match, so ``min_match`` greater than the number
+    of present terms short-circuits to empty.
     """
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    if min_match is not None and min_match < 1:
+        raise ValueError(f"min_match must be >= 1, got {min_match}")
     spark = index.spark
     terms = parse_query(query_text, synonyms)
     meta = _lookup_terms(index, terms)
     n_required = len(set(terms))
-    if not meta or (mode == "and" and len(meta) < n_required):
+    if (
+        not meta
+        or (mode == "and" and min_match is None and len(meta) < n_required)
+        or (min_match is not None and len(meta) < min_match)
+    ):
         return _empty_df(spark, "doc_id long")
     buckets = sorted({m["bucket"] for m in meta.values()})
     hit_hashes = sorted(int(m["hash"]) for m in meta.values())
@@ -2522,7 +2569,14 @@ def matched_docs(
             )
 
     pairs = blocks.mapInPandas(expand, schema="term_hash long, doc_id long")
-    if mode == "or":
+    if min_match is not None:
+        out = (
+            pairs.groupBy("doc_id")
+            .agg(F.countDistinct("term_hash").alias("nt"))
+            .where(F.col("nt") >= min_match)
+            .select("doc_id")
+        )
+    elif mode == "or":
         out = pairs.select("doc_id").distinct()
     else:
         out = (
