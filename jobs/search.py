@@ -90,6 +90,16 @@ def main(argv: list[str] | None = None) -> None:
                          "as one JSON line via search_topk_rows — no Spark "
                          "DataFrame (the DataFrame wrap alone costs 10-180 "
                          "ms of py4j round trips per query)")
+    ap.add_argument("--msm", type=int, default=None, metavar="M",
+                    help="minimum_should_match: docs must contain at least "
+                         "M distinct query terms (mode=or only)")
+    ap.add_argument("--count", action="store_true",
+                    help="print the total-hits count as one JSON line "
+                         "instead of results (count_matches)")
+    ap.add_argument("--significant", action="store_true",
+                    help="print the significant terms of the result set "
+                         "(requires --documents for the foreground "
+                         "re-read; JLH scorer, top --k terms)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -110,6 +120,19 @@ def main(argv: list[str] | None = None) -> None:
                  "--compat-or-union/--queries-file")
     if bool(args.index) == bool(args.segments):
         ap.error("exactly one of --index / --segments is required")
+    specialized = (args.boolean or args.suggest or args.compat_or_union
+                   or args.phrase or args.wildcard or args.fuzzy
+                   or args.queries_file or args.segments)
+    if args.msm is not None and (specialized or args.rows or
+                                 args.mode != "or"):
+        ap.error("--msm applies to the plain single-query DataFrame path "
+                 "with --mode or")
+    if (args.count or args.significant) and (specialized or args.rows):
+        ap.error("--count/--significant apply to the plain single-query "
+                 "path")
+    if args.significant and not args.documents:
+        ap.error("--significant requires --documents (foreground docs are "
+                 "re-read from the corpus)")
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-search")
@@ -233,6 +256,29 @@ def main(argv: list[str] | None = None) -> None:
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)
+    elif args.count:
+        import json
+
+        from hadoop_search_engine_spark.operators.analytics import (
+            count_matches,
+        )
+
+        n = count_matches(idx, args.query, mode=args.mode).collect()[0][
+            "n_hits"
+        ]
+        print(json.dumps({"query": args.query, "mode": args.mode,
+                          "n_hits": int(n)}))
+        if owns_session:
+            spark.stop()
+        return
+    elif args.significant:
+        from hadoop_search_engine_spark.operators.analytics import (
+            significant_terms,
+        )
+
+        docs = spark.read.parquet(args.documents)
+        result = significant_terms(idx, docs, args.query, k=args.k,
+                                   mode=args.mode)
     else:
         if args.rows and not args.documents:
             import json
@@ -251,7 +297,8 @@ def main(argv: list[str] | None = None) -> None:
             return
         result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm,
                              mode=args.mode, k1=args.k1, b=args.b,
-                             after=_parse_after(args.after))
+                             after=_parse_after(args.after),
+                             min_should_match=args.msm)
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)
