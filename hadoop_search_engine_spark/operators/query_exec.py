@@ -1329,7 +1329,10 @@ def _resolve_batch(
 ) -> tuple[IndexStats, list[tuple[str, list[tuple[int, str, float]]]]]:
     """Shared batch front end: ONE lexicon probe for the union of all
     queries' terms, per-query ascending-term (hash, term, idf) lists.
-    Queries that can produce no hits contribute no entry."""
+    Queries that can produce no hits contribute no entry. Per-term
+    ``^boost`` syntax folds into the idf exactly as in
+    :func:`_resolve_query`, so batch results stay bit-identical to the
+    single-query paths for boosted queries too."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     stats = index.stats
@@ -1342,11 +1345,14 @@ def _resolve_batch(
             k1=stats.k1 if k1 is None else float(k1),
             b=stats.b if b is None else float(b),
         )
-    parsed = {qid: parse_query(text, synonyms) for qid, text in queries.items()}
-    all_terms = sorted({t for ts in parsed.values() for t in ts})
+    parsed = {
+        qid: parse_query_boosted(text, synonyms)
+        for qid, text in queries.items()
+    }
+    all_terms = sorted({t for ts, _ in parsed.values() for t in ts})
     meta = _lookup_terms(index, all_terms)
     per_q: list[tuple[str, list[tuple[int, str, float]]]] = []
-    for qid, ts in parsed.items():
+    for qid, (ts, boosts) in parsed.items():
         qmeta = {t: meta[t] for t in ts if t in meta}
         if not qmeta:
             continue
@@ -1354,7 +1360,16 @@ def _resolve_batch(
             continue  # a term with no postings anywhere: no conjunctive hit
         per_q.append((
             qid,
-            [(int(m["hash"]), t, float(m["idf"])) for t, m in sorted(qmeta.items())],
+            [
+                (
+                    int(m["hash"]),
+                    t,
+                    float(m["idf"]) * boosts[t]
+                    if t in boosts
+                    else float(m["idf"]),
+                )
+                for t, m in sorted(qmeta.items())
+            ],
         ))
     return stats, per_q
 

@@ -117,3 +117,24 @@ def test_boost_rows_path(tiny_index):
 
 def test_boost_and_mode_still_gates_absent_terms(tiny_index):
     assert search_topk(tiny_index, "w00000^2 zzznot", k=5, mode="and").count() == 0
+
+
+def test_boost_batch_paths_match_single_query(tiny_index):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_batch,
+        search_topk_batch_rows,
+    )
+
+    queries = {"q0": "w00000^2 w00010", "q1": "w00200^0.5", "q2": "w00000"}
+    singles = {
+        qid: _pairs(search_topk(tiny_index, q, k=10))
+        for qid, q in queries.items()
+    }
+    batch = search_topk_batch(tiny_index, queries, k=10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert got == singles
+    rows = search_topk_batch_rows(tiny_index, queries, k=10)
+    assert {q: [(int(d), float(s)) for d, s in p] for q, p in rows.items()} \
+        == singles
