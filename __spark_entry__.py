@@ -892,6 +892,25 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (ES percolator): which registered queries match
+    each doc — OR, AND, and min_match requirements over a broadcast
+    compiled query-term table, one tokenize pass, counts gated per
+    (doc, query) (operators/percolate.py). The oracle replays the
+    distinct-term join + HAVING gate in SQL."""
+    from hadoop_search_engine_spark.operators.percolate import percolate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = [
+        {"query_id": "any", "query_text": "spark query"},
+        {"query_id": "all", "query_text": "spark query table",
+         "mode": "and"},
+        {"query_id": "m2", "query_text": "spark query table",
+         "min_match": 2},
+    ]
+    return percolate(docs, qs)
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: per-lang counts of docs matching any flagship
     term (operators/query_exec.py matched_docs_dataframe + facet_counts;
@@ -1391,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "or_union_indexed": q_or_union_indexed,
         "search_count": q_search_count,
         "significant_terms": q_significant_terms,
+        "percolate": q_percolate,
         "facet_counts": q_facet_counts,
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
@@ -2276,6 +2296,25 @@ def oracle_sql() -> dict[str, str]:
                doc_id,
                CASE term_pos {term_case} END AS matched_term
         FROM m
+    """
+    # percolation: distinct-token join against the compiled query-term
+    # rows, per-(doc, query) distinct-match count gated by the query's
+    # requirement (n_required is constant per query, so min() reads it)
+    perc_rows = ", ".join(
+        [f"('any', '{t}', 1)" for t in ["spark", "query"]]
+        + [f"('all', '{t}', 3)" for t in FLAGSHIP_TERMS]
+        + [f"('m2', '{t}', 2)" for t in FLAGSHIP_TERMS]
+    )
+    out["percolate"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        q AS (SELECT * FROM (VALUES {perc_rows})
+              AS t(query_id, term, n_required))
+        SELECT d.doc_id, q.query_id,
+               count(DISTINCT d.term)::bigint AS n_matched
+        FROM dt d JOIN q ON d.term = q.term
+        GROUP BY d.doc_id, q.query_id
+        HAVING count(DISTINCT d.term) >= min(q.n_required)
     """
     out["search_count"] = f"""
         WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
