@@ -74,7 +74,7 @@ def compile_queries(
 
 def percolate(
     docs: DataFrame,
-    queries: list[dict],
+    queries: list[dict] | DataFrame,
     synonyms: dict[str, str] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -84,18 +84,32 @@ def percolate(
     query) pair, ``n_matched`` = distinct query terms present in the
     doc. See the module docstring for the plan; works identically on
     a static frame or inside ``foreachBatch`` on a stream.
+
+    ``queries`` is normally the registered list (compiled driver-side
+    and BROADCAST — right up to tens of thousands of queries). For a
+    query REGISTRY past driver size — millions of saved searches — pass
+    a DataFrame with columns ``(query_id, term, n_required)`` instead
+    (e.g. a parquet table maintained by :func:`compile_queries` batches):
+    the join then falls back to Spark's planner, which shuffles both
+    sides on the term key (AQE still broadcasts if the registry turns
+    out small). Same semantics either way.
     """
-    rows = compile_queries(queries, synonyms)
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        rows, "query_id string, term string, n_required int"
-    )
+    if isinstance(queries, DataFrame):
+        qdf = queries.select("query_id", "term", "n_required")
+        joined_q = qdf  # planner decides: broadcast if small, else shuffle
+    else:
+        rows = compile_queries(queries, synonyms)
+        qdf = spark.createDataFrame(
+            rows, "query_id string, term string, n_required int"
+        )
+        joined_q = F.broadcast(qdf)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("term"),
     )
     return (
-        toks.join(F.broadcast(qdf), "term")
+        toks.join(joined_q, "term")
         .groupBy("doc_id", "query_id")
         .agg(
             F.countDistinct("term").alias("n_matched"),

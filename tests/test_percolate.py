@@ -102,6 +102,24 @@ def test_compile_queries_validation():
         )
 
 
+def test_percolate_dataframe_registry_matches_list_path(spark):
+    """Million-query registries pass as a compiled (query_id, term,
+    n_required) DataFrame — same semantics as the broadcast list."""
+    rows = compile_queries(QUERIES)
+    reg = spark.createDataFrame(
+        rows, "query_id string, term string, n_required int"
+    )
+    via_list = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(_docs(spark), QUERIES).collect()
+    }
+    via_df = {
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(_docs(spark), reg).collect()
+    }
+    assert via_df == via_list
+
+
 def test_percolate_stream_foreachbatch(spark, tmp_path):
     """The selling point: the same transformation percolates a doc
     stream per micro-batch (alerting shape)."""
