@@ -1163,6 +1163,22 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate grouping: connected components (alternating
+    large-star/small-star) over the n-gram-Jaccard near-dup pairs —
+    (doc_id, cluster_id=min id of the component). Oracle: a DuckDB
+    recursive CTE computes min reachable id over the same pair set."""
+    from hadoop_search_engine_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.12
+    )
+    return dup_clusters(pairs)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs — oracle-checked: shingle
     hashes are murmur3 (SQL-replayable via functions.hashes), the 64
@@ -1432,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1995,6 +2012,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
             WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(toks[i : i + 2], ' ') AS shingle
+              FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
+              WHERE len(toks) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            ),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE inter / (sa.sz + sb.sz - inter) >= 0.12
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM pairs
+              UNION
+              SELECT b AS u, a AS v FROM pairs
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -384,3 +384,108 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+# -- duplicate clustering (connected components) -------------------------------
+
+def _canonical_edges(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Undirected edge set as canonical (u < v) rows, self-loops dropped."""
+    e = pairs.select(F.col(a).cast("long").alias("u"),
+                     F.col(b).cast("long").alias("v"))
+    return (
+        e.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star contraction round (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm). ``edges`` is the canonical (u < v) undirected set.
+
+    Per node u let m(u) = min(N(u) ∪ {u}). Large-star connects every
+    strictly-larger neighbor of u to m(u); small-star connects every
+    smaller-or-equal neighbor (and u itself) to m(u). Alternating the
+    two converges to stars rooted at each component's minimum in
+    O(log^2 n) rounds — no O(diameter) chain walks, so a pathological
+    A~B~C~... similarity chain costs log rounds, not linear.
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        "u", F.least(F.col("u"), F.col("_mn")).alias("m")
+    )
+    j = sym.join(m, "u")
+    if large:
+        out = j.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = j.where(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+    return (
+        out.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into duplicate CLUSTERS — the step a
+    real curation pipeline runs after MinHash/SimHash/Jaccard pair
+    generation, so each group keeps one canonical document. Returns
+    (doc_id, cluster_id) with ``cluster_id`` = the component's minimum
+    doc id (the conventional canonical representative).
+
+    Connected components via alternating large-star / small-star
+    contraction (public MapReduce algorithm, O(log^2 n) rounds), each
+    round a groupBy + join over the PAIR set — sized by the duplicate
+    graph, never the corpus. ``localCheckpoint`` per round cuts the
+    iterative lineage so plans stay flat at scale. Deterministic:
+    min-based contraction has no RNG and no partition sensitivity.
+
+    ``all_ids`` (optional, column ``id_col``) adds singleton docs that
+    appear in no pair as their own cluster — the full corpus-side
+    assignment used to materialize a deduplicated corpus.
+
+    The reference's only grouping is a JS ``Set`` per term
+    (server/src/utils/index.js:26-31); transitive duplicate grouping
+    at corpus scale has no analog there and is built Spark-first.
+    """
+    edges = _canonical_edges(pairs, a, b).localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = _star_round(edges, large=True)
+        nxt = _star_round(nxt, large=False).localCheckpoint()
+        # converged when the canonical edge set is unchanged
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        F.col("u").alias(id_col),
+        F.least(F.col("u"), F.col("_mn")).alias("cluster_id"),
+    )
+    if all_ids is not None:
+        singles = (
+            all_ids.select(F.col(id_col).cast("long").alias(id_col))
+            .join(labels.select(id_col), id_col, "left_anti")
+            .select(id_col, F.col(id_col).alias("cluster_id"))
+        )
+        labels = labels.unionByName(singles)
+    return labels

@@ -122,3 +122,76 @@ def test_simhash_exact_duplicates_max_hamming_zero(spark):
            for r in dedup.simhash_near_dup_pairs(docs, max_hamming=0).collect()}
     assert (1, 2, 0) in got
     assert all(h == 0 for _, _, h in got)
+
+
+# -- dup_clusters (connected components) --------------------------------------
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "a long, b long")
+
+
+def _cc_reference(pair_rows, nodes=None):
+    """Brute-force union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = {}
+    for n in set(parent) | set(nodes or []):
+        out[n] = find(n)
+    return out
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # A~B, B~C, C~D: one component even though A,D never pair directly
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_long_chain_and_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    # 60-node path (worst case for naive min-propagation) + random extra edges
+    rows = [(i, i + 1) for i in range(100, 160)]
+    rows += [(rng.randrange(0, 80), rng.randrange(0, 80)) for _ in range(60)]
+    rows = [(a, b) for a, b in rows if a != b]
+    want = _cc_reference(rows)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(_pairs(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_dup_clusters_singletons_and_direction_invariance(spark):
+    pairs = _pairs(spark, [(5, 2), (9, 5)])  # unordered input pairs
+    ids = spark.createDataFrame([(2,), (5,), (7,), (9,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs, all_ids=ids).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 7: 7}
+
+
+def test_dup_clusters_from_jaccard_pairs(spark):
+    docs = _docs(spark, [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)])
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs, all_ids=docs.select("doc_id")).collect()
+    }
+    assert got == {1: 1, 2: 1, 4: 1, 3: 3}
