@@ -563,6 +563,24 @@ def q_boosted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_decay_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score decay fused at query time over the real
+    index: score = BM25 · gauss(n_chars; origin=1000, scale=800,
+    decay=0.5) — the recency/proximity ranking shape (same machinery
+    serves timestamp freshness). Exact via the scored_docs full-match
+    frame; the oracle replays the gauss multiplier in SQL with the
+    identical driver-folded sigma^2 constant."""
+    from hadoop_search_engine_spark.operators.query_exec import decay_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    fields = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    top = decay_topk(
+        ix, " ".join(FLAGSHIP_TERMS), fields, origin=1000.0, scale=800.0,
+        k=20, decay=0.5, fn="gauss", field_col="n_chars",
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relevance-evaluation harness on the real index: a 3-query batch
     run (one query per flagship term, k=10) scored against
@@ -1405,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_resharded": q_bm25_topk_resharded,
         "multifield_search": q_multifield_search,
         "boosted_search": q_boosted_search,
+        "decay_search": q_decay_search,
         "fuzzy_search_indexed": q_fuzzy_search_indexed,
         "bm25_topk_pruned": q_bm25_topk_pruned,
         "more_like_this": q_more_like_this,
@@ -2570,6 +2589,32 @@ def oracle_sql() -> dict[str, str]:
                round(s.score + 0.5 * (doc.n_chars / 1000.0), 4) AS score
         FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
         ORDER BY score DESC, s.doc_id ASC LIMIT 20
+    """
+    import math as _math
+
+    _two_sigma2 = 2.0 * (-(800.0 * 800.0) / (2.0 * _math.log(0.5)))
+    out["decay_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        dist AS (
+          SELECT s.doc_id, s.score,
+                 greatest(abs(doc.n_chars::double - 1000.0) - 0.0, 0.0) AS dd
+          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+        )
+        SELECT doc_id,
+               round(score * exp(-(dd * dd) / {_two_sigma2!r}), 4) AS score
+        FROM dist
+        ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     # multi-field: each field's BM25 over its OWN token stream /
     # statistics, weighted union + per-doc sum, top-20

@@ -2755,6 +2755,81 @@ def boosted_topk(
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def decay_multiplier(x, origin: float, scale: float, offset: float = 0.0,
+                     decay: float = 0.5, fn: str = "gauss"):
+    """Elasticsearch function_score decay multiplier as a Column
+    expression (public semantics: the ES docs' gauss/exp/linear decay
+    functions). ``x`` is a numeric Column (cast dates/timestamps to
+    epoch units upstream); a NULL field decays to 1.0 — ES's
+    missing-value behavior. All shape constants are folded driver-side
+    so the per-row work is one abs/greatest/exp chain in whole-stage
+    codegen.
+
+      d      = max(0, |x - origin| - offset)
+      gauss  = exp(-d^2 / (2 sigma^2)),  sigma^2 = -scale^2 / (2 ln decay)
+      exp    = exp(lambda d),            lambda  = ln(decay) / scale
+      linear = max((s - d) / s, 0),      s       = scale / (1 - decay)
+    """
+    import math
+
+    if not (0.0 < decay < 1.0):
+        raise ValueError("decay must be in (0, 1)")
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    d = F.greatest(
+        F.abs(x.cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    if fn == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif fn == "exp":
+        lam = math.log(decay) / scale
+        mult = F.exp(F.lit(lam) * d)
+    elif fn == "linear":
+        s = scale / (1.0 - decay)
+        mult = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    else:
+        raise ValueError(f"unknown decay fn {fn!r} (gauss|exp|linear)")
+    return F.when(x.isNull(), F.lit(1.0)).otherwise(mult)
+
+
+def decay_topk(
+    index: Index,
+    query_text: str,
+    fields: DataFrame,
+    origin: float,
+    scale: float,
+    k: int = 10,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    fn: str = "gauss",
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    field_col: str = "value",
+) -> DataFrame:
+    """Top-k with an ES function_score decay fused at query time:
+    ``score(doc) = BM25(query, doc) · decay_fn(field(doc))`` — the
+    recency/geo/price-proximity ranking shape (freshness boost when
+    the field is a timestamp). Multiplicative combination, ES's
+    function_score default. Exactness needs the FULL matched-doc frame
+    (decay can promote a doc from outside the BM25 top-k), so this
+    rides :func:`scored_docs` (df-proportional, never a corpus scan)
+    and joins ``fields`` (``doc_id``, ``field_col``) on matched docs
+    only; docs absent from ``fields`` keep multiplier 1.0.
+
+    The reference has no ranking function at all (posting order,
+    server/src/services/search.service.js:12-16); decay scoring is
+    built Spark-first as whole-stage-codegen column arithmetic."""
+    sd = scored_docs(index, query_text, synonyms, mode=mode)
+    fx = fields.select("doc_id", F.col(field_col).alias("_x"))
+    mult = decay_multiplier(F.col("_x"), origin, scale, offset, decay, fn)
+    out = sd.join(fx, "doc_id", "left").select(
+        "doc_id", (F.col("score") * mult).alias("score")
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def suggest_terms(index: Index, prefix: str, k: int = 10) -> DataFrame:
     """Prefix autocomplete over the lexicon, ranked by document
     frequency (the search-box suggestion list). Driver-cached

@@ -151,3 +151,114 @@ def test_boosted_topk_missing_docs_get_zero(fidx, spark):
     assert got[1]["score"] == pytest.approx(
         max(s for d, s in sd.items() if d != 0)
     )
+
+
+# -- decay scoring (ES function_score decay) ----------------------------------
+
+def test_decay_multiplier_shapes(spark):
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.query_exec import decay_multiplier
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 100.0), (2, 150.0), (3, 300.0)], "i long, x double"
+    )
+    for fn in ("gauss", "exp", "linear"):
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i",
+                decay_multiplier(F.col("x"), origin=100.0, scale=100.0,
+                                 decay=0.5, fn=fn).alias("m"),
+            ).collect()
+        }
+        assert got[0] == 1.0          # NULL field -> neutral
+        assert got[1] == pytest.approx(1.0)   # at origin
+        # at |x-origin| == scale the multiplier is exactly `decay`
+        d200 = df.where("i=3")
+        # x=300: distance 200 = 2*scale
+        assert got[3] < got[2] < got[1]
+    # exact ES anchors at distance == scale
+    anchor = spark.createDataFrame([(1, 200.0)], "i long, x double")
+    for fn in ("gauss", "exp", "linear"):
+        m = anchor.select(
+            decay_multiplier(F.col("x"), 100.0, 100.0, decay=0.5,
+                             fn=fn).alias("m")
+        ).first()["m"]
+        assert m == pytest.approx(0.5), fn
+    # offset carves a no-decay plateau
+    m = anchor.select(
+        decay_multiplier(F.col("x"), 100.0, 100.0, offset=100.0,
+                         decay=0.5, fn="gauss").alias("m")
+    ).first()["m"]
+    assert m == pytest.approx(1.0)
+
+
+def test_decay_topk_matches_manual_fusion(fidx, spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.query_exec import decay_topk
+
+    idx = fidx["body"]
+    fields = spark.createDataFrame(
+        [(i, float((i * 37) % 500)) for i in range(30)], "doc_id long, value double"
+    )
+    vals = {i: float((i * 37) % 500) for i in range(30)}
+    base = {r["doc_id"]: r["score"]
+            for r in scored_docs(idx, "spark merge").collect()}
+    sigma2 = -(100.0 * 100.0) / (2.0 * math.log(0.5))
+    want = sorted(
+        (
+            (bid, s * math.exp(-((max(abs(vals[bid] - 50.0), 0.0)) ** 2)
+                               / (2.0 * sigma2)))
+            for bid, s in base.items()
+        ),
+        key=lambda e: (-e[1], e[0]),
+    )[:5]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in decay_topk(idx, "spark merge", fields, origin=50.0,
+                            scale=100.0, k=5, fn="gauss").collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1])
+
+
+def test_decay_topk_promotes_from_outside_bm25_topk(fidx, spark):
+    """A doc outside the BM25 top-k must win under a decay that favors
+    it — proof the fusion runs over the full matched frame."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.query_exec import decay_topk
+
+    idx = fidx["body"]
+    top = search_topk(idx, "spark merge", k=3).collect()
+    top_ids = {r["doc_id"] for r in top}
+    all_ids = {r["doc_id"] for r in scored_docs(idx, "spark merge").collect()}
+    outsider = min(all_ids - top_ids)
+    # decay field: outsider at the origin, everyone else far away
+    fields = spark.createDataFrame(
+        [(i, 0.0 if i == outsider else 1000.0) for i in range(30)],
+        "doc_id long, value double",
+    )
+    got = decay_topk(idx, "spark merge", fields, origin=0.0, scale=50.0,
+                     k=1, fn="gauss").first()
+    assert got["doc_id"] == outsider
+
+
+def test_decay_validation(fidx, spark):
+    from hadoop_search_engine_spark.operators.query_exec import decay_multiplier
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError):
+        decay_multiplier(F.lit(1.0), 0.0, 100.0, decay=1.5)
+    with pytest.raises(ValueError):
+        decay_multiplier(F.lit(1.0), 0.0, -1.0)
+    with pytest.raises(ValueError):
+        decay_multiplier(F.lit(1.0), 0.0, 100.0, fn="cosine")
