@@ -413,6 +413,33 @@ def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp query 's(park|can|ort)' (ES regexp, whole-term anchored)
+    over the real index — lexicon-only expansion capped by (df desc,
+    term asc), then disjunctive BM25; the oracle replays the anchored
+    regexp_matches expansion and the expanded-terms score."""
+    from hadoop_search_engine_spark.operators.query_exec import regexp_search
+
+    ix = _oracle_index(spark, sf_dir)
+    top = regexp_search(ix, "s(park|can|ort)", k=20, max_expansions=10,
+                        serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-sorted search (ES sort replacing _score): docs matching
+    the flagship OR query ordered by n_chars desc — matching via the
+    index's df-proportional frame, (field, doc_id) TakeOrdered limit.
+    Oracle: the distinct matched docs joined to documents, same
+    ordering."""
+    from hadoop_search_engine_spark.operators.query_exec import sorted_matches
+
+    ix = _oracle_index(spark, sf_dir)
+    fields = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sorted_matches(ix, " ".join(FLAGSHIP_TERMS), fields, "n_chars",
+                          k=20, ascending=False)
+
+
 def q_paginated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cursor pagination (search_after) on the real index: page 2 is
     fetched with after = last pair of page 1 — the oracle computes the
@@ -1417,6 +1444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
+        "regexp_search_indexed": q_regexp_search,
+        "sorted_search": q_sorted_search,
         "paginated_search": q_paginated_search,
         "tfidf_top_terms": q_tfidf_top_terms,
         "ranking_metrics": q_ranking_metrics,
@@ -2775,6 +2804,38 @@ def oracle_sql() -> dict[str, str]:
     """
     out["prefix_search_indexed"] = _expansion_bm25("s%", 4)
     out["wildcard_search_indexed"] = _expansion_bm25("s_a%", 10)
+    # regexp query: same expansion+score shape, anchored RE2 match
+    out["regexp_search_indexed"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        exp AS (
+          SELECT term FROM (
+            SELECT term, count(*) AS df FROM tf
+            WHERE regexp_matches(term, '^(?:s(park|can|ort))$') GROUP BY term)
+          ORDER BY df DESC, term ASC LIMIT 10
+        ),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM exp) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # field-sorted search: distinct matched docs ordered by the field
+    out["sorted_search"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+        SELECT m.doc_id, doc.n_chars
+        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        ORDER BY doc.n_chars DESC, m.doc_id ASC LIMIT 20
+    """
     # hybrid RRF: lexical branch = the bm25 scored CTE's top-30 (same
     # exact-score selection search_topk uses), re-ranked at 4 dp with
     # doc_id tie-break (rank_branch's contract); vector branch =

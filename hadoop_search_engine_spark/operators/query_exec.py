@@ -3075,6 +3075,93 @@ def wildcard_search(
     return search_topk(index, " ".join(terms), k=k, **search_kwargs)
 
 
+def expand_terms_regexp(
+    index: Index, pattern: str, max_expansions: int = 50
+) -> list[str]:
+    """Expand a REGULAR EXPRESSION against the LEXICON (Lucene/ES
+    ``regexp`` query): the pattern is anchored to the whole term
+    (ES semantics — ``sp.*k`` matches ``spark``, not ``sparks``'
+    substring) and capped at ``max_expansions`` by (df desc, term
+    asc), the MultiTermQuery rewrite order. Driver-pinned
+    vocabularies answer with one compiled-regex pass over the cached
+    map; larger vocabularies push an ``RLIKE`` filter + ordered limit
+    over the vocab-sized lexicon table — never postings, never the
+    corpus. Stick to the portable subset (literals, classes,
+    alternation, ``* + ? {m,n}``) — terms are ``[a-z0-9]+`` so
+    anything fancier can't match anyway."""
+    import re as _re
+
+    p = pattern.strip().lower()
+    if not p:
+        return []
+    anchored = f"^(?:{p})$"
+    lm = index.lexicon_map()
+    if lm is not None:
+        try:
+            rx = _re.compile(anchored)
+        except _re.error as exc:
+            raise ValueError(f"bad regexp pattern {pattern!r}: {exc}") from exc
+        cands = [(t, int(v["df"])) for t, v in lm.items() if rx.match(t)]
+        cands.sort(key=lambda e: (-e[1], e[0]))
+        return [t for t, _df in cands[:max_expansions]]
+    rows = (
+        index.lexicon.where(F.col("term").rlike(anchored))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def regexp_search(
+    index: Index,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """Regexp query (ES ``regexp``): expand the anchored pattern
+    against the lexicon (:func:`expand_terms_regexp`, df-ranked cap),
+    then standard disjunctive BM25 :func:`search_topk` over the
+    expansions — cost bounded by ``max_expansions`` posting lists."""
+    terms = expand_terms_regexp(index, pattern, max_expansions=max_expansions)
+    if not terms:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    return search_topk(index, " ".join(terms), k=k, **search_kwargs)
+
+
+def sorted_matches(
+    index: Index,
+    query_text: str,
+    sort_fields: DataFrame,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+) -> DataFrame:
+    """Field-sorted search (ES ``sort`` replacing ``_score``): the
+    docs matching the query ordered by a document field — newest-first
+    / largest-first result lists. Matching rides the index
+    (:func:`scored_docs`' df-proportional matched frame — never a
+    corpus scan); ``sort_fields`` (``doc_id``, ``sort_col``) joins on
+    matched docs only, and the final (field, doc_id) ordering + limit
+    compiles to TakeOrderedAndProject, not a global sort. Docs missing
+    from ``sort_fields`` sort last (ES ``missing: _last``). Returns
+    (doc_id, ``sort_col``)."""
+    sd = scored_docs(index, query_text, synonyms, mode=mode).select("doc_id")
+    fx = sort_fields.select("doc_id", F.col(sort_col).alias("_sv"))
+    joined = sd.join(fx, "doc_id", "left")
+    key = F.col("_sv").asc_nulls_last() if ascending \
+        else F.col("_sv").desc_nulls_last()
+    return (
+        joined.orderBy(key, F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", F.col("_sv").alias(sort_col))
+    )
+
+
 def prefix_search(
     index: Index,
     prefix: str,

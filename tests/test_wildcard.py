@@ -119,3 +119,86 @@ def test_expand_terms_like_metachars_match_nothing(widx):
             assert expand_terms(widx, pat) == [], (pat, "LIKE path")
         finally:
             del widx.lexicon_map
+
+
+# -- regexp query (ES regexp) --------------------------------------------------
+
+def test_expand_terms_regexp(widx):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        expand_terms_regexp,
+    )
+
+    # anchored: sp.*k matches spark only (whole-term semantics)
+    assert expand_terms_regexp(widx, "sp.*k") == ["spark"]
+    # alternation + class, ranked df desc then term asc, cap honored
+    want = sorted(["scan", "sort", "spark"], key=lambda t: (-_df(t), t))
+    assert expand_terms_regexp(widx, "s(can|ort|park)") == want
+    assert expand_terms_regexp(widx, "s(can|ort|park)", max_expansions=2) == want[:2]
+    # no-match and empty patterns
+    assert expand_terms_regexp(widx, "zz+") == []
+    assert expand_terms_regexp(widx, "") == []
+    # invalid pattern raises cleanly
+    with pytest.raises(ValueError):
+        expand_terms_regexp(widx, "s(")
+
+
+def test_regexp_search_equals_explicit_terms(widx):
+    from hadoop_search_engine_spark.operators.query_exec import regexp_search
+
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in regexp_search(widx, "s(can|ort|park)", k=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in search_topk(widx, "scan sort spark", k=10).collect()
+    ]
+    assert got == want and got
+
+
+def test_expand_terms_regexp_sql_path_matches_map_path(widx):
+    """Force the lexicon-table RLIKE path and compare with the pinned map."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        expand_terms_regexp,
+    )
+
+    want = expand_terms_regexp(widx, "s(can|ort|park)")
+    orig = widx.lexicon_map
+    try:
+        widx.lexicon_map = lambda: None
+        assert expand_terms_regexp(widx, "s(can|ort|park)") == want
+    finally:
+        widx.lexicon_map = orig
+
+
+# -- field-sorted search (ES sort) ---------------------------------------------
+
+def test_sorted_matches_orders_by_field(widx, spark):
+    from hadoop_search_engine_spark.operators.query_exec import sorted_matches
+
+    # matched docs for "spark OR merge": 0,1,2,3
+    fields = spark.createDataFrame(
+        [(0, 5.0), (1, 9.0), (2, 7.0), (3, 9.0), (4, 100.0), (5, 100.0)],
+        "doc_id long, val double",
+    )
+    got = [(r["doc_id"], r["val"])
+           for r in sorted_matches(widx, "spark merge", fields, "val",
+                                   k=10).collect()]
+    # desc by val, doc_id asc tiebreak; non-matching docs 4,5 excluded
+    assert got == [(1, 9.0), (3, 9.0), (2, 7.0), (0, 5.0)]
+    asc = [(r["doc_id"], r["val"])
+           for r in sorted_matches(widx, "spark merge", fields, "val",
+                                   k=2, ascending=True).collect()]
+    assert asc == [(0, 5.0), (2, 7.0)]
+
+
+def test_sorted_matches_missing_fields_sort_last(widx, spark):
+    from hadoop_search_engine_spark.operators.query_exec import sorted_matches
+
+    fields = spark.createDataFrame([(0, 5.0), (2, 7.0)], "doc_id long, val double")
+    got = [(r["doc_id"], r["val"])
+           for r in sorted_matches(widx, "spark merge", fields, "val",
+                                   k=10).collect()]
+    assert got[:2] == [(2, 7.0), (0, 5.0)]
+    assert {g[0] for g in got[2:]} == {1, 3}
+    assert all(g[1] is None for g in got[2:])
