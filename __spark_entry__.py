@@ -846,6 +846,54 @@ def q_facet_counts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation over the indexed hit set: n_chars in
+    interval-200 buckets, empty interior buckets filled
+    (min_doc_count=0). Oracle replays floor-bucketing + a generate_
+    series gap fill."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        histogram_facets,
+        matched_docs,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return histogram_facets(m, docs, "n_chars", 200.0, min_doc_count=0)
+
+
+def q_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation over the indexed hit set: overlapping
+    [from, to) ranges each counted independently, empty ranges 0."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        matched_docs,
+        range_facets,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return range_facets(
+        m, docs, "n_chars",
+        [("short", None, 500), ("mid", 400, 1500), ("long", 1500, None),
+         ("none", 10**9, None)],
+    )
+
+
+def q_stats_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation (count/min/max/avg/sum of n_chars) over
+    the indexed hit set."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        matched_docs,
+        stats_facet,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return stats_facet(m, docs, "n_chars")
+
+
 def q_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippets/highlighting materialized from the INDEXED hit set."""
     from hadoop_search_engine_spark.operators.query_exec import (
@@ -1467,6 +1515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_search": q_federated_search,
         "federated_batch": q_federated_batch,
         "facet_counts_indexed": q_facet_counts_indexed,
+        "histogram_facets": q_histogram_facets,
+        "range_facets": q_range_facets,
+        "stats_facet": q_stats_facet,
         "snippets_indexed": q_snippets_indexed,
         "collapsed_search_indexed": q_collapsed_search_indexed,
         "suggest_terms_indexed": q_suggest_terms_indexed,
@@ -2372,6 +2423,58 @@ def oracle_sql() -> dict[str, str]:
     out["federated_search"] = out["bm25_topk"]
     out["federated_batch"] = out["bm25_topk_batch"]
     out["facet_counts_indexed"] = out["facet_counts"]
+    # ES histogram agg: floor bucketing + interior gap fill
+    out["histogram_facets"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT floor(doc.n_chars::double / 200.0) * 200.0 AS bucket,
+                 count(*) AS n_docs
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          WHERE doc.n_chars IS NOT NULL
+          GROUP BY 1
+        ),
+        span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
+        grid AS (
+          SELECT (step * 200.0) AS bucket
+          FROM span,
+               unnest(range((lo / 200.0)::bigint, (hi / 200.0)::bigint + 1))
+                 AS t(step)
+          WHERE lo IS NOT NULL
+        )
+        SELECT g.bucket, coalesce(h.n_docs, 0)::bigint AS n_docs
+        FROM grid g LEFT JOIN h ON g.bucket = h.bucket
+    """
+    # ES range agg: independent (possibly overlapping) [from, to) counts
+    out["range_facets"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        hits AS (
+          SELECT doc.n_chars::double AS x
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT 'short' AS range_label,
+               (count(*) FILTER (WHERE x IS NOT NULL AND x < 500))::bigint AS n_docs
+        FROM hits
+        UNION ALL
+        SELECT 'mid', (count(*) FILTER (WHERE x >= 400 AND x < 1500))::bigint FROM hits
+        UNION ALL
+        SELECT 'long', (count(*) FILTER (WHERE x >= 1500))::bigint FROM hits
+        UNION ALL
+        SELECT 'none', (count(*) FILTER (WHERE x >= 1000000000))::bigint FROM hits
+    """
+    # ES stats agg over the hit set
+    out["stats_facet"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        hits AS (
+          SELECT doc.n_chars::double AS x
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT count(x) AS n_docs, min(x) AS min, max(x) AS max,
+               round(avg(x), 6) AS avg, sum(x) AS sum
+        FROM hits
+    """
     out["snippets_indexed"] = out["snippets"]
     out["collapsed_search_indexed"] = out["collapsed_search"]
     out["suggest_terms_indexed"] = out["suggest_terms"]

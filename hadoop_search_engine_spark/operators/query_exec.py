@@ -2656,6 +2656,111 @@ def facet_counts(
     )
 
 
+def histogram_facets(
+    matched: DataFrame,
+    documents: DataFrame,
+    col: str,
+    interval: float,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``histogram`` aggregation over search hits: fixed-width
+    buckets ``key = floor(x / interval) * interval`` with matched-doc
+    counts — the price/length/date slider a search UI renders.
+    ``min_doc_count=0`` fills interior gaps with empty buckets (ES
+    semantics): the bucket keys come from one min/max aggregation +
+    ``sequence`` explode — bounded by the bucket span, never the
+    corpus. Plan: semi-join + one partial-aggregated groupBy on the
+    bucket key; output is |buckets| rows regardless of corpus size."""
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    key = (
+        F.floor(F.col(col).cast("double") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    ).alias("bucket")
+    counts = (
+        hits.where(F.col(col).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if min_doc_count > 1:
+        counts = counts.where(F.col("n_docs") >= min_doc_count)
+    if min_doc_count == 0:
+        span = counts.agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        )
+        grid = span.where(F.col("lo").isNotNull()).select(
+            F.explode(
+                F.sequence(
+                    (F.col("lo") / interval).cast("long"),
+                    (F.col("hi") / interval).cast("long"),
+                )
+            ).alias("step")
+        ).select((F.col("step") * F.lit(float(interval))).alias("bucket"))
+        counts = grid.join(counts, "bucket", "left").select(
+            "bucket", F.coalesce("n_docs", F.lit(0)).alias("n_docs")
+        )
+    return counts
+
+
+def range_facets(
+    matched: DataFrame,
+    documents: DataFrame,
+    col: str,
+    ranges: list[tuple],
+) -> DataFrame:
+    """ES ``range`` aggregation over search hits: per-range matched-doc
+    counts for [from, to) ranges (from inclusive, to exclusive, either
+    side open with ``None``) — ranges MAY overlap, each is counted
+    independently, exactly ES's semantics. ``ranges`` is a list of
+    ``(label, lo, hi)``. One semi-join + one aggregation emitting every
+    range's conditional count in a single pass (no per-range scans);
+    empty ranges report 0."""
+    if not ranges:
+        raise ValueError("ranges must name at least one (label, lo, hi)")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(col).cast("double")
+    aggs = []
+    for label, lo, hi in ranges:
+        cond = x.isNotNull()
+        if lo is not None:
+            cond = cond & (x >= float(lo))
+        if hi is not None:
+            cond = cond & (x < float(hi))
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(str(label))
+        )
+    wide = hits.agg(*aggs)
+    # one wide row -> (label, n_docs) rows, preserving declaration order
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(str(label)).alias("range_label"),
+                F.col(str(label)).cast("long").alias("n_docs"),
+            )
+            for label, _lo, _hi in ranges
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.range_label", "r.n_docs"
+    )
+
+
+def stats_facet(matched: DataFrame, documents: DataFrame, col: str) -> DataFrame:
+    """ES ``stats`` aggregation over search hits: count/min/max/
+    avg/sum of a numeric field across the matched docs — one
+    partial-aggregated pass, one output row."""
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(col).cast("double")
+    return hits.agg(
+        F.count(x).alias("n_docs"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        F.round(F.avg(x), 6).alias("avg"),
+        F.sum(x).alias("sum"),
+    )
+
+
 def scored_docs(
     index: Index,
     query_text: str,

@@ -188,3 +188,83 @@ def test_significant_terms_rejects_bad_args(tiny_corpus, tiny_index):
         significant_terms(tiny_index, tiny_corpus, QUERY, k=0)
     with pytest.raises(ValueError):
         significant_terms_dataframe(tiny_corpus, QUERY, k=-1)
+
+
+# -- ES-style aggregations over hit sets ---------------------------------------
+
+def _hits_fixture(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, float(v)) for i, v in
+         enumerate([10, 210, 220, 850, 855, 860, 999, 50])]
+        + [(8, None)],
+        "doc_id long, n double",
+    )
+    matched = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 4, 5, 6, 8)], "doc_id long"
+    )  # doc 7 (n=50) not matched
+    return docs, matched
+
+
+def test_histogram_facets_buckets_and_gap_fill(spark):
+    from hadoop_search_engine_spark.operators.query_exec import histogram_facets
+
+    docs, matched = _hits_fixture(spark)
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_facets(matched, docs, "n", 100.0,
+                                  min_doc_count=0).collect()
+    }
+    # matched values: 10,210,220,850,855,860,999 (+NULL dropped)
+    # buckets 0,200,800,900 hit; 100..700 filled with 0
+    assert got[0.0] == 1 and got[200.0] == 2 and got[800.0] == 3 and got[900.0] == 1
+    for empty in (100.0, 300.0, 400.0, 500.0, 600.0, 700.0):
+        assert got[empty] == 0
+    assert len(got) == 10
+    # default min_doc_count=1: no empties
+    got1 = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_facets(matched, docs, "n", 100.0).collect()
+    }
+    assert got1 == {0.0: 1, 200.0: 2, 800.0: 3, 900.0: 1}
+    # min_doc_count=2 prunes sparse buckets
+    got2 = {
+        r["bucket"]: r["n_docs"]
+        for r in histogram_facets(matched, docs, "n", 100.0,
+                                  min_doc_count=2).collect()
+    }
+    assert got2 == {200.0: 2, 800.0: 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_facets(matched, docs, "n", 0.0)
+
+
+def test_range_facets_overlap_open_ends_and_empty(spark):
+    from hadoop_search_engine_spark.operators.query_exec import range_facets
+
+    docs, matched = _hits_fixture(spark)
+    got = {
+        (r["range_label"], r["n_docs"])
+        for r in range_facets(
+            matched, docs, "n",
+            [("lo", None, 250), ("overlap", 200, 900), ("hi", 850, None),
+             ("empty", 5000, None)],
+        ).collect()
+    }
+    # lo: 10,210,220 = 3; overlap: 210,220,850,855,860 = 5 (999 >= 900 out)
+    # hi: 850,855,860,999 = 4; to-bound exclusive, from inclusive
+    assert got == {("lo", 3), ("overlap", 5), ("hi", 4), ("empty", 0)}
+
+
+def test_stats_facet(spark):
+    from hadoop_search_engine_spark.operators.query_exec import stats_facet
+
+    docs, matched = _hits_fixture(spark)
+    r = stats_facet(matched, docs, "n").first()
+    vals = [10, 210, 220, 850, 855, 860, 999]
+    assert r["n_docs"] == 7  # NULL not counted
+    assert r["min"] == 10.0 and r["max"] == 999.0
+    assert r["sum"] == float(sum(vals))
+    assert abs(r["avg"] - sum(vals) / 7) < 1e-6
