@@ -658,6 +658,22 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_corpus(docs).select("doc_id", "split")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix rebalancing
+    step ("keep 20% of en, all of zh, half of the rest") as a pure
+    function of (doc_id, salt): map-only filter, no sampling job, and
+    the DuckDB oracle replays the salted-murmur3 keep decision
+    bit-exactly."""
+    from hadoop_search_engine_spark.operators.curate import (
+        stratified_sample,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 0.2, "zh": 1.0}, strata_col="lang", default_rate=0.5
+    )
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
     BM25 query, source doc excluded — the oracle derives the same term
@@ -1489,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": q_phrase_indexed,
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
         "train_val_split": q_train_val_split,
+        "stratified_sample": q_stratified_sample,
         "hybrid_search": q_hybrid_search,
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
@@ -2618,6 +2635,18 @@ def oracle_sql() -> dict[str, str]:
 
     out["train_val_split"] = (
         f"SELECT doc_id, {sql_split_duckdb()} AS split FROM documents"
+    )
+    # deterministic stratified sampling: the same murmur3 bucket, a
+    # per-stratum CASE threshold as a WHERE predicate
+    from hadoop_search_engine_spark.operators.curate import (
+        sql_sample_predicate_duckdb,
+    )
+
+    out["stratified_sample"] = (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + sql_sample_predicate_duckdb(
+            {"en": 0.2, "zh": 1.0}, strata_col="lang", default_rate=0.5
+        )
     )
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over

@@ -154,6 +154,88 @@ def split_corpus(
     return docs.withColumn("split", expr)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | float,
+    strata_col: str | None = None,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic (stratified) corpus sampling: keep each doc iff
+    ``murmur3(id, salt) % 10000 < rate(stratum) * 10000`` — the
+    language/source rebalancing step of a training-data mix ("keep 10%
+    of English, all of Swahili"). Like :func:`split_corpus`, the keep
+    decision is a PURE FUNCTION of (id, salt): reproducible across
+    reruns, cluster sizes, partitioning, and engines (murmur3 replays
+    bit-exactly in DuckDB SQL), and — unlike ``DataFrame.sample`` —
+    stable under corpus growth: a doc's fate never changes when
+    neighbors are added. Nested property: a rate-0.05 sample with the
+    same salt is a SUBSET of the rate-0.10 sample (bucket thresholding),
+    so down-sampling experiments nest. Map-only filter — no shuffle, no
+    sampling job; at 100 TB the filter runs beside the parquet scan.
+
+    ``rates``: a single float for uniform sampling, or a
+    {stratum value -> rate} dict keyed by ``strata_col`` values
+    (missing strata fall back to ``default_rate``). Rates are exact to
+    1/10000 by bucket granularity.
+    """
+    from ..functions.hashes import murmur3_u32
+
+    def _check(r) -> float:
+        r = float(r)
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate must be in [0, 1], got {r}")
+        return r
+
+    bucket = F.pmod(
+        murmur3_u32(F.col(id_col).cast("string"), salt=salt),
+        F.lit(SPLIT_BUCKETS),
+    )
+    if isinstance(rates, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum rates need strata_col")
+        thr = F.lit(int(round(_check(default_rate) * SPLIT_BUCKETS)))
+        for val, r in sorted(rates.items()):
+            thr = F.when(
+                F.col(strata_col) == val,
+                F.lit(int(round(_check(r) * SPLIT_BUCKETS))),
+            ).otherwise(thr)
+    else:
+        thr = F.lit(int(round(_check(rates) * SPLIT_BUCKETS)))
+    return docs.where(bucket < thr)
+
+
+def sql_sample_predicate_duckdb(
+    rates: dict[str, float] | float,
+    strata_col: str | None = None,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB WHERE predicate computing the SAME keep decision as
+    :func:`stratified_sample` (murmur3 replay via functions.hashes)."""
+    from ..functions.hashes import sql_murmur3_u32_duckdb
+
+    h1 = sql_murmur3_u32_duckdb(f"({id_expr})::varchar")
+    h = sql_murmur3_u32_duckdb(f"'{salt}'", seed=h1)
+    bucket = f"(({h}) % {SPLIT_BUCKETS})"
+    if isinstance(rates, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum rates need strata_col")
+        case = "CASE"
+        for val, r in sorted(rates.items()):
+            case += (
+                f" WHEN {strata_col} = '{val}'"
+                f" THEN {int(round(float(r) * SPLIT_BUCKETS))}"
+            )
+        case += f" ELSE {int(round(float(default_rate) * SPLIT_BUCKETS))} END"
+        thr = case
+    else:
+        thr = str(int(round(float(rates) * SPLIT_BUCKETS)))
+    return f"{bucket} < ({thr})"
+
+
 def sql_split_duckdb(
     splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
     salt: str = "split",

@@ -116,3 +116,85 @@ def test_split_matches_python_reference(spark):
         b = h % SPLIT_BUCKETS
         want = "train" if b < 9000 else ("val" if b < 9500 else "test")
         assert got[i] == want, (i, b, got[i], want)
+
+
+def test_stratified_sample_deterministic_nested_and_rated(spark):
+    """Keep decision is a pure function of (id, salt); a lower rate
+    with the same salt selects a SUBSET (buckets nest); realized rates
+    track the requested ones."""
+    from hadoop_search_engine_spark.operators.curate import (
+        stratified_sample,
+    )
+
+    docs = spark.range(4000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in stratified_sample(docs, 0.3).collect()}
+    b = {r["doc_id"]
+         for r in stratified_sample(docs.repartition(5), 0.3).collect()}
+    assert a == b
+    small = {r["doc_id"] for r in stratified_sample(docs, 0.1).collect()}
+    assert small <= a  # nesting: rate-0.1 sample subset of rate-0.3
+    assert abs(len(a) / 4000 - 0.3) < 0.03
+    assert abs(len(small) / 4000 - 0.1) < 0.02
+    # different salt -> a different (roughly independent) selection
+    c = {r["doc_id"]
+         for r in stratified_sample(docs, 0.3, salt="v2").collect()}
+    assert c != a
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.curate import (
+        stratified_sample,
+    )
+
+    docs = (
+        spark.range(3000).withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, "en")
+            .when(F.col("doc_id") % 3 == 1, "zh")
+            .otherwise("de"),
+        )
+    )
+    kept = stratified_sample(
+        docs, {"en": 0.2, "zh": 1.0}, strata_col="lang",
+        default_rate=0.0,
+    ).groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in kept}
+    assert got.get("zh") == 1000          # rate 1.0 keeps everything
+    assert "de" not in got                # default 0.0 drops the rest
+    assert abs(got["en"] / 1000 - 0.2) < 0.04
+
+
+def test_stratified_sample_matches_python_reference(spark):
+    from hadoop_search_engine_spark.functions.hashes import mm3_u32_ref
+    from hadoop_search_engine_spark.operators.curate import (
+        SPLIT_BUCKETS,
+        stratified_sample,
+    )
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]
+           for r in stratified_sample(docs, 0.25).collect()}
+    want = set()
+    for i in range(300):
+        h1 = mm3_u32_ref(str(i).encode())
+        h = mm3_u32_ref("sample".encode(), seed=h1)
+        if h % SPLIT_BUCKETS < 2500:
+            want.add(i)
+    assert got == want
+
+
+def test_stratified_sample_validation(spark):
+    import pytest as _pytest
+
+    from hadoop_search_engine_spark.operators.curate import (
+        stratified_sample,
+    )
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="rate"):
+        stratified_sample(docs, 1.5)
+    with _pytest.raises(ValueError, match="strata_col"):
+        stratified_sample(docs, {"en": 0.5})
