@@ -674,6 +674,42 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (deterministic split)
+    sharing word 4-grams with the held-out test split — eval n-gram
+    set broadcast, overlap counted per train doc; the oracle replays
+    the split, the shingling, and the overlap join in SQL."""
+    from hadoop_search_engine_spark.operators.curate import (
+        contamination_report,
+        split_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = split_corpus(docs)
+    return contamination_report(
+        sp.where("split <> 'test'"), sp.where("split = 'test'"), n=4
+    )
+
+
+def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train split with every contaminated doc removed (any shared
+    4-gram with the test split disqualifies): the anti-join shape of
+    the same overlap computation."""
+    from hadoop_search_engine_spark.operators.curate import (
+        decontaminate,
+        split_corpus,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sp = split_corpus(docs)
+    kept = decontaminate(
+        sp.where("split <> 'test'").select("doc_id", "text"),
+        sp.where("split = 'test'"),
+        n=4,
+    )
+    return kept.select("doc_id")
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
     BM25 query, source doc excluded — the oracle derives the same term
@@ -1506,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed_spark": q_phrase_indexed_spark,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
+        "contamination": q_contamination,
+        "decontaminated": q_decontaminated,
         "hybrid_search": q_hybrid_search,
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
@@ -2648,6 +2686,36 @@ def oracle_sql() -> dict[str, str]:
             {"en": 0.2, "zh": 1.0}, strata_col="lang", default_rate=0.5
         )
     )
+    # decontamination: the deterministic split replayed, 4-gram
+    # shingles, eval-set overlap per train doc
+    _decon_cte = f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sp AS (SELECT doc_id, {sql_split_duckdb()} AS split FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i : i + 3], ' ') AS shingle
+          FROM tok, unnest(range(1, len(toks) - 2)) AS t(i)
+          WHERE len(toks) >= 4
+        ),
+        ev AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id)
+               WHERE split = 'test'),
+        tr AS (SELECT sh.* FROM sh JOIN sp USING (doc_id)
+               WHERE split <> 'test'),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr
+                  GROUP BY doc_id),
+        ov AS (SELECT doc_id, count(*) AS overlap FROM tr
+               JOIN ev USING (shingle) GROUP BY doc_id)
+    """
+    out["contamination"] = _decon_cte + """
+        SELECT doc_id, n_shingles, overlap,
+               round(overlap / n_shingles, 6) AS rate
+        FROM ov JOIN sizes USING (doc_id) WHERE overlap >= 1
+    """
+    out["decontaminated"] = _decon_cte + """
+        SELECT doc_id FROM sp
+        WHERE split <> 'test'
+          AND doc_id NOT IN (SELECT doc_id FROM ov WHERE overlap >= 1)
+    """
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over
     # the expanded term set

@@ -206,6 +206,74 @@ def stratified_sample(
     return docs.where(bucket < thr)
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: which training docs share word
+    n-grams with an evaluation set (the contamination check every
+    LLM training pipeline runs before training — GPT-3 §C / PaLM-style
+    n-gram overlap). Returns one row per contaminated train doc:
+    ``(doc_id, n_shingles, overlap, rate)`` where ``overlap`` counts
+    the doc's DISTINCT n-grams that appear anywhere in the eval set
+    and ``rate = overlap / n_shingles``.
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    eval n-gram set is broadcast (``broadcast_eval``) — the probe is a
+    map-side hash join running beside the train-side tokenize, and the
+    only shuffle is the per-doc overlap count on 8-byte doc_id keys.
+    Set ``broadcast_eval=False`` for a giant eval union (falls back to
+    a shingle-key shuffle join). Docs shorter than ``n`` tokens have
+    no n-grams and are never flagged.
+    """
+    from .dedup import shingles
+
+    tr = shingles(train, n=n, text_col=text_col, id_col=id_col)
+    ev = (
+        shingles(eval_docs, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle").distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    ov = (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )
+    return ov.join(sizes, id_col).select(
+        id_col, "n_shingles", "overlap",
+        F.round(F.col("overlap") / F.col("n_shingles"), 6).alias("rate"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    max_rate: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop train docs whose eval n-gram overlap rate EXCEEDS
+    ``max_rate`` (default 0.0: any shared n-gram disqualifies).
+    Anti-join of ``train`` against the flagged id set — all original
+    columns preserved."""
+    flagged = contamination_report(
+        train, eval_docs, n=n, min_overlap=1,
+        text_col=text_col, id_col=id_col,
+        broadcast_eval=broadcast_eval,
+    ).where(F.col("rate") > max_rate).select(id_col)
+    return train.join(flagged, id_col, "left_anti")
+
+
 def sql_sample_predicate_duckdb(
     rates: dict[str, float] | float,
     strata_col: str | None = None,

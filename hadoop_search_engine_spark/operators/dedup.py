@@ -68,7 +68,9 @@ def exact_dup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("toks"))
+    toks = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") >= n)  # <n tokens -> no n-grams
     sh = toks.select(
         id_col,
         F.explode(

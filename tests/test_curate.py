@@ -5,6 +5,8 @@ also value-hash checked against DuckDB at sf0.01 via the
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hadoop_search_engine_spark.operators.curate import (
     curate_corpus,
     curation_report,
@@ -198,3 +200,53 @@ def test_stratified_sample_validation(spark):
         stratified_sample(docs, 1.5)
     with _pytest.raises(ValueError, match="strata_col"):
         stratified_sample(docs, {"en": 0.5})
+
+
+def test_contamination_report_planted_overlap(spark):
+    from hadoop_search_engine_spark.operators.curate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # shares 4-gram
+            (1, "totally unrelated training text here ok"),
+            (2, "tiny doc"),                               # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta yy")],
+        "doc_id long, text string",
+    )
+    rep = {r["doc_id"]: r
+           for r in contamination_report(train, evald, n=4).collect()}
+    assert set(rep) == {0}
+    # doc 0: 3 distinct 4-grams, exactly 1 shared ("alpha beta gamma delta")
+    assert rep[0]["n_shingles"] == 3 and rep[0]["overlap"] == 1
+    assert abs(rep[0]["rate"] - round(1 / 3, 6)) < 1e-9
+
+    kept = {r["doc_id"]
+            for r in decontaminate(train, evald, n=4).collect()}
+    assert kept == {1, 2}  # flagged doc dropped, short doc kept
+
+
+def test_contamination_no_overlap_and_broadcast_off(spark):
+    from hadoop_search_engine_spark.operators.curate import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "one two three four five")], "doc_id long, text string")
+    evald = spark.createDataFrame(
+        [(1, "six seven eight nine ten")], "doc_id long, text string")
+    assert contamination_report(train, evald, n=4).count() == 0
+    # shuffle-join fallback gives identical results
+    t2 = spark.createDataFrame(
+        [(0, "one two three four five")], "doc_id long, text string")
+    got = contamination_report(
+        t2, t2.withColumn("doc_id", F.col("doc_id") + 10),
+        n=4, broadcast_eval=False,
+    ).collect()
+    assert len(got) == 1 and got[0]["overlap"] == 2
