@@ -710,6 +710,38 @@ def q_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def _lined_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a synthetic boilerplate shape: source and lang
+    become per-doc header lines (repeated across thousands of docs,
+    like navbars/footers), the unique body is the last line."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws("\n", "source", "lang", "text").alias("text"),
+    )
+
+
+def q_line_dedup_drop_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: every copy of a line whose corpus
+    df exceeds 3 is dropped (the source/lang header lines vanish, each
+    unique body survives); text rebuilt in original line order."""
+    from hadoop_search_engine_spark.operators.curate import dedup_lines
+
+    return dedup_lines(
+        _lined_docs(spark, sf_dir), max_line_df=3, mode="drop_all"
+    )
+
+
+def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style keep-one-copy line dedup: an over-frequent line
+    survives only at its globally first (doc_id, pos) occurrence."""
+    from hadoop_search_engine_spark.operators.curate import dedup_lines
+
+    return dedup_lines(
+        _lined_docs(spark, sf_dir), max_line_df=3, mode="keep_first"
+    )
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
     BM25 query, source doc excluded — the oracle derives the same term
@@ -1544,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
         "decontaminated": q_decontaminated,
+        "line_dedup_drop_all": q_line_dedup_drop_all,
+        "line_dedup_keep_first": q_line_dedup_keep_first,
         "hybrid_search": q_hybrid_search,
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
@@ -2716,6 +2750,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE split <> 'test'
           AND doc_id NOT IN (SELECT doc_id FROM ov WHERE overlap >= 1)
     """
+    # repeated-line (boilerplate) removal over the synthetic
+    # header-lines shape: source/lang lines repeat corpus-wide, the
+    # body line is unique
+    def _line_dedup_sql(keep_pred: str) -> str:
+        return f"""
+        WITH ls AS (
+          SELECT doc_id,
+                 string_split(source || chr(10) || lang || chr(10) || text,
+                              chr(10)) AS l
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, unnest(l) AS line,
+                 unnest(range(0, len(l))) AS pos
+          FROM ls
+        ),
+        stats AS (SELECT line, count(*) AS df FROM lines GROUP BY line),
+        ranked AS (
+          SELECT doc_id, pos, line,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) AS rn
+          FROM lines
+        ),
+        kept AS (
+          SELECT r.doc_id, r.pos, r.line
+          FROM ranked r JOIN stats USING (line)
+          WHERE {keep_pred}
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id
+        """
+
+    out["line_dedup_drop_all"] = _line_dedup_sql("df <= 3")
+    out["line_dedup_keep_first"] = _line_dedup_sql("df <= 3 OR rn = 1")
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over
     # the expanded term set

@@ -274,6 +274,73 @@ def decontaminate(
     return train.join(flagged, id_col, "left_anti")
 
 
+def dedup_lines(
+    docs: DataFrame,
+    max_line_df: int = 1,
+    mode: str = "keep_first",
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-line (boilerplate) removal, the CCNet/C4 curation
+    stage: split each doc into lines, count each distinct line's
+    document frequency across the WHOLE corpus, and drop over-frequent
+    lines — navbars, cookie banners, licence footers — then rebuild
+    the text from the surviving lines in original order. Docs whose
+    every line is dropped disappear from the output.
+
+    ``mode``:
+      * ``"keep_first"`` — a line with df > ``max_line_df`` survives
+        only at its globally first occurrence (smallest (doc_id, pos));
+        CCNet's keep-one-copy paragraph dedup.
+      * ``"drop_all"`` — every copy of an over-frequent line is
+        removed (C4's "discard lines appearing elsewhere" rule).
+
+    Scale shape: lines explode map-side; the df count is a groupBy on
+    the 8-byte xxhash64 of the line (map-side combinable, so a banner
+    in a billion docs collapses to per-partition partials — deliberately
+    NOT a window, which would ship every copy of a hot line to one
+    reducer); the verdict joins back on the same hash key (AQE handles
+    residual skew); reconstruction shuffles (doc_id, pos, line) once.
+    Nothing driver-side.
+    """
+    if mode not in ("keep_first", "drop_all"):
+        raise ValueError(f"unknown mode {mode!r}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("_h", F.xxhash64("line"))
+    stats = lines.groupBy("_h").agg(
+        F.count("*").alias("_df"),
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+    )
+    j = lines.join(stats, "_h")
+    if mode == "drop_all":
+        kept = j.where(F.col("_df") <= max_line_df)
+    else:
+        kept = j.where(
+            (F.col("_df") <= max_line_df)
+            | (
+                (F.col("_first")[id_col] == F.col(id_col))
+                & (F.col("_first")["pos"] == F.col("pos"))
+            )
+        )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                delim,
+            ).alias(text_col)
+        )
+    )
+
+
 def sql_sample_predicate_duckdb(
     rates: dict[str, float] | float,
     strata_col: str | None = None,

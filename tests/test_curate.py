@@ -250,3 +250,58 @@ def test_contamination_no_overlap_and_broadcast_off(spark):
         n=4, broadcast_eval=False,
     ).collect()
     assert len(got) == 1 and got[0]["overlap"] == 2
+
+
+def test_dedup_lines_keep_first_and_drop_all(spark):
+    from hadoop_search_engine_spark.operators.curate import dedup_lines
+
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner}\nunique body zero\nfooter"),
+            (1, f"{banner}\nunique body one\nfooter"),
+            (2, f"{banner}\nunique body two"),
+            (3, "all lines unique here"),
+        ],
+        "doc_id long, text string",
+    )
+    # banner df=3, footer df=2, bodies df=1
+    kf = {r["doc_id"]: r["text"]
+          for r in dedup_lines(docs, max_line_df=1,
+                               mode="keep_first").collect()}
+    assert kf[0] == f"{banner}\nunique body zero\nfooter"  # first copies
+    assert kf[1] == "unique body one"
+    assert kf[2] == "unique body two"
+    assert kf[3] == "all lines unique here"
+
+    da = {r["doc_id"]: r["text"]
+          for r in dedup_lines(docs, max_line_df=1,
+                               mode="drop_all").collect()}
+    assert da[0] == "unique body zero"  # banner+footer gone everywhere
+    assert da[1] == "unique body one"
+    assert da[2] == "unique body two"
+
+    # max_line_df=2 tolerates the footer (df 2) but not the banner
+    da2 = {r["doc_id"]: r["text"]
+           for r in dedup_lines(docs, max_line_df=2,
+                                mode="drop_all").collect()}
+    assert da2[0] == "unique body zero\nfooter"
+
+
+def test_dedup_lines_doc_fully_boilerplate_disappears(spark):
+    from hadoop_search_engine_spark.operators.curate import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "same"), (1, "same"), (2, "same"), (3, "other")],
+        "doc_id long, text string",
+    )
+    da = {r["doc_id"] for r in
+          dedup_lines(docs, max_line_df=1, mode="drop_all").collect()}
+    assert da == {3}
+    kf = {r["doc_id"]: r["text"] for r in
+          dedup_lines(docs, max_line_df=1, mode="keep_first").collect()}
+    assert kf == {0: "same", 3: "other"}  # first occurrence survives
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        dedup_lines(docs, mode="bogus")
