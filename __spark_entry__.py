@@ -742,6 +742,53 @@ def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (an email,
+    an IPv4, a phone number derived from existing columns) — the
+    corpus itself is PII-free, so the redaction rows plant their own."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "text",
+            F.concat(F.col("source"), F.lit("@mail."), F.col("lang")),
+            F.lit("from"),
+            F.concat(
+                F.lit("10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7"),
+            ),
+            F.concat(
+                F.lit("call +1 555-01"),
+                F.lpad((F.col("doc_id") % 90).cast("string"), 2, "0"),
+            ),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails / IPv4s / phone numbers replaced by typed
+    placeholders — map-only chained regexp_replace, patterns restricted
+    to the Java-regex ∩ RE2 dialect so the DuckDB oracle replays the
+    exact same redaction."""
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        redact_pii,
+    )
+
+    return redact_pii(_pii_docs(spark, sf_dir))
+
+
+def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII census: per-kind match totals and affected-doc
+    counts in ONE map-side-combinable aggregation."""
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        pii_counts,
+    )
+
+    return pii_counts(_pii_docs(spark, sf_dir))
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
     BM25 query, source doc excluded — the oracle derives the same term
@@ -1578,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated": q_decontaminated,
         "line_dedup_drop_all": q_line_dedup_drop_all,
         "line_dedup_keep_first": q_line_dedup_keep_first,
+        "pii_redact": q_pii_redact,
+        "pii_census": q_pii_census,
         "hybrid_search": q_hybrid_search,
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
@@ -2784,6 +2833,31 @@ def oracle_sql() -> dict[str, str]:
 
     out["line_dedup_drop_all"] = _line_dedup_sql("df <= 3")
     out["line_dedup_keep_first"] = _line_dedup_sql("df <= 3 OR rn = 1")
+    # PII redaction / census over the planted-PII text shape
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        PII_PATTERNS,
+        sql_redact_duckdb,
+    )
+
+    _pii_text = (
+        "text || ' ' || source || '@mail.' || lang"
+        " || ' from 10.0.' || (doc_id % 200)::varchar || '.7'"
+        " || ' call +1 555-01' || lpad((doc_id % 90)::varchar, 2, '0')"
+    )
+    out["pii_redact"] = (
+        f"SELECT doc_id, {sql_redact_duckdb(_pii_text)} AS text "
+        "FROM documents"
+    )
+    _pii_aggs = ["count(*) AS n_docs"]
+    for _kind, (_pat, _r) in PII_PATTERNS.items():
+        _c = f"len(regexp_extract_all({_pii_text}, '{_pat}'))"
+        _pii_aggs.append(f"sum({_c}) AS {_kind}_matches")
+        _pii_aggs.append(
+            f"sum(CASE WHEN {_c} > 0 THEN 1 ELSE 0 END) AS {_kind}_docs"
+        )
+    out["pii_census"] = (
+        "SELECT " + ", ".join(_pii_aggs) + " FROM documents"
+    )
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over
     # the expanded term set

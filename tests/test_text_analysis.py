@@ -175,3 +175,71 @@ def test_tfidf_top_terms_partition_invariant(spark):
     a = sorted(map(tuple, tfidf_top_terms(docs, n=3).collect()))
     b = sorted(map(tuple, tfidf_top_terms(docs.repartition(11), n=3).collect()))
     assert a == b
+
+
+def test_redact_pii_all_kinds_and_order(spark):
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@sub.example.org thanks"),
+            (1, "server at 192.168.10.254 port 80, also 8.8.8.8"),
+            (2, "call +44 (0)20 7946-0958 today"),
+            (3, "nothing sensitive 1.2 here v1.2.3 nope"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    assert got[0] == "mail me at <EMAIL> thanks"
+    assert got[1] == "server at <IP> port 80, also <IP>"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "nothing sensitive 1.2 here v1.2.3 nope"
+
+    row = pii_counts(docs).collect()[0]
+    assert row["n_docs"] == 4
+    assert row["email_matches"] == 1 and row["email_docs"] == 1
+    assert row["ipv4_matches"] == 2 and row["ipv4_docs"] == 1
+    assert row["phone_matches"] == 1 and row["phone_docs"] == 1
+
+    # selecting a subset leaves other kinds intact
+    only_ip = {r["doc_id"]: r["text"]
+               for r in redact_pii(docs, kinds=("ipv4",)).collect()}
+    assert "jane.doe" in only_ip[0] and "<IP>" in only_ip[1]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown PII"):
+        redact_pii(docs, kinds=("ssn",))
+    with _pytest.raises(ValueError, match="unknown PII"):
+        pii_counts(docs, kinds=("ssn",))
+
+
+def test_redact_pii_rE2_java_parity_on_fuzz(spark):
+    """The redaction chain must agree between Spark (Java regex) and
+    DuckDB (RE2) on adversarial boundary strings — the property the
+    oracle row checks corpus-wide."""
+    import duckdb
+
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        redact_pii,
+        sql_redact_duckdb,
+    )
+
+    rows = [
+        (0, "a@b.co x@y.z"),            # minimal email + too-short TLD
+        (1, "1.2.3.4.5.6"),             # overlapping dotted runs
+        (2, "+1234567 end +12 34 56 78 90 12 34 56"),  # length bounds
+        (3, "me@ex.com+99 (123) 45-67"),# email adjacent to phone chars
+        (4, "256.300.1.1 and 999.999.999.999"),  # \b-boundary IPs
+        (5, "a-b@c-d.info."),           # trailing dot
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in redact_pii(docs).collect()}
+    con = duckdb.connect()
+    for i, s in rows:
+        want = con.execute(
+            f"SELECT {sql_redact_duckdb('?::varchar')}", [s]
+        ).fetchone()[0]
+        assert got[i] == want, (i, s, got[i], want)
