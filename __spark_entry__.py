@@ -1025,6 +1025,35 @@ def q_stats_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_facet(m, docs, "n_chars")
 
 
+def q_percentiles_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation (exact linear interpolation) of
+    n_chars over the indexed hit set — DuckDB replays with
+    quantile_cont."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        matched_docs,
+        percentiles_facet,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return percentiles_facet(m, docs, "n_chars")
+
+
+def q_cardinality_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation (exact path) of source over the
+    indexed hit set."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        cardinality_facet,
+        matched_docs,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return cardinality_facet(m, docs, "source")
+
+
 def q_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippets/highlighting materialized from the INDEXED hit set."""
     from hadoop_search_engine_spark.operators.query_exec import (
@@ -1656,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_facets": q_histogram_facets,
         "range_facets": q_range_facets,
         "stats_facet": q_stats_facet,
+        "percentiles_facet": q_percentiles_facet,
+        "cardinality_facet": q_cardinality_facet,
         "snippets_indexed": q_snippets_indexed,
         "collapsed_search_indexed": q_collapsed_search_indexed,
         "suggest_terms_indexed": q_suggest_terms_indexed,
@@ -2612,6 +2643,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(x) AS n_docs, min(x) AS min, max(x) AS max,
                round(avg(x), 6) AS avg, sum(x) AS sum
         FROM hits
+    """
+    # ES percentiles agg: quantile_cont = Spark percentile (both
+    # linear interpolation over the sorted hit values)
+    out["percentiles_facet"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        hits AS (
+          SELECT doc.n_chars::double AS x
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+    """ + "\nUNION ALL\n".join(
+        f"SELECT {p} AS percent,"
+        f" round(quantile_cont(x, {p / 100.0}), 6) AS value FROM hits"
+        for p in (25.0, 50.0, 75.0, 95.0, 99.0)
+    )
+    out["cardinality_facet"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+        SELECT count(DISTINCT doc.source)::bigint AS cardinality
+        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
     """
     out["snippets_indexed"] = out["snippets"]
     out["collapsed_search_indexed"] = out["collapsed_search"]

@@ -2761,6 +2761,69 @@ def stats_facet(matched: DataFrame, documents: DataFrame, col: str) -> DataFrame
     )
 
 
+def percentiles_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    col: str,
+    percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """ES ``percentiles`` aggregation over search hits: one row per
+    requested percent with the linearly-interpolated value of ``col``
+    across the matched docs. ``exact=True`` computes true percentiles
+    (a full sort of the HIT values — fine for hit sets, which are
+    df-bounded); ``exact=False`` uses ``percentile_approx`` (bounded
+    sketch, map-side combinable — the 100 TB corpus-wide choice, and
+    what ES itself does with t-digest). All percents come out of ONE
+    aggregation pass."""
+    if not percents:
+        raise ValueError("percents must name at least one percentile")
+    if any(not 0.0 <= float(p) <= 100.0 for p in percents):
+        raise ValueError("percents must be in [0, 100]")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(col).cast("double")
+    fracs = F.array(*[F.lit(float(p) / 100.0) for p in percents])
+    agg = (
+        F.percentile(x, fracs) if exact
+        else F.percentile_approx(x, fracs, F.lit(accuracy))
+    )
+    row = hits.agg(agg.alias("_v"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("percent"),
+                F.round(F.col("_v")[i], 6).alias("value"),
+            )
+            for i, p in enumerate(percents)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("r")).select(
+        "r.percent", "r.value"
+    )
+
+
+def cardinality_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    col: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ES ``cardinality`` aggregation over search hits: distinct count
+    of ``col`` across matched docs. ``exact=True`` is a two-stage
+    distinct count (partial distinct per partition, then merge) — the
+    oracle-checkable path; ``exact=False`` is HyperLogLog++
+    (``approx_count_distinct``, fixed-size sketch, map-side combinable
+    — the web-scale choice and ES's own algorithm)."""
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    agg = (
+        F.countDistinct(F.col(col)) if exact
+        else F.approx_count_distinct(F.col(col), rsd)
+    )
+    return hits.agg(agg.cast("long").alias("cardinality"))
+
+
 def scored_docs(
     index: Index,
     query_text: str,

@@ -268,3 +268,60 @@ def test_stats_facet(spark):
     assert r["min"] == 10.0 and r["max"] == 999.0
     assert r["sum"] == float(sum(vals))
     assert abs(r["avg"] - sum(vals) / 7) < 1e-6
+
+
+def test_percentiles_facet_exact_values(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.query_exec import (
+        percentiles_facet,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "doc_id long, n double",
+    )
+    matched = docs.select("doc_id")  # all docs hit
+    got = {r["percent"]: r["value"]
+           for r in percentiles_facet(matched, docs, "n",
+                                      percents=(0.0, 25.0, 50.0,
+                                                100.0)).collect()}
+    # numpy-style linear interpolation over the sorted values
+    assert got[0.0] == 10.0 and got[100.0] == 50.0
+    assert got[50.0] == 30.0
+    assert got[25.0] == 20.0
+    # only matched docs count
+    m2 = docs.where(F.col("doc_id") >= 3).select("doc_id")  # 40, 50
+    got2 = {r["percent"]: r["value"]
+            for r in percentiles_facet(m2, docs, "n",
+                                       percents=(50.0,)).collect()}
+    assert got2[50.0] == 45.0
+    # approx path agrees on tiny inputs (accuracy >> n)
+    ga = {r["percent"]: r["value"]
+          for r in percentiles_facet(matched, docs, "n",
+                                     percents=(50.0,),
+                                     exact=False).collect()}
+    assert abs(ga[50.0] - 30.0) <= 10.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="percents"):
+        percentiles_facet(matched, docs, "n", percents=())
+    with _pytest.raises(ValueError, match="0, 100"):
+        percentiles_facet(matched, docs, "n", percents=(101.0,))
+
+
+def test_cardinality_facet_exact_and_approx(spark):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        cardinality_facet,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(200)],
+        "doc_id long, source string",
+    )
+    matched = docs.where("doc_id < 100").select("doc_id")
+    assert cardinality_facet(
+        matched, docs, "source").collect()[0]["cardinality"] == 7
+    approx = cardinality_facet(
+        matched, docs, "source", exact=False).collect()[0]["cardinality"]
+    assert 5 <= approx <= 9
