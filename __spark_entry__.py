@@ -390,6 +390,23 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rescore_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: BM25 top-40 window from the real index, re-ranked
+    by qw*bm25 + rw*cosine(embedding, query vec) — phase-2 cost
+    bounded by the window, embeddings pruned by broadcast semi-join.
+    The oracle replays the window, the left join, and the rounded
+    combine."""
+    from hadoop_search_engine_spark.operators.hybrid import rescore_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return rescore_topk(
+        ix, " ".join(FLAGSHIP_TERMS), emb, list(qvec),
+        window=40, k=15, query_weight=1.0, rescore_weight=2.0,
+    )
+
+
 def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix query over the real index: 's' expands to its top-4
     lexicon terms by (df desc, term asc) — the capped MultiTermQuery
@@ -1657,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pii_census": q_pii_census,
         "hybrid_search": q_hybrid_search,
+        "rescore_search": q_rescore_search,
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
         "regexp_search_indexed": q_regexp_search,
@@ -3273,6 +3291,36 @@ def oracle_sql() -> dict[str, str]:
                coalesce(max(CASE WHEN br = 'vec' THEN r END), 0)::int AS vec_rank
         FROM u GROUP BY doc_id
         ORDER BY rrf DESC, doc_id ASC LIMIT 15
+    """
+    # ES rescore: BM25 top-40 window re-ranked by 1*bm25 + 2*cosine
+    out["rescore_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        win AS (SELECT doc_id, round(score, 4) AS bm25 FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 40),
+        sec AS (
+          SELECT w.doc_id, w.bm25,
+                 coalesce(round(list_cosine_similarity(
+                     e.embedding::double[], q.qv::double[]), 6),
+                     0.0) AS secondary
+          FROM win w
+          LEFT JOIN embeddings e ON e.vec_id = w.doc_id
+          CROSS JOIN (SELECT embedding AS qv FROM embeddings
+                      WHERE vec_id = 0) q
+        )
+        SELECT doc_id, round(1.0 * bm25 + 2.0 * secondary, 6) AS score,
+               bm25, secondary
+        FROM sec ORDER BY score DESC, doc_id ASC LIMIT 15
     """
     # MoreLikeThis: doc 0's top-3 tf*idf terms -> OR search, source
     # excluded; the term selection replays in SQL (tf from the token

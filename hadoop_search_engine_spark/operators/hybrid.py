@@ -137,3 +137,77 @@ def hybrid_topk(
         weights=[w_lex, w_vec],
         names=["lex", "vec"],
     )
+
+
+def rescore_topk(
+    index,
+    query_text: str,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    window: int = 100,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+    serving: str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ES ``rescore``: two-phase ranking. Phase 1 retrieves the BM25
+    top-``window`` from the block index (cheap, recall-oriented);
+    phase 2 re-scores ONLY that window with an expensive secondary
+    signal — here cosine to ``query_vec``, the bi-encoder-rerank shape
+    — and re-ranks by the combined score:
+
+      * ``"total"``    — qw * bm25 + rw * cosine  (ES default)
+      * ``"multiply"`` — bm25 * cosine
+      * ``"replace"``  — rw * cosine (rerank purely by phase 2)
+
+    Window docs with no embedding keep a secondary of 0 (never
+    dropped). Returns ``(doc_id, score, bm25, secondary)``.
+
+    Scale shape: phase 2's cost is bounded by ``window``, never the
+    corpus — the embedding table is pruned to the window ids by a
+    broadcast semi-join running beside its scan (window ids are k-row),
+    and the surviving <= window vectors broadcast back onto the phase-1
+    frame. Determinism contract: bm25 rounded at 4 dp, cosine at 6 dp
+    before combining (the precisions the board compares those branches
+    at), so the DuckDB oracle's combined score is bit-identical.
+    """
+    from .query_exec import search_topk
+    from .similarity import cosine_sim
+
+    if score_mode not in ("total", "multiply", "replace"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    win = search_topk(index, query_text, k=window, serving=serving)
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # prune the embedding scan to the window ids (broadcast semi),
+    # then broadcast the <= window surviving vectors onto the window
+    pruned = emb.join(
+        F.broadcast(win.select("doc_id")), "doc_id", "left_semi"
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    j = win.join(F.broadcast(pruned), "doc_id", "left")
+    bm = F.round(F.col("score"), 4)
+    cos = F.when(
+        F.col("_v").isNotNull(), F.round(cosine_sim(F.col("_v"), q), 6)
+    ).otherwise(F.lit(0.0))
+    if score_mode == "total":
+        combined = (
+            F.lit(float(query_weight)) * bm
+            + F.lit(float(rescore_weight)) * cos
+        )
+    elif score_mode == "multiply":
+        combined = bm * cos
+    else:
+        combined = F.lit(float(rescore_weight)) * cos
+    out = j.select(
+        "doc_id",
+        F.round(combined, 6).alias("score"),
+        bm.alias("bm25"),
+        cos.alias("secondary"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -130,3 +130,86 @@ def test_hybrid_deterministic_under_repartition(hybrid_setup):
 def test_rrf_fuse_empty_branches_raises(spark):
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_rescore_matches_python_reference(spark, hybrid_setup):
+    """rescore_topk == BM25 window -> qw*bm25 + rw*cos recombine,
+    recomputed in pure Python from the branch results."""
+    from hadoop_search_engine_spark.operators.hybrid import rescore_topk
+
+    ix, emb = hybrid_setup
+    qvec = _vec(3)
+    win = {
+        r["doc_id"]: round(r["score"], 4)
+        for r in search_topk(ix, "spark query", k=6).collect()
+    }
+    ev = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b))
+        return round(num / den, 6)
+
+    want = sorted(
+        (
+            (i, round(1.0 * bm + 2.0 * cos(ev[i], qvec), 6))
+            for i, bm in win.items()
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:3]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in rescore_topk(
+            ix, "spark query", emb, qvec, window=6, k=3,
+            query_weight=1.0, rescore_weight=2.0,
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_rescore_can_promote_from_outside_bm25_topk(spark, hybrid_setup):
+    """With a big rescore weight, a doc ranked low by BM25 inside the
+    window must be able to win the final top-1 (the point of the
+    window being larger than k)."""
+    from hadoop_search_engine_spark.operators.hybrid import rescore_topk
+
+    ix, emb = hybrid_setup
+    bm_order = [r["doc_id"]
+                for r in search_topk(ix, "spark query", k=6).collect()]
+    last = bm_order[-1]
+    top = rescore_topk(
+        ix, "spark query", emb, _vec(last), window=6, k=1,
+        query_weight=0.0, rescore_weight=100.0,
+    ).collect()
+    assert top[0]["doc_id"] == last  # its own vector: cosine 1.0
+    assert abs(top[0]["secondary"] - 1.0) < 1e-6
+
+
+def test_rescore_modes_and_missing_embedding(spark, hybrid_setup):
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.hybrid import rescore_topk
+
+    ix, emb = hybrid_setup
+    # drop doc 0's vector: it must survive with secondary == 0
+    emb2 = emb.where(F.col("vec_id") != 0)
+    out = {r["doc_id"]: r for r in rescore_topk(
+        ix, "spark query", emb2, _vec(3), window=6, k=6).collect()}
+    assert 0 in out and out[0]["secondary"] == 0.0
+    assert out[0]["score"] == out[0]["bm25"]  # total mode, cos 0
+
+    rep = rescore_topk(ix, "spark query", emb, _vec(3), window=6, k=6,
+                       score_mode="replace", rescore_weight=1.0)
+    for r in rep.collect():
+        assert abs(r["score"] - r["secondary"]) < 1e-9
+
+    mul = {r["doc_id"]: r for r in rescore_topk(
+        ix, "spark query", emb, _vec(3), window=6, k=6,
+        score_mode="multiply").collect()}
+    for i, r in mul.items():
+        assert abs(r["score"] - round(r["bm25"] * r["secondary"], 6)) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="score_mode"):
+        rescore_topk(ix, "spark query", emb, _vec(3), score_mode="avg")
