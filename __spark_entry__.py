@@ -806,6 +806,47 @@ def q_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_counts(_pii_docs(spark, sf_dir))
 
 
+def q_top_hits_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms + top_hits: the 2 best-scoring hits per source over
+    the FULL match set of the flagship query (scored_docs frame from
+    the real index); oracle replays the BM25 scored set + per-group
+    row_number."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        scored_docs,
+        top_hits_facet,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    sc = scored_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return top_hits_facet(sc, docs, "source", n=2)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: per-doc bigram occurrence /
+    distinct counts and dup_ratio — map-only JVM expressions."""
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    return repetition_stats(
+        _read(spark, sf_dir, "documents"), n=2
+    )
+
+
+def q_repetition_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs surviving the repetition rule (bigram dup_ratio <= 0.2) —
+    the filter variant, predicate computed inline with no join."""
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        repetition_filter,
+    )
+
+    return repetition_filter(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        max_dup_ratio=0.2, n=2,
+    ).select("doc_id")
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
     BM25 query, source doc excluded — the oracle derives the same term
@@ -1673,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_keep_first": q_line_dedup_keep_first,
         "pii_redact": q_pii_redact,
         "pii_census": q_pii_census,
+        "repetition_stats": q_repetition_stats,
+        "repetition_filtered": q_repetition_filtered,
         "hybrid_search": q_hybrid_search,
         "rescore_search": q_rescore_search,
         "prefix_search_indexed": q_prefix_search,
@@ -1705,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_facet": q_stats_facet,
         "percentiles_facet": q_percentiles_facet,
         "cardinality_facet": q_cardinality_facet,
+        "top_hits_facet": q_top_hits_facet,
         "snippets_indexed": q_snippets_indexed,
         "collapsed_search_indexed": q_collapsed_search_indexed,
         "suggest_terms_indexed": q_suggest_terms_indexed,
@@ -2682,6 +2726,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(DISTINCT doc.source)::bigint AS cardinality
         FROM m JOIN documents doc ON m.doc_id = doc.doc_id
     """
+    # ES terms + top_hits: 2 best hits per source over the full
+    # scored match set
+    out["top_hits_facet"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        h AS (
+          SELECT doc.source, s.doc_id, round(s.score, 4) AS score
+          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+        ),
+        r AS (
+          SELECT source, doc_id, score,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id ASC)
+                   AS hit_rank
+          FROM h
+        )
+        SELECT source, hit_rank::int AS hit_rank, doc_id, score
+        FROM r WHERE hit_rank <= 2
+    """
     out["snippets_indexed"] = out["snippets"]
     out["collapsed_search_indexed"] = out["collapsed_search"]
     out["suggest_terms_indexed"] = out["suggest_terms"]
@@ -2927,6 +3000,33 @@ def oracle_sql() -> dict[str, str]:
     out["pii_census"] = (
         "SELECT " + ", ".join(_pii_aggs) + " FROM documents"
     )
+    # within-doc repetition: bigram occurrence vs distinct counts
+    _rep_cte = f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
+          FROM tok, unnest(range(1, len(toks))) AS t(i)
+          WHERE len(toks) >= 2
+        ),
+        st AS (SELECT doc_id, count(*) AS n_ngrams,
+                      count(DISTINCT gram) AS n_distinct
+               FROM g GROUP BY doc_id),
+        rep AS (
+          SELECT d.doc_id,
+                 coalesce(st.n_ngrams, 0)::int AS n_ngrams,
+                 coalesce(st.n_distinct, 0)::int AS n_distinct,
+                 CASE WHEN st.n_ngrams > 0
+                      THEN round(1 - st.n_distinct::double / st.n_ngrams, 6)
+                      ELSE 0.0 END AS dup_ratio
+          FROM documents d LEFT JOIN st USING (doc_id)
+        )
+    """
+    out["repetition_stats"] = _rep_cte + """
+        SELECT doc_id, n_ngrams, n_distinct, dup_ratio FROM rep
+    """
+    out["repetition_filtered"] = _rep_cte + """
+        SELECT doc_id FROM rep WHERE dup_ratio <= 0.2
+    """
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over
     # the expanded term set

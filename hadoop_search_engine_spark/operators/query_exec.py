@@ -2824,6 +2824,43 @@ def cardinality_facet(
     return hits.agg(agg.cast("long").alias("cardinality"))
 
 
+def top_hits_facet(
+    scored: DataFrame,
+    documents: DataFrame,
+    group_col: str,
+    n: int = 3,
+    ndigits: int = 4,
+) -> DataFrame:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+    for each value of ``group_col``, the ``n`` best-scoring matched
+    docs — "top 3 results per site/language" in one pass. ``scored``
+    is a (doc_id, score) frame (:func:`scored_docs` for the full match
+    set, or any top-k result).
+
+    Determinism: ranks order by the ROUNDED score (``ndigits``) with
+    ascending-id tie-break, so rank assignment replays bit-identically
+    in SQL. Scale shape: one keyed join (broadcast when ``scored`` is
+    a k-row result) + a window partitioned by group over the hit set —
+    per-group state is the group's hit count, df-bounded, never the
+    corpus; output is ``n × |groups|`` rows."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    hits = documents.select("doc_id", group_col).join(
+        scored.select("doc_id", "score"), "doc_id"
+    )
+    sc = F.round(F.col("score"), ndigits)
+    w = Window.partitionBy(group_col).orderBy(
+        sc.desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("hit_rank", F.row_number().over(w))
+        .where(F.col("hit_rank") <= n)
+        .select(group_col, "hit_rank", "doc_id", sc.alias("score"))
+    )
+
+
 def scored_docs(
     index: Index,
     query_text: str,

@@ -239,3 +239,61 @@ def sql_redact_duckdb(expr: str, kinds: tuple[str, ...] = PII_KINDS) -> str:
         pat, repl = PII_PATTERNS[kind]
         expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
     return expr
+
+
+# -- within-doc repetition (Gopher-style quality rule) ------------------------
+
+def _ngrams_col(text: Column, n: int) -> Column:
+    """All word n-grams of the text as an array (duplicates kept)."""
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-document repetition ratio — the Gopher "repetition"
+    quality signal (docs that loop the same phrases are boilerplate or
+    SEO spam): per doc, the fraction of word n-gram OCCURRENCES that
+    are repeats of an earlier n-gram in the same doc,
+    ``dup_ratio = 1 - distinct/total`` (0 for docs shorter than n
+    tokens). Entirely JVM expressions (transform/array_distinct) —
+    map-only, no shuffle, no Python; fuses with the scan at 100 TB."""
+    grams = _ngrams_col(F.col(text_col), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0, F.round(1.0 - distinct / total, 6))
+        .otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_dup_ratio: float = 0.3,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop docs whose n-gram ``dup_ratio`` exceeds ``max_dup_ratio``
+    (all original columns preserved; short docs always pass). The
+    predicate is computed inline — still map-only, no join."""
+    grams = _ngrams_col(F.col(text_col), n)
+    total = F.size(grams)
+    ratio = F.when(
+        total > 0,
+        1.0 - F.size(F.array_distinct(grams)) / total,
+    ).otherwise(F.lit(0.0))
+    return docs.where(ratio <= float(max_dup_ratio))

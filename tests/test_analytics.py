@@ -325,3 +325,33 @@ def test_cardinality_facet_exact_and_approx(spark):
     approx = cardinality_facet(
         matched, docs, "source", exact=False).collect()[0]["cardinality"]
     assert 5 <= approx <= 9
+
+
+def test_top_hits_facet_per_group_ranks(spark):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        top_hits_facet,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(8)],
+        "doc_id long, source string",
+    )
+    # scores: tie between 1 and 2 -> id ascending breaks it
+    scored = spark.createDataFrame(
+        [(0, 1.0), (1, 3.0), (2, 3.0), (3, 0.5),
+         (4, 9.0), (6, 2.0)],  # docs 5,7 unmatched
+        "doc_id long, score double",
+    )
+    got = [
+        (r["source"], r["hit_rank"], r["doc_id"], r["score"])
+        for r in top_hits_facet(scored, docs, "source", n=2)
+        .orderBy("source", "hit_rank").collect()
+    ]
+    assert got == [
+        ("a", 1, 1, 3.0), ("a", 2, 2, 3.0),
+        ("b", 1, 4, 9.0), ("b", 2, 6, 2.0),
+    ]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must"):
+        top_hits_facet(scored, docs, "source", n=0)

@@ -243,3 +243,31 @@ def test_redact_pii_rE2_java_parity_on_fuzz(spark):
             f"SELECT {sql_redact_duckdb('?::varchar')}", [s]
         ).fetchone()[0]
         assert got[i] == want, (i, s, got[i], want)
+
+
+def test_repetition_stats_and_filter(spark):
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        repetition_filter,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now buy now"),   # heavy repeats
+            (1, "all words here are fully distinct"),
+            (2, "one"),                                # < n tokens
+            (3, ""),                                   # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    # doc 0: 7 bigrams, 2 distinct ("buy now", "now buy")
+    assert got[0]["n_ngrams"] == 7 and got[0]["n_distinct"] == 2
+    assert abs(got[0]["dup_ratio"] - round(1 - 2 / 7, 6)) < 1e-9
+    assert got[1]["dup_ratio"] == 0.0
+    assert got[2]["n_ngrams"] == 0 and got[2]["dup_ratio"] == 0.0
+    assert got[3]["dup_ratio"] == 0.0
+
+    kept = {r["doc_id"]
+            for r in repetition_filter(docs, max_dup_ratio=0.3).collect()}
+    assert kept == {1, 2, 3}  # repetitive doc dropped, short docs pass
