@@ -366,6 +366,29 @@ def q_proximity_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_near_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNORDERED proximity (span_near inOrder=false): both flagship
+    proximity terms within any 4-token window, either order, BM25
+    ranked — driver serving; oracle replays the start-at-occurrence
+    window test with EXISTS per term."""
+    from hadoop_search_engine_spark.operators.query_exec import near_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    top = near_search(ix, _flagship_prox(spark, sf_dir), window=4, k=20,
+                      serving="driver")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_near_search_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same unordered-window query through the distributed scorer."""
+    from hadoop_search_engine_spark.operators.query_exec import near_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    top = near_search(ix, _flagship_prox(spark, sf_dir), window=4, k=20,
+                      serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-30 over the REAL block index fused
     with exact-cosine top-30 over the embeddings table by reciprocal
@@ -1735,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": q_explain_score,
         "proximity_search_indexed": q_proximity_indexed,
         "proximity_search_indexed_spark": q_proximity_indexed_spark,
+        "near_search_indexed": q_near_search,
+        "near_search_indexed_spark": q_near_search_spark,
         "boolean_search": q_boolean_search,
         "boolean_search_indexed": q_boolean_search_indexed,
         "boolean_search_indexed_driver": q_boolean_search_indexed_driver,
@@ -2891,6 +2916,48 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["proximity_search_indexed_spark"] = out["proximity_search_indexed"]
+    # unordered proximity (window=4): a doc matches iff some window
+    # starting AT an occurrence of either term contains both terms —
+    # the slid-left-to-an-occurrence normal form of "both terms within
+    # any 4-token window, either order"
+    out["near_search_indexed"] = f"""
+        WITH {_TF_CTE},
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ph AS (SELECT toks[1] AS a, toks[3] AS b FROM t WHERE doc_id = 0),
+        tpos AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM t
+        ),
+        m AS (
+          SELECT DISTINCT s.doc_id
+          FROM tpos s, ph
+          WHERE s.term IN (ph.a, ph.b)
+            AND EXISTS (SELECT 1 FROM tpos o WHERE o.doc_id = s.doc_id
+                        AND o.term = ph.a
+                        AND o.pos BETWEEN s.pos AND s.pos + 3)
+            AND EXISTS (SELECT 1 FROM tpos o WHERE o.doc_id = s.doc_id
+                        AND o.term = ph.b
+                        AND o.pos BETWEEN s.pos AND s.pos + 3)
+        ),
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          WHERE tf.doc_id IN (SELECT doc_id FROM m)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    out["near_search_indexed_spark"] = out["near_search_indexed"]
     # deterministic split: the murmur3 bucket CASE replayed in SQL
     from hadoop_search_engine_spark.operators.curate import (
         sql_split_duckdb,

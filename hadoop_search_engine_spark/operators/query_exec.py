@@ -2141,10 +2141,12 @@ def _phrase_pairs(
     seq_hashes: list[int],
     k1: float, b: float, avgdl: float, k: int,
     slop: int = 0,
+    window: int | None = None,
     after: tuple[int, float] | None = None,
 ) -> list[tuple[int, float]]:
-    """Exact-phrase (or, with ``slop`` > 0, ordered-proximity) matches
-    in one shard, BM25-scored.
+    """Exact-phrase (or, with ``slop`` > 0, ordered-proximity; or,
+    with ``window``, UNORDERED proximity) matches in one shard,
+    BM25-scored.
 
     1. batch-decode each distinct term's postings AND positions (one
        varint pass each — position blobs concatenate safely because
@@ -2187,6 +2189,40 @@ def _phrase_pairs(
         # stay sorted-unique.
         keys = ((np.repeat(d, t) - base) << np.int64(21)) | P
         per_term[th] = (d, t, keys)
+
+    if window is not None:
+        # UNORDERED window (Lucene span_near inOrder=false shape): a
+        # doc matches iff some token window of width <= `window`
+        # contains every distinct query term. A minimal covering
+        # window can always be slid left until its left edge sits ON
+        # an occurrence, so it suffices to test starts = every
+        # occurrence key x: for each term, the next occurrence >= x
+        # must lie within [x, x + window - 1]. One searchsorted probe
+        # per term over the merged sorted start array — the same
+        # vectorized cost shape as a phrase step. Packed keys keep the
+        # probe doc-local: pos occupies 21 bits and pos + window - 1
+        # < 2^21, so a next-doc key always exceeds the window bound.
+        starts = np.unique(
+            np.concatenate([per_term[th][2] for th in per_term])
+        )
+        hi = starts + np.int64(window - 1)
+        ok = np.ones(starts.shape[0], dtype=bool)
+        for th in per_term:
+            kt = per_term[th][2]
+            j = np.searchsorted(kt, starts, side="left")
+            jc = np.minimum(j, kt.size - 1)
+            ok &= (j < kt.size) & (kt[jc] <= hi)
+        cur = starts[ok]
+        if not cur.size:
+            return []
+        docs_arr = np.unique(cur >> np.int64(21)) + base
+        scores = np.zeros(docs_arr.shape[0], dtype=np.float64)
+        for th, _term, idf in ordered_terms:  # ascending term order
+            d, t, _keys = per_term[th]
+            ix = np.searchsorted(d, docs_arr)
+            scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b,
+                                     avgdl)
+        return _topk_pairs(docs_arr, scores, k, after=after)
 
     # adjacency fully vectorized: walk the phrase left to right
     # intersecting (occurrence keys + 1) with the next term's keys —
@@ -2232,6 +2268,7 @@ def phrase_search(
     serving: str = "auto",
     slop: int = 0,
     after: tuple[int, float] | None = None,
+    _window: int | None = None,
 ) -> DataFrame:
     """Exact-phrase BM25 top-k over a positional index
     (``build_index(..., positions=True)``).
@@ -2259,6 +2296,12 @@ def phrase_search(
     slop = int(slop)
     if not (0 <= slop < (1 << 20)):
         raise ValueError(f"slop must be in [0, 2^20), got {slop}")
+    if _window is not None:
+        _window = int(_window)
+        if not (1 <= _window <= (1 << 20)):
+            raise ValueError(
+                f"window must be in [1, 2^20], got {_window}"
+            )
     from ..functions.tokenizer import tokenize
 
     syn = synonyms or {}
@@ -2298,7 +2341,7 @@ def phrase_search(
     pairs_fn = functools.partial(
         _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
         k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff, slop=slop,
-        after=_check_after(after),
+        window=_window, after=_check_after(after),
     )
 
     # auto picks driver serving whenever the index is small enough for
@@ -2352,6 +2395,38 @@ def phrase_search(
             F.broadcast(index.tombstones), "doc_id", "left_anti"
         )
     return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def near_search(
+    index: Index,
+    query_text: str,
+    window: int,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    serving: str = "auto",
+    after: tuple[int, float] | None = None,
+) -> DataFrame:
+    """UNORDERED proximity search (Lucene ``SpanNearQuery`` with
+    ``inOrder=false`` / interval "within" query): a doc matches iff
+    some token window of width <= ``window`` contains at least one
+    occurrence of EVERY distinct query term, in ANY order. Matching
+    docs are BM25-ranked exactly like ``mode="and"`` restricted to the
+    window-matching set.
+
+    Relationships (by test): ``near_search(w)`` matches a SUPERSET of
+    ``phrase_search(slop=w - len(terms))``-style ordered matches once
+    the window covers the phrase span, and a SUBSET of ``mode="and"``;
+    ``window`` large enough degenerates to ``mode="and"``. Evaluation
+    is the same per-shard vectorized packed-key machinery as
+    :func:`phrase_search` — one searchsorted probe per term over the
+    merged occurrence array, no per-candidate Python loop.
+    """
+    if window is None:
+        raise ValueError("window is required")
+    return phrase_search(
+        index, query_text, k=k, synonyms=synonyms, serving=serving,
+        slop=0, after=after, _window=window,
+    )
 
 
 # ---------------------------------------------------------------------------

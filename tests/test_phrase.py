@@ -220,3 +220,57 @@ def test_positions_from_events(spark, tmp_path):
     idx = Index.load(spark, out)
     assert [r["doc_id"] for r in phrase_search(idx, "alpha beta", k=5).collect()] == [0]
     assert [r["doc_id"] for r in phrase_search(idx, "beta alpha", k=5).collect()] == [1]
+
+
+def test_near_search_unordered_window_semantics(phrase_setup):
+    from hadoop_search_engine_spark.operators.query_exec import near_search
+
+    ix, _oracle = phrase_setup
+    # doc 4 is "brown quick fox": phrase "quick brown" misses it,
+    # unordered window 2 must hit it (and every adjacent pair doc)
+    ph = {d for d, _s in _pairs(phrase_search(ix, "quick brown", k=10))}
+    ne = {d for d, _s in _pairs(near_search(ix, "quick brown", window=2,
+                                            k=10))}
+    assert 4 not in ph and 4 in ne
+    assert ph <= ne  # ordered-adjacent is a subset of window-2
+
+    # a huge window degenerates to mode="and" (same docs, same scores)
+    and_res = _pairs(search_topk(ix, "quick brown", k=10, mode="and"))
+    win_res = _pairs(near_search(ix, "quick brown", window=1000, k=10))
+    assert win_res == and_res
+
+    # window 1: both terms at the same position is impossible
+    assert _pairs(near_search(ix, "quick brown", window=1, k=10)) == []
+
+    # single term: every occurrence is its own window
+    one = _pairs(near_search(ix, "fox", window=1, k=10))
+    assert {d for d, _ in one} == {0, 1, 2, 4}
+
+
+def test_near_search_window_boundary_and_servings(phrase_setup):
+    from hadoop_search_engine_spark.operators.query_exec import near_search
+
+    ix, _oracle = phrase_setup
+    # doc 0: "the quick brown fox jumps over the lazy dog"
+    # quick(pos1) .. dog(pos8): needs window >= 8
+    hit7 = {d for d, _ in _pairs(near_search(ix, "dog quick", window=7,
+                                             k=10))}
+    hit8 = {d for d, _ in _pairs(near_search(ix, "dog quick", window=8,
+                                             k=10))}
+    assert 0 not in hit7 and 0 in hit8
+    # doc 1 has quick(pos0) dog(pos2): window 3 suffices there
+    assert 1 in {d for d, _ in _pairs(near_search(ix, "dog quick",
+                                                  window=3, k=10))}
+
+    # driver and spark serving identical
+    a = _pairs(near_search(ix, "quick dog", window=4, k=10,
+                           serving="driver"))
+    b = _pairs(near_search(ix, "quick dog", window=4, k=10,
+                           serving="spark"))
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        near_search(ix, "quick dog", window=0)
+    # absent term -> empty (AND semantics)
+    assert _pairs(near_search(ix, "quick zebra", window=5, k=10)) == []
