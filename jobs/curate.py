@@ -7,14 +7,19 @@
         [--min-tokens 5] [--max-tokens 100000] [--min-quality 0.3] \
         [--langs en,es] [--near-threshold 0.8]
 
-Runs the standard web-corpus pipeline (operators/curate.py): annotate
-(token count, language id, quality score, fingerprint) -> filter ->
-exact dedup (md5 digest groupBy) -> near dedup (MinHash-LSH greedy
-drop), writes the surviving rows (original columns + annotations) as
-parquet, and prints a one-line JSON lineage report (docs in/out,
-surviving token volume). Scales like its stages: one map-only
-annotation pass, a digest shuffle, and banded LSH equi-joins — never
-an all-pairs comparison, never a driver-side corpus.
+Runs the standard web-corpus pipeline (operators/curate.py): optional
+PII redaction (--redact-pii) and corpus-wide repeated-line removal
+(--line-dedup drop_all:3) -> optional Gopher repetition filter
+(--max-dup-ratio) -> annotate (token count, language id, quality
+score, fingerprint) -> filter -> exact dedup (md5 digest groupBy) ->
+near dedup (MinHash-LSH greedy drop) -> optional eval-set
+decontamination (--decontaminate eval.parquet), deterministic
+sampling (--sample 'en=0.2,*=0.5' --sample-by lang) and split
+(--split), writes the surviving rows (original columns + annotations)
+as parquet, and prints a one-line JSON lineage report (docs in/out,
+surviving token volume). Scales like its stages: map-only annotation/
+redaction passes, digest and line-hash shuffles, banded LSH equi-joins
+— never an all-pairs comparison, never a driver-side corpus.
 """
 
 from __future__ import annotations
@@ -41,6 +46,29 @@ def main(argv: list[str] | None = None) -> None:
                          "engines, unlike randomSplit)")
     ap.add_argument("--split-salt", default="split",
                     help="with --split: salt for the hash assignment")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/IPv4s/phones before anything else "
+                         "(map-only regexp_replace)")
+    ap.add_argument("--line-dedup", default=None, metavar="MODE:MAXDF",
+                    help="corpus-wide repeated-line removal before "
+                         "filtering: 'drop_all:3' (C4) or "
+                         "'keep_first:1' (CCNet); docs losing every "
+                         "line are dropped")
+    ap.add_argument("--max-dup-ratio", type=float, default=None,
+                    help="drop docs whose within-doc bigram dup_ratio "
+                         "exceeds this (Gopher repetition rule)")
+    ap.add_argument("--decontaminate", default=None, metavar="EVAL_PARQUET",
+                    help="drop curated docs sharing any n-gram with this "
+                         "eval set (broadcast eval shingles)")
+    ap.add_argument("--decon-ngram", type=int, default=8,
+                    help="with --decontaminate: n-gram length")
+    ap.add_argument("--sample", default=None,
+                    help="deterministic keep-rate sampling after "
+                         "curation: '0.1' (uniform) or per-stratum "
+                         "'en=0.2,zh=1.0,*=0.5' with --sample-by")
+    ap.add_argument("--sample-by", default=None,
+                    help="with per-stratum --sample: the strata column")
+    ap.add_argument("--sample-salt", default="sample")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -54,6 +82,26 @@ def main(argv: list[str] | None = None) -> None:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-curate")
     docs = spark.read.parquet(args.input)
+    if args.redact_pii:
+        from hadoop_search_engine_spark.operators.text_analysis import (
+            redact_pii,
+        )
+
+        docs = redact_pii(docs)
+    if args.line_dedup:
+        from hadoop_search_engine_spark.operators.curate import dedup_lines
+
+        mode, _, maxdf = args.line_dedup.partition(":")
+        rebuilt = dedup_lines(
+            docs, max_line_df=int(maxdf or 1), mode=mode
+        )
+        docs = docs.drop("text").join(rebuilt, "doc_id")
+    if args.max_dup_ratio is not None:
+        from hadoop_search_engine_spark.operators.text_analysis import (
+            repetition_filter,
+        )
+
+        docs = repetition_filter(docs, max_dup_ratio=args.max_dup_ratio)
     curated = curate_corpus(
         docs,
         min_tokens=args.min_tokens,
@@ -62,6 +110,35 @@ def main(argv: list[str] | None = None) -> None:
         langs=tuple(s for s in args.langs.split(",") if s),
         near_threshold=args.near_threshold,
     ).persist()
+    if args.decontaminate:
+        from hadoop_search_engine_spark.operators.curate import decontaminate
+
+        evald = spark.read.parquet(args.decontaminate)
+        curated = decontaminate(curated, evald, n=args.decon_ngram)
+    if args.sample:
+        from hadoop_search_engine_spark.operators.curate import (
+            stratified_sample,
+        )
+
+        if "=" in args.sample:
+            rates: dict[str, float] = {}
+            default = 0.0
+            for part in args.sample.split(","):
+                key, _, val = part.partition("=")
+                if key == "*":
+                    default = float(val)
+                else:
+                    rates[key] = float(val)
+            if not args.sample_by:
+                ap.error("per-stratum --sample needs --sample-by")
+            curated = stratified_sample(
+                curated, rates, strata_col=args.sample_by,
+                default_rate=default, salt=args.sample_salt,
+            )
+        else:
+            curated = stratified_sample(
+                curated, float(args.sample), salt=args.sample_salt
+            )
     if args.split:
         from hadoop_search_engine_spark.operators.curate import split_corpus
 

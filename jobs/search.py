@@ -60,6 +60,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--compat-or-union", action="store_true")
     ap.add_argument("--phrase", action="store_true",
                     help="exact-phrase match (needs an index built with positions)")
+    ap.add_argument("--near", type=int, default=None, metavar="W",
+                    help="unordered proximity: all query terms within "
+                         "any W-token window (needs a positional index)")
     ap.add_argument("--slop", type=int, default=0,
                     help="with --phrase: allow up to SLOP intervening "
                          "tokens per gap (ordered proximity; 0 = exact)")
@@ -246,6 +249,11 @@ def main(argv: list[str] | None = None) -> None:
 
         result = phrase_search(idx, args.query, k=args.k, slop=args.slop,
                                after=_parse_after(args.after))
+    elif args.near is not None:
+        from hadoop_search_engine_spark.operators.query_exec import near_search
+
+        result = near_search(idx, args.query, window=args.near, k=args.k,
+                             after=_parse_after(args.after))
     elif args.boolean:
         from hadoop_search_engine_spark.operators.boolean import (
             search_topk_boolean,
