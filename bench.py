@@ -336,6 +336,60 @@ def main() -> None:
         ).collect(),
     )
 
+    # two-phase rescore: BM25 top-100 window re-ranked by cosine to a
+    # query vector (phase-2 cost bounded by the window)
+    from hadoop_search_engine_spark.operators.hybrid import rescore_topk
+
+    timed(
+        "rescore_query",
+        lambda: rescore_topk(
+            idx, "spark query table", emb, qvec, window=100, k=10
+        ).collect(),
+        reps=3,
+    )
+
+    # training-pipeline curation operators over the full sf corpus:
+    # eval-set decontamination (broadcast 8-gram probe), corpus-wide
+    # repeated-line removal (hash groupBy + join-back + rebuild),
+    # map-only PII redaction and Gopher repetition stats
+    from hadoop_search_engine_spark.operators.curate import (
+        contamination_report,
+        dedup_lines,
+        split_corpus,
+    )
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        redact_pii,
+        repetition_stats,
+    )
+
+    _sp = split_corpus(docs).persist()
+    _sp.count()
+    timed(
+        "decontamination",
+        lambda: contamination_report(
+            _sp.where("split <> 'test'"), _sp.where("split = 'test'"), n=8
+        ).count(),
+        reps=3,
+    )
+    _sp.unpersist()
+    timed(
+        "line_dedup",
+        lambda: dedup_lines(docs, max_line_df=3, mode="drop_all").count(),
+        reps=3,
+    )
+    timed(
+        "pii_redact",
+        lambda: redact_pii(docs)
+        .agg(F.sum(F.length("text"))).collect(),
+        reps=3,
+    )
+    timed(
+        "repetition_stats",
+        lambda: repetition_stats(docs)
+        .agg(F.avg("dup_ratio")).collect(),
+        reps=3,
+    )
+
     # per-doc tf*idf top-3 export (corpus-wide window over per-doc terms)
     from hadoop_search_engine_spark.operators.text_analysis import (
         tfidf_top_terms,

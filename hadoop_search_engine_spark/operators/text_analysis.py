@@ -244,15 +244,16 @@ def sql_redact_duckdb(expr: str, kinds: tuple[str, ...] = PII_KINDS) -> str:
 # -- within-doc repetition (Gopher-style quality rule) ------------------------
 
 def _ngrams_col(text: Column, n: int) -> Column:
-    """All word n-grams of the text as an array (duplicates kept)."""
+    """All word n-grams of the text as an array of n-field structs
+    (duplicates kept). Struct identity == token-tuple identity, so
+    distinct-counting matches string-joined shingles exactly (tokens
+    never contain the joiner) — but zipping n shifted slices is ~8x
+    cheaper than building a string per gram (measured at sf0.01:
+    repetition_stats 1.24 s -> 0.16 s), because it's one array
+    allocation instead of per-gram concat + a slice per index."""
     toks = tokens_col(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    span = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(toks, i + 1, span) for i in range(n)])
 
 
 def repetition_stats(
@@ -266,16 +267,24 @@ def repetition_stats(
     SEO spam): per doc, the fraction of word n-gram OCCURRENCES that
     are repeats of an earlier n-gram in the same doc,
     ``dup_ratio = 1 - distinct/total`` (0 for docs shorter than n
-    tokens). Entirely JVM expressions (transform/array_distinct) —
-    map-only, no shuffle, no Python; fuses with the scan at 100 TB."""
+    tokens). Entirely JVM expressions (arrays_zip/array_distinct) —
+    map-only, no shuffle, no Python; fuses with the scan at 100 TB.
+    The gram array is materialized ONCE through an inner struct
+    projection: higher-order expressions block Spark's subexpression
+    elimination, so naming each stat off the raw grams expression
+    would tokenize the doc once per output column."""
     grams = _ngrams_col(F.col(text_col), n)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return docs.select(
-        F.col(id_col),
-        total.alias("n_ngrams"),
-        distinct.alias("n_distinct"),
-        F.when(total > 0, F.round(1.0 - distinct / total, 6))
+    stats = F.struct(
+        F.size(grams).alias("t"),
+        F.size(F.array_distinct(grams)).alias("d"),
+    )
+    inner = docs.select(F.col(id_col), stats.alias("_s"))
+    t, d = F.col("_s.t"), F.col("_s.d")
+    return inner.select(
+        id_col,
+        t.alias("n_ngrams"),
+        d.alias("n_distinct"),
+        F.when(t > 0, F.round(1.0 - d / t, 6))
         .otherwise(F.lit(0.0)).alias("dup_ratio"),
     )
 
