@@ -97,6 +97,40 @@ CHECKS = {
         "BroadcastHashJoin", "HashAggregate", "!CartesianProduct",
         "!Sort",
     ],
+    # decontamination: the (small) eval shingle set joins the train
+    # side as a BROADCAST hash join running beside the tokenize — the
+    # train corpus is never shuffled on shingles; per-doc overlap is a
+    # partial-aggregated groupBy on doc_id
+    "contamination": [
+        "BroadcastHashJoin", "HashAggregate", "!CartesianProduct",
+    ],
+    # corpus-wide line df is a map-side-combinable HashAggregate on
+    # the line hash + a join-back — deliberately NOT a window (a
+    # window would ship every copy of a hot boilerplate line to one
+    # reducer), and no Python anywhere
+    "line_dedup_drop_all": [
+        "HashAggregate", "!Window", "!EvalPython", "!CartesianProduct",
+    ],
+    "line_dedup_keep_first": ["HashAggregate", "!Window", "!EvalPython"],
+    # PII redaction is a pure projection: fuses with the scan, no
+    # shuffle, no Python
+    "pii_redact": ["* Project", "!Exchange", "!EvalPython"],
+    # within-doc repetition: one projection over the token array —
+    # map-only, no shuffle (the agg in the entry is the consumer's)
+    "repetition_stats": ["Project", "!Exchange", "!EvalPython"],
+    # deterministic sampling: a codegen'd filter beside the scan
+    "stratified_sample": ["* Filter", "!Exchange", "!EvalPython"],
+    # rescore: both phase-2 joins broadcast (window ids into the
+    # embedding scan, surviving vectors back onto the window); final
+    # ranking is a top-k, never a global sort
+    "rescore_search": [
+        "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct",
+    ],
+    # terms + top_hits: per-group rank window over the df-bounded hit
+    # set — no cartesian, no corpus-wide global sort
+    "top_hits_facet": ["Window", "!CartesianProduct"],
+    # hit-set percentiles: semi-join prune + one aggregation pass
+    "percentiles_facet": ["LeftSemi", "!CartesianProduct"],
 }
 
 
