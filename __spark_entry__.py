@@ -845,6 +845,20 @@ def q_top_hits_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_hits_facet(sc, docs, "source", n=2)
 
 
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix report per (lang, source): docs, tokens, mean quality,
+    and each group's share of corpus docs/tokens — |groups| output rows
+    via one annotation projection + one groupBy + a broadcast totals
+    join."""
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        corpus_mix_report,
+    )
+
+    return corpus_mix_report(
+        _read(spark, sf_dir, "documents"), by=("lang", "source")
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition: per-doc bigram occurrence /
     distinct counts and dup_ratio — map-only JVM expressions."""
@@ -1739,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_census": q_pii_census,
         "repetition_stats": q_repetition_stats,
         "repetition_filtered": q_repetition_filtered,
+        "corpus_mix_report": q_corpus_mix_report,
         "hybrid_search": q_hybrid_search,
         "rescore_search": q_rescore_search,
         "prefix_search_indexed": q_prefix_search,
@@ -3093,6 +3108,45 @@ def oracle_sql() -> dict[str, str]:
     """
     out["repetition_filtered"] = _rep_cte + """
         SELECT doc_id FROM rep WHERE dup_ratio <= 0.2
+    """
+    # data-mix report: the quality formula replayed per doc, grouped
+    # by (lang, source), shares from a 1-row totals cross join
+    out["corpus_mix_report"] = f"""
+        WITH t AS (
+          SELECT lang, source, {_TOKS} AS toks, text,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text,
+                     '[^\\w\\s]', '', 'g')) AS n_punct
+          FROM documents
+        ),
+        q AS (
+          SELECT lang, source, len(toks) AS nt,
+                 round((
+                   least(len(toks) / 100.0, 1.0)
+                   + CASE WHEN n_chars > 0
+                          THEN 1.0 - least(n_punct * 5.0 / n_chars, 1.0)
+                          ELSE 0.0 END
+                   + CASE WHEN len(toks) > 0
+                          THEN least({stop_cnt} * 10.0 / len(toks), 1.0)
+                          ELSE 0.0 END
+                   + CASE WHEN len(toks) > 0
+                          THEN len(list_distinct(toks)) / len(toks)
+                          ELSE 0.0 END
+                 ) / 4.0, 6) AS quality
+          FROM t
+        ),
+        g AS (
+          SELECT lang, source, count(*)::bigint AS n_docs,
+                 sum(nt)::bigint AS n_tokens,
+                 round(avg(quality), 6) AS avg_quality
+          FROM q GROUP BY lang, source
+        ),
+        tot AS (SELECT sum(n_docs)::double AS td,
+                       sum(n_tokens)::double AS tt FROM g)
+        SELECT lang, source, n_docs, n_tokens, avg_quality,
+               round(n_docs / td, 6) AS doc_share,
+               round(n_tokens / tt, 6) AS token_share
+        FROM g, tot
     """
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over

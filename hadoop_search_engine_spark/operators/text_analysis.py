@@ -306,3 +306,37 @@ def repetition_filter(
         1.0 - F.size(F.array_distinct(grams)) / total,
     ).otherwise(F.lit(0.0))
     return docs.where(ratio <= float(max_dup_ratio))
+
+
+def corpus_mix_report(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mix report: per group (language, source, ...) document and
+    token counts, mean quality, and each group's SHARE of corpus docs
+    and tokens — the table a training-data pipeline publishes before
+    mixing ("en is 61% of tokens, web is 85% of docs"). One map-only
+    annotation projection + one partial-aggregated groupBy; the 1-row
+    totals frame joins back as a broadcast, so the output is
+    |groups| rows regardless of corpus size."""
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    ann = docs.select(
+        *by,
+        token_count(F.col(text_col)).alias("_nt"),
+        quality_score(F.col(text_col)).alias("_q"),
+    )
+    g = ann.groupBy(*by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        *by, "n_docs", "n_tokens", "avg_quality",
+        F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("token_share"),
+    )

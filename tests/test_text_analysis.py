@@ -271,3 +271,30 @@ def test_repetition_stats_and_filter(spark):
     kept = {r["doc_id"]
             for r in repetition_filter(docs, max_dup_ratio=0.3).collect()}
     assert kept == {1, 2, 3}  # repetitive doc dropped, short docs pass
+
+
+def test_corpus_mix_report_shares_sum_to_one(spark):
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        corpus_mix_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "the quick brown fox and the dog"),
+            (1, "en", "it is that good"),
+            (2, "fr", "le chat noir"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rep = {r["lang"]: r
+           for r in corpus_mix_report(docs, by=("lang",)).collect()}
+    assert rep["en"]["n_docs"] == 2 and rep["fr"]["n_docs"] == 1
+    assert rep["en"]["n_tokens"] == 11 and rep["fr"]["n_tokens"] == 3
+    assert abs(rep["en"]["doc_share"] - round(2 / 3, 6)) < 1e-9
+    assert abs(rep["en"]["token_share"] - round(11 / 14, 6)) < 1e-9
+    assert abs(sum(r["doc_share"] for r in rep.values()) - 1.0) < 1e-5
+    assert all(0.0 <= r["avg_quality"] <= 1.0 for r in rep.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="by"):
+        corpus_mix_report(docs, by=())
