@@ -18,6 +18,7 @@ batch pass instead of per-query jobs.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -57,6 +58,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--mode", choices=["or", "and"], default="or",
                     help="or = reference-style disjunctive; and = conjunctive")
     ap.add_argument("--documents", help="documents parquet for materialization")
+    ap.add_argument("--output", default=None,
+                    help="write the result DataFrame as parquet here "
+                         "(offline export) instead of printing")
     ap.add_argument("--compat-or-union", action="store_true")
     ap.add_argument("--phrase", action="store_true",
                     help="exact-phrase match (needs an index built with positions)")
@@ -147,7 +151,6 @@ def main(argv: list[str] | None = None) -> None:
 
         segs = [Index.load(spark, d) for d in args.segments.split(",")]
         if args.queries_file:
-            import json
 
             with open(args.queries_file) as fh:
                 qs = json.load(fh)
@@ -155,7 +158,6 @@ def main(argv: list[str] | None = None) -> None:
                                                 mode=args.mode)
             result.show(args.k * len(qs), truncate=80)
         elif args.rows:
-            import json
 
             from hadoop_search_engine_spark.operators.query_exec import (
                 search_topk_segments_rows,
@@ -178,7 +180,6 @@ def main(argv: list[str] | None = None) -> None:
         return
     idx = Index.load(spark, args.index)
     if args.queries_file:
-        import json
 
         from hadoop_search_engine_spark.operators.query_exec import (
             search_topk_batch,
@@ -265,7 +266,6 @@ def main(argv: list[str] | None = None) -> None:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)
     elif args.count:
-        import json
 
         from hadoop_search_engine_spark.operators.analytics import (
             count_matches,
@@ -289,7 +289,6 @@ def main(argv: list[str] | None = None) -> None:
                                    mode=args.mode)
     else:
         if args.rows and not args.documents:
-            import json
 
             from hadoop_search_engine_spark.operators.query_exec import (
                 search_topk_rows,
@@ -310,7 +309,12 @@ def main(argv: list[str] | None = None) -> None:
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)
-    result.show(args.k, truncate=80)
+    if args.output:
+        result.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"output": args.output,
+                          "rows": spark.read.parquet(args.output).count()}))
+    else:
+        result.show(args.k, truncate=80)
     if owns_session:
         spark.stop()
 
