@@ -845,6 +845,35 @@ def q_top_hits_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_hits_facet(sc, docs, "source", n=2)
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) of the events log + per-
+    session rollup — lag/cumsum windows keyed on user_id, timestamps
+    compared at exact unix microseconds; the oracle replays the same
+    windows."""
+    from hadoop_search_engine_spark.operators.sessions import session_stats
+
+    out = session_stats(_read(spark, sf_dir, "events"))
+    # micros as strings: the driver compare round-trips all-numeric
+    # rows through a float upcast (pandas iterrows), which %.6g-mangles
+    # 16-digit int64s on the oracle side only
+    return out.select(
+        "user_id", "session_idx", "n_events",
+        F.col("start_us").cast("string").alias("start_us"),
+        F.col("end_us").cast("string").alias("end_us"),
+        "value_sum", "duration_sec",
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream Markov matrix: (prev_type -> next_type) counts with
+    the chain reset at session boundaries."""
+    from hadoop_search_engine_spark.operators.sessions import (
+        event_transitions,
+    )
+
+    return event_transitions(_read(spark, sf_dir, "events"))
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mix report per (lang, source): docs, tokens, mean quality,
     and each group's share of corpus docs/tokens — |groups| output rows
@@ -1754,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "repetition_filtered": q_repetition_filtered,
         "corpus_mix_report": q_corpus_mix_report,
+        "session_stats": q_session_stats,
+        "event_transitions": q_event_transitions,
         "hybrid_search": q_hybrid_search,
         "rescore_search": q_rescore_search,
         "prefix_search_indexed": q_prefix_search,
@@ -3082,6 +3113,51 @@ def oracle_sql() -> dict[str, str]:
     out["pii_census"] = (
         "SELECT " + ", ".join(_pii_aggs) + " FROM documents"
     )
+    # sessionization: the same lag/cumsum windows at exact unix micros
+    _sess_cte = """
+        WITH o AS (
+          SELECT user_id, event_id, event_type, value,
+                 epoch_us(ts) AS us
+          FROM events
+        ),
+        lagd AS (
+          SELECT *, lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS prev
+          FROM o
+        ),
+        marked AS (
+          SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+                         THEN 1 ELSE 0 END AS ns
+          FROM lagd
+        ),
+        sess AS (
+          SELECT *, (sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1)::int
+                      AS session_idx
+          FROM marked
+        )
+    """
+    out["session_stats"] = _sess_cte + """
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(us)::varchar AS start_us, max(us)::varchar AS end_us,
+               round(sum(value), 6) AS value_sum,
+               round((max(us) - min(us)) / 1e6, 6) AS duration_sec
+        FROM sess GROUP BY user_id, session_idx
+    """
+    out["event_transitions"] = _sess_cte + """
+        , tr AS (
+          SELECT CASE WHEN ns = 1 THEN NULL
+                      ELSE lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY us, event_id)
+                 END AS prev_type,
+                 event_type AS next_type
+          FROM sess
+        )
+        SELECT prev_type, next_type, count(*) AS n
+        FROM tr WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """
     # within-doc repetition: bigram occurrence vs distinct counts
     _rep_cte = f"""
         WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
