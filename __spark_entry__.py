@@ -845,6 +845,37 @@ def q_top_hits_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_hits_facet(sc, docs, "source", n=2)
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over a
+    deterministic hash-derived link graph (3 out-links per doc) — the
+    iterative-join-loop algorithm class, in fixed-point int64 mass
+    units so every iteration replays bit-exactly in DuckDB (float
+    summation order would diverge)."""
+    from hadoop_search_engine_spark.functions.hashes import murmur3_u32
+    from hadoop_search_engine_spark.operators.graph import pagerank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        murmur3_u32(
+                            F.col("doc_id").cast("string"),
+                            salt=f"link{j}",
+                        ),
+                        F.lit(n),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("dst"),
+    ).persist()
+    return pagerank(edges, n_iters=3)
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min) of the events log + per-
     session rollup — lag/cumsum windows keyed on user_id, timestamps
@@ -1785,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "session_stats": q_session_stats,
         "event_transitions": q_event_transitions,
+        "pagerank": q_pagerank,
         "hybrid_search": q_hybrid_search,
         "rescore_search": q_rescore_search,
         "prefix_search_indexed": q_prefix_search,
@@ -3113,6 +3145,23 @@ def oracle_sql() -> dict[str, str]:
     out["pii_census"] = (
         "SELECT " + ", ".join(_pii_aggs) + " FROM documents"
     )
+    # pagerank: the fixed-point update unrolled 4 iterations over the
+    # same hash-derived edges
+    from hadoop_search_engine_spark.functions.hashes import (
+        sql_murmur3_u32_duckdb,
+    )
+    from hadoop_search_engine_spark.operators.graph import (
+        sql_pagerank_duckdb,
+    )
+
+    _pr_h1 = sql_murmur3_u32_duckdb("(doc_id)::varchar")
+    _pr_edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, "
+        f"({sql_murmur3_u32_duckdb(chr(39) + f'link{j}' + chr(39), seed=_pr_h1)})"
+        f" % (SELECT count(*) FROM documents) AS dst FROM documents"
+        for j in range(3)
+    )
+    out["pagerank"] = sql_pagerank_duckdb(_pr_edges, n_iters=3)
     # sessionization: the same lag/cumsum windows at exact unix micros
     _sess_cte = """
         WITH o AS (
