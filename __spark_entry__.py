@@ -905,6 +905,54 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_read(spark, sf_dir, "events"))
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization (applyInPandasWithState, NoTimeout):
+    the events parquet replayed as a file-source stream, closed
+    sessions collected via a memory sink. Deterministic: closed
+    sessions == the batch sessionizer's rows minus each user's last
+    (still-open) session — which is exactly what the oracle selects."""
+    import tempfile
+
+    from hadoop_search_engine_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        # the streaming file source wants a DIRECTORY; hardlink (or
+        # copy) the single-file table into a temp dir
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="hse_ss_src_")
+        try:
+            os.link(src, os.path.join(d, "events.parquet"))
+        except OSError:
+            shutil.copy(src, os.path.join(d, "events.parquet"))
+        stream_src = d
+    else:
+        stream_src = src
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(stream_src)
+    )
+    name = "hse_stream_sessions"
+    q = (
+        sessionize_stream(stream, gap_minutes=30.0)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hse_ss_"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql(f"select * from {name}")
+    return out.select(
+        "user_id", "session_idx", "n_events",
+        F.col("start_us").cast("string").alias("start_us"),
+        F.col("end_us").cast("string").alias("end_us"),
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mix report per (lang, source): docs, tokens, mean quality,
     and each group's share of corpus docs/tokens — |groups| output rows
@@ -1817,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "event_transitions": q_event_transitions,
         "pagerank": q_pagerank,
+        "stream_sessions": q_stream_sessions,
         "hybrid_search": q_hybrid_search,
         "rescore_search": q_rescore_search,
         "prefix_search_indexed": q_prefix_search,
@@ -3193,6 +3242,21 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS value_sum,
                round((max(us) - min(us)) / 1e6, 6) AS duration_sec
         FROM sess GROUP BY user_id, session_idx
+    """
+    # streaming sessionization: closed sessions only = every batch
+    # session except each user's last (still open at end of stream)
+    out["stream_sessions"] = _sess_cte + """
+        , stats AS (
+          SELECT user_id, session_idx, count(*) AS n_events,
+                 min(us)::varchar AS start_us, max(us)::varchar AS end_us,
+                 round(sum(value), 6) AS value_sum
+          FROM sess GROUP BY user_id, session_idx
+        )
+        SELECT user_id, session_idx, n_events, start_us, end_us,
+               value_sum
+        FROM (SELECT *, max(session_idx) OVER (PARTITION BY user_id)
+                        AS mx FROM stats)
+        WHERE session_idx < mx
     """
     out["event_transitions"] = _sess_cte + """
         , tr AS (

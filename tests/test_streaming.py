@@ -218,3 +218,100 @@ def test_compact_deltas_positions_requires_pos_column(spark, tmp_path):
             spark, events, str(tmp_path / "noposidx"),
             docs_are_events=True, positions=True,
         )
+
+
+def test_sessionize_stream_matches_batch_on_closed_sessions(spark, tmp_path):
+    """Stream the events through applyInPandasWithState in 1-file
+    micro-batches: every CLOSED session must equal the batch
+    sessionizer's row; each user's newest session stays open."""
+    from datetime import datetime, timedelta
+
+    from hadoop_search_engine_spark.operators.sessions import session_stats
+    from hadoop_search_engine_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    rows1 = [
+        (0, T0, 1, "view", 1.0),
+        (1, T0 + timedelta(minutes=5), 1, "click", 2.0),
+        (2, T0, 2, "view", 5.0),
+    ]
+    # batch 2 continues user 1's session (10') then breaks it (60'),
+    # and breaks user 2's (90')
+    rows2 = [
+        (3, T0 + timedelta(minutes=10), 1, "buy", 3.0),
+        (4, T0 + timedelta(minutes=70), 1, "view", 4.0),
+        (5, T0 + timedelta(minutes=90), 2, "click", 6.0),
+        (6, T0 + timedelta(minutes=91), 2, "buy", 7.0),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30.0)
+        .writeStream.format("memory").queryName("closed_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_idx"]):
+            (r["n_events"], r["start_us"], r["end_us"], r["value_sum"])
+        for r in spark.sql("select * from closed_sessions").collect()
+    }
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want_all = {
+        (r["user_id"], r["session_idx"]):
+            (r["n_events"], int(r["start_us"]), int(r["end_us"]),
+             r["value_sum"])
+        for r in session_stats(batch, 30.0).collect()
+    }
+    # closed = all batch sessions minus each user's last (still open)
+    last = {u: max(s for (uu, s) in want_all if uu == u)
+            for u in {uu for (uu, _s) in want_all}}
+    want_closed = {k: v for k, v in want_all.items()
+                   if k[1] != last[k[0]]}
+    assert got == want_closed
+    assert (1, 0) in got and got[(1, 0)][0] == 3  # cross-batch merge
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from hadoop_search_engine_spark.streaming.stateful import dedup_stream
+
+    T0 = datetime(2024, 1, 1)
+    rows = [
+        (0, T0, 1, "view", 1.0),
+        (0, T0, 1, "view", 1.0),                        # exact dup
+        (1, T0 + timedelta(minutes=1), 1, "click", 2.0),
+        (1, T0 + timedelta(minutes=1), 1, "click", 2.0),
+        (2, T0 + timedelta(minutes=2), 2, "view", 3.0),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    src = str(tmp_path / "ev2")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, watermark="10 minutes")
+        .writeStream.format("memory").queryName("deduped")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from deduped").collect()
+    assert sorted(r["event_id"] for r in out) == [0, 1, 2]
