@@ -1228,6 +1228,15 @@ def q_stats_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_facet(m, docs, "n_chars")
 
 
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term statistics from the index lexicon (ES _termvectors field
+    stats): df + idf per flagship term, absent terms omitted."""
+    from hadoop_search_engine_spark.operators.query_exec import term_stats
+
+    ix = _oracle_index(spark, sf_dir)
+    return term_stats(ix, " ".join(FLAGSHIP_TERMS) + " zzzabsent")
+
+
 def q_percentiles_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentiles aggregation (exact linear interpolation) of
     n_chars over the indexed hit set — DuckDB replays with
@@ -1901,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_facet": q_percentiles_facet,
         "cardinality_facet": q_cardinality_facet,
         "top_hits_facet": q_top_hits_facet,
+        "term_stats": q_term_stats,
         "snippets_indexed": q_snippets_indexed,
         "collapsed_search_indexed": q_collapsed_search_indexed,
         "suggest_terms_indexed": q_suggest_terms_indexed,
@@ -2857,6 +2867,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(x) AS n_docs, min(x) AS min, max(x) AS max,
                round(avg(x), 6) AS avg, sum(x) AS sum
         FROM hits
+    """
+    # term stats: df from the token CTE, the engine's idf formula
+    out["term_stats"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term)
+        SELECT term, df::bigint AS df,
+               round({sql_idf("c.n", "d.df")}, 6) AS idf
+        FROM d, c
     """
     # ES percentiles agg: quantile_cont = Spark percentile (both
     # linear interpolation over the sorted hit values)

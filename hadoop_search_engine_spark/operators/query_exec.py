@@ -592,6 +592,28 @@ def _lookup_terms(index: Index, terms: list[str]) -> dict[str, dict]:
     }
 
 
+def term_stats(
+    index: Index,
+    terms_text: str,
+    synonyms: dict[str, str] | None = None,
+) -> DataFrame:
+    """Term-level statistics straight from the index (the ES
+    `_termvectors` field-statistics / Lucene TermStates surface):
+    ``(term, df, idf)`` for each distinct query term present in the
+    lexicon, after the same tokenize + synonym rewrite every query
+    runs. Absent terms yield no row. A lexicon probe only (bucket
+    pruning / driver cache) — postings untouched."""
+    terms = sorted(set(parse_query(terms_text, synonyms)))
+    meta = _lookup_terms(index, terms)
+    rows = [
+        (t, int(m["df"]), round(float(m["idf"]), 6))
+        for t, m in sorted(meta.items())
+    ]
+    if not rows:
+        return _empty_df(index.spark, "term string, df long, idf double")
+    return index.spark.createDataFrame(rows, "term string, df long, idf double")
+
+
 def search_topk(
     index: Index,
     query_text: str,

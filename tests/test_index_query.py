@@ -591,3 +591,17 @@ def test_facet_counts_matches_bruteforce(tiny_index, tiny_corpus, tiny_oracle):
         want[doc_lang[d]] = want.get(doc_lang[d], 0) + 1
     assert got == want
     assert sum(got.values()) == len(want_docs)
+
+
+def test_term_stats_probe(tiny_corpus, tiny_index):
+    from hadoop_search_engine_spark.operators.query_exec import term_stats
+
+    got = {r["term"]: (r["df"], r["idf"])
+           for r in term_stats(tiny_index,
+                               "w00000 zzzabsent W00000!").collect()}
+    assert set(got) == {"w00000"}  # dedup + case fold + absent dropped
+    lex = {r["term"]: r
+           for r in tiny_index.lexicon.where("term = 'w00000'").collect()}
+    assert got["w00000"][0] == lex["w00000"]["df"]
+    assert abs(got["w00000"][1] - round(lex["w00000"]["idf"], 6)) < 1e-9
+    assert term_stats(tiny_index, "???").count() == 0
