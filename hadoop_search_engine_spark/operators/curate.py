@@ -300,9 +300,11 @@ def dedup_lines(
     the 8-byte xxhash64 of the line (map-side combinable, so a banner
     in a billion docs collapses to per-partition partials — deliberately
     NOT a window, which would ship every copy of a hot line to one
-    reducer); the verdict joins back on the same hash key (AQE handles
-    residual skew); reconstruction shuffles (doc_id, pos, line) once.
-    Nothing driver-side.
+    reducer). The verdict join touches only the OVER-FREQUENT hash set
+    (true boilerplate is few distinct lines, however many copies), so
+    the unique-line majority never re-joins its own stats — an anti /
+    left join against a set AQE will usually broadcast; reconstruction
+    shuffles (doc_id, pos, line) once. Nothing driver-side.
     """
     if mode not in ("keep_first", "drop_all"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -312,16 +314,19 @@ def dedup_lines(
             "pos", "line"
         ),
     ).withColumn("_h", F.xxhash64("line"))
-    stats = lines.groupBy("_h").agg(
-        F.count("*").alias("_df"),
-        F.min(F.struct(id_col, "pos")).alias("_first"),
+    bad = (
+        lines.groupBy("_h")
+        .agg(
+            F.count("*").alias("_df"),
+            F.min(F.struct(id_col, "pos")).alias("_first"),
+        )
+        .where(F.col("_df") > max_line_df)
     )
-    j = lines.join(stats, "_h")
     if mode == "drop_all":
-        kept = j.where(F.col("_df") <= max_line_df)
+        kept = lines.join(bad.select("_h"), "_h", "left_anti")
     else:
-        kept = j.where(
-            (F.col("_df") <= max_line_df)
+        kept = lines.join(bad.select("_h", "_first"), "_h", "left").where(
+            F.col("_first").isNull()
             | (
                 (F.col("_first")[id_col] == F.col(id_col))
                 & (F.col("_first")["pos"] == F.col("pos"))
