@@ -204,3 +204,55 @@ def test_wildcard_matches_expanded_or_oracle(spark, fuzz_tmp, corpus, prefix):
     assert len(got) == len(want), (prefix, exp, corpus)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert gd == wd and math.isclose(gs, ws, rel_tol=1e-12, abs_tol=1e-12)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=corpus_strategy,
+    qterms=st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3,
+                    unique=True),
+    window=st.integers(min_value=1, max_value=12),
+)
+def test_near_search_matches_bruteforce_window(
+    spark, fuzz_tmp, corpus, qterms, window
+):
+    """Unordered proximity vs a pure-Python sliding-window check on
+    randomized corpora: the matched-doc SET must be exactly the docs
+    where some width-`window` token window contains every query term,
+    and scores must equal mode='and' BM25 restricted to that set."""
+    from hadoop_search_engine_spark.operators.query_exec import near_search
+
+    _COUNTER[0] += 1
+    out = str(fuzz_tmp / f"nw{_COUNTER[0]}")
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    build_index(spark, docs, out, n_buckets=2, block_size=3,
+                shard_span=4, positions=True)
+    idx = Index.load(spark, out)
+    got = {r["doc_id"]: r["score"]
+           for r in near_search(idx, " ".join(qterms), window=window,
+                                k=100).collect()}
+
+    def matches(text: str) -> bool:
+        toks = text.split()
+        for i in range(len(toks)):
+            win = set(toks[i:i + window])
+            if all(t in win for t in qterms):
+                return True
+        return False
+
+    want_docs = {i for i, text in enumerate(corpus) if matches(text)}
+    assert set(got) == want_docs
+    if want_docs:
+        oracle = BM25Oracle(list(enumerate(corpus)))
+        # window-matching docs contain every term, so the OR score
+        # over the allowed set IS the mode="and" score
+        want = dict(oracle.search(" ".join(qterms), k=100,
+                                  allowed=want_docs))
+        for d in want_docs:
+            assert abs(got[d] - want[d]) < 1e-9
