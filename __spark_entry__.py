@@ -845,6 +845,23 @@ def q_top_hits_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_hits_facet(sc, docs, "source", n=2)
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k: symmetric per-vector quantization
+    (floor(127·v/max|v| + 0.5), scales cancel out of the cosine),
+    integer dot products — the 4x-smaller serving table for ANN at
+    scale. The oracle replays quantization and the exact integer
+    arithmetic."""
+    from hadoop_search_engine_spark.operators.similarity import (
+        cosine_topk_int8,
+        quantize_embeddings,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    qt = quantize_embeddings(emb)
+    return cosine_topk_int8(qt, qvec, k=ANN_K)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 power iterations, damping 0.85) over a
     deterministic hash-derived link graph (3 out-links per doc) — the
@@ -1875,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "pagerank": q_pagerank,
         "stream_sessions": q_stream_sessions,
+        "ann_int8": q_ann_int8,
         "hybrid_search": q_hybrid_search,
         "rescore_search": q_rescore_search,
         "prefix_search_indexed": q_prefix_search,
@@ -3215,6 +3233,33 @@ def oracle_sql() -> dict[str, str]:
     out["pii_census"] = (
         "SELECT " + ", ".join(_pii_aggs) + " FROM documents"
     )
+    # int8 ANN: quantization + integer dots replayed exactly
+    out["ann_int8"] = f"""
+        WITH base AS (
+          SELECT vec_id, embedding::double[] AS v,
+                 list_max(list_transform(embedding::double[],
+                                         x -> abs(x))) AS m
+          FROM embeddings
+        ),
+        qt AS (
+          SELECT vec_id,
+                 CASE WHEN m > 0
+                      THEN list_transform(v, x -> floor(x / (m / 127.0)
+                                                        + 0.5))
+                      ELSE list_transform(v, x -> 0.0) END AS q
+          FROM base
+        ),
+        qq AS (SELECT q FROM qt WHERE vec_id = 0)
+        SELECT t.vec_id,
+               CASE WHEN list_dot_product(t.q, t.q) > 0
+                    THEN round(list_dot_product(t.q, qq.q)
+                               / (sqrt(list_dot_product(t.q, t.q))
+                                  * sqrt(list_dot_product(qq.q, qq.q))),
+                               6)
+                    ELSE 0.0 END AS cosine
+        FROM qt t, qq
+        ORDER BY cosine DESC, t.vec_id ASC LIMIT {ANN_K}
+    """
     # pagerank: the fixed-point update unrolled 4 iterations over the
     # same hash-derived edges
     from hadoop_search_engine_spark.functions.hashes import (

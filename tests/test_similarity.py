@@ -86,3 +86,40 @@ def test_cosine_dup_pairs_vs_exact(spark):
     assert (1, 2) in exact and (1, 4) in exact
     assert lsh <= exact  # LSH returns only verified true pairs
     assert (1, 2) in lsh  # identical direction always shares every bucket
+
+
+def test_int8_quantization_recall_and_exactness(spark):
+    import numpy as np
+
+    from hadoop_search_engine_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_int8,
+        quantize_embeddings,
+    )
+
+    rng = np.arange(1, 9, dtype=np.float64)
+    rows = [
+        (i, [float(np.sin(x * (i + 1) * 0.37)) for x in rng])
+        for i in range(60)
+    ] + [(60, [0.0] * 8)]  # zero vector must survive quantization
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qt = quantize_embeddings(emb).persist()
+    got = {r["vec_id"]: (list(r["qvec"]), r["scale"])
+           for r in qt.collect()}
+    # quantized values in [-127, 127]; max component hits ±127 exactly
+    for i, (q, s) in got.items():
+        assert all(-127 <= x <= 127 for x in q)
+        if i != 60:
+            assert max(abs(x) for x in q) == 127
+    assert got[60][0] == [0] * 8 and got[60][1] == 0.0
+
+    qvec = rows[3][1]
+    exact = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    quant = [r["vec_id"]
+             for r in cosine_topk_int8(qt, qvec, k=10).collect()]
+    assert quant[0] == 3  # the vector itself still wins
+    # int8 recall@10 vs float >= 0.8 on this spread
+    assert len(set(exact) & set(quant)) >= 8
+    # the quantized cosine of the self-match is ~1
+    top = cosine_topk_int8(qt, qvec, k=1).collect()[0]
+    assert abs(top["cosine"] - 1.0) < 5e-3
