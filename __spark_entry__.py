@@ -1855,6 +1855,21 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram (calendar_interval=week) with empty-bucket
+    gap filling — calendar units are variable-width, which the
+    fixed-interval histogram facet cannot express; the oracle replays
+    the Monday truncation and the 7-day grid."""
+    from hadoop_search_engine_spark.operators.analytics import date_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    h = date_histogram(ev, "ts", "week", min_doc_count=0)
+    return h.select(
+        F.unix_timestamp("bucket").alias("bucket_ts"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -1977,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_range": q_blob_range,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
+        "date_histogram": q_date_histogram,
     }
 
 
@@ -2658,6 +2674,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT epoch(date_trunc('hour', ts))::bigint AS win_start, event_type,
                    count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "date_histogram": """
+            WITH b AS (
+              SELECT date_trunc('week', ts) AS bucket, count(*) AS n_docs
+              FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ),
+            span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+            grid AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS bucket
+              FROM span WHERE lo IS NOT NULL
+            )
+            SELECT epoch(g.bucket)::bigint AS bucket_ts,
+                   coalesce(b.n_docs, 0)::bigint AS n_docs
+            FROM grid g LEFT JOIN b USING (bucket)
         """,
         "ann_ivf": _dd_ivf_sql(n_centroids=8, n_iters=2, n_probe=4, k=ANN_K),
         # rows-only (non-SQL-expressible): media_features (stubbed

@@ -229,3 +229,90 @@ def significant_terms_dataframe(
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------- date histogram
+
+# ES calendar_interval -> (Spark/DuckDB date_trunc unit, grid step).
+# Calendar units are VARIABLE width (months are 28-31 days, years
+# 365-366), which is exactly what the fixed-interval
+# query_exec.histogram_facets cannot express.
+_CALENDAR_STEPS = {
+    "minute": "interval 1 minute",
+    "hour": "interval 1 hour",
+    "day": "interval 1 day",
+    "week": "interval 7 days",
+    "month": "interval 1 month",
+    "quarter": "interval 3 months",
+    "year": "interval 1 year",
+}
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``date_histogram`` (``calendar_interval``) aggregation:
+    one bucket per calendar unit — ``date_trunc(interval, ts)`` —
+    with row counts. Both engines truncate weeks to Monday and
+    handle variable-width months/quarters/years identically, so the
+    bucket keys are oracle-exact.
+
+    ``min_doc_count=0`` fills interior gaps with empty buckets (ES
+    semantics): the grid comes from one min/max aggregation +
+    ``sequence(lo, hi, step)`` explode — bounded by the bucket span,
+    never the data size.
+
+    100 TB shape: one partial-aggregated groupBy on the truncated
+    key; output is |buckets| rows regardless of input size. A
+    time-partitioned table (e.g. Iceberg ``days(warc_ts)``) makes the
+    truncation align with partition boundaries, so the partial aggs
+    are partition-local.
+    """
+    if interval not in _CALENDAR_STEPS:
+        raise ValueError(
+            f"interval must be one of {sorted(_CALENDAR_STEPS)}, "
+            f"got {interval!r}"
+        )
+    key = F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+    counts = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(key)
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if min_doc_count > 1:
+        counts = counts.where(F.col("n_docs") >= min_doc_count)
+    if min_doc_count == 0:
+        step = _CALENDAR_STEPS[interval]
+        span = counts.agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        )
+        grid = (
+            span.where(F.col("lo").isNotNull())
+            .select(
+                F.explode(
+                    F.expr(f"sequence(lo, hi, {step})")
+                ).alias("bucket")
+            )
+        )
+        counts = grid.join(counts, "bucket", "left").select(
+            "bucket", F.coalesce("n_docs", F.lit(0)).alias("n_docs")
+        )
+    return counts
+
+
+def date_histogram_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    col: str,
+    interval: str = "day",
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``date_histogram`` over SEARCH HITS (the publish-date
+    timeline a search UI renders): semi-join doc metadata to the
+    matched doc_id set, then :func:`date_histogram`. Same plan shape
+    as the other hit facets — output is |buckets| rows."""
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    return date_histogram(hits, col, interval, min_doc_count)

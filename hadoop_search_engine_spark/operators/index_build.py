@@ -137,9 +137,15 @@ def _stats_path(out_dir: str) -> str:
 
 
 def write_stats(out_dir: str, stats: IndexStats) -> None:
+    # write-temp + rename: atomic under crashes, and a NEW inode —
+    # snapshots hardlink the old stats.json and must never see an
+    # in-place truncate/rewrite (index data files already behave this
+    # way: Spark overwrites and _swap_dir renames create new inodes)
     os.makedirs(out_dir, exist_ok=True)
-    with open(_stats_path(out_dir), "w") as f:
+    tmp = _stats_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(stats.__dict__, f)
+    os.replace(tmp, _stats_path(out_dir))
 
 
 def read_stats(out_dir: str) -> IndexStats:

@@ -525,7 +525,8 @@ def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
     _derive_term_stats_and_checkpoints(spark, out_dir, new_stats.n_buckets)
     _write_lexicon(spark, out_dir, new_stats)
 
-    with open(os.path.join(out_dir, "segments.json"), "w") as f:
+    seg_tmp = os.path.join(out_dir, "segments.json.tmp")
+    with open(seg_tmp, "w") as f:
         json.dump(
             [
                 {
@@ -541,6 +542,9 @@ def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
             ],
             f,
         )
+    # atomic like write_stats: never leave a torn manifest, never
+    # mutate an inode a snapshot may share
+    os.replace(seg_tmp, os.path.join(out_dir, "segments.json"))
     return Index.load(spark, out_dir)
 
 
@@ -819,3 +823,143 @@ def prune_index(
         k1=float(src.stats.k1),
         b=float(src.stats.b),
     )
+
+
+# ------------------------------------------------------------------ snapshot
+
+SNAPSHOT_MANIFEST = "snapshot.json"
+
+
+def _file_crc32(path: str, chunk: int = 1 << 20) -> int:
+    import zlib
+
+    crc = 0
+    with open(path, "rb") as f:
+        while True:
+            buf = f.read(chunk)
+            if not buf:
+                return crc
+            crc = zlib.crc32(buf, crc)
+
+
+def _walk_index_files(root: str):
+    """Every file under an index tree, manifest-relative, sorted for a
+    deterministic manifest. `_SUCCESS` markers ARE included — a
+    restored index must be loadable (Index.load and the entry caches
+    key on them)."""
+    out = []
+    for r, _dirs, files in os.walk(root):
+        rel = os.path.relpath(r, root)
+        for f in files:
+            # .tmp: a crashed atomic write's leftover, never index state
+            if f == SNAPSHOT_MANIFEST or f.endswith(".tmp"):
+                continue
+            out.append(f if rel == "." else os.path.join(rel, f))
+    return sorted(out)
+
+
+def snapshot_index(index_dir: str, snap_dir: str) -> dict:
+    """Point-in-time snapshot of a built index: hardlink every file
+    into ``snap_dir`` (copy fallback across filesystems) and write a
+    ``snapshot.json`` manifest of per-file sizes + CRC32s — the
+    ES snapshot / Lucene commit-point analog, restorable and
+    verifiable offline. No Spark job; cost is metadata-only on one
+    filesystem.
+
+    Hardlinks are SAFE against later maintenance because no operation
+    mutates index bytes in place: vacuum/reshard/prune write a temp
+    tree and rename (``_swap_dir``), merge writes a new dir, and
+    deletes append new tombstone files — old inodes (the snapshot's)
+    are never rewritten. On an object store this maps to a manifest
+    of immutable object versions (server-side copy / Iceberg
+    snapshot), same contract.
+    """
+    if not os.path.isdir(index_dir):
+        raise FileNotFoundError(index_dir)
+    if os.path.exists(snap_dir) and os.listdir(snap_dir):
+        raise FileExistsError(f"snapshot dir not empty: {snap_dir}")
+    files = _walk_index_files(index_dir)
+    if not files:
+        raise ValueError(f"no index files under {index_dir}")
+    entries = []
+    for rel in files:
+        s = os.path.join(index_dir, rel)
+        t = os.path.join(snap_dir, rel)
+        os.makedirs(os.path.dirname(t), exist_ok=True)
+        try:
+            os.link(s, t)
+        except OSError:
+            shutil.copy2(s, t)
+        entries.append(
+            {"path": rel, "bytes": os.path.getsize(t),
+             "crc32": _file_crc32(t)}
+        )
+    manifest = {
+        "source": os.path.abspath(index_dir),
+        "n_files": len(entries),
+        "total_bytes": int(sum(e["bytes"] for e in entries)),
+        "files": entries,
+    }
+    import json
+
+    with open(os.path.join(snap_dir, SNAPSHOT_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def verify_snapshot(snap_dir: str) -> dict:
+    """Re-checksum a snapshot against its manifest. Returns
+    ``{"ok": bool, "n_files": int, "errors": [str, ...]}`` —
+    missing files, size drift, CRC mismatches, and files present but
+    not in the manifest are all reported."""
+    import json
+
+    mpath = os.path.join(snap_dir, SNAPSHOT_MANIFEST)
+    if not os.path.exists(mpath):
+        return {"ok": False, "n_files": 0,
+                "errors": [f"missing {SNAPSHOT_MANIFEST}"]}
+    with open(mpath) as f:
+        manifest = json.load(f)
+    errors = []
+    listed = {e["path"] for e in manifest["files"]}
+    for e in manifest["files"]:
+        p = os.path.join(snap_dir, e["path"])
+        if not os.path.exists(p):
+            errors.append(f"missing file: {e['path']}")
+            continue
+        n = os.path.getsize(p)
+        if n != e["bytes"]:
+            errors.append(f"size mismatch: {e['path']} "
+                          f"({n} != {e['bytes']})")
+            continue
+        if _file_crc32(p) != e["crc32"]:
+            errors.append(f"crc mismatch: {e['path']}")
+    for rel in _walk_index_files(snap_dir):
+        if rel not in listed:
+            errors.append(f"unmanifested file: {rel}")
+    return {"ok": not errors, "n_files": manifest["n_files"],
+            "errors": errors}
+
+
+def restore_snapshot(snap_dir: str, dst_dir: str, verify: bool = True) -> str:
+    """Restore a snapshot into ``dst_dir`` (refused if non-empty):
+    verify the manifest (unless ``verify=False``), then hardlink/copy
+    the files back. The restored tree is a full, loadable index —
+    ``Index.load(spark, dst_dir)`` serves it directly."""
+    if verify:
+        v = verify_snapshot(snap_dir)
+        if not v["ok"]:
+            raise ValueError(
+                f"snapshot failed verification: {v['errors'][:5]}"
+            )
+    if os.path.exists(dst_dir) and os.listdir(dst_dir):
+        raise FileExistsError(f"restore dir not empty: {dst_dir}")
+    for rel in _walk_index_files(snap_dir):
+        s = os.path.join(snap_dir, rel)
+        t = os.path.join(dst_dir, rel)
+        os.makedirs(os.path.dirname(t), exist_ok=True)
+        try:
+            os.link(s, t)
+        except OSError:
+            shutil.copy2(s, t)
+    return dst_dir

@@ -61,6 +61,21 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-df-ratio", type=float, default=None,
                     help="with --prune: drop terms with df/n_docs above this")
     ap.add_argument(
+        "--snapshot",
+        help="destination dir: point-in-time snapshot of --index "
+             "(hardlink + CRC manifest; no Spark job)",
+    )
+    ap.add_argument(
+        "--restore",
+        help="snapshot dir: verify + restore it INTO --index "
+             "(refused if --index is non-empty; no Spark job)",
+    )
+    ap.add_argument(
+        "--verify-snapshot",
+        help="snapshot dir: re-checksum against its manifest and "
+             "print the JSON verdict (no Spark job)",
+    )
+    ap.add_argument(
         "--plan-compaction",
         help="comma-separated segment dirs: print a size-tiered merge "
              "plan (JSON; merges largest-first per group, "
@@ -68,6 +83,34 @@ def main(argv: list[str] | None = None) -> None:
              "touching anything — no Spark job",
     )
     args = ap.parse_args(argv)
+    if args.verify_snapshot:
+        from hadoop_search_engine_spark.operators.index_maint import (
+            verify_snapshot,
+        )
+
+        v = verify_snapshot(args.verify_snapshot)
+        print(json.dumps(v, indent=2))
+        if not v["ok"]:
+            sys.exit(1)
+        return
+    if args.snapshot or args.restore:
+        from hadoop_search_engine_spark.operators.index_maint import (
+            restore_snapshot,
+            snapshot_index,
+        )
+
+        if not args.index:
+            ap.error("--index is required for --snapshot/--restore")
+        if args.snapshot:
+            m = snapshot_index(args.index, args.snapshot)
+            print(json.dumps({"snapshot": args.snapshot,
+                              "n_files": m["n_files"],
+                              "total_bytes": m["total_bytes"]}))
+        if args.restore:
+            restore_snapshot(args.restore, args.index)
+            print(json.dumps({"restored": args.index,
+                              "from": args.restore}))
+        return
     if args.plan_compaction:
         import json as _json
 

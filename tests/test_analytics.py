@@ -355,3 +355,106 @@ def test_top_hits_facet_per_group_ranks(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n must"):
         top_hits_facet(scored, docs, "source", n=0)
+
+
+# ---------------------------------------------------------- date histogram
+
+
+def test_date_histogram_calendar_months_with_gap_fill(spark):
+    import datetime as dt
+
+    from hadoop_search_engine_spark.operators.analytics import date_histogram
+
+    rows = [
+        (0, dt.datetime(2024, 1, 31, 23, 59, 59)),
+        (1, dt.datetime(2024, 2, 1, 0, 0, 0)),
+        (2, dt.datetime(2024, 2, 29, 12, 0, 0)),  # leap day
+        (3, dt.datetime(2024, 5, 3, 4, 5, 6)),    # Mar+Apr are gaps
+        (4, None),                                # nulls dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in date_histogram(df, "ts", "month").collect()
+    }
+    assert got == {
+        dt.datetime(2024, 1, 1): 1,
+        dt.datetime(2024, 2, 1): 2,
+        dt.datetime(2024, 5, 1): 1,
+    }
+    filled = {
+        r["bucket"]: r["n_docs"]
+        for r in date_histogram(df, "ts", "month", min_doc_count=0).collect()
+    }
+    # interior gaps (Mar, Apr) present with 0; span is Jan..May only
+    assert filled == {
+        dt.datetime(2024, 1, 1): 1,
+        dt.datetime(2024, 2, 1): 2,
+        dt.datetime(2024, 3, 1): 0,
+        dt.datetime(2024, 4, 1): 0,
+        dt.datetime(2024, 5, 1): 1,
+    }
+    # min_doc_count filter drops sub-threshold buckets
+    thick = date_histogram(df, "ts", "month", min_doc_count=2).collect()
+    assert [(r["bucket"], r["n_docs"]) for r in thick] == [
+        (dt.datetime(2024, 2, 1), 2)
+    ]
+
+
+def test_date_histogram_week_truncates_to_monday(spark):
+    import datetime as dt
+
+    from hadoop_search_engine_spark.operators.analytics import date_histogram
+
+    # 2024-06-05 is a Wednesday; its ISO week starts Monday 2024-06-03
+    df = spark.createDataFrame(
+        [(0, dt.datetime(2024, 6, 5, 10)), (1, dt.datetime(2024, 6, 9, 23))],
+        "id long, ts timestamp",
+    )
+    got = date_histogram(df, "ts", "week").collect()
+    assert [(r["bucket"], r["n_docs"]) for r in got] == [
+        (dt.datetime(2024, 6, 3), 2)
+    ]
+
+
+def test_date_histogram_rejects_unknown_interval(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1))], "id long, ts timestamp"
+    )
+    from hadoop_search_engine_spark.operators.analytics import date_histogram
+
+    with pytest.raises(ValueError, match="interval"):
+        date_histogram(df, "ts", "fortnight")
+
+
+def test_date_histogram_facet_over_hits(spark, tiny_corpus, tiny_index):
+    """Hit-timeline facet: buckets counted over ONLY the matched docs,
+    equal to a hand count from the corpus rows."""
+    from collections import Counter
+
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.analytics import (
+        date_histogram_facet,
+    )
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    # tiny_corpus drops warc_ts; rebuild with it (same deterministic gen)
+    docs = assign_doc_ids(
+        gen_documents(spark, 200, n_partitions=4), num_partitions=4
+    ).select("doc_id", "warc_ts", "text")
+    hits = matched_docs(tiny_index, QUERY)
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in date_histogram_facet(hits, docs, "warc_ts", "hour").collect()
+    }
+    hit_ids = {r["doc_id"] for r in hits.collect()}
+    expect = Counter(
+        r["warc_ts"].replace(minute=0, second=0, microsecond=0)
+        for r in docs.collect()
+        if r["doc_id"] in hit_ids
+    )
+    assert got == dict(expect)
+    assert sum(got.values()) == len(hit_ids)
