@@ -131,6 +131,15 @@ CHECKS = {
     "top_hits_facet": ["Window", "!CartesianProduct"],
     # hit-set percentiles: semi-join prune + one aggregation pass
     "percentiles_facet": ["LeftSemi", "!CartesianProduct"],
+    # calendar date_histogram: a partial-aggregated groupBy on the
+    # truncated key (|buckets| rows out), gap grid from one min/max +
+    # sequence explode — no window, no Python, no cartesian
+    "date_histogram": [
+        "HashAggregate", "!Window", "!EvalPython", "!CartesianProduct",
+    ],
+    # int8 ANN: one scan, integer-arithmetic scoring in expressions,
+    # top-k — no Python, no global sort
+    "ann_int8": ["TakeOrderedAndProject", "!EvalPython", "!Exchange"],
 }
 
 
