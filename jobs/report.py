@@ -12,6 +12,10 @@ Prints one JSON line per requested report:
     (mean / p95 / docs over 0.3)
   * ``--contamination EVAL_PARQUET [--ngram 8]``: how much of the
     corpus shares n-grams with the eval set
+  * ``--timeline COL[:INTERVAL]``: docs per calendar bucket of a
+    timestamp column (ES date_histogram; INTERVAL one of minute/hour/
+    day/week/month/quarter/year, default week; empty interior
+    buckets included)
 
 All map-only or single-aggregation passes; output is group-sized.
 """
@@ -30,8 +34,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--repetition", action="store_true")
     ap.add_argument("--contamination", default=None, metavar="EVAL")
     ap.add_argument("--ngram", type=int, default=8)
+    ap.add_argument("--timeline", default=None, metavar="COL[:INTERVAL]")
     args = ap.parse_args(argv)
-    if not (args.mix or args.pii or args.repetition or args.contamination):
+    if not (args.mix or args.pii or args.repetition or args.contamination
+            or args.timeline):
         ap.error("request at least one report")
 
     from pyspark.sql import SparkSession
@@ -91,6 +97,25 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({
             "report": "contamination", "ngram": args.ngram,
             "corpus_docs": n, **row.asDict(),
+        }))
+    if args.timeline:
+        from hadoop_search_engine_spark.operators.analytics import (
+            date_histogram,
+        )
+
+        col, _, interval = args.timeline.partition(":")
+        rows = (
+            date_histogram(docs, col, interval or "week", min_doc_count=0)
+            .orderBy("bucket")
+            .collect()
+        )
+        print(json.dumps({
+            "report": "timeline", "col": col,
+            "interval": interval or "week",
+            "buckets": [
+                {"bucket": r["bucket"].isoformat(), "n_docs": r["n_docs"]}
+                for r in rows
+            ],
         }))
     if owns:
         spark.stop()

@@ -458,3 +458,20 @@ def test_date_histogram_facet_over_hits(spark, tiny_corpus, tiny_index):
     )
     assert got == dict(expect)
     assert sum(got.values()) == len(hit_ids)
+
+
+def test_report_cli_timeline(spark, tmp_path, capsys):
+    import json
+
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from jobs.report import main as report_main
+
+    p = str(tmp_path / "docs.parquet")
+    gen_documents(spark, 300, n_partitions=4).write.parquet(p)
+    report_main(["--input", p, "--timeline", "warc_ts:hour"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["report"] == "timeline" and out["interval"] == "hour"
+    assert sum(b["n_docs"] for b in out["buckets"]) == 300
+    # buckets are sorted and contiguous at 1h steps (min_doc_count=0)
+    ts = [b["bucket"] for b in out["buckets"]]
+    assert ts == sorted(ts) and len(ts) >= 2
