@@ -240,6 +240,8 @@ def main() -> None:
         reps=3,
     )
     timed("ann_bruteforce", lambda: entry_mod.q_ann_cosine_topk(spark, sf_dir).collect())
+    timed("ann_int8", lambda: entry_mod.q_ann_int8(spark, sf_dir).collect())
+    timed("date_histogram", lambda: entry_mod.q_date_histogram(spark, sf_dir).collect())
     timed("tpch_q1", lambda: entry_mod.q_tpch_q1(spark, sf_dir).collect())
 
     # round-2 result-set operators over the warm index
@@ -500,6 +502,32 @@ def main() -> None:
         ).collect(),
         reps=3,
     )
+
+    # snapshot/restore: point-in-time hardlink+manifest copy of the
+    # bench index — the cost to compare against is segment_merge /
+    # index_build; a snapshot should be ~metadata-only (CRC pass over
+    # index bytes, no Spark job)
+    from hadoop_search_engine_spark.operators.index_maint import (
+        restore_snapshot,
+        snapshot_index,
+    )
+
+    snap_dir = "/tmp/hse_bench_snapshot"
+    rest_dir = "/tmp/hse_bench_restore"
+    snap_secs, rest_secs = [], []
+    for _ in range(2):
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        shutil.rmtree(rest_dir, ignore_errors=True)
+        t0 = time.time()
+        snapshot_index(idx_dir, snap_dir)
+        snap_secs.append(time.time() - t0)
+        t0 = time.time()
+        restore_snapshot(snap_dir, rest_dir)
+        rest_secs.append(time.time() - t0)
+    timings["snapshot"] = round(min(snap_secs), 4)
+    timings["snapshot_restore"] = round(min(rest_secs), 4)
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    shutil.rmtree(rest_dir, ignore_errors=True)
 
     # reshard/relayout: rebuild the index with a new physical layout
     # from its own postings (decode+encode over index bytes, corpus
