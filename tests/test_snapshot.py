@@ -115,3 +115,84 @@ def test_snapshot_and_restore_refuse_nonempty_targets(snap_index, tmp_path):
     restore_snapshot(snap, dst)
     with pytest.raises(FileExistsError):
         restore_snapshot(snap, dst)
+
+
+def test_snapshot_tombstoned_index_preserves_delete_semantics(
+    spark, snap_index, tmp_path
+):
+    """Snapshot AFTER a delete (before vacuum): the tombstones dir
+    rides along, so the restore serves the post-delete results."""
+    before = _pairs(search_topk(snap_index, QUERY, k=10))
+    victim = before[0][0]
+    delete_docs(snap_index, [victim])
+    deleted_view = _pairs(
+        search_topk(Index.load(spark, snap_index.out_dir), QUERY, k=10)
+    )
+    assert victim not in [d for d, _ in deleted_view]
+
+    snap = str(tmp_path / "snap")
+    snapshot_index(snap_index.out_dir, snap)
+    dst = str(tmp_path / "restored")
+    restore_snapshot(snap, dst)
+    got = _pairs(search_topk(Index.load(spark, dst), QUERY, k=10))
+    assert got == deleted_view
+
+
+def test_snapshot_positional_index_phrase_roundtrip(
+    spark, tiny_corpus, tmp_path
+):
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    out = str(tmp_path / "possrc")
+    build_index(spark, tiny_corpus.select("doc_id", "text"), out,
+                num_shards=4, n_buckets=8, block_size=16, positions=True)
+    idx = Index.load(spark, out)
+    # a real adjacent word pair from doc 0
+    first = tiny_corpus.where("doc_id = 0").first()["text"].split()[:2]
+    phrase = " ".join(first)
+    before = _pairs(phrase_search(idx, phrase, k=10))
+    assert before  # the source doc itself matches
+
+    snap = str(tmp_path / "snap")
+    snapshot_index(out, snap)
+    assert verify_snapshot(snap)["ok"]
+    dst = str(tmp_path / "restored")
+    restore_snapshot(snap, dst)
+    assert _pairs(phrase_search(Index.load(spark, dst), phrase, k=10)) \
+        == before
+
+
+def test_snapshot_merged_index_with_segments_json(
+    spark, tiny_corpus, tmp_path
+):
+    """A merged index carries segments.json; the snapshot must keep it
+    (federated doc_id offsets die without it)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.index_maint import (
+        merge_indexes,
+    )
+
+    half = 100
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    docs = tiny_corpus.select("doc_id", "text")
+    build_index(spark, docs.where(F.col("doc_id") < half), a_dir,
+                shard_span=512, n_buckets=8, block_size=16)
+    build_index(
+        spark,
+        docs.where(F.col("doc_id") >= half)
+        .withColumn("doc_id", F.col("doc_id") - F.lit(half)),
+        b_dir, shard_span=512, n_buckets=8, block_size=16,
+    )
+    merged = str(tmp_path / "merged")
+    merge_indexes(spark, [a_dir, b_dir], merged)
+    before = _pairs(search_topk(Index.load(spark, merged), QUERY, k=10))
+
+    snap = str(tmp_path / "snap")
+    snapshot_index(merged, snap)
+    assert os.path.exists(os.path.join(snap, "segments.json"))
+    dst = str(tmp_path / "restored")
+    restore_snapshot(snap, dst)
+    assert os.path.exists(os.path.join(dst, "segments.json"))
+    assert _pairs(search_topk(Index.load(spark, dst), QUERY, k=10)) \
+        == before
