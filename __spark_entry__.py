@@ -127,24 +127,39 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_INDEXES: dict = {}
 
 
-def _oracle_index(spark: SparkSession, sf_dir: str, positions: bool = False):
+def _oracle_index(
+    spark: SparkSession,
+    sf_dir: str,
+    positions: bool = False,
+    analyzed: bool = False,
+):
     import hashlib
 
     from hadoop_search_engine_spark.operators.index_build import build_index
     from hadoop_search_engine_spark.operators.query_exec import Index
 
-    key = (os.path.abspath(sf_dir), positions)
+    key = (os.path.abspath(sf_dir), positions, analyzed)
     ix = _ORACLE_INDEXES.get(key)
     if ix is not None and ix.spark is spark:
         return ix
     tag = hashlib.md5(key[0].encode()).hexdigest()[:12]
-    d = f"/tmp/hse_entry_index_{'pos_' if positions else ''}{tag}"
+    d = (
+        f"/tmp/hse_entry_index_{'pos_' if positions else ''}"
+        f"{'ana_' if analyzed else ''}{tag}"
+    )
+    akw = {}
+    if analyzed:
+        from hadoop_search_engine_spark.functions.analyzer import (
+            ENGLISH_STOPWORDS,
+        )
+
+        akw = {"stopwords": ENGLISH_STOPWORDS, "stem": "s"}
     if not (
         os.path.exists(os.path.join(d, "stats.json"))
         and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
     ):
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-        build_index(spark, docs, d, n_buckets=8, positions=positions)
+        build_index(spark, docs, d, n_buckets=8, positions=positions, **akw)
     ix = Index.load(spark, d)
     _ORACLE_INDEXES[key] = ix
     return ix
@@ -183,6 +198,89 @@ def q_bm25_topk_indexed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = search_topk(
         ix, " ".join(FLAGSHIP_TERMS), k=20, mode="and", serving="spark"
     )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# Raw analyzed-path query: the analyzer (Lucene classic stopword set +
+# Harman S-stem) must strip the stopwords and stem queries->query,
+# tables->table — landing exactly on the flagship terms, but against
+# an index whose CORPUS was analyzed the same way (different tf/df
+# than the plain index; the oracle recomputes both over analyzed
+# tokens).
+ANALYZED_QUERY = "the spark and the queries of tables"
+
+
+def q_analyzed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analysis-chain parity (functions/analyzer.py): every (doc_id,
+    term) pair after stopword filter + S-stem, JVM column path vs the
+    DuckDB CASE replay. The Lucene StandardAnalyzer+stem surface the
+    reference engine lacks entirely (its only analysis is
+    lower+punct-strip, searchProcessor.ts:5)."""
+    from hadoop_search_engine_spark.functions.analyzer import (
+        ENGLISH_STOPWORDS,
+        analyze_tokens_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            analyze_tokens_col(
+                tokens_col(F.col("text")), ENGLISH_STOPWORDS, "s"
+            )
+        ).alias("term"),
+    )
+
+
+def q_bm25_topk_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over an ANALYZED index (stopwords + S-stem applied at
+    build, recorded in stats.json, auto-applied to the query): the
+    raw stopword-laden query must score identically to the DuckDB
+    replay that analyzes both corpus and query in SQL."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir, analyzed=True)
+    top = search_topk(ix, ANALYZED_QUERY, k=20, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bm25_topk_analyzed_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver serving over the analyzed index — same oracle."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir, analyzed=True)
+    top = search_topk(ix, ANALYZED_QUERY, k=20, serving="driver")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_phrase_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase over an analyzed POSITIONAL index: positions were
+    renumbered contiguously after stopword removal at build, so the
+    first two ANALYZED tokens of doc 0 are adjacent — the oracle
+    replays adjacency over the analyzed token lists in SQL."""
+    from hadoop_search_engine_spark.functions.analyzer import (
+        ENGLISH_STOPWORDS,
+        analyze,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True, analyzed=True)
+    row = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == 0)
+        .select("text")
+        .collect()[0]
+    )
+    toks = analyze(row["text"], ENGLISH_STOPWORDS, "s")
+    # first adjacent pair that is a FIXED POINT of the analyzer: a
+    # stemmed corpus token can collide with a stopword ("its"->"it")
+    # and query-side re-analysis would drop it; the oracle SQL indexes
+    # the same pair by position, so both sides pick identically
+    tfn = ix.token_fn()
+    i = 0
+    while not (tfn(toks[i]) == toks[i] and tfn(toks[i + 1]) == toks[i + 1]):
+        i += 1
+    top = phrase_search(ix, f"{toks[i]} {toks[i + 1]}", k=20)
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -1885,6 +1983,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_indexed_driver": q_bm25_topk_indexed_driver,
         "bm25_topk_indexed_and": q_bm25_topk_indexed_and,
+        "analyzed_tokens": q_analyzed_tokens,
+        "bm25_topk_analyzed": q_bm25_topk_analyzed,
+        "bm25_topk_analyzed_driver": q_bm25_topk_analyzed_driver,
+        "phrase_search_analyzed": q_phrase_search_analyzed,
         "bm25_topk_rows": q_bm25_topk_rows,
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "term_boosted_search": q_term_boosted_search,
@@ -2010,6 +2112,27 @@ tf AS (
   SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
 )
 """
+
+
+def _analyzed_cte() -> tuple[str, str]:
+    """(analyzed-token list fragment, analyzed tf CTE) replaying the
+    analysis chain (Lucene classic stopwords + Harman S-stem,
+    functions/analyzer.py) in DuckDB."""
+    from hadoop_search_engine_spark.functions.analyzer import (
+        ENGLISH_STOPWORDS,
+        sql_analyze_duckdb,
+    )
+
+    atoks = sql_analyze_duckdb(_TOKS, ENGLISH_STOPWORDS, "s")
+    cte = f"""
+toks AS (
+  SELECT doc_id, unnest({atoks}) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id
+)
+"""
+    return atoks, cte
 
 
 def _dd_count_in(list_expr: str, words: list[str]) -> str:
@@ -3074,6 +3197,79 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["phrase_search_indexed_spark"] = out["phrase_search_indexed"]
+
+    # --- analysis chain (stopwords + S-stem) ---------------------------
+    from hadoop_search_engine_spark.functions.analyzer import (
+        ENGLISH_STOPWORDS as _STOPS,
+    )
+    from hadoop_search_engine_spark.functions.analyzer import (
+        sql_s_stem_duckdb as _dd_stem,
+    )
+
+    _atoks, _atf_cte = _analyzed_cte()
+    out["analyzed_tokens"] = (
+        f"SELECT doc_id, unnest({_atoks}) AS term FROM documents"
+    )
+    # the raw ANALYZED_QUERY analyzes to exactly the flagship terms
+    # (stopwords dropped, queries->query, tables->table); corpus tf/df
+    # recomputed over analyzed tokens
+    out["bm25_topk_analyzed"] = f"""
+        WITH {_atf_cte},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    out["bm25_topk_analyzed_driver"] = out["bm25_topk_analyzed"]
+    # analyzed phrase: doc 0's first adjacent ANALYZED pair that is a
+    # fixed point of the analyzer (not a stopword, stem-stable) — the
+    # same pair q_phrase_search_analyzed picks in Python
+    _stops_in = ", ".join(f"'{w}'" for w in sorted(set(_STOPS)))
+    _fx = (
+        lambda x: f"({x} NOT IN ({_stops_in}) AND ({_dd_stem(x)}) = {x})"
+    )
+    out["phrase_search_analyzed"] = f"""
+        WITH {_atf_cte},
+        t AS (SELECT doc_id, {_atoks} AS toks FROM documents),
+        ph AS (
+          SELECT toks[i] AS a, toks[i + 1] AS b FROM (
+            SELECT toks,
+                   list_filter(range(1, len(toks)),
+                               i -> {_fx('toks[i]')} AND {_fx('toks[i+1]')})[1] AS i
+            FROM t WHERE doc_id = 0
+          )
+        ),
+        m AS (
+          SELECT t.doc_id FROM t, ph
+          WHERE len(list_filter(range(1, len(toks)),
+                                i -> toks[i] = a AND toks[i+1] = b)) > 0
+        ),
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          WHERE tf.doc_id IN (SELECT doc_id FROM m)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     # ordered proximity (slop=2): doc 0's 1st and 3rd tokens; a doc
     # matches iff token b follows token a within 1..3 positions. The
     # window is a position self-join over the parallel-unnested token

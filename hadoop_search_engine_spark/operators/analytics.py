@@ -133,7 +133,8 @@ def significant_terms(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     spark = index.spark
-    query_terms = sorted(set(parse_query(query_text, synonyms)))
+    query_terms = sorted(set(parse_query(query_text, synonyms,
+                                          index.token_fn())))
     if not query_terms:
         return _empty_df(spark, _SIG_SCHEMA)
 

@@ -100,7 +100,9 @@ def _lex(query_text: str) -> list[str]:
 
 
 def parse_boolean_query(
-    query_text: str, synonyms: dict[str, str] | None = None
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    token_fn=None,
 ):
     """Boolean query string -> AST of nested tuples.
 
@@ -116,6 +118,12 @@ def parse_boolean_query(
     conjunction (same containment semantics the flat paths get from
     tokenize-then-dedup), and a word that tokenizes to nothing (pure
     punctuation) is rejected.
+
+    ``token_fn`` (the index's analyzer) is applied per term after the
+    synonym rewrite; a clause whose every term the analyzer drops (a
+    stopword) VANISHES Lucene-style — ``spark AND the`` == ``spark``,
+    ``a NOT the`` == ``a`` — and a query that drops entirely returns
+    None (matches nothing).
     """
     syn = synonyms or {}
     toks = _lex(query_text)
@@ -136,6 +144,11 @@ def parse_boolean_query(
             raise BooleanQueryError(
                 f"term {word!r} tokenizes to nothing"
             )
+        if token_fn is not None:
+            terms = [a for a in (token_fn(t) for t in terms)
+                     if a is not None]
+            if not terms:
+                return None  # all-stopword clause: drop, Lucene-style
         nodes = tuple(("term", t) for t in dict.fromkeys(terms))
         return nodes[0] if len(nodes) == 1 else ("and", nodes)
 
@@ -145,7 +158,8 @@ def parse_boolean_query(
             raise BooleanQueryError("unexpected end of query")
         if t == "NOT":
             take()
-            return ("not", unary())
+            u = unary()
+            return None if u is None else ("not", u)
         if t == "(":
             take()
             node = expr()
@@ -168,9 +182,13 @@ def parse_boolean_query(
                 parts.append(unary())
             elif t == "NOT":
                 take()
-                parts.append(("not", unary()))
+                u = unary()
+                parts.append(None if u is None else ("not", u))
             else:  # adjacency
                 parts.append(unary())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
         return parts[0] if len(parts) == 1 else ("and", tuple(parts))
 
     def expr():
@@ -178,6 +196,9 @@ def parse_boolean_query(
         while peek() == "OR":
             take()
             parts.append(conj())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
         return parts[0] if len(parts) == 1 else ("or", tuple(parts))
 
     node = expr()
@@ -305,7 +326,9 @@ def search_topk_boolean(
             k1=stats.k1 if k1 is None else float(k1),
             b=stats.b if b is None else float(b),
         )
-    ast = parse_boolean_query(query_text, synonyms)
+    ast = parse_boolean_query(query_text, synonyms, index.token_fn())
+    if ast is None:  # every clause was an analyzer-dropped stopword
+        return _empty_df(spark, TOPK_SCHEMA)
     pos_terms, neg_terms = query_terms(ast)
     meta = _lookup_terms(index, sorted(pos_terms | neg_terms))
     # leaves the lexicon doesn't know keep a None hash -> constant

@@ -130,6 +130,11 @@ class IndexStats:
     k1: float
     b: float
     positions: bool = False
+    # analyzer config (functions/analyzer.py) — recorded at build time
+    # so the query side ALWAYS analyzes with the index's own chain
+    # (stopword filter + stemmer); identity by default.
+    stopwords: tuple = ()
+    stem: str = "none"
 
 
 def _stats_path(out_dir: str) -> str:
@@ -150,7 +155,10 @@ def write_stats(out_dir: str, stats: IndexStats) -> None:
 
 def read_stats(out_dir: str) -> IndexStats:
     with open(_stats_path(out_dir)) as f:
-        return IndexStats(**json.load(f))
+        d = json.load(f)
+    # JSON has no tuple; pre-analyzer stats.json has no key at all
+    d["stopwords"] = tuple(d.get("stopwords", ()))
+    return IndexStats(**d)
 
 
 def term_frequencies(docs: DataFrame) -> DataFrame:
@@ -438,6 +446,8 @@ def build_index(
     docs_are_events: bool = False,
     positions: bool = False,
     arrow_tokenize: bool | None = None,
+    stopwords: tuple = (),
+    stem: str = "none",
 ) -> IndexStats:
     """Build the full index at ``out_dir`` from documents(doc_id, text).
 
@@ -471,6 +481,27 @@ def build_index(
     """
     if arrow_tokenize is None:
         arrow_tokenize = _arrow_tokenize_default()
+    stopwords = tuple(sorted(set(stopwords)))
+    if stem not in ("none", "s", "porter"):
+        raise ValueError(f"stem must be none|s|porter, got {stem!r}")
+    if stopwords or stem != "none":
+        # Analysis chain (functions/analyzer.py): rewrite the text
+        # column through stopword filter + stemmer BEFORE the tokenize
+        # passes — the rewritten text round-trips through the canonical
+        # tokenizer exactly (module docstring), so every downstream
+        # pass (JVM or Arrow, events, doc_stats, term_dict) indexes
+        # analyzed terms unchanged. doc_len therefore counts
+        # POST-analysis tokens (Lucene norms semantics) and positions
+        # are contiguous post-removal. Event inputs are already
+        # post-analysis by definition (decoded from an analyzed index
+        # or analyzed in the micro-batch) — config is recorded, not
+        # re-applied.
+        if not docs_are_events:
+            from ..functions.analyzer import analyzed_text_col
+
+            docs = docs.withColumn(
+                "text", analyzed_text_col(F.col("text"), stopwords, stem)
+            )
     if positions and docs_are_events and "pos" not in docs.columns:
         raise ValueError(
             "positional build from events needs a 'pos' column (one row "
@@ -512,6 +543,8 @@ def build_index(
                 ("k1", prior.k1, k1),
                 ("b", prior.b, b),
                 ("positions", prior.positions, positions),
+                ("stopwords", tuple(prior.stopwords), stopwords),
+                ("stem", prior.stem, stem),
             ]
             if got != want
         } | (
@@ -583,6 +616,7 @@ def build_index(
             n_docs=0, avgdl=0.0, shard_span=shard_span,
             num_shards=num_shards, n_buckets=n_buckets,
             block_size=block_size, k1=k1, b=b, positions=positions,
+            stopwords=stopwords, stem=stem,
         )
         write_stats(out_dir, stats)
 

@@ -413,7 +413,7 @@ def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
             name: (getattr(s0, name), getattr(s, name))
             for name in (
                 "shard_span", "n_buckets", "block_size", "k1", "b",
-                "positions",
+                "positions", "stopwords", "stem",
             )
             if getattr(s0, name) != getattr(s, name)
         }
@@ -519,6 +519,8 @@ def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
         k1=float(s0.k1),
         b=float(s0.b),
         positions=bool(s0.positions),
+        stopwords=tuple(s0.stopwords),
+        stem=str(s0.stem),
     )
     write_stats(out_dir, new_stats)
 
@@ -575,7 +577,7 @@ def _segment_profile(d: str) -> dict:
         "n_docs": int(s.n_docs),
         "tombstones": tomb,
         "key": (s.shard_span, s.n_buckets, s.block_size, s.k1, s.b,
-                bool(s.positions)),
+                bool(s.positions), tuple(s.stopwords), s.stem),
     }
 
 
@@ -755,6 +757,8 @@ def reshard_index(
         block_size=block_size if block_size is not None else BLOCK_SIZE,
         k1=float(k1 if k1 is not None else src.stats.k1),
         b=float(b if b is not None else src.stats.b),
+        stopwords=tuple(src.stats.stopwords),
+        stem=str(src.stats.stem),
     )
 
 
@@ -822,6 +826,8 @@ def prune_index(
         block_size=block_size if block_size is not None else BLOCK_SIZE,
         k1=float(src.stats.k1),
         b=float(src.stats.b),
+        stopwords=tuple(src.stats.stopwords),
+        stem=str(src.stats.stem),
     )
 
 

@@ -201,6 +201,25 @@ class Index:
     _pcache_nbytes: int = 0
     _tfc: object = None
 
+    _token_fn: object = None
+    _token_fn_set: bool = False
+
+    def token_fn(self):
+        """The index's recorded analyzer as a per-token function
+        (stopword filter + stemmer, functions.analyzer.make_token_fn),
+        or None for unanalyzed indexes — query parsing MUST route
+        through this so index and query can never disagree on surface
+        forms (the classic analyzer-mismatch bug class)."""
+        if not self._token_fn_set:
+            from ..functions.analyzer import make_token_fn
+
+            self._token_fn = make_token_fn(
+                tuple(getattr(self.stats, "stopwords", ()) or ()),
+                getattr(self.stats, "stem", "none") or "none",
+            )
+            self._token_fn_set = True
+        return self._token_fn
+
     def _tf_cache(self):
         """Byte-bounded LRU of decoded (offsets, tf) per (term_hash,
         shard) for driver serving, or None when disabled. Lifetime =
@@ -523,17 +542,38 @@ class Index:
         return out
 
 
-def parse_query(query_text: str, synonyms: dict[str, str] | None = None) -> list[str]:
+def parse_query(
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    token_fn=None,
+) -> list[str]:
     """Query string -> deduped canonical terms (reference pipeline:
-    tokenize -> synonym rewrite -> first-seen dedup, searchProcessor.ts:4-17)."""
-    return rewrite_terms(tokenize(query_text), synonyms or {})
+    tokenize -> synonym rewrite -> first-seen dedup, searchProcessor.ts:4-17).
+
+    ``token_fn`` is the index's analyzer (functions.analyzer.
+    make_token_fn — stopword filter + stemmer), applied after the
+    synonym rewrite and before dedup so query terms hit the SAME
+    surface forms the build indexed; None (unanalyzed index) keeps the
+    historical pipeline byte-identical."""
+    terms = rewrite_terms(tokenize(query_text), synonyms or {})
+    if token_fn is None:
+        return terms
+    out, seen = [], set()
+    for t in terms:
+        a = token_fn(t)
+        if a is not None and a not in seen:
+            seen.add(a)
+            out.append(a)
+    return out
 
 
 _BOOST_RE = re.compile(r"^(?P<body>.+)\^(?P<boost>\d+(?:\.\d+)?)$")
 
 
 def parse_query_boosted(
-    query_text: str, synonyms: dict[str, str] | None = None
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    token_fn=None,
 ) -> tuple[list[str], dict[str, float]]:
     """Query string with optional per-term boosts -> (terms, boosts).
 
@@ -551,7 +591,7 @@ def parse_query_boosted(
     """
     syn = synonyms or {}
     if "^" not in (query_text or ""):
-        return parse_query(query_text, syn), {}
+        return parse_query(query_text, syn, token_fn), {}
     out: list[str] = []
     seen: set[str] = set()
     boosts: dict[str, float] = {}
@@ -562,6 +602,10 @@ def parse_query_boosted(
             raise ValueError(f"boost must be > 0, got {chunk!r}")
         for t in tokenize(body):
             mapped = syn.get(t, t)
+            if token_fn is not None:
+                mapped = token_fn(mapped)
+                if mapped is None:  # stopword chunk — boost and all
+                    continue
             if mapped in seen:
                 continue
             seen.add(mapped)
@@ -603,7 +647,7 @@ def term_stats(
     lexicon, after the same tokenize + synonym rewrite every query
     runs. Absent terms yield no row. A lexicon probe only (bucket
     pruning / driver cache) — postings untouched."""
-    terms = sorted(set(parse_query(terms_text, synonyms)))
+    terms = sorted(set(parse_query(terms_text, synonyms, index.token_fn())))
     meta = _lookup_terms(index, terms)
     rows = [
         (t, int(m["df"]), round(float(m["idf"]), 6))
@@ -783,7 +827,8 @@ def _resolve_query(
             k1=stats.k1 if k1 is None else float(k1),
             b=stats.b if b is None else float(b),
         )
-    terms, boosts = parse_query_boosted(query_text, synonyms)
+    terms, boosts = parse_query_boosted(query_text, synonyms,
+                                        index.token_fn())
     meta = _lookup_terms(index, terms)
     if not meta:
         return None
@@ -1023,7 +1068,7 @@ def _federated_plan(
         raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     from ..functions.bm25 import idf as idf_scalar
 
-    terms = parse_query(query_text, synonyms)
+    terms = parse_query(query_text, synonyms, indexes[0].token_fn())
     if not terms:
         return []
     metas = [_lookup_terms(ix, terms) for ix in indexes]
@@ -1226,7 +1271,8 @@ def search_topk_segments_batch(
     from ..functions.bm25 import idf as idf_scalar
 
     spark = indexes[0].spark
-    parsed = {qid: parse_query(text, synonyms) for qid, text in queries.items()}
+    tfn = indexes[0].token_fn()
+    parsed = {qid: parse_query(text, synonyms, tfn) for qid, text in queries.items()}
     all_terms = sorted({t for ts in parsed.values() for t in ts})
     if not all_terms:
         return _empty_df(spark, SEGMENT_BATCH_TOPK_SCHEMA)
@@ -1367,8 +1413,9 @@ def _resolve_batch(
             k1=stats.k1 if k1 is None else float(k1),
             b=stats.b if b is None else float(b),
         )
+    tfn = index.token_fn()
     parsed = {
-        qid: parse_query_boosted(text, synonyms)
+        qid: parse_query_boosted(text, synonyms, tfn)
         for qid, text in queries.items()
     }
     all_terms = sorted({t for ts, _ in parsed.values() for t in ts})
@@ -2327,7 +2374,13 @@ def phrase_search(
     from ..functions.tokenizer import tokenize
 
     syn = synonyms or {}
+    tfn = index.token_fn()
     seq = [syn.get(t, t) for t in tokenize(phrase_text)]
+    if tfn is not None:
+        # analyzed index: stopwords vanish from the phrase (positions
+        # were renumbered contiguously at build, so the remaining
+        # terms ARE adjacent), stems match the indexed surface forms
+        seq = [a for a in (tfn(t) for t in seq) if a is not None]
     spark = index.spark
     if not seq:
         return _empty_df(spark, TOPK_SCHEMA)
@@ -2560,7 +2613,7 @@ def or_union_search(
     order), skip already-seen docs, concatenate. Returned columns:
     (rank, doc_id, matched_term)."""
     spark = index.spark
-    terms = parse_query(query_text, synonyms)
+    terms = parse_query(query_text, synonyms, index.token_fn())
     if not terms:
         return _empty_df(spark, "rank long, doc_id long, matched_term string")
     order = {t: i for i, t in enumerate(terms)}
@@ -2647,7 +2700,7 @@ def matched_docs(
     if min_match is not None and min_match < 1:
         raise ValueError(f"min_match must be >= 1, got {min_match}")
     spark = index.spark
-    terms = parse_query(query_text, synonyms)
+    terms = parse_query(query_text, synonyms, index.token_fn())
     meta = _lookup_terms(index, terms)
     n_required = len(set(terms))
     if (
@@ -3621,7 +3674,11 @@ def more_like_this_terms(
     # per-token synonym rewrite WITHOUT rewrite_terms' first-seen dedup
     # (tf counts need every occurrence)
     syn = synonyms or {}
-    tf = Counter(syn.get(t, t) for t in tokenize(text))
+    tfn = index.token_fn()
+    toks = (syn.get(t, t) for t in tokenize(text))
+    if tfn is not None:
+        toks = (a for a in (tfn(t) for t in toks) if a is not None)
+    tf = Counter(toks)
     meta = _lookup_terms(index, sorted(tf))
     ranked = sorted(
         ((t, tf[t] * float(meta[t]["idf"])) for t in meta),
