@@ -284,6 +284,31 @@ def q_phrase_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-as-you-type (ES match_phrase_prefix): doc 0's first
+    token as the fixed phrase, the first 3 chars of its second token
+    as the prefix — expansions capped at 50 by (df desc, term asc),
+    the cap REPLAYED in the oracle SQL. Scoring = fixed-term partials
+    + each contained expansion's partial over the match set."""
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+    from hadoop_search_engine_spark.operators.query_exec import (
+        phrase_prefix_search,
+    )
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    row = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == 0)
+        .select("text")
+        .collect()[0]
+    )
+    toks = tokenize(row["text"])
+    top = phrase_prefix_search(
+        ix, f"{toks[0]} {toks[1][:3]}", k=20, max_expansions=50
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_topk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving-node fast path (search_topk_rows: hot-postings LRU
     + plain pairs, no Spark job, no DataFrame on the serving side) on
@@ -1987,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_analyzed": q_bm25_topk_analyzed,
         "bm25_topk_analyzed_driver": q_bm25_topk_analyzed_driver,
         "phrase_search_analyzed": q_phrase_search_analyzed,
+        "phrase_prefix_search": q_phrase_prefix,
         "bm25_topk_rows": q_bm25_topk_rows,
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "term_boosted_search": q_term_boosted_search,
@@ -3197,6 +3223,48 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["phrase_search_indexed_spark"] = out["phrase_search_indexed"]
+
+    # phrase-prefix (match_phrase_prefix): fixed term a = doc 0's
+    # first token, prefix p = first 3 chars of its second token;
+    # expansions = top-50 prefix terms by (df desc, term asc) — the
+    # SAME cap order suggest_terms uses; match = a followed by ANY
+    # expansion; score = partials of {a} UNION (expansions the doc
+    # contains)
+    out["phrase_prefix_search"] = f"""
+        WITH {_TF_CTE},
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ph AS (SELECT toks[1] AS a, substr(toks[2], 1, 3) AS p
+               FROM t WHERE doc_id = 0),
+        exps AS (
+          SELECT term FROM (
+            SELECT tf.term, count(*) AS df FROM tf, ph
+            WHERE starts_with(tf.term, p) GROUP BY tf.term
+            ORDER BY df DESC, term ASC LIMIT 50
+          )
+        ),
+        el AS (SELECT list(term) AS el FROM exps),
+        m AS (
+          SELECT t.doc_id FROM t, ph, el
+          WHERE len(list_filter(range(1, len(toks)),
+                i -> toks[i] = a AND list_contains(el.el, toks[i+1]))) > 0
+        ),
+        sterms AS (SELECT a AS term FROM ph UNION SELECT term FROM exps),
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM sterms) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          WHERE tf.doc_id IN (SELECT doc_id FROM m)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
 
     # --- analysis chain (stopwords + S-stem) ---------------------------
     from hadoop_search_engine_spark.functions.analyzer import (

@@ -2212,6 +2212,7 @@ def _phrase_pairs(
     slop: int = 0,
     window: int | None = None,
     after: tuple[int, float] | None = None,
+    exp_terms: list[tuple[int, str, float]] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact-phrase (or, with ``slop`` > 0, ordered-proximity; or,
     with ``window``, UNORDERED proximity) matches in one shard,
@@ -2234,6 +2235,15 @@ def _phrase_pairs(
     4. score survivors with the standard per-term partials in ascending
        term order (identical formula to mode="and", restricted to
        phrase-matching docs).
+
+    ``exp_terms`` (phrase-prefix mode, ES match_phrase_prefix): the
+    phrase gains one FINAL slot matched by ANY of these expansion
+    terms — their occurrence keys merge into one sorted array and the
+    final step is the same searchsorted probe. Expansions are OPTIONAL
+    per shard (a shard missing one just can't match through it; all
+    absent -> no match), and scoring adds each expansion term the doc
+    actually contains (membership-masked partials) on top of the fixed
+    terms, ascending term order across the union.
     """
     if dl.shape[0] >= (1 << 42):
         raise ValueError("shard_span too large for packed (doc, pos) keys")
@@ -2258,6 +2268,28 @@ def _phrase_pairs(
         # stay sorted-unique.
         keys = ((np.repeat(d, t) - base) << np.int64(21)) | P
         per_term[th] = (d, t, keys)
+
+    exp_present: list[tuple[str, float, np.ndarray, np.ndarray]] = []
+    merged = None
+    if exp_terms is not None:
+        exp_keys: list[np.ndarray] = []
+        for th, term, idf in exp_terms:
+            grp = left[hashes == th]
+            if not len(grp):
+                continue  # expansion absent from this shard: optional
+            grp = grp.sort_values("block_id")
+            d, t, _ = codec.decode_blocks(
+                grp["doc_ids"].tolist(), grp["tfs"].tolist(),
+                grp["n_docs"].to_numpy(np.int64),
+                grp["first_doc_id"].to_numpy(np.int64),
+            )
+            pos_blob = b"".join(map(bytes, grp["positions"].tolist()))
+            P = codec.decode_positions(pos_blob, t)
+            exp_present.append((term, idf, d, t))
+            exp_keys.append(((np.repeat(d, t) - base) << np.int64(21)) | P)
+        if not exp_keys:
+            return []
+        merged = np.unique(np.concatenate(exp_keys))
 
     if window is not None:
         # UNORDERED window (Lucene span_near inOrder=false shape): a
@@ -2299,9 +2331,13 @@ def _phrase_pairs(
     # shard has ~1e5 candidates; looping them costs ~30 s). Both key
     # arrays are sorted, so the intersection is a searchsorted probe —
     # np.isin would re-sort both sides every step.
-    cur = per_term[seq_hashes[0]][2]
-    for th in seq_hashes[1:]:
-        nxt = per_term[th][2]
+    # with exp_terms the walk gains one final step over the merged
+    # expansion keys; a pure-prefix query (no fixed terms) starts there
+    steps = [per_term[th][2] for th in seq_hashes]
+    if merged is not None:
+        steps.append(merged)
+    cur = steps[0]
+    for nxt in steps[1:]:
         if slop == 0:
             shifted = cur + 1
             j = np.searchsorted(nxt, shifted)
@@ -2322,10 +2358,22 @@ def _phrase_pairs(
             return []
     docs_arr = np.unique(cur >> np.int64(21)) + base
     scores = np.zeros(docs_arr.shape[0], dtype=np.float64)
-    for th, _term, idf in ordered_terms:  # ascending term order
-        d, t, _keys = per_term[th]
+    scorables = [
+        (term, idf, per_term[th][0], per_term[th][1], True)
+        for th, term, idf in ordered_terms
+    ] + [(term, idf, d, t, False) for term, idf, d, t in exp_present]
+    for term, idf, d, t, required in sorted(scorables):  # asc term order
         ix = np.searchsorted(d, docs_arr)
-        scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b, avgdl)
+        if required:  # every matching doc contains every fixed term
+            scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b,
+                                     avgdl)
+        else:  # expansion: add only where the doc contains the term
+            ixc = np.minimum(ix, max(d.size - 1, 0))
+            mem = (ix < d.size) & (d[ixc] == docs_arr)
+            if mem.any():
+                scores[mem] += idf * _partial(
+                    t[ixc[mem]], dl[docs_arr[mem] - base], k1, b, avgdl
+                )
     return _topk_pairs(docs_arr, scores, k, after=after)
 
 
@@ -2338,6 +2386,8 @@ def phrase_search(
     slop: int = 0,
     after: tuple[int, float] | None = None,
     _window: int | None = None,
+    _expansions: list[str] | None = None,
+    _seq: list[str] | None = None,
 ) -> DataFrame:
     """Exact-phrase BM25 top-k over a positional index
     (``build_index(..., positions=True)``).
@@ -2375,14 +2425,21 @@ def phrase_search(
 
     syn = synonyms or {}
     tfn = index.token_fn()
-    seq = [syn.get(t, t) for t in tokenize(phrase_text)]
-    if tfn is not None:
-        # analyzed index: stopwords vanish from the phrase (positions
-        # were renumbered contiguously at build, so the remaining
-        # terms ARE adjacent), stems match the indexed surface forms
-        seq = [a for a in (tfn(t) for t in seq) if a is not None]
+    if _seq is not None:
+        seq = list(_seq)  # pre-analyzed terms (phrase_prefix_search)
+    else:
+        seq = [syn.get(t, t) for t in tokenize(phrase_text)]
+        if tfn is not None:
+            # analyzed index: stopwords vanish from the phrase
+            # (positions were renumbered contiguously at build, so the
+            # remaining terms ARE adjacent), stems match the indexed
+            # surface forms
+            seq = [a for a in (tfn(t) for t in seq) if a is not None]
     spark = index.spark
-    if not seq:
+    if _expansions is not None and _window is not None:
+        raise ValueError("phrase-prefix expansion and unordered window "
+                         "cannot combine")
+    if not seq and not _expansions:
         return _empty_df(spark, TOPK_SCHEMA)
     distinct = sorted(set(seq))
     meta = _lookup_terms(index, distinct)
@@ -2393,6 +2450,20 @@ def phrase_search(
         (int(m["hash"]), t, float(m["idf"])) for t, m in sorted(meta.items())
     ]
     seq_hashes = [int(meta[t]["hash"]) for t in seq]
+    exp_terms = None
+    if _expansions is not None:
+        # expansion terms come FROM the lexicon (prefix probe) so the
+        # lookup can't miss; drop any that duplicate a fixed term so
+        # each distinct term scores exactly once
+        exp_list = sorted(set(_expansions) - set(distinct))
+        emeta = _lookup_terms(index, exp_list)
+        exp_terms = [
+            (int(m["hash"]), t, float(m["idf"]))
+            for t, m in sorted(emeta.items())
+        ]
+        if not exp_terms:
+            return _empty_df(spark, TOPK_SCHEMA)
+        meta = {**meta, **emeta}
     buckets = sorted({m["bucket"] for m in meta.values()})
     hit_hashes = sorted(int(m["hash"]) for m in meta.values())
 
@@ -2416,7 +2487,7 @@ def phrase_search(
     pairs_fn = functools.partial(
         _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
         k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff, slop=slop,
-        window=_window, after=_check_after(after),
+        window=_window, after=_check_after(after), exp_terms=exp_terms,
     )
 
     # auto picks driver serving whenever the index is small enough for
@@ -3537,6 +3608,64 @@ def prefix_search(
         return _empty_df(index.spark, TOPK_SCHEMA)
     return search_topk(
         index, " ".join(r["term"] for r in rows), k=k, **search_kwargs
+    )
+
+
+def phrase_prefix_search(
+    index: Index,
+    phrase_text: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    synonyms: dict[str, str] | None = None,
+    serving: str = "auto",
+    slop: int = 0,
+    after: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Search-as-you-type (ES ``match_phrase_prefix`` / Lucene
+    ``MatchPhrasePrefixQuery``) over a positional index: the input is
+    analyzed like any phrase, every token but the LAST must match at
+    consecutive positions, and the last token is a PREFIX — expanded
+    against the lexicon to at most ``max_expansions`` terms by
+    (df desc, term asc), the MultiTermQuery rewrite order shared with
+    :func:`expand_terms` — any of which may occupy the final slot.
+
+    Match semantics: doc matches iff the fixed phrase occurs with SOME
+    expansion at the next position (``slop`` relaxes each gap exactly
+    as in :func:`phrase_search`). A single-token query degenerates to
+    "contains any expansion" — :func:`prefix_search`'s match set.
+
+    Scoring: BM25 partials of the fixed terms plus, for each expansion
+    term the document actually contains, that term's partial —
+    ascending term order across the union, so a doc matching several
+    completions outranks a doc matching one (the disjunctive-expansion
+    shape of :func:`wildcard_search`, restricted to the phrase-prefix
+    match set).
+
+    Execution shape: the expansion probe is vocab-sized (driver cache
+    or pushed-down StartsWith); evaluation merges the expansions'
+    packed (doc, pos) occurrence keys into ONE sorted array per shard,
+    so the final step costs one searchsorted probe regardless of how
+    many completions exist — never one phrase query per expansion.
+    The reference engine has no positional or prefix surface at all
+    (its index maps whole terms to doc lists, README.md:423-427).
+    """
+    from ..functions.tokenizer import tokenize
+
+    syn = synonyms or {}
+    tfn = index.token_fn()
+    raw = [syn.get(t, t) for t in tokenize(phrase_text)]
+    if tfn is not None:
+        raw = [a for a in (tfn(t) for t in raw) if a is not None]
+    if not raw:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    fixed, prefix = raw[:-1], raw[-1]
+    rows = suggest_terms(index, prefix, k=max_expansions).collect()
+    expansions = [r["term"] for r in rows]
+    if not expansions:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    return phrase_search(
+        index, "", k=k, serving=serving, slop=slop,
+        after=after, _expansions=expansions, _seq=fixed,
     )
 
 

@@ -64,6 +64,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--compat-or-union", action="store_true")
     ap.add_argument("--phrase", action="store_true",
                     help="exact-phrase match (needs an index built with positions)")
+    ap.add_argument("--phrase-prefix", action="store_true",
+                    help="search-as-you-type (ES match_phrase_prefix): "
+                         "all tokens but the last match as a phrase, the "
+                         "last is a prefix expanded to --max-expansions "
+                         "lexicon terms (needs positions)")
     ap.add_argument("--near", type=int, default=None, metavar="W",
                     help="unordered proximity: all query terms within "
                          "any W-token window (needs a positional index)")
@@ -128,8 +133,8 @@ def main(argv: list[str] | None = None) -> None:
     if bool(args.index) == bool(args.segments):
         ap.error("exactly one of --index / --segments is required")
     specialized = (args.boolean or args.suggest or args.compat_or_union
-                   or args.phrase or args.wildcard or args.fuzzy
-                   or args.queries_file or args.segments)
+                   or args.phrase or args.phrase_prefix or args.wildcard
+                   or args.fuzzy or args.queries_file or args.segments)
     if args.msm is not None and (specialized or args.rows or
                                  args.mode != "or"):
         ap.error("--msm applies to the plain single-query DataFrame path "
@@ -250,6 +255,16 @@ def main(argv: list[str] | None = None) -> None:
 
         result = phrase_search(idx, args.query, k=args.k, slop=args.slop,
                                after=_parse_after(args.after))
+    elif args.phrase_prefix:
+        from hadoop_search_engine_spark.operators.query_exec import (
+            phrase_prefix_search,
+        )
+
+        result = phrase_prefix_search(
+            idx, args.query, k=args.k, slop=args.slop,
+            max_expansions=args.max_expansions,
+            after=_parse_after(args.after),
+        )
     elif args.near is not None:
         from hadoop_search_engine_spark.operators.query_exec import near_search
 
