@@ -338,6 +338,68 @@ def main() -> None:
         ).collect(),
     )
 
+    # positional build + phrase family: positions grow the event
+    # shuffle 16 -> 24 bytes/row and add the gap-encoded blobs —
+    # index_build_positional vs index_build IS that overhead. Queries:
+    # exact phrase, unordered window, and search-as-you-type
+    # (match_phrase_prefix: merged-expansion probe, cost ~a phrase
+    # regardless of completion count).
+    from hadoop_search_engine_spark.operators.query_exec import (
+        near_search,
+        phrase_prefix_search,
+        phrase_search,
+    )
+
+    pos_dir = "/tmp/hse_bench_index_pos"
+    pos_secs = []
+    for _ in range(2):
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, docs, pos_dir, n_buckets=16, positions=True)
+        pos_secs.append(time.time() - t0)
+    timings["index_build_positional"] = round(min(pos_secs), 4)
+    pidx = Index.load(spark, pos_dir)
+    # two adjacent tokens from a real doc keep the phrase non-empty
+    # at every sf dir
+    _t = (
+        docs.limit(1).collect()[0]["text"].lower().split()
+    )
+    _bigram = f"{_t[0]} {_t[1]}"
+    phrase_search(pidx, _bigram, k=10).collect()  # warm-up
+    timed("phrase_query", lambda: phrase_search(pidx, _bigram, k=10).collect())
+    timed(
+        "near_query",
+        lambda: near_search(
+            pidx, "spark table", window=8, k=10
+        ).collect(),
+    )
+    timed(
+        "phrase_prefix_query",
+        lambda: phrase_prefix_search(
+            pidx, f"{_t[0]} {_t[1][:2]}", k=10, max_expansions=50
+        ).collect(),
+    )
+
+    # analyzed build (stopword filter + S-stem): the analysis chain is
+    # JVM CASE expressions fused into the same tokenize passes — the
+    # delta vs index_build is the true analyzer cost (should be ~free;
+    # stopword removal SHRINKS the event shuffle)
+    ana_dir = "/tmp/hse_bench_index_ana"
+    from hadoop_search_engine_spark.functions.analyzer import (
+        ENGLISH_STOPWORDS,
+    )
+
+    ana_secs = []
+    for _ in range(2):
+        shutil.rmtree(ana_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, docs, ana_dir, n_buckets=16,
+                    stopwords=ENGLISH_STOPWORDS, stem="s")
+        ana_secs.append(time.time() - t0)
+    timings["index_build_analyzed"] = round(min(ana_secs), 4)
+    shutil.rmtree(ana_dir, ignore_errors=True)
+    shutil.rmtree(pos_dir, ignore_errors=True)
+
     # two-phase rescore: BM25 top-100 window re-ranked by cosine to a
     # query vector (phase-2 cost bounded by the window)
     from hadoop_search_engine_spark.operators.hybrid import rescore_topk

@@ -39,6 +39,8 @@ def stream_documents(spark: SparkSession, path: str, max_files: int = 4) -> Data
 def incremental_tf_sink(
     docs_stream: DataFrame, delta_dir: str, checkpoint_dir: str,
     positions: bool = False,
+    stopwords: tuple = (),
+    stem: str = "none",
 ):
     """documents stream -> append-only delta tables under ``delta_dir``:
     ``tf/`` holds (term, doc_id, tf, epoch), ``docs/`` holds
@@ -53,11 +55,22 @@ def incremental_tf_sink(
 
     doc_id is xxhash64(url) in the streaming path (dense re-assignment
     happens at compaction, where the global order is known).
+
+    ``stopwords`` / ``stem`` apply the analysis chain
+    (functions/analyzer.py) to each micro-batch BEFORE tokenizing —
+    a stream feeding an ANALYZED base index must pass the base's own
+    config (compaction then records it via ``compact_deltas``'s
+    build kwargs; `merge_indexes` refuses mixed-analyzer segments).
     """
+    from ..functions.analyzer import analyzed_text_col
     from ..functions.tokenizer import tokens_col
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "url", "text")
+        if stopwords or stem != "none":
+            docs = docs.withColumn(
+                "text", analyzed_text_col(F.col("text"), stopwords, stem)
+            )
         if positions:
             occ = (
                 docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))

@@ -348,3 +348,67 @@ def test_resume_mismatch_on_analyzer(spark, tmp_path):
     with pytest.raises(ValueError, match="resume.*differing|differing"):
         build_index(spark, docs, out, num_shards=2, n_buckets=4,
                     resume=True)
+
+
+def test_streaming_analyzed_compaction_matches_batch(spark, tmp_path):
+    """A stream analyzed in its micro-batches, compacted with the same
+    analyzer config, serves rank- and score-identically to a batch
+    analyzed build over the same documents (modulo dense-id minting:
+    compare via urls)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        materialize,
+        search_topk,
+    )
+    from hadoop_search_engine_spark.streaming.incremental import (
+        compact_deltas,
+        incremental_tf_sink,
+        stream_documents,
+    )
+
+    src = str(tmp_path / "in")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    gen_documents(spark, 60, n_partitions=1).write.mode("append").parquet(src)
+
+    stream = stream_documents(spark, src, max_files=1)
+    q = incremental_tf_sink(
+        stream, delta, ckpt, stopwords=ENGLISH_STOPWORDS, stem="s"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    sidx_dir = str(tmp_path / "sidx")
+    compact_deltas(spark, delta, sidx_dir, n_buckets=4, block_size=16,
+                   stopwords=ENGLISH_STOPWORDS, stem="s")
+    sidx = Index.load(spark, sidx_dir)
+    assert sidx.stats.stem == "s" and sidx.stats.stopwords
+
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+
+    docs = assign_doc_ids(gen_documents(spark, 60, n_partitions=1))
+    bidx_dir = str(tmp_path / "bidx")
+    build_index(spark, docs.select("doc_id", "text"), bidx_dir,
+                n_buckets=4, block_size=16,
+                stopwords=ENGLISH_STOPWORDS, stem="s")
+    bidx = Index.load(spark, bidx_dir)
+
+    q_raw = "the tables and queries of w00007"
+    smap = spark.read.parquet(os.path.join(sidx_dir, "doc_map"))
+    got = sorted(
+        (r["url"], round(r["score"], 9))
+        for r in materialize(search_topk(sidx, q_raw, k=20), smap)
+        .select("url", "score").collect()
+    )
+    want = sorted(
+        (r["url"], round(r["score"], 9))
+        for r in materialize(search_topk(bidx, q_raw, k=20), docs)
+        .select("url", "score").collect()
+    )
+    assert got == want and got

@@ -140,6 +140,10 @@ CHECKS = {
     # int8 ANN: one scan, integer-arithmetic scoring in expressions,
     # top-k — no Python, no global sort
     "ann_int8": ["TakeOrderedAndProject", "!EvalPython", "!Exchange"],
+    # analysis chain (stopword filter + S-stem CASE): pure JVM
+    # expressions fused with the scan-side token explode — no Python,
+    # no shuffle introduced by the analyzer itself
+    "analyzed_tokens": ["Generate", "!EvalPython", "!Exchange"],
 }
 
 
