@@ -309,6 +309,21 @@ def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term vectors (ES _termvectors term/position surface):
+    docs 0-4 decoded from the positional block index, positions joined
+    to a comma string for the value-hash compare; the oracle replays
+    tokenize + per-term position lists over the same docs."""
+    from hadoop_search_engine_spark.operators.query_exec import term_vectors
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    tv = term_vectors(ix, [0, 1, 2, 3, 4])
+    return tv.select(
+        "doc_id", "term", "tf",
+        F.array_join("positions", ",").alias("positions"),
+    )
+
+
 def q_bm25_topk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The serving-node fast path (search_topk_rows: hot-postings LRU
     + plain pairs, no Spark job, no DataFrame on the serving side) on
@@ -2013,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_analyzed_driver": q_bm25_topk_analyzed_driver,
         "phrase_search_analyzed": q_phrase_search_analyzed,
         "phrase_prefix_search": q_phrase_prefix,
+        "doc_term_vectors": q_doc_term_vectors,
         "bm25_topk_rows": q_bm25_topk_rows,
         "bm25_topk_tuned": q_bm25_topk_tuned,
         "term_boosted_search": q_term_boosted_search,
@@ -3223,6 +3239,17 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["phrase_search_indexed_spark"] = out["phrase_search_indexed"]
+
+    # per-doc term vectors: parallel unnest zips (term, 0-based pos)
+    out["doc_term_vectors"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                   WHERE doc_id IN (0, 1, 2, 3, 4)),
+        occ AS (SELECT doc_id, unnest(toks) AS term,
+                       unnest(range(len(toks))) AS pos FROM t)
+        SELECT doc_id, term, count(*)::bigint AS tf,
+               string_agg(pos::varchar, ',' ORDER BY pos) AS positions
+        FROM occ GROUP BY doc_id, term
+    """
 
     # phrase-prefix (match_phrase_prefix): fixed term a = doc 0's
     # first token, prefix p = first 3 chars of its second token;

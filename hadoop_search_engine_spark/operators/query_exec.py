@@ -3611,6 +3611,93 @@ def prefix_search(
     )
 
 
+def term_vectors(
+    index: Index,
+    doc_ids: list[int],
+    positions: bool | None = None,
+) -> DataFrame:
+    """Per-DOCUMENT term vectors (the ES ``_termvectors`` term/
+    position surface; Lucene stored TermVectors): ``(doc_id, term,
+    tf[, positions])`` for each requested doc, decoded from the
+    INVERTED index — the complement of :func:`term_stats`, which
+    serves the field-statistics half.
+
+    Scale shape: a doc's postings all live in its own shard (shard =
+    doc_id // shard_span), so the scan prunes to the requested docs'
+    SHARDS — S distinct shards touched for S-shard-spread requests,
+    never a corpus scan (Lucene pays a stored forward index for this;
+    we pay one shard-local decode, the honest trade for an index that
+    stores postings only). Per Arrow batch: one ``decode_blocks``
+    pass, an ``np.isin`` mask against the (tiny) requested-id set,
+    and a Python loop over only the SURVIVING postings — bounded by
+    the requested docs' vocabulary, not the shard. Term strings attach
+    via a broadcast of the vocab-sized lexicon. Tombstoned docs yield
+    no rows (consistent with search).
+
+    ``positions=None`` emits positions when the index stores them;
+    ``positions=False`` skips the blob decode; ``positions=True`` on a
+    non-positional index raises.
+    """
+    pos = bool(index.stats.positions) if positions is None else bool(positions)
+    if pos and not index.stats.positions:
+        raise ValueError(
+            "index has no positions; build_index(..., positions=True)"
+        )
+    schema = "doc_id long, term string, tf long" + (
+        ", positions array<int>" if pos else ""
+    )
+    ids = sorted({int(i) for i in doc_ids})
+    if index.tombstone_count():
+        dead = set(int(i) for i in index.tombstone_array())
+        ids = [i for i in ids if i not in dead]
+    if not ids:
+        return _empty_df(index.spark, schema)
+    span = index.stats.shard_span
+    shards = sorted({i // span for i in ids})
+    wanted = np.asarray(ids, dtype=np.int64)
+
+    lex = index.lexicon.select("term_hash", "term")
+    cols = ["term", "n_docs", "first_doc_id", "doc_ids", "tfs"]
+    if pos:
+        cols.append("positions")
+    post = (
+        index.postings.where(F.col("shard").isin(shards))
+        .join(F.broadcast(lex), "term_hash")
+        .select(*cols)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ns = pdf["n_docs"].to_numpy(np.int64)
+            d, t, _ = codec.decode_blocks(
+                pdf["doc_ids"].tolist(), pdf["tfs"].tolist(),
+                ns, pdf["first_doc_id"].to_numpy(np.int64),
+            )
+            hit = np.isin(d, wanted)
+            if not hit.any():
+                continue
+            terms = np.repeat(pdf["term"].to_numpy(object), ns)
+            out = {
+                "doc_id": d[hit],
+                "term": terms[hit],
+                "tf": t[hit],
+            }
+            if pos:
+                blob = b"".join(map(bytes, pdf["positions"].tolist()))
+                P = codec.decode_positions(blob, t)
+                starts = np.zeros(t.shape[0], dtype=np.int64)
+                starts[1:] = np.cumsum(t)[:-1]
+                out["positions"] = [
+                    P[s : s + n].astype(np.int32).tolist()
+                    for s, n in zip(starts[hit], t[hit])
+                ]
+            yield pd.DataFrame(out)
+
+    return post.mapInPandas(gen, schema=schema)
+
+
 def phrase_prefix_search(
     index: Index,
     phrase_text: str,
