@@ -1147,6 +1147,51 @@ def q_repetition_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perplexity under a self-trained Stupid-Backoff bigram
+    LM (the CCNet quality signal) — integer micro-nat sums, so the
+    value replays bit-exactly in SQL."""
+    from hadoop_search_engine_spark.operators.lm import doc_perplexity
+
+    # sum_llq stringified: the driver compare float-upcasts all-numeric
+    # rows, and a 9-digit int formatted through %.6g loses digits
+    return doc_perplexity(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", F.col("sum_llq").cast("string").alias("sum_llq"),
+        "ppl",
+    )
+
+
+def q_lm_ppl_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity band filter survivors (ppl <= 30.5)."""
+    from hadoop_search_engine_spark.operators.lm import perplexity_filter
+
+    return perplexity_filter(
+        _read(spark, sf_dir, "documents"), max_ppl=30.5
+    ).select("doc_id")
+
+
+def q_lm_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester ("did you mean"): doc 0's first two tokens
+    each corrupted with a trailing 'x' (data-derived, nothing
+    hard-coded), corrected via per-token Levenshtein candidates scored
+    by the bigram LM + noisy-channel edit penalty, exact k-best
+    Viterbi. The oracle enumerates the same lattice in SQL."""
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+    from hadoop_search_engine_spark.operators.lm import (
+        suggest_phrase,
+        train_lm,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    t0 = tokenize(docs.orderBy("doc_id").first()["text"])[:2]
+    query = " ".join(w + "x" for w in t0)
+    unigrams, bigrams = train_lm(docs)
+    return suggest_phrase(
+        spark, query, unigrams, bigrams,
+        max_edits=1, per_token=5, topn=3,
+    )
+
+
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis: doc 0's top-3 tf*idf terms become a disjunctive
     BM25 query, source doc excluded — the oracle derives the same term
@@ -2046,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_census": q_pii_census,
         "repetition_stats": q_repetition_stats,
         "repetition_filtered": q_repetition_filtered,
+        "lm_perplexity": q_lm_perplexity,
+        "lm_ppl_filtered": q_lm_ppl_filtered,
+        "lm_suggest_phrase": q_lm_suggest_phrase,
         "corpus_mix_report": q_corpus_mix_report,
         "session_stats": q_session_stats,
         "event_transitions": q_event_transitions,
@@ -3684,6 +3732,108 @@ def oracle_sql() -> dict[str, str]:
     """
     out["repetition_filtered"] = _rep_cte + """
         SELECT doc_id FROM rep WHERE dup_ratio <= 0.2
+    """
+    # Stupid-Backoff bigram LM (operators/lm.py): unigram/bigram counts
+    # from one tokenize, per-token log-probs QUANTIZED to int64
+    # micro-nats before summation (order-free, engine-exact — the
+    # fixed-point-PageRank trick), ppl from the exact sum. First token
+    # scores add-one unigram; seen bigram c(vw)/c(v); else 0.4 * p_uni.
+    from hadoop_search_engine_spark.operators.lm import EDIT_LLQ, LLQ_SCALE
+
+    _lm_cte = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        uni AS (
+          SELECT term, count(*)::BIGINT AS c
+          FROM (SELECT unnest(t) AS term FROM t) GROUP BY term
+        ),
+        tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
+        tok AS (
+          SELECT doc_id, unnest(t) AS w,
+                 unnest(range(1, len(t) + 1)) AS pos, t
+          FROM t
+        ),
+        tok2 AS (
+          SELECT doc_id, w, pos,
+                 CASE WHEN pos > 1 THEN t[pos - 1] END AS w_prev
+          FROM tok
+        ),
+        big AS (
+          SELECT w_prev, w, count(*)::BIGINT AS c
+          FROM tok2 WHERE pos > 1 GROUP BY w_prev, w
+        )
+    """
+    _lm_perdoc = f"""
+        , costed AS (
+          SELECT tok2.doc_id,
+                 CAST(round(CASE
+                   WHEN pos = 1 THEN
+                     ln((coalesce(uw.c, 0) + 1) / (tot.n + tot.v + 1))
+                   WHEN coalesce(bg.c, 0) > 0 AND coalesce(up.c, 0) > 0 THEN
+                     ln(bg.c / up.c)
+                   ELSE
+                     ln(0.4 * ((coalesce(uw.c, 0) + 1) / (tot.n + tot.v + 1)))
+                 END * {LLQ_SCALE}) AS BIGINT) AS llq
+          FROM tok2
+          LEFT JOIN uni uw ON uw.term = tok2.w
+          LEFT JOIN uni up ON up.term = tok2.w_prev
+          LEFT JOIN big bg ON bg.w_prev = tok2.w_prev AND bg.w = tok2.w
+          CROSS JOIN tot
+        ),
+        perdoc AS (
+          SELECT doc_id, sum(llq)::BIGINT AS sum_llq,
+                 count(*)::BIGINT AS n_tokens
+          FROM costed GROUP BY doc_id
+        ),
+        ppl AS (
+          SELECT d.doc_id,
+                 coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                 coalesce(p.sum_llq, 0)::BIGINT AS sum_llq,
+                 CASE WHEN coalesce(p.n_tokens, 0) > 0
+                      THEN exp(-(p.sum_llq / {LLQ_SCALE}.0) / p.n_tokens)
+                      ELSE 0.0 END AS ppl
+          FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        )
+    """
+    out["lm_perplexity"] = _lm_cte + _lm_perdoc + """
+        SELECT doc_id, n_tokens, sum_llq::VARCHAR AS sum_llq, ppl FROM ppl
+    """
+    out["lm_ppl_filtered"] = _lm_cte + _lm_perdoc + """
+        SELECT doc_id FROM ppl WHERE n_tokens = 0 OR ppl <= 30.5
+    """
+    # phrase suggester: doc 0's first two tokens each + 'x', per-token
+    # candidates = vocab within 1 edit capped 5 by (dist, c desc, term),
+    # every lattice path enumerated and scored with the same quantized
+    # LM + per-edit ln(0.1) channel penalty the Spark Viterbi uses
+    out["lm_suggest_phrase"] = _lm_cte + f"""
+        , qt AS (SELECT t[1] || 'x' AS q0, t[2] || 'x' AS q1
+                 FROM t WHERE doc_id = 0),
+        c0 AS (
+          SELECT term, c, levenshtein(term, (SELECT q0 FROM qt)) AS dist
+          FROM uni WHERE levenshtein(term, (SELECT q0 FROM qt)) <= 1
+          ORDER BY dist ASC, c DESC, term ASC LIMIT 5
+        ),
+        c1 AS (
+          SELECT term, c, levenshtein(term, (SELECT q1 FROM qt)) AS dist
+          FROM uni WHERE levenshtein(term, (SELECT q1 FROM qt)) <= 1
+          ORDER BY dist ASC, c DESC, term ASC LIMIT 5
+        ),
+        paths AS (
+          SELECT c0.term || ' ' || c1.term AS suggestion,
+                 (CAST(round(ln((c0.c + 1) / (tot.n + tot.v + 1))
+                             * {LLQ_SCALE}) AS BIGINT)
+                  + c0.dist * ({EDIT_LLQ})
+                  + CASE WHEN coalesce(bg.c, 0) > 0 THEN
+                      CAST(round(ln(bg.c / c0.c) * {LLQ_SCALE}) AS BIGINT)
+                    ELSE
+                      CAST(round(ln(0.4 * ((c1.c + 1) / (tot.n + tot.v + 1)))
+                                 * {LLQ_SCALE}) AS BIGINT)
+                    END
+                  + c1.dist * ({EDIT_LLQ})) AS score_q
+          FROM c0 CROSS JOIN c1 CROSS JOIN tot
+          LEFT JOIN big bg ON bg.w_prev = c0.term AND bg.w = c1.term
+        )
+        SELECT suggestion, score_q / {LLQ_SCALE}.0 AS score
+        FROM paths ORDER BY score_q DESC, suggestion ASC LIMIT 3
     """
     # data-mix report: the quality formula replayed per doc, grouped
     # by (lang, source), shares from a 1-row totals cross join
