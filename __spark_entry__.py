@@ -120,6 +120,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _lexicon_has_ctf(lex_dir: str) -> bool:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(lex_dir, "*.parquet"))
+    if not files:
+        return False
+    return "ctf" in pq.read_schema(files[0]).names
+
+
 # One real block index per sf_dir, built once per process and reused by
 # every *_indexed query below (cached under /tmp keyed by the sf path;
 # the lexicon is written last, so its _SUCCESS is the completion marker
@@ -154,10 +165,18 @@ def _oracle_index(
         )
 
         akw = {"stopwords": ENGLISH_STOPWORDS, "stem": "s"}
-    if not (
+    complete = (
         os.path.exists(os.path.join(d, "stats.json"))
         and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
-    ):
+    )
+    if complete and not _lexicon_has_ctf(os.path.join(d, "lexicon")):
+        # cache from before the lexicon gained ctf (ranking.py's
+        # LM-Dirichlet collection stats) — rebuild in place
+        import shutil
+
+        shutil.rmtree(d)
+        complete = False
+    if not complete:
         docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
         build_index(spark, docs, d, n_buckets=8, positions=positions, **akw)
     ix = Index.load(spark, d)
@@ -198,6 +217,57 @@ def q_bm25_topk_indexed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = search_topk(
         ix, " ".join(FLAGSHIP_TERMS), k=20, mode="and", serving="spark"
     )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable similarity (operators/ranking.py) on the indexed
+    serving path: LM Dirichlet (Lucene LMDirichletSimilarity — clamped
+    per-term query-likelihood with a mu-smoothed collection model,
+    p(t|C) = ctf/T from the new lexicon ctf column) over the SAME
+    block index; the DuckDB oracle replays the formula from raw
+    tokens. The capability the reference's posting-order 'ranking'
+    (search.service.js:58-90) can't express at all."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=20, serving="spark",
+                      similarity="lm_dirichlet")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_lm_dirichlet_topk_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet through driver serving (pyarrow reads + the same
+    NumPy scorer, no Spark job) — same oracle as the spark row."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=20, serving="driver",
+                      similarity="lm_dirichlet")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_tfidf_classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF similarity (Lucene ClassicSimilarity, exact
+    float64 — no 8-bit norm quantization) on the indexed path:
+    (1+ln(N/(df+1)))^2 * sqrt(tf)/sqrt(dl) per matched term."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=20, serving="spark",
+                      similarity="tfidf")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_boolean_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean similarity (ES `boolean`): score = number of matched
+    query terms (boost-weighted); ties broken doc_id asc. Uses the
+    WAND path's constant block bounds — cover pruning still applies."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    ix = _oracle_index(spark, sf_dir)
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=20, serving="spark",
+                      similarity="boolean")
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -2068,6 +2138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_indexed_driver": q_bm25_topk_indexed_driver,
         "bm25_topk_indexed_and": q_bm25_topk_indexed_and,
+        "lm_dirichlet_topk": q_lm_dirichlet_topk,
+        "lm_dirichlet_topk_driver": q_lm_dirichlet_topk_driver,
+        "tfidf_classic_topk": q_tfidf_classic_topk,
+        "boolean_sim_topk": q_boolean_sim_topk,
         "analyzed_tokens": q_analyzed_tokens,
         "bm25_topk_analyzed": q_bm25_topk_analyzed,
         "bm25_topk_analyzed_driver": q_bm25_topk_analyzed_driver,
@@ -2967,6 +3041,57 @@ def oracle_sql() -> dict[str, str]:
     # (compressed postings + WAND/dense/driver serving), not just the
     # DataFrame baseline
     out["bm25_topk_indexed"] = out["bm25_topk"]
+    # pluggable similarities (operators/ranking.py) — each formula
+    # replayed from raw tokens; round(,4) absorbs summation-order ulps
+    out["lm_dirichlet_topk"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        tot AS (SELECT sum(doc_len) AS t FROM dl),
+        d AS (SELECT term, sum(tf)::double AS ctf FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(greatest(0.0,
+                     ln(1.0 + tf.tf / (2000.0 * (d.ctf / tot.t)))
+                     + ln(2000.0 / (dl.doc_len + 2000.0)))) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN tot
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    out["lm_dirichlet_topk_driver"] = out["lm_dirichlet_topk"]
+    out["tfidf_classic_topk"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum(pow(1.0 + ln(c.n / (d.df + 1.0)), 2)
+                     * sqrt(tf.tf) / sqrt(dl.doc_len)) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    out["boolean_sim_topk"] = f"""
+        WITH {_TF_CTE},
+        scored AS (
+          SELECT doc_id, count(*)::double AS score
+          FROM tf WHERE term IN ({terms_in}) GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     out["bm25_topk_resharded"] = out["bm25_topk"]
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
     out["boolean_search_indexed"] = out["boolean_search"]

@@ -1028,5 +1028,10 @@ def _write_lexicon(spark: SparkSession, out_dir: str, stats: IndexStats) -> None
     lex = term_stats.join(term_dict, "term_hash").select(
         "term", "term_hash", "bucket", "df", "n_blocks",
         idf_col(stats.n_docs, F.col("df")).alias("idf"),
+        # collection term frequency (sum of tf over the whole corpus) —
+        # free here (term_stats already aggregates it as `tokens` for
+        # the lineage counters); ranking.LMDirichlet's collection
+        # language model reads it per query term from the lexicon probe
+        F.col("tokens").alias("ctf"),
     )
     lex.write.mode("overwrite").parquet(os.path.join(out_dir, "lexicon"))

@@ -261,6 +261,21 @@ class Index:
             self._dl_bc = self.spark.sparkContext.broadcast(arr)
         return self._dl_bc
 
+    _total_tokens: object = None
+
+    def total_tokens(self) -> int:
+        """Exact corpus token count (sum of doc lengths), loaded once
+        per Index — the LM-Dirichlet collection-model denominator.
+        Integer-exact and engine-independent (the DuckDB oracle
+        recomputes the identical sum), unlike ``n_docs * avgdl`` which
+        would round-trip through a float. Global like every other
+        ranking statistic: tombstones don't shift it until vacuum."""
+        if self._total_tokens is None:
+            row = self.doc_stats.agg(
+                F.sum("doc_len").alias("t")).collect()[0]
+            self._total_tokens = int(row["t"] or 0)
+        return self._total_tokens
+
     def lexicon_map(self) -> dict | None:
         """Driver-cached term -> {df, idf, bucket, hash} for small
         vocabularies (loaded once per Index), else None. A Zipfian web
@@ -268,20 +283,26 @@ class Index:
         beyond that, per-query lexicon probes stay a pushed-down Spark
         filter."""
         if self._lex_map is None:
-            pdf = (
-                self.lexicon.limit(LEXICON_CACHE_MAX_TERMS + 1)
-                .select("term", "term_hash", "df", "idf", "bucket")
-                .toPandas()
+            lex = self.lexicon
+            has_ctf = "ctf" in lex.columns
+            cols = ["term", "term_hash", "df", "idf", "bucket"] + (
+                ["ctf"] if has_ctf else []
             )
+            pdf = lex.limit(LEXICON_CACHE_MAX_TERMS + 1).select(*cols).toPandas()
             if len(pdf) > LEXICON_CACHE_MAX_TERMS:
                 self._lex_map = {}  # sentinel: too big, use Spark probes
             else:
+                ctfs = pdf["ctf"] if has_ctf else None
                 self._lex_map = {
-                    t: {"df": int(d), "idf": float(i), "bucket": int(b), "hash": int(h)}
-                    for t, h, d, i, b in zip(
+                    t: {
+                        "df": int(d), "idf": float(i), "bucket": int(b),
+                        "hash": int(h),
+                        "ctf": int(ctfs.iat[j]) if has_ctf else None,
+                    }
+                    for j, (t, h, d, i, b) in enumerate(zip(
                         pdf["term"], pdf["term_hash"], pdf["df"],
                         pdf["idf"], pdf["bucket"],
-                    )
+                    ))
                 }
         return self._lex_map if self._lex_map else None
 
@@ -626,11 +647,14 @@ def _lookup_terms(index: Index, terms: list[str]) -> dict[str, dict]:
     cached = index.lexicon_map()
     if cached is not None:
         return {t: cached[t] for t in terms if t in cached}
-    rows = index.lexicon.where(F.col("term").isin(terms)).collect()
+    lex = index.lexicon
+    has_ctf = "ctf" in lex.columns
+    rows = lex.where(F.col("term").isin(terms)).collect()
     return {
         r["term"]: {
             "df": r["df"], "idf": r["idf"], "bucket": r["bucket"],
             "hash": r["term_hash"],
+            "ctf": int(r["ctf"]) if has_ctf else None,
         }
         for r in rows
     }
@@ -671,8 +695,19 @@ def search_topk(
     b: float | None = None,
     after: tuple[int, float] | None = None,
     min_should_match: int | None = None,
+    similarity=None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a free-text query, BM25-ranked.
+
+    ``similarity`` (Lucene/ES similarity-module surface) swaps the
+    ranking model for THIS query over the unchanged index: ``None`` /
+    ``"bm25"`` (default, the native path), ``"lm_dirichlet"`` /
+    ``ranking.LMDirichlet(mu=...)``, ``"tfidf"`` (ClassicSimilarity,
+    exact arithmetic), ``"boolean"`` — see ``operators/ranking.py``.
+    Every contribution is monotone (tf up, dl down), so WAND's block
+    bounds stay exact and all serving paths / algorithms / modes /
+    filters compose unchanged. ``k1``/``b`` overrides are
+    BM25-specific and rejected with any other similarity.
 
     Per-term boosts (Lucene query-string subset): ``"spark^2 query
     table^0.5"`` multiplies each boosted term's BM25 contribution —
@@ -786,8 +821,44 @@ def search_topk(
     if resolved is None:
         return _empty_df(index.spark, TOPK_SCHEMA)
     stats, ordered_terms, algorithm = resolved
+    term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
+                                    k1=k1, b=b)
     return _execute_topk(index, stats, ordered_terms, k, mode,
-                         serving, algorithm, doc_filter, after=after)
+                         serving, algorithm, doc_filter, after=after,
+                         term_fns=term_fns)
+
+
+def _similarity_term_fns(
+    index: Index,
+    similarity,
+    query_text: str,
+    synonyms: dict[str, str] | None,
+    k1=None,
+    b=None,
+) -> dict | None:
+    """Resolve a ``similarity`` spec into the per-term contribution
+    table the scorers consume, or None for the native BM25 path. The
+    query re-parses through the same front end (cheap: the lexicon
+    probe is driver-cached), keeping :func:`_resolve_query`'s contract
+    unchanged for its other callers."""
+    from .ranking import build_term_fns, resolve_similarity
+
+    sim = resolve_similarity(similarity)
+    if sim is None:
+        return None
+    if k1 is not None or b is not None:
+        raise ValueError(
+            "k1/b are BM25 parameters; they cannot combine with "
+            f"similarity={getattr(sim, 'name', sim)!r}"
+        )
+    terms, boosts = parse_query_boosted(query_text, synonyms,
+                                        index.token_fn())
+    meta = _lookup_terms(index, terms)
+    total = (
+        index.total_tokens()
+        if getattr(sim, "name", "") == "lm_dirichlet" else 0
+    )
+    return build_term_fns(sim, meta, boosts, index.stats.n_docs, total)
 
 
 def _check_after(after) -> tuple[int, float] | None:
@@ -866,6 +937,7 @@ def search_topk_rows(
     k1: float | None = None,
     b: float | None = None,
     after: tuple[int, float] | None = None,
+    similarity=None,
 ) -> list[tuple[int, float]]:
     """:func:`search_topk` with ``serving="driver"``, returning plain
     ``[(doc_id, score)]`` pairs instead of a DataFrame — the serving
@@ -904,9 +976,12 @@ def search_topk_rows(
         tomb = index.tombstone_array()
     k_eff = k + (int(tomb.size) if tomb is not None else 0)
     hit_hashes = sorted(h for h, _, _ in ordered_terms)
+    term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
+                                    k1=k1, b=b)
     return _driver_search_pairs(
         index, ordered_terms, hit_hashes, k_eff, mode, algorithm,
         exclude=tomb, final_k=k, stats=stats, after=after,
+        term_fns=term_fns,
     )
 
 
@@ -921,6 +996,7 @@ def _execute_topk(
     doc_filter: DataFrame | None,
     after: tuple[int, float] | None = None,
     merge_topk: bool = True,
+    term_fns: dict | None = None,
 ) -> DataFrame:
     """Scoring tail shared by :func:`search_topk` and
     :func:`search_topk_segments`. ``ordered_terms`` carry the idf
@@ -975,7 +1051,8 @@ def _execute_topk(
                 exclude_df.select("doc_id"), "doc_id", "left_anti"
             )
         scorer = _make_shard_scorer(ordered_terms, stats, k, "dense",
-                                    mode=mode, require_dl=True, after=after)
+                                    mode=mode, require_dl=True, after=after,
+                                    term_fns=term_fns)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -1001,6 +1078,7 @@ def _execute_topk(
         return _driver_search(
             index, ordered_terms, buckets, hit_hashes, k_eff, mode,
             algorithm, exclude=tomb, final_k=k, stats=stats, after=after,
+            term_fns=term_fns,
         )
 
     # Size the scorer shuffle to the work, not the session: the
@@ -1018,7 +1096,8 @@ def _execute_topk(
         # fast path: doc lengths are a session-broadcast dense array;
         # one job, no dl shuffle, no cogroup.
         scorer = _make_shard_scorer(ordered_terms, stats, k_eff, algorithm,
-                                    dl_bc=dl_bc, mode=mode, after=after)
+                                    dl_bc=dl_bc, mode=mode, after=after,
+                                    term_fns=term_fns)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -1031,7 +1110,8 @@ def _execute_topk(
         shards = blocks.select("shard").distinct()
         dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
         scorer = _make_shard_scorer(ordered_terms, stats, k_eff, algorithm,
-                                    mode=mode, after=after)
+                                    mode=mode, after=after,
+                                    term_fns=term_fns)
         per_shard = (
             blocks.repartition(n_parts, "shard")
             .groupBy("shard")
@@ -1733,6 +1813,7 @@ def _driver_search_pairs(
     final_k: int | None = None,
     stats: IndexStats | None = None,
     after: tuple[int, float] | None = None,
+    term_fns: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Driver-side serving core: read ONLY the probed posting rows via
     the per-Index pyarrow dataset / hot-postings LRU
@@ -1774,7 +1855,7 @@ def _driver_search_pairs(
                 _score_dense(None, dl, base, ordered_terms, stats.k1,
                              stats.b, stats.avgdl, k, required,
                              tf_cache=tfc, shard=s, rows_for=rows_for,
-                             after=after)
+                             after=after, term_fns=term_fns)
             )
     else:
         pdf = index.postings_rows(hit_hashes)
@@ -1791,7 +1872,8 @@ def _driver_search_pairs(
             else:
                 pairs.extend(
                     score_fn(grp, dl, base, ordered_terms, stats.k1,
-                             stats.b, stats.avgdl, k, required, after=after)
+                             stats.b, stats.avgdl, k, required, after=after,
+                             term_fns=term_fns)
                 )
     if exclude is not None and pairs:
         # tombstone mask, still driver-side (no Spark job): the
@@ -1819,6 +1901,7 @@ def _driver_search(
     final_k: int | None = None,
     stats: IndexStats | None = None,
     after: tuple[int, float] | None = None,
+    term_fns: dict | None = None,
 ) -> DataFrame:
     """:func:`_driver_search_pairs` wrapped back into the DataFrame
     contract (typical latency: milliseconds instead of the ~0.5 s
@@ -1829,7 +1912,7 @@ def _driver_search(
     top = _driver_search_pairs(
         index, ordered_terms, hit_hashes, k, mode, algorithm,
         pairs_fn=pairs_fn, exclude=exclude, final_k=final_k, stats=stats,
-        after=after,
+        after=after, term_fns=term_fns,
     )
     if not top:
         return _empty_df(spark, TOPK_SCHEMA)
@@ -1843,7 +1926,8 @@ def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
                        stats: IndexStats, k: int, algorithm: str,
                        dl_bc=None, mode: str = "or", pairs_fn=None,
                        require_dl: bool = False,
-                       after: tuple[int, float] | None = None):
+                       after: tuple[int, float] | None = None,
+                       term_fns: dict | None = None):
     """Scorer for one shard. With ``dl_bc`` (broadcast dense doc_len
     array) it is an ``applyInPandas`` group function over blocks only;
     without, a cogroup function joining blocks with the shard's dl rows.
@@ -1863,10 +1947,10 @@ def _make_shard_scorer(ordered_terms: list[tuple[int, str, float]],
         elif algorithm == "dense":
             pairs = _score_dense(left, dl, base, ordered_terms, k1, b, avgdl,
                                  k, required, require_dl=require_dl,
-                                 after=after)
+                                 after=after, term_fns=term_fns)
         else:
             pairs = _score_wand(left, dl, base, ordered_terms, k1, b, avgdl,
-                                k, required, after=after)
+                                k, required, after=after, term_fns=term_fns)
         return pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(
             {"doc_id": "int64", "score": "float64"}
         )
@@ -1966,6 +2050,7 @@ def _score_dense(
     shard: int | None = None,
     rows_for=None,
     after: tuple[int, float] | None = None,
+    term_fns: dict | None = None,
 ) -> list[tuple[int, float]]:
     span = dl.shape[0]
     scores = np.zeros(span, dtype=np.float64)
@@ -2011,7 +2096,14 @@ def _score_dense(
                     tf_cache.put((th, shard), dt)
             if len(dt):
                 off = dt[0]
-                got = (off, _partial(dt[1], dl[off], k1, b, avgdl))
+                if term_fns is not None:
+                    # pluggable similarity (ranking.py): the per-term
+                    # fn returns the FULL contribution (weight folded
+                    # in), so no idf multiply below. decode_cache
+                    # (batch serving) never co-exists with term_fns.
+                    got = (off, term_fns[th](dt[1], dl[off]))
+                else:
+                    got = (off, _partial(dt[1], dl[off], k1, b, avgdl))
             else:
                 got = ()
             if decode_cache is not None:
@@ -2020,7 +2112,7 @@ def _score_dense(
             continue
         off, part = got
         present += 1
-        scores[off] += idf * part
+        scores[off] += part if term_fns is not None else idf * part
         nterms[off] += 1
     if required:
         if present < required:
@@ -2046,13 +2138,16 @@ class _TermBlocks:
     Storing the raw pair (instead of a precomputed partial) frees the
     index builder from needing avgdl before encoding."""
 
-    __slots__ = ("term", "idf", "rows", "firsts", "ends", "ubs", "_cache")
+    __slots__ = ("term", "idf", "fn", "rows", "firsts", "ends", "ubs",
+                 "_cache")
 
     def __init__(self, term: str, idf: float, grp: pd.DataFrame,
-                 k1: float, b: float, avgdl: float, shard_end: int):
+                 k1: float, b: float, avgdl: float, shard_end: int,
+                 fn=None):
         grp = grp.sort_values("block_id")
         self.term = term
         self.idf = idf
+        self.fn = fn
         self.rows = list(grp.itertuples(index=False))
         self.firsts = grp["first_doc_id"].to_numpy(np.int64)
         # block i's doc range is [firsts[i], firsts[i+1]); the last
@@ -2060,9 +2155,16 @@ class _TermBlocks:
         self.ends = np.append(self.firsts[1:], np.int64(shard_end))
         mt = grp["max_tf"].to_numpy(np.float64)
         md = grp["min_dl"].to_numpy(np.float64)
-        self.ubs = idf * (mt * (k1 + 1.0)) / (
-            mt + k1 * (1.0 - b + b * md / avgdl)
-        )
+        if fn is not None:
+            # pluggable similarity: the contribution is monotone in
+            # (tf up, dl down) by ranking.py's contract, so the same
+            # per-term fn evaluated at the stored (max_tf, min_dl)
+            # pair IS the exact block upper bound
+            self.ubs = np.asarray(fn(mt, md), dtype=np.float64)
+        else:
+            self.ubs = idf * (mt * (k1 + 1.0)) / (
+                mt + k1 * (1.0 - b + b * md / avgdl)
+            )
         self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def decode(self, bi: int) -> tuple[np.ndarray, np.ndarray]:
@@ -2083,6 +2185,7 @@ def _score_wand(
     k1: float, b: float, avgdl: float, k: int,
     required: int = 0,
     after: tuple[int, float] | None = None,
+    term_fns: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one shard, segment-vectorized.
 
@@ -2118,7 +2221,10 @@ def _score_wand(
     for th, term, idf in ordered_terms:
         grp = left[hashes == th]
         if len(grp):
-            terms.append(_TermBlocks(term, idf, grp, k1, b, avgdl, shard_end))
+            terms.append(_TermBlocks(
+                term, idf, grp, k1, b, avgdl, shard_end,
+                fn=None if term_fns is None else term_fns[th],
+            ))
     if not terms or (required and len(terms) < required):
         return []
 
@@ -2175,7 +2281,12 @@ def _score_wand(
                 continue
             dseg = d[s0:s1]
             off = dseg - lo
-            acc[off] += t.idf * _partial(tf[s0:s1], dl[dseg - base], k1, b, avgdl)
+            if t.fn is not None:
+                acc[off] += t.fn(tf[s0:s1], dl[dseg - base])
+            else:
+                acc[off] += t.idf * _partial(
+                    tf[s0:s1], dl[dseg - base], k1, b, avgdl
+                )
             ntouch[off] += 1
         idx = np.flatnonzero(ntouch >= required) if required else np.flatnonzero(ntouch)
         if not idx.size:

@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="override BM25 k1 for this query (no rebuild)")
     ap.add_argument("--b", type=float, default=None,
                     help="override BM25 b for this query (no rebuild)")
+    ap.add_argument("--similarity",
+                    choices=["bm25", "lm_dirichlet", "tfidf", "boolean"],
+                    default="bm25",
+                    help="ranking model for this query over the same "
+                         "index (operators/ranking.py); lm_dirichlet "
+                         "uses mu=2000")
     ap.add_argument("--algorithm", choices=["auto", "wand", "dense"], default="auto")
     ap.add_argument("--mode", choices=["or", "and"], default="or",
                     help="or = reference-style disjunctive; and = conjunctive")
@@ -312,7 +318,8 @@ def main(argv: list[str] | None = None) -> None:
             pairs = search_topk_rows(idx, args.query, k=args.k,
                                      algorithm=args.algorithm,
                                      mode=args.mode, k1=args.k1, b=args.b,
-                                     after=_parse_after(args.after))
+                                     after=_parse_after(args.after),
+                                     similarity=args.similarity)
             print(json.dumps([{"doc_id": d, "score": s} for d, s in pairs]))
             if owns_session:
                 spark.stop()
@@ -320,7 +327,8 @@ def main(argv: list[str] | None = None) -> None:
         result = search_topk(idx, args.query, k=args.k, algorithm=args.algorithm,
                              mode=args.mode, k1=args.k1, b=args.b,
                              after=_parse_after(args.after),
-                             min_should_match=args.msm)
+                             min_should_match=args.msm,
+                             similarity=args.similarity)
         if args.documents:
             docs = spark.read.parquet(args.documents)
             result = materialize(result, docs)
