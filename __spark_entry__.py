@@ -271,6 +271,126 @@ def q_boolean_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_match_scores_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scored FULL match set (query_exec.match_scores) — the
+    composition primitive under multi_match and function_score: every
+    matched doc with its exact BM25 score, no top-k cut, cost ∝ query
+    df. Oracle = the bm25 SQL without its LIMIT."""
+    from hadoop_search_engine_spark.operators.query_exec import match_scores
+
+    ix = _oracle_index(spark, sf_dir)
+    out = match_scores(ix, " ".join(FLAGSHIP_TERMS))
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# Multi-field index: title = first 8 whitespace fields of text, body =
+# the rest — a deterministic split both engines can derive from the
+# documents table (no extra input data), giving the two fields truly
+# different statistics (df, dl, avgdl) like a real title/body pair.
+def _mf_field_exprs():
+    return {
+        "title": F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "),
+        "body": F.array_join(
+            F.slice(F.split(F.col("text"), " "), 9, 1 << 20), " "
+        ),
+    }
+
+
+_MF_INDEXES: dict = {}
+
+
+def _mf_oracle_index(spark: SparkSession, sf_dir: str):
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.multifield import (
+        MultiFieldIndex,
+        build_multifield_index,
+    )
+
+    key = os.path.abspath(sf_dir)
+    mf = _MF_INDEXES.get(key)
+    if mf is not None and mf.spark is spark:
+        return mf
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_mf_{tag}"
+    # fields.json is written LAST (atomic rename) — its presence is the
+    # completion marker; a half-built leftover rebuilds from scratch
+    if not os.path.exists(os.path.join(d, "fields.json")):
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        mf = build_multifield_index(spark, docs, d, _mf_field_exprs(),
+                                    n_buckets=8)
+    else:
+        mf = MultiFieldIndex.load(spark, d)
+    _MF_INDEXES[key] = mf
+    return mf
+
+
+MF_BOOSTS = {"title": 3.0, "body": 1.0}
+
+
+def q_multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match most_fields over a real two-field index (one
+    complete sub-index per field, field-accurate df/dl/avgdl):
+    combined = sum over fields of boost * field BM25, via the full
+    per-field scored match sets (a doc outside one field's top-k can
+    lead the combined ranking). Capability the single-blob reference
+    index cannot express (its Scala job indexes one (file, words)
+    pair, README.md:423-427)."""
+    from hadoop_search_engine_spark.operators.multifield import multi_match
+
+    mf = _mf_oracle_index(spark, sf_dir)
+    top = multi_match(mf, " ".join(FLAGSHIP_TERMS), k=20, boosts=MF_BOOSTS)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_multi_match_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match best_fields with tie_breaker 0.3 — max field
+    score + 0.3 * the rest — served driver-side (no Spark job) and
+    wrapped back to the DataFrame contract."""
+    from hadoop_search_engine_spark.operators.multifield import (
+        multi_match_rows,
+    )
+
+    mf = _mf_oracle_index(spark, sf_dir)
+    pairs = multi_match_rows(mf, " ".join(FLAGSHIP_TERMS), k=20,
+                             boosts=MF_BOOSTS, combine="best_fields",
+                             tie_breaker=0.3)
+    df = spark.createDataFrame(pairs or [], "doc_id long, score double")
+    return df.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_function_score_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score: BM25 relevance * gauss decay on n_chars
+    (origin 300, scale 150, decay 0.5) — the freshness/length-prior
+    re-weighting a query alone cannot express; exact over the FULL
+    match set (not a rescore window)."""
+    from hadoop_search_engine_spark.operators.hybrid import function_score
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    top = function_score(
+        ix, " ".join(FLAGSHIP_TERMS), docs, k=20,
+        decay={"kind": "gauss", "field": "n_chars",
+               "origin": 300.0, "scale": 150.0},
+    )
+    return top.select("doc_id", "score")
+
+
+def q_function_score_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score field_value_factor: relevance + log1p(n_chars
+    * 0.01) (boost_mode=sum) — additive popularity-style boost."""
+    from hadoop_search_engine_spark.operators.hybrid import function_score
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    top = function_score(
+        ix, " ".join(FLAGSHIP_TERMS), docs, k=20, boost_mode="sum",
+        field_value_factor={"field": "n_chars", "factor": 0.01,
+                            "modifier": "log1p"},
+    )
+    return top.select("doc_id", "score")
+
+
 # Raw analyzed-path query: the analyzer (Lucene classic stopword set +
 # Harman S-stem) must strip the stopwords and stem queries->query,
 # tables->table — landing exactly on the flagship terms, but against
@@ -2142,6 +2262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk_driver": q_lm_dirichlet_topk_driver,
         "tfidf_classic_topk": q_tfidf_classic_topk,
         "boolean_sim_topk": q_boolean_sim_topk,
+        "match_scores_all": q_match_scores_all,
+        "multi_match_most_fields": q_multi_match_most_fields,
+        "multi_match_best_fields": q_multi_match_best_fields,
+        "function_score_gauss": q_function_score_gauss,
+        "function_score_fvf": q_function_score_fvf,
         "analyzed_tokens": q_analyzed_tokens,
         "bm25_topk_analyzed": q_bm25_topk_analyzed,
         "bm25_topk_analyzed_driver": q_bm25_topk_analyzed_driver,
@@ -3091,6 +3216,106 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, round(score, 4) AS score
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # full scored match set: the bm25 SQL without its LIMIT
+    out["match_scores_all"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term)
+        SELECT tf.doc_id, round(sum({score}), 4) AS score
+        FROM tf
+        JOIN d ON tf.term = d.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN c
+        GROUP BY tf.doc_id
+    """
+
+    # multi_match: per-field BM25 from the field's OWN statistics
+    # (df/dl/avgdl over the field corpus), then the ES combine
+    def _mf_ctes(p: str, field_sql: str) -> str:
+        ftoks = sql_tokens_duckdb(field_sql)
+        fidf = sql_idf("c.n", "d.df")
+        fscore = sql_score("tf.tf", "dl.doc_len", fidf, "c.avgdl",
+                           BM25_K1, BM25_B)
+        return f"""
+        {p}_toks AS (SELECT doc_id, unnest({ftoks}) AS term FROM documents),
+        {p}_tf AS (SELECT term, doc_id, count(*) AS tf FROM {p}_toks GROUP BY term, doc_id),
+        {p}_dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM {p}_tf GROUP BY doc_id),
+        {p}_c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM {p}_dl),
+        {p}_d AS (SELECT term, count(*)::double AS df FROM {p}_tf
+                  WHERE term IN ({terms_in}) GROUP BY term),
+        {p}_scored AS (
+          SELECT tf.doc_id, sum({fscore}) AS s
+          FROM {p}_tf tf
+          JOIN {p}_d d ON tf.term = d.term
+          JOIN {p}_dl dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN {p}_c c
+          GROUP BY tf.doc_id
+        )"""
+
+    _title_sql = "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')"
+    _body_sql = (
+        "array_to_string(list_slice(string_split(text, ' '), 9, 100000000), ' ')"
+    )
+    _mf_union = f"""
+        u AS (
+          SELECT doc_id, {MF_BOOSTS['title']} * s AS s FROM t_scored
+          UNION ALL
+          SELECT doc_id, {MF_BOOSTS['body']} * s AS s FROM b_scored
+        )"""
+    out["multi_match_most_fields"] = f"""
+        WITH {_mf_ctes('t', _title_sql)}, {_mf_ctes('b', _body_sql)}, {_mf_union}
+        SELECT doc_id, round(sum(s), 4) AS score
+        FROM u GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    out["multi_match_best_fields"] = f"""
+        WITH {_mf_ctes('t', _title_sql)}, {_mf_ctes('b', _body_sql)}, {_mf_union}
+        SELECT doc_id,
+               round(max(s) + 0.3 * (sum(s) - max(s)), 4) AS score
+        FROM u GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+
+    # function_score: relevance rounded at 4 dp, factor at 6 dp, then
+    # the combine — the engine's exact determinism contract
+    import math as _math
+
+    _two_sigma_sq = -(150.0 * 150.0) / _math.log(0.5)
+    _fs_rel = f"""
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+        rel AS (
+          SELECT tf.doc_id, round(sum({score}), 4) AS r
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )"""
+    out["function_score_gauss"] = f"""
+        WITH {_TF_CTE}, {_fs_rel},
+        fac AS (
+          SELECT doc_id,
+                 round(exp(-(pow(greatest(abs(n_chars::double - 300.0), 0.0), 2))
+                           / {_two_sigma_sq!r}), 6) AS f
+          FROM documents
+        )
+        SELECT rel.doc_id, round(rel.r * fac.f, 6) AS score
+        FROM rel JOIN fac ON rel.doc_id = fac.doc_id
+        ORDER BY score DESC, rel.doc_id ASC LIMIT 20
+    """
+    out["function_score_fvf"] = f"""
+        WITH {_TF_CTE}, {_fs_rel},
+        fac AS (
+          SELECT doc_id, round(ln(1.0 + n_chars::double * 0.01), 6) AS f
+          FROM documents
+        )
+        SELECT rel.doc_id, round(rel.r + fac.f, 6) AS score
+        FROM rel JOIN fac ON rel.doc_id = fac.doc_id
+        ORDER BY score DESC, rel.doc_id ASC LIMIT 20
     """
     out["bm25_topk_resharded"] = out["bm25_topk"]
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]

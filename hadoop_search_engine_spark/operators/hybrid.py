@@ -211,3 +211,115 @@ def rescore_topk(
         cos.alias("secondary"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def function_score(
+    index,
+    query_text: str,
+    docs: DataFrame,
+    k: int = 10,
+    decay: dict | None = None,
+    field_value_factor: dict | None = None,
+    boost_mode: str = "multiply",
+    mode: str = "or",
+    synonyms: dict[str, str] | None = None,
+    similarity=None,
+) -> DataFrame:
+    """ES ``function_score``: re-weight relevance by a document-level
+    signal — freshness decay, popularity, length priors — the query
+    itself can't express. Exactly ES's semantics:
+
+      * ``decay``: ``{"kind": "gauss"|"exp"|"linear", "field": col,
+        "origin": o, "scale": s, "offset": 0.0, "decay": 0.5}`` —
+        the factor is 1 at ``origin`` (± ``offset``) and reaches
+        ``decay`` at distance ``scale``:
+          gauss:  exp(-d² / (2σ²)),  σ² = -scale²/(2 ln decay)
+          exp:    exp(d · ln(decay)/scale)
+          linear: max(0, (S - d)/S),  S = scale/(1 - decay)
+        with d = max(0, |field - origin| - offset).
+      * ``field_value_factor``: ``{"field": col, "factor": f,
+        "modifier": "none"|"log1p"|"sqrt", "missing": m}`` —
+        modifier(field * factor), ES field_value_factor.
+      * both given: the factors multiply (ES score_mode=multiply).
+      * ``boost_mode``: ``multiply`` (default) | ``sum`` | ``replace``
+        — how the factor combines with the relevance score.
+
+    Returns ``(doc_id, score, relevance, factor)``.
+
+    Scale shape: the relevance side is :func:`~.query_exec
+    .match_scores` — the FULL scored match set (cost ∝ query df; a
+    boost can promote any matched doc, so a top-k window would be
+    inexact — that cheaper trade IS :func:`rescore_topk`). The factor
+    side prunes ``docs`` to (doc_id, field) columns before a join on
+    the matched set — a column-pruned shuffle join sized by the match
+    set, never a corpus-wide product. Determinism contract: relevance
+    rounded at 4 dp, factor at 6 dp before combining (the board's
+    branch precisions), so the DuckDB oracle is bit-identical.
+    """
+    import math
+
+    from .query_exec import match_scores
+
+    if boost_mode not in ("multiply", "sum", "replace"):
+        raise ValueError(f"unknown boost_mode {boost_mode!r}")
+    if decay is None and field_value_factor is None:
+        raise ValueError("need decay and/or field_value_factor")
+
+    matched = match_scores(index, query_text, synonyms=synonyms, mode=mode,
+                           similarity=similarity)
+    factor = F.lit(1.0)
+    cols = set()
+    if decay is not None:
+        kind = decay.get("kind", "gauss")
+        if kind not in ("gauss", "exp", "linear"):
+            raise ValueError(f"unknown decay kind {kind!r}")
+        o = float(decay["origin"])
+        s = float(decay["scale"])
+        off = float(decay.get("offset", 0.0))
+        dec = float(decay.get("decay", 0.5))
+        if not (s > 0 and 0 < dec < 1):
+            raise ValueError("need scale > 0 and 0 < decay < 1")
+        fld = F.col(decay["field"]).cast("double")
+        d = F.greatest(F.abs(fld - o) - off, F.lit(0.0))
+        if kind == "gauss":
+            two_sigma_sq = -(s * s) / math.log(dec)
+            dfac = F.exp(-(d * d) / two_sigma_sq)
+        elif kind == "exp":
+            dfac = F.exp(d * (math.log(dec) / s))
+        else:
+            big_s = s / (1.0 - dec)
+            dfac = F.greatest((big_s - d) / big_s, F.lit(0.0))
+        # ES: a doc missing the decay field gets factor 1
+        factor = factor * F.coalesce(dfac, F.lit(1.0))
+        cols.add(decay["field"])
+    if field_value_factor is not None:
+        fvf = field_value_factor
+        raw = F.col(fvf["field"]).cast("double") * float(fvf.get("factor", 1.0))
+        modifier = fvf.get("modifier", "none")
+        if modifier == "log1p":
+            raw = F.log1p(raw)
+        elif modifier == "sqrt":
+            raw = F.sqrt(raw)
+        elif modifier != "none":
+            raise ValueError(f"unknown modifier {modifier!r}")
+        missing = float(fvf.get("missing", 1.0))
+        factor = factor * F.coalesce(raw, F.lit(missing))
+        cols.add(fvf["field"])
+
+    meta = docs.select(F.col("doc_id"), *[F.col(c) for c in sorted(cols)])
+    j = matched.join(meta, "doc_id", "left")
+    rel = F.round(F.col("score"), 4)
+    fac = F.round(factor, 6)
+    if boost_mode == "multiply":
+        combined = rel * fac
+    elif boost_mode == "sum":
+        combined = rel + fac
+    else:
+        combined = fac
+    out = j.select(
+        "doc_id",
+        F.round(combined, 6).alias("score"),
+        rel.alias("relevance"),
+        fac.alias("factor"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -1,0 +1,192 @@
+"""Multi-field indexes + ES ``multi_match`` over them.
+
+The reference engine indexes ONE text blob per document (README.md's
+4-line Scala job has a single (file, words) input; the serving map is
+term -> docs, server/src/services/search.service.js:12-16). Real web
+search is multi-field — title vs body vs anchor text, each with its
+own statistics and boost. This module composes that capability from
+the existing single-field machinery with NO new scorer code:
+
+  * ``build_multifield_index`` builds one complete sub-index per field
+    (same block/posting format, its own df/dl/avgdl — field-accurate
+    statistics, exactly Lucene's per-field inverted index) under
+    ``out_dir/fields/<name>/``, sharing the corpus doc_id space.
+  * ``multi_match`` scores the query against every requested field via
+    :func:`~.query_exec.match_scores` (the FULL scored match set per
+    field, cost ∝ query df — a doc outside one field's top-k can lead
+    the combined ranking, so per-field top-k merges would be
+    inexact), then combines per doc:
+      - ``most_fields``: sum of field scores (boost-weighted) —
+        ES multi_match most_fields semantics;
+      - ``best_fields``: max field score + ``tie_breaker`` * (sum of
+        the others) — ES best_fields with tie_breaker (0 = pure max,
+        1 ≡ most_fields).
+    ``mode="and"`` is per-field conjunctive: a doc qualifies if at
+    least one field contains EVERY query term, and each qualifying
+    field contributes (ES best_fields + operator=and semantics).
+
+At scale the combine is one shuffle of the matched doc set (never the
+corpus): union per-field (doc_id, score), hash-aggregate by doc_id,
+TakeOrderedAndProject for the final k. Driver serving combines the
+per-field pair lists in NumPy with no Spark job at all. Per-query
+``similarity`` (operators/ranking.py) composes — each field scores
+under the chosen model with its own field statistics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import build_index
+from .query_exec import Index, match_scores, match_scores_pairs
+
+_MANIFEST = "fields.json"
+
+
+def build_multifield_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    fields: dict[str, object],
+    **build_kw,
+) -> "MultiFieldIndex":
+    """Build one sub-index per field. ``fields`` maps field name ->
+    column (name or Column expression) on ``docs``; every sub-index is
+    a full, independently-servable Index (phrase/fuzzy/facets all work
+    per field). Docs where a field is empty simply don't appear in
+    that field's sub-index — its n_docs/avgdl are field-accurate."""
+    if not fields:
+        raise ValueError("fields must name at least one field")
+    for name in fields:
+        if not name or "/" in name:
+            raise ValueError(f"bad field name {name!r}")
+    for name, col in fields.items():
+        col = F.col(col) if isinstance(col, str) else col
+        build_index(
+            spark,
+            docs.select("doc_id", col.alias("text")),
+            os.path.join(out_dir, "fields", name),
+            **build_kw,
+        )
+    tmp = os.path.join(out_dir, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"fields": sorted(fields)}, f)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST))
+    return MultiFieldIndex.load(spark, out_dir)
+
+
+@dataclass
+class MultiFieldIndex:
+    spark: SparkSession
+    out_dir: str
+    fields: dict[str, Index]
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str) -> "MultiFieldIndex":
+        with open(os.path.join(out_dir, _MANIFEST)) as f:
+            names = json.load(f)["fields"]
+        return cls(
+            spark=spark,
+            out_dir=out_dir,
+            fields={
+                n: Index.load(spark, os.path.join(out_dir, "fields", n))
+                for n in names
+            },
+        )
+
+
+def _resolve_boosts(
+    mf: MultiFieldIndex, boosts: dict[str, float] | None
+) -> dict[str, float]:
+    boosts = dict(boosts) if boosts else {n: 1.0 for n in mf.fields}
+    unknown = set(boosts) - set(mf.fields)
+    if unknown:
+        raise ValueError(
+            f"unknown fields {sorted(unknown)}; index has {sorted(mf.fields)}"
+        )
+    return boosts
+
+
+def _check_combine(combine: str, tie_breaker: float) -> None:
+    if combine not in ("most_fields", "best_fields"):
+        raise ValueError(
+            f"combine must be most_fields|best_fields, got {combine!r}"
+        )
+    if not (0.0 <= tie_breaker <= 1.0):
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+
+
+def multi_match(
+    mf: MultiFieldIndex,
+    query_text: str,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    combine: str = "most_fields",
+    tie_breaker: float = 0.0,
+    mode: str = "or",
+    synonyms: dict[str, str] | None = None,
+    similarity=None,
+) -> DataFrame:
+    """Top-k (doc_id, score) across fields — distributed combine of
+    the per-field scored match sets (see module docstring)."""
+    _check_combine(combine, tie_breaker)
+    boosts = _resolve_boosts(mf, boosts)
+    parts = [
+        match_scores(mf.fields[name], query_text, synonyms=synonyms,
+                     mode=mode, similarity=similarity, boost=w)
+        for name, w in sorted(boosts.items())
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    if combine == "most_fields":
+        score = F.sum("score")
+    else:
+        score = F.max("score") + tie_breaker * (F.sum("score") - F.max("score"))
+    return (
+        u.groupBy("doc_id")
+        .agg(score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def multi_match_rows(
+    mf: MultiFieldIndex,
+    query_text: str,
+    k: int = 10,
+    boosts: dict[str, float] | None = None,
+    combine: str = "most_fields",
+    tie_breaker: float = 0.0,
+    mode: str = "or",
+    synonyms: dict[str, str] | None = None,
+    similarity=None,
+) -> list[tuple[int, float]]:
+    """Driver-served :func:`multi_match` — per-field scored match sets
+    via the pyarrow read path, combined in plain Python dicts, no
+    Spark job. Same constraints as ``search_topk_rows``."""
+    _check_combine(combine, tie_breaker)
+    boosts = _resolve_boosts(mf, boosts)
+    sums: dict[int, float] = {}
+    maxes: dict[int, float] = {}
+    for name, w in sorted(boosts.items()):
+        for d, s in match_scores_pairs(
+            mf.fields[name], query_text, synonyms=synonyms, mode=mode,
+            similarity=similarity, boost=w,
+        ):
+            sums[d] = sums.get(d, 0.0) + s
+            if s > maxes.get(d, float("-inf")):
+                maxes[d] = s
+    if combine == "most_fields":
+        scored = sums
+    else:
+        scored = {
+            d: maxes[d] + tie_breaker * (sums[d] - maxes[d]) for d in sums
+        }
+    top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(int(d), float(s)) for d, s in top]

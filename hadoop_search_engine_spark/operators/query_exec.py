@@ -835,12 +835,14 @@ def _similarity_term_fns(
     synonyms: dict[str, str] | None,
     k1=None,
     b=None,
+    boost: float = 1.0,
 ) -> dict | None:
     """Resolve a ``similarity`` spec into the per-term contribution
     table the scorers consume, or None for the native BM25 path. The
     query re-parses through the same front end (cheap: the lexicon
     probe is driver-cached), keeping :func:`_resolve_query`'s contract
-    unchanged for its other callers."""
+    unchanged for its other callers. ``boost`` scales every term's
+    contribution (match_scores' field weight)."""
     from .ranking import build_term_fns, resolve_similarity
 
     sim = resolve_similarity(similarity)
@@ -853,12 +855,94 @@ def _similarity_term_fns(
         )
     terms, boosts = parse_query_boosted(query_text, synonyms,
                                         index.token_fn())
+    if boost != 1.0:
+        boosts = {t: boosts.get(t, 1.0) * boost for t in terms}
     meta = _lookup_terms(index, terms)
     total = (
         index.total_tokens()
         if getattr(sim, "name", "") == "lm_dirichlet" else 0
     )
     return build_term_fns(sim, meta, boosts, index.stats.n_docs, total)
+
+
+def match_scores(
+    index: Index,
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    similarity=None,
+    doc_filter: DataFrame | None = None,
+    boost: float = 1.0,
+) -> DataFrame:
+    """EVERY matched doc with its exact relevance score — the scored
+    match set (doc_id, score), no top-k cut. The composition primitive
+    under :func:`~.multifield.multi_match` and
+    :func:`~.hybrid.function_score`: anything that re-weights or
+    combines scores needs the full match set, because a doc outside
+    one ranking's top k can lead the combined ranking.
+
+    Cost ∝ the query terms' total df (the same pruned postings decode
+    every search runs — never a corpus scan); the dense scorer already
+    materializes each shard's full score accumulator, so this just
+    skips the per-shard selection (k = corpus bound) and the global
+    top-k merge. Distributed output, unordered; tombstones and
+    ``doc_filter`` compose as in :func:`search_topk`. ``boost``
+    scales every score (a field weight, folded driver-side)."""
+    resolved = _resolve_query(index, query_text, synonyms, mode, "dense",
+                              None, None)
+    if resolved is None:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    stats, ordered_terms, _ = resolved
+    if boost != 1.0:
+        ordered_terms = [(h, t, w * boost) for h, t, w in ordered_terms]
+    term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
+                                    boost=boost)
+    k_all = stats.num_shards * stats.shard_span
+    return _execute_topk(index, stats, ordered_terms, k_all, mode, "spark",
+                         "dense", doc_filter, merge_topk=False,
+                         term_fns=term_fns)
+
+
+def match_scores_pairs(
+    index: Index,
+    query_text: str,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    similarity=None,
+    boost: float = 1.0,
+) -> list[tuple[int, float]]:
+    """:func:`match_scores` served from the driver (no Spark job):
+    plain ``[(doc_id, score)]`` for every matched doc, (score desc,
+    doc_id asc)-ordered. Same driver-serving constraints as
+    :func:`search_topk_rows`."""
+    resolved = _resolve_query(index, query_text, synonyms, mode, "dense",
+                              None, None)
+    if resolved is None:
+        return []
+    stats, ordered_terms, _ = resolved
+    if boost != 1.0:
+        ordered_terms = [(h, t, w * boost) for h, t, w in ordered_terms]
+    if index.dl_array() is None:
+        raise ValueError(
+            f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): too "
+            "large for driver serving; use match_scores"
+        )
+    term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
+                                    boost=boost)
+    tomb = None
+    if index.tombstone_count():
+        if index.tombstone_count() > TOMBSTONE_OVERFETCH_MAX:
+            raise ValueError(
+                "tombstone set too large for driver serving; use "
+                "match_scores or vacuum_index"
+            )
+        tomb = index.tombstone_array()
+    hit_hashes = sorted(h for h, _, _ in ordered_terms)
+    k_all = stats.num_shards * stats.shard_span
+    return _driver_search_pairs(
+        index, ordered_terms, hit_hashes, k_all, mode, "dense",
+        exclude=tomb, stats=stats, term_fns=term_fns,
+    )
 
 
 def _check_after(after) -> tuple[int, float] | None:
