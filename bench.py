@@ -265,6 +265,86 @@ def main() -> None:
     timed("suggest_autocomplete", lambda: suggest_terms(idx, "s", k=10).collect())
     timed("fuzzy_query", lambda: fuzzy_search_topk(idx, "scann quer", k=10).collect())
 
+    # pluggable similarities (ranking.py): same index, same driver
+    # serving path, different scoring model per query
+    timed(
+        "similarity_lm_query",
+        lambda: search_topk_rows(idx, "spark query table", k=10,
+                                 similarity="lm_dirichlet"),
+    )
+    timed(
+        "similarity_tfidf_query",
+        lambda: search_topk_rows(idx, "spark query table", k=10,
+                                 similarity="tfidf"),
+    )
+
+    # full scored match set (the multi_match / function_score
+    # primitive): driver-side, head-term-heavy query
+    from hadoop_search_engine_spark.operators.query_exec import (
+        match_scores_pairs,
+    )
+
+    timed(
+        "match_scores_full_set",
+        lambda: match_scores_pairs(idx, "spark query table"),
+    )
+
+    # multi-field: build one sub-index per field (title = first 8
+    # whitespace fields, body = rest), then ES multi_match combines
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.hybrid import function_score
+    from hadoop_search_engine_spark.operators.multifield import (
+        build_multifield_index,
+        multi_match,
+        multi_match_rows,
+    )
+
+    mf_dir = "/tmp/hse_bench_mf"
+    shutil.rmtree(mf_dir, ignore_errors=True)
+    t0 = time.time()
+    mf = build_multifield_index(
+        spark,
+        docs,
+        mf_dir,
+        {
+            "title": F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 8), " "
+            ),
+            "body": F.array_join(
+                F.slice(F.split(F.col("text"), " "), 9, 1 << 20), " "
+            ),
+        },
+    )
+    timings["multifield_build"] = round(time.time() - t0, 4)
+    mm_boosts = {"title": 3.0, "body": 1.0}
+    timed(
+        "multi_match_query",
+        lambda: multi_match(mf, "spark query table", k=10,
+                            boosts=mm_boosts).collect(),
+    )
+    timed(
+        "multi_match_query_driver",
+        lambda: multi_match_rows(mf, "spark query table", k=10,
+                                 boosts=mm_boosts),
+    )
+
+    # function_score: BM25 * gauss(n_chars) over the full match set
+    docs_nchars = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "n_chars")
+        .persist()
+    )
+    docs_nchars.count()
+    timed(
+        "function_score_query",
+        lambda: function_score(
+            idx, "spark query table", docs_nchars, k=10,
+            decay={"kind": "gauss", "field": "n_chars",
+                   "origin": 300.0, "scale": 150.0},
+        ).collect(),
+    )
+
     # result-set analytics: total hits (postings decode + count) and
     # significant terms (fg from postings, bg from lexicon, corpus
     # touched only via the matched-set semi-join)

@@ -144,6 +144,34 @@ CHECKS = {
     # expressions fused with the scan-side token explode — no Python,
     # no shuffle introduced by the analyzer itself
     "analyzed_tokens": ["Generate", "!EvalPython", "!Exchange"],
+    # pluggable similarity on the indexed path: same grouped-map
+    # scorer wave + top-k as BM25 — swapping the model adds no plan
+    # nodes, no cartesian, no corpus sort
+    "lm_dirichlet_topk": [
+        "FlatMapGroupsInPandas", "TakeOrderedAndProject",
+        "!CartesianProduct",
+    ],
+    # full scored match set: the scorer wave WITHOUT a global sort or
+    # top-k — downstream combines consume it unordered (the plan's
+    # Sort is the grouped-map's required WITHIN-partition key sort; a
+    # global sort would exchange with rangepartitioning)
+    "match_scores_all": [
+        "FlatMapGroupsInPandas", "!rangepartitioning",
+        "!TakeOrderedAndProject", "!CartesianProduct",
+    ],
+    # multi_match: per-field scorer waves union into ONE partial-agg
+    # combine sized by the matched set, ending in a top-k — never a
+    # cartesian of fields or a corpus-wide sort
+    "multi_match_most_fields": [
+        "FlatMapGroupsInPandas", "HashAggregate",
+        "TakeOrderedAndProject", "!CartesianProduct",
+    ],
+    # function_score: the factor side reads ONLY (doc_id, n_chars) —
+    # the documents scan is column-pruned (`text` must not appear
+    # anywhere in the plan) — and the combine ends in a top-k
+    "function_score_gauss": [
+        "TakeOrderedAndProject", "!text", "!CartesianProduct",
+    ],
 }
 
 
