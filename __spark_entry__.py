@@ -391,6 +391,66 @@ def q_function_score_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "score")
 
 
+# Time-partitioned index (ES data stream / ILM): derived doc
+# timestamps (2026-01-01 + doc_id % 120 days -> four calendar months,
+# deterministic in both engines), monthly sub-indexes, range-routed
+# federated search with per-doc boundary masks.
+TPI_EPOCH = 1767225600  # 2026-01-01T00:00:00Z
+TPI_LO_US = (TPI_EPOCH + 14 * 86400) * 1_000_000  # 2026-01-15
+TPI_HI_US = (TPI_EPOCH + 68 * 86400) * 1_000_000  # 2026-03-10
+
+_TPI_INDEXES: dict = {}
+
+
+def _tpi_oracle_index(spark: SparkSession, sf_dir: str):
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.time_partitioned import (
+        TimePartitionedIndex,
+        build_time_partitioned_index,
+    )
+
+    key = os.path.abspath(sf_dir)
+    t = _TPI_INDEXES.get(key)
+    if t is not None and t.spark is spark:
+        return t
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_tpi_{tag}"
+    if not os.path.exists(os.path.join(d, "periods.json")):
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = docs.withColumn(
+            "warc_ts",
+            F.timestamp_seconds(
+                F.lit(TPI_EPOCH) + (F.col("doc_id") % 120) * 86400
+            ),
+        )
+        t = build_time_partitioned_index(spark, docs, d, interval="month",
+                                         n_buckets=8)
+    else:
+        t = TimePartitionedIndex.load(spark, d)
+    _TPI_INDEXES[key] = t
+    return t
+
+
+def q_time_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-routed search over a month-partitioned index (ES data
+    stream): the manifest prunes non-overlapping periods outright
+    (April never probed), interior periods (February) serve
+    unchanged, boundary periods (January/March) mask per doc BEFORE
+    top-k; statistics are global over the SELECTED periods. The
+    lifecycle capability (rollover/retention/routing) the monolithic
+    reference index has no analog for."""
+    from hadoop_search_engine_spark.operators.time_partitioned import (
+        search_time_range,
+    )
+
+    t = _tpi_oracle_index(spark, sf_dir)
+    out = search_time_range(t, " ".join(FLAGSHIP_TERMS), TPI_LO_US,
+                            TPI_HI_US, k=20)
+    return out.select("period", "doc_id",
+                      F.round("score", 4).alias("score"))
+
+
 # Raw analyzed-path query: the analyzer (Lucene classic stopword set +
 # Harman S-stem) must strip the stopwords and stem queries->query,
 # tables->table — landing exactly on the flagship terms, but against
@@ -2263,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_classic_topk": q_tfidf_classic_topk,
         "boolean_sim_topk": q_boolean_sim_topk,
         "match_scores_all": q_match_scores_all,
+        "time_range_search": q_time_range_search,
         "multi_match_most_fields": q_multi_match_most_fields,
         "multi_match_best_fields": q_multi_match_best_fields,
         "function_score_gauss": q_function_score_gauss,
@@ -3216,6 +3277,48 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, round(score, 4) AS score
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # time-routed search: replay the month routing (periods with any
+    # doc in range), global stats over the selected periods, per-doc
+    # range eligibility — naive TIMESTAMP arithmetic, tz-free
+    _tpi_toks = sql_tokens_duckdb("sel.text")
+    _tpi_idf = sql_idf("c.n", "d.df")
+    _tpi_score = sql_score("tf.tf", "dl.doc_len", _tpi_idf, "c.avgdl",
+                           BM25_K1, BM25_B)
+    out["time_range_search"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 TIMESTAMP '2026-01-01 00:00:00'
+                   + ((doc_id % 120) * INTERVAL 1 DAY) AS ts
+          FROM documents
+        ),
+        inr AS (
+          SELECT doc_id, strftime(date_trunc('month', ts), '%Y-%m') AS period
+          FROM base
+          WHERE epoch_us(ts) >= {TPI_LO_US} AND epoch_us(ts) < {TPI_HI_US}
+        ),
+        sel AS (
+          SELECT b.doc_id, b.text FROM base b
+          WHERE strftime(date_trunc('month', b.ts), '%Y-%m')
+                IN (SELECT DISTINCT period FROM inr)
+        ),
+        toks AS (SELECT doc_id, unnest({_tpi_toks}) AS term FROM sel),
+        tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({_tpi_score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT i.period, s.doc_id, round(s.score, 4) AS score
+        FROM scored s JOIN inr i ON s.doc_id = i.doc_id
+        ORDER BY score DESC, period ASC, s.doc_id ASC LIMIT 20
     """
     # full scored match set: the bm25 SQL without its LIMIT
     out["match_scores_all"] = f"""

@@ -329,6 +329,41 @@ def main() -> None:
                                  boosts=mm_boosts),
     )
 
+    # time-partitioned index (ES data stream): 4 monthly generations
+    # over derived timestamps; the range query routes to 3 of them
+    # (1 interior + 2 boundary) and never probes the 4th
+    from hadoop_search_engine_spark.operators.time_partitioned import (
+        build_time_partitioned_index,
+        search_time_range,
+    )
+
+    tpi_dir = "/tmp/hse_bench_tpi"
+    shutil.rmtree(tpi_dir, ignore_errors=True)
+    tpi_docs = docs.withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.lit(1767225600) + (F.col("doc_id") % 120) * 86400),
+    )
+    t0 = time.time()
+    tpi = build_time_partitioned_index(spark, tpi_docs, tpi_dir,
+                                       interval="month")
+    timings["time_partitioned_build"] = round(time.time() - t0, 4)
+    tpi_lo = (1767225600 + 14 * 86400) * 1_000_000
+    tpi_hi = (1767225600 + 68 * 86400) * 1_000_000
+    timed(
+        "time_range_query",
+        lambda: search_time_range(
+            tpi, "spark query table", tpi_lo, tpi_hi, k=10,
+            serving="driver",
+        ).collect(),
+    )
+    timed(
+        "time_range_query_spark",
+        lambda: search_time_range(
+            tpi, "spark query table", tpi_lo, tpi_hi, k=10,
+            serving="spark",
+        ).collect(),
+    )
+
     # function_score: BM25 * gauss(n_chars) over the full match set
     docs_nchars = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
