@@ -272,14 +272,15 @@ def q_boolean_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_match_scores_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scored FULL match set (query_exec.match_scores) — the
-    composition primitive under multi_match and function_score: every
-    matched doc with its exact BM25 score, no top-k cut, cost ∝ query
-    df. Oracle = the bm25 SQL without its LIMIT."""
-    from hadoop_search_engine_spark.operators.query_exec import match_scores
+    """The scored FULL match set (query_exec.scored_docs) — the
+    composition primitive under multi_match, function_score,
+    search_topk_fields, and boosted_topk: every matched doc with its
+    exact BM25 score, no top-k cut, cost ∝ query df. Oracle = the
+    bm25 SQL without its LIMIT."""
+    from hadoop_search_engine_spark.operators.query_exec import scored_docs
 
     ix = _oracle_index(spark, sf_dir)
-    out = match_scores(ix, " ".join(FLAGSHIP_TERMS))
+    out = scored_docs(ix, " ".join(FLAGSHIP_TERMS))
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
@@ -389,6 +390,68 @@ def q_function_score_fvf(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "modifier": "log1p"},
     )
     return top.select("doc_id", "score")
+
+
+# ES JSON query DSL (operators/dsl.py): each entry compiles a request
+# body onto an existing exact path and is checked against that path's
+# SAME oracle — certifying the migration surface end to end.
+def q_dsl_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{"query": {"match": ...}} → search_topk over the block index;
+    same oracle as bm25_topk."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    r = search_dsl(ix, {"query": {"match": {"text": " ".join(FLAGSHIP_TERMS)}},
+                        "size": 20})
+    return r.hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dsl_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool must/should/must_not → the boolean retrieval engine;
+    compiles to `spark AND ((query OR merge)) NOT vector` — same
+    oracle as boolean_search."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"term": {"text": "spark"}},
+                 {"bool": {"should": [{"term": {"text": "query"}},
+                                      {"term": {"text": "merge"}}]}}],
+        "must_not": [{"term": {"text": "vector"}}],
+    }}, "size": 20}
+    r = search_dsl(ix, body)
+    return r.hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dsl_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool must match + non-scoring metadata filter (term on lang) →
+    search_topk's cogroup eligibility page; same oracle as
+    filtered_search (global statistics, mask before top-k)."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": " ".join(FLAGSHIP_TERMS)}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "size": 20}
+    r = search_dsl(ix, body, documents=docs)
+    return r.hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score with gauss decay through the DSL — same oracle
+    as function_score_gauss."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": " ".join(FLAGSHIP_TERMS)}},
+        "gauss": {"n_chars": {"origin": 300.0, "scale": 150.0}},
+    }}, "size": 20}
+    r = search_dsl(ix, body, documents=docs)
+    return r.hits.select("doc_id", "score")
 
 
 # Time-partitioned index (ES data stream / ILM): derived doc
@@ -2324,6 +2387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_sim_topk": q_boolean_sim_topk,
         "match_scores_all": q_match_scores_all,
         "time_range_search": q_time_range_search,
+        "dsl_match": q_dsl_match,
+        "dsl_bool": q_dsl_bool,
+        "dsl_filtered": q_dsl_filtered,
+        "dsl_function_score": q_dsl_function_score,
         "multi_match_most_fields": q_multi_match_most_fields,
         "multi_match_best_fields": q_multi_match_best_fields,
         "function_score_gauss": q_function_score_gauss,
@@ -3420,6 +3487,12 @@ def oracle_sql() -> dict[str, str]:
         FROM rel JOIN fac ON rel.doc_id = fac.doc_id
         ORDER BY score DESC, rel.doc_id ASC LIMIT 20
     """
+    # DSL layer: each entry runs the SAME oracle as the path it
+    # compiles to — the layer adds no scoring code
+    out["dsl_match"] = out["bm25_topk"]
+    out["dsl_bool"] = out["boolean_search"]
+    out["dsl_filtered"] = out["filtered_search"]
+    out["dsl_function_score"] = out["function_score_gauss"]
     out["bm25_topk_resharded"] = out["bm25_topk"]
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
     out["boolean_search_indexed"] = out["boolean_search"]

@@ -281,12 +281,12 @@ def main() -> None:
     # full scored match set (the multi_match / function_score
     # primitive): driver-side, head-term-heavy query
     from hadoop_search_engine_spark.operators.query_exec import (
-        match_scores_pairs,
+        scored_docs_pairs,
     )
 
     timed(
         "match_scores_full_set",
-        lambda: match_scores_pairs(idx, "spark query table"),
+        lambda: scored_docs_pairs(idx, "spark query table"),
     )
 
     # multi-field: build one sub-index per field (title = first 8

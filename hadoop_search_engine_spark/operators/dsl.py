@@ -1,0 +1,523 @@
+"""Elasticsearch-style JSON query DSL over the block index.
+
+The migration surface: an ES user speaks `{"query": {...}, "aggs":
+{...}}`, and every clause here compiles onto an EXISTING exact engine
+path — the DSL layer adds zero scoring code, so every result is
+covered by the per-operator oracles and tests. The reference engine's
+entire query surface is a comma-separated term list
+(server/src/controllers/search.controller.js); this is the structured
+query language a real search deployment migrates with.
+
+Supported top-level body keys:
+
+  query          required; one clause object (below)
+  size           top-k (default 10)
+  search_after   [doc_id, score] cursor (exact pagination)
+  similarity     "bm25" | "lm_dirichlet" | "tfidf" | "boolean"
+                 (operators/ranking.py; match/query_string/term(s))
+  aggs           {name: {kind: {...}}} over the query's FULL hit set
+                 (match-family queries; see _AGG_KINDS)
+
+Query clauses → engine paths:
+
+  match                → query_exec.search_topk (operator/or|and,
+                         minimum_should_match, boost via ^ syntax)
+  query_string         → search_topk (full ^boost query syntax)
+  term / terms         → search_topk on the literal token(s) (NOTE:
+                         analyzed like every query — this engine has
+                         no unanalyzed keyword field)
+  match_phrase         → phrase_search (slop)
+  match_phrase_prefix  → phrase_prefix_search (max_expansions)
+  prefix / wildcard    → prefix_search / wildcard_search
+  fuzzy                → fuzzy_search_topk (fuzziness = max_edits)
+  multi_match          → multifield.multi_match ("fields": ["title^3",
+                         "body"], type most_fields|best_fields,
+                         tie_breaker) — needs `multifield=`
+  bool                 → boolean.search_topk_boolean; must=AND,
+                         must_not=NOT, should compiles to an OR group
+                         (required when there is no must or when
+                         minimum_should_match=1; with a must present
+                         and no minimum_should_match it becomes the
+                         ES score-only boost: ORing the should terms
+                         with one must leaf leaves eligibility
+                         unchanged while the leaves join the positive
+                         scoring set). filter clauses (term/range on
+                         METADATA columns, non-scoring) compile to the
+                         cogroup eligibility page and compose with the
+                         match family; combining metadata filters with
+                         a bool TERM query is not supported yet.
+  function_score       → hybrid.function_score ({"query": ...,
+                         "gauss"/"exp"/"linear"/"field_value_factor",
+                         "boost_mode"}) — needs `documents=`
+
+Results come back as :class:`DslResult` — ``hits`` (the standard
+(doc_id, score) frame, plus period/segment columns where the
+underlying path adds them) and ``aggs`` (name → DataFrame). Nothing
+here collects or loops driver-side: compilation is pure metadata, and
+execution is whatever plan the underlying operator already makes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .query_exec import (
+    Index,
+    matched_docs,
+    search_topk,
+)
+
+_TOKEN_OK = re.compile(r"^\S+$")
+
+
+@dataclass
+class DslResult:
+    hits: DataFrame
+    aggs: dict[str, DataFrame] = field(default_factory=dict)
+
+
+class DslError(ValueError):
+    pass
+
+
+def _one_key(obj: dict, what: str) -> tuple[str, object]:
+    if not isinstance(obj, dict) or len(obj) != 1:
+        raise DslError(f"{what} must be a single-key object, got {obj!r}")
+    return next(iter(obj.items()))
+
+
+def _field_body(clause, what: str) -> tuple[str, dict]:
+    """ES field-keyed clause: {"<field>": "shorthand"} or
+    {"<field>": {...params}} → (field, params-with-query)."""
+    fld, body = _one_key(clause, what)
+    if not isinstance(body, dict):
+        body = {"query": body} if what != "term" else {"value": body}
+    return fld, body
+
+
+def _require_text_field(fld: str, what: str) -> None:
+    if fld != "text":
+        raise DslError(
+            f"{what} targets field {fld!r}; the single-field index has "
+            "one indexed field, 'text' (use multi_match for multi-field "
+            "indexes, or term/range filters inside bool.filter for "
+            "metadata columns)"
+        )
+
+
+def _parse_boosted_fields(fields: list[str]) -> dict[str, float]:
+    out = {}
+    for f_ in fields:
+        if "^" in f_:
+            name, w = f_.split("^", 1)
+            out[name] = float(w)
+        else:
+            out[f_] = 1.0
+    return out
+
+
+# --------------------------------------------------------- bool query
+
+
+def _leaf_expr(clause: dict) -> str:
+    """A bool-context leaf → boolean mini-language fragment."""
+    kind, body = _one_key(clause, "bool clause")
+    if kind == "term":
+        fld, b = _field_body(body, "term")
+        _require_text_field(fld, "term")
+        v = str(b["value"]).strip()
+        if not _TOKEN_OK.match(v):
+            raise DslError(f"term value must be a single token, got {v!r}")
+        return v
+    if kind == "match":
+        fld, b = _field_body(body, "match")
+        _require_text_field(fld, "match")
+        toks = str(b["query"]).split()
+        op = " AND " if b.get("operator", "or") == "and" else " OR "
+        if not toks:
+            raise DslError("empty match query in bool context")
+        return "(" + op.join(toks) + ")" if len(toks) > 1 else toks[0]
+    if kind == "bool":
+        return "(" + _bool_expr(body) + ")"
+    raise DslError(
+        f"unsupported clause {kind!r} inside bool (term/match/bool only)"
+    )
+
+
+def _bool_expr(body: dict) -> str:
+    must = [_leaf_expr(c) for c in body.get("must", [])]
+    must_not = [_leaf_expr(c) for c in body.get("must_not", [])]
+    should = body.get("should", [])
+    msm = body.get("minimum_should_match")
+    parts = list(must)
+    if should:
+        exprs = [_leaf_expr(c) for c in should]
+        if msm not in (None, 0, 1):
+            raise DslError(
+                "bool.minimum_should_match > 1 is not supported "
+                "(use a match clause with minimum_should_match)"
+            )
+        if must and msm is None:
+            # ES: should with a must present is score-only. ORing the
+            # should leaves with one must leaf keeps eligibility
+            # identical (the must leaf is true for every eligible doc)
+            # while the should terms join the positive scoring set.
+            parts.append("(" + " OR ".join(exprs + [must[0]]) + ")")
+        else:
+            parts.append("(" + " OR ".join(exprs) + ")")
+    if not parts:
+        raise DslError("bool needs at least one must/should clause")
+    expr = " AND ".join(parts)
+    for n in must_not:
+        expr += f" NOT {n}"
+    return expr
+
+
+# ----------------------------------------------------- metadata filter
+
+
+def _metadata_filter(filters: list, documents: DataFrame | None) -> DataFrame:
+    """ES bool.filter (non-scoring, required) on METADATA columns →
+    the doc_id eligibility frame search_topk's cogroup page consumes.
+    Column-pruned: only doc_id survives the projection."""
+    if documents is None:
+        raise DslError("bool.filter needs documents= (the metadata table)")
+    out = documents
+    for c in filters:
+        kind, body = _one_key(c, "filter clause")
+        if kind == "term":
+            fld, b = _field_body(body, "term")
+            out = out.where(F.col(fld) == F.lit(b["value"]))
+        elif kind == "range":
+            fld, b = _one_key(body, "range")
+            col = F.col(fld)
+            for op, v in b.items():
+                if op == "gte":
+                    out = out.where(col >= F.lit(v))
+                elif op == "gt":
+                    out = out.where(col > F.lit(v))
+                elif op == "lte":
+                    out = out.where(col <= F.lit(v))
+                elif op == "lt":
+                    out = out.where(col < F.lit(v))
+                else:
+                    raise DslError(f"unknown range operator {op!r}")
+        else:
+            raise DslError(
+                f"unsupported filter clause {kind!r} (term/range only)"
+            )
+    return out.select("doc_id")
+
+
+# ------------------------------------------------------------- compile
+
+
+def _match_args(b: dict) -> dict:
+    return {
+        "mode": "and" if b.get("operator", "or") == "and" else "or",
+        "min_should_match": b.get("minimum_should_match"),
+    }
+
+
+def _compile(
+    q: dict,
+    index: Index,
+    k: int,
+    after,
+    similarity,
+    synonyms,
+    documents: DataFrame | None,
+    multifield,
+    doc_filter: DataFrame | None,
+) -> DataFrame:
+    kind, body = _one_key(q, "query")
+
+    def _no_filter(what):
+        if doc_filter is not None:
+            raise DslError(
+                f"bool.filter does not compose with {what} yet "
+                "(match/query_string/term/terms only)"
+            )
+
+    if kind in ("match", "term", "terms"):
+        if kind == "match":
+            fld, b = _field_body(body, "match")
+            _require_text_field(fld, "match")
+            text, extra = str(b["query"]), _match_args(b)
+        elif kind == "term":
+            fld, b = _field_body(body, "term")
+            _require_text_field(fld, "term")
+            text, extra = str(b["value"]), {}
+        else:
+            fld, vals = _one_key(body, "terms")
+            _require_text_field(fld, "terms")
+            text, extra = " ".join(str(v) for v in vals), {}
+        return search_topk(index, text, k=k, synonyms=synonyms,
+                           similarity=similarity, after=after,
+                           doc_filter=doc_filter, **extra)
+    if kind == "query_string":
+        return search_topk(index, str(body["query"]), k=k,
+                           synonyms=synonyms, similarity=similarity,
+                           after=after, doc_filter=doc_filter)
+
+    if similarity is not None:
+        raise DslError(
+            f"similarity composes with the match family only, not {kind!r}"
+        )
+
+    if kind == "match_phrase":
+        from .query_exec import phrase_search
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "match_phrase")
+        _require_text_field(fld, "match_phrase")
+        return phrase_search(index, str(b["query"]), k=k, synonyms=synonyms,
+                             slop=int(b.get("slop", 0)), after=after)
+    if kind == "match_phrase_prefix":
+        from .query_exec import phrase_prefix_search
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "match_phrase_prefix")
+        _require_text_field(fld, "match_phrase_prefix")
+        return phrase_prefix_search(
+            index, str(b["query"]), k=k, synonyms=synonyms,
+            max_expansions=int(b.get("max_expansions", 50)),
+            slop=int(b.get("slop", 0)), after=after,
+        )
+    if kind == "prefix":
+        from .query_exec import prefix_search
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "prefix")
+        _require_text_field(fld, "prefix")
+        return prefix_search(index, str(b.get("value", b.get("query"))),
+                             k=k, after=after)
+    if kind == "wildcard":
+        from .query_exec import wildcard_search
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "wildcard")
+        _require_text_field(fld, "wildcard")
+        return wildcard_search(index, str(b.get("value", b.get("query"))),
+                               k=k, after=after)
+    if kind == "fuzzy":
+        from .query_exec import fuzzy_search_topk
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "fuzzy")
+        _require_text_field(fld, "fuzzy")
+        return fuzzy_search_topk(
+            index, str(b.get("value", b.get("query"))), k=k,
+            max_edits=int(b.get("fuzziness", 1)), after=after,
+        )
+    if kind in ("multi_match", "bool", "function_score") and after is not None:
+        raise DslError(f"search_after does not compose with {kind!r} yet")
+    if kind == "multi_match":
+        from .multifield import multi_match
+
+        _no_filter(kind)
+        if multifield is None:
+            raise DslError("multi_match needs multifield= "
+                           "(a MultiFieldIndex)")
+        combine = body.get("type", "most_fields")
+        if combine not in ("most_fields", "best_fields"):
+            raise DslError(f"multi_match type {combine!r} unsupported")
+        return multi_match(
+            multifield, str(body["query"]), k=k,
+            boosts=_parse_boosted_fields(body.get(
+                "fields", sorted(multifield.fields))),
+            combine=combine,
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+            mode="and" if body.get("operator", "or") == "and" else "or",
+            synonyms=synonyms,
+        )
+    if kind == "bool":
+        from .boolean import search_topk_boolean
+
+        # metadata filters split out; the rest compiles to the boolean
+        # mini-language. A PURE filter+match bool routes through
+        # search_topk's eligibility page instead.
+        flt = body.get("filter", [])
+        rest = {kk: vv for kk, vv in body.items() if kk != "filter"}
+        if flt:
+            f_frame = _metadata_filter(flt, documents)
+            merged = (
+                f_frame if doc_filter is None
+                else doc_filter.join(f_frame, "doc_id", "left_semi")
+            )
+            only_match = (
+                len(rest.get("must", [])) == 1
+                and not rest.get("should")
+                and not rest.get("must_not")
+            )
+            if only_match:
+                return _compile(rest["must"][0], index, k, after,
+                                similarity, synonyms, documents,
+                                multifield, merged)
+            raise DslError(
+                "bool.filter currently composes with a single must "
+                "match-family clause (the cogroup eligibility page); "
+                "term-structured bool + metadata filter is not "
+                "supported yet"
+            )
+        _no_filter("bool")
+        return search_topk_boolean(index, _bool_expr(rest), k=k,
+                                   synonyms=synonyms)
+    if kind == "function_score":
+        from .hybrid import function_score
+
+        _no_filter(kind)
+        if documents is None:
+            raise DslError("function_score needs documents= "
+                           "(the metadata table)")
+        inner = body.get("query")
+        ik, ib = _one_key(inner, "function_score.query")
+        if ik not in ("match", "query_string", "term", "terms"):
+            raise DslError(
+                "function_score.query must be match/query_string/"
+                f"term/terms, got {ik!r}"
+            )
+        if ik == "match":
+            fld, b = _field_body(ib, "match")
+            _require_text_field(fld, "match")
+            text = str(b["query"])
+            mode = "and" if b.get("operator", "or") == "and" else "or"
+        elif ik == "query_string":
+            text, mode = str(ib["query"]), "or"
+        elif ik == "term":
+            fld, b = _field_body(ib, "term")
+            text, mode = str(b["value"]), "or"
+        else:
+            fld, vals = _one_key(ib, "terms")
+            text, mode = " ".join(str(v) for v in vals), "or"
+        decay = None
+        for dk in ("gauss", "exp", "linear"):
+            if dk in body:
+                fld2, params = _one_key(body[dk], dk)
+                decay = {"kind": dk, "field": fld2, **params}
+        return function_score(
+            index, text, documents, k=k, decay=decay,
+            field_value_factor=body.get("field_value_factor"),
+            boost_mode=body.get("boost_mode", "multiply"),
+            mode=mode, synonyms=synonyms,
+        )
+    raise DslError(f"unsupported query clause {kind!r}")
+
+
+# ---------------------------------------------------------------- aggs
+
+
+def _run_aggs(
+    aggs: dict,
+    index: Index,
+    q: dict,
+    documents: DataFrame | None,
+    synonyms,
+) -> dict[str, DataFrame]:
+    kind, body = _one_key(q, "query")
+    if kind not in ("match", "query_string", "term", "terms"):
+        raise DslError(
+            f"aggs compose with the match family only, not {kind!r}"
+        )
+    if documents is None:
+        raise DslError("aggs need documents= (the metadata table)")
+    if kind == "match":
+        _, b = _field_body(body, "match")
+        text = str(b["query"])
+        mode = "and" if b.get("operator", "or") == "and" else "or"
+    elif kind == "query_string":
+        text, mode = str(body["query"]), "or"
+    elif kind == "term":
+        _, b = _field_body(body, "term")
+        text, mode = str(b["value"]), "or"
+    else:
+        _, vals = _one_key(body, "terms")
+        text, mode = " ".join(str(v) for v in vals), "or"
+    matched = matched_docs(index, text, synonyms, mode=mode)
+
+    from .analytics import date_histogram_facet
+    from .query_exec import (
+        cardinality_facet,
+        facet_counts,
+        histogram_facets,
+        percentiles_facet,
+        range_facets,
+        stats_facet,
+        top_hits_facet,
+    )
+
+    out: dict[str, DataFrame] = {}
+    for name, spec in aggs.items():
+        akind, ab = _one_key(spec, f"aggs[{name}]")
+        if akind == "terms":
+            if "aggs" in spec or "top_hits" in ab:
+                raise DslError("nested sub-aggs unsupported (use the "
+                               "top_hits agg kind directly)")
+            out[name] = facet_counts(matched, documents, [ab["field"]])
+        elif akind == "histogram":
+            out[name] = histogram_facets(matched, documents, ab["field"],
+                                         float(ab["interval"]))
+        elif akind == "date_histogram":
+            out[name] = date_histogram_facet(
+                matched, documents, ab["field"],
+                ab.get("calendar_interval", "day"))
+        elif akind == "range":
+            rs = [(r.get("from"), r.get("to")) for r in ab["ranges"]]
+            out[name] = range_facets(matched, documents, ab["field"], rs)
+        elif akind == "stats":
+            out[name] = stats_facet(matched, documents, ab["field"])
+        elif akind == "percentiles":
+            out[name] = percentiles_facet(
+                matched, documents, ab["field"],
+                percents=tuple(ab.get("percents", (25.0, 50.0, 75.0,
+                                                   95.0, 99.0))))
+        elif akind == "cardinality":
+            out[name] = cardinality_facet(matched, documents, ab["field"])
+        elif akind == "top_hits":
+            # ES top_hits ranks within the FULL hit set (not the
+            # returned page) — the scored_docs frame, df-proportional
+            from .query_exec import scored_docs
+
+            sc = scored_docs(index, text, synonyms, mode=mode)
+            out[name] = top_hits_facet(sc, documents, ab["field"],
+                                       n=int(ab.get("size", 3)))
+        else:
+            raise DslError(f"unsupported agg kind {akind!r}")
+    return out
+
+
+# ---------------------------------------------------------------- main
+
+
+def search_dsl(
+    index: Index,
+    body: dict,
+    documents: DataFrame | None = None,
+    multifield=None,
+    synonyms: dict[str, str] | None = None,
+) -> DslResult:
+    """Execute an ES-style request body. See the module docstring for
+    the supported subset; every clause runs an existing exact engine
+    path, so DSL results are identical to the direct calls by
+    construction (and by test)."""
+    if not isinstance(body, dict) or "query" not in body:
+        raise DslError('body must be {"query": {...}, ...}')
+    unknown = set(body) - {"query", "size", "search_after", "similarity",
+                           "aggs"}
+    if unknown:
+        raise DslError(f"unsupported body keys {sorted(unknown)}")
+    k = int(body.get("size", 10))
+    after = body.get("search_after")
+    if after is not None:
+        after = (int(after[0]), float(after[1]))
+    hits = _compile(body["query"], index, k, after,
+                    body.get("similarity"), synonyms, documents,
+                    multifield, None)
+    aggs = {}
+    if body.get("aggs"):
+        aggs = _run_aggs(body["aggs"], index, body["query"], documents,
+                         synonyms)
+    return DslResult(hits=hits, aggs=aggs)

@@ -247,7 +247,7 @@ def function_score(
     Returns ``(doc_id, score, relevance, factor)``.
 
     Scale shape: the relevance side is :func:`~.query_exec
-    .match_scores` — the FULL scored match set (cost ∝ query df; a
+    .scored_docs` — the FULL scored match set (cost ∝ query df; a
     boost can promote any matched doc, so a top-k window would be
     inexact — that cheaper trade IS :func:`rescore_topk`). The factor
     side prunes ``docs`` to (doc_id, field) columns before a join on
@@ -258,14 +258,14 @@ def function_score(
     """
     import math
 
-    from .query_exec import match_scores
+    from .query_exec import scored_docs
 
     if boost_mode not in ("multiply", "sum", "replace"):
         raise ValueError(f"unknown boost_mode {boost_mode!r}")
     if decay is None and field_value_factor is None:
         raise ValueError("need decay and/or field_value_factor")
 
-    matched = match_scores(index, query_text, synonyms=synonyms, mode=mode,
+    matched = scored_docs(index, query_text, synonyms=synonyms, mode=mode,
                            similarity=similarity)
     factor = F.lit(1.0)
     cols = set()

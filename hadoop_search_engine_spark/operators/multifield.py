@@ -12,7 +12,7 @@ the existing single-field machinery with NO new scorer code:
     statistics, exactly Lucene's per-field inverted index) under
     ``out_dir/fields/<name>/``, sharing the corpus doc_id space.
   * ``multi_match`` scores the query against every requested field via
-    :func:`~.query_exec.match_scores` (the FULL scored match set per
+    :func:`~.query_exec.scored_docs` (the FULL scored match set per
     field, cost ∝ query df — a doc outside one field's top-k can lead
     the combined ranking, so per-field top-k merges would be
     inexact), then combines per doc:
@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index_build import build_index
-from .query_exec import Index, match_scores, match_scores_pairs
+from .query_exec import Index, scored_docs, scored_docs_pairs
 
 _MANIFEST = "fields.json"
 
@@ -121,6 +121,31 @@ def _check_combine(combine: str, tie_breaker: float) -> None:
         raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
 
 
+def combine_scored_parts(
+    parts: list[DataFrame],
+    combine: str,
+    tie_breaker: float,
+    k: int,
+) -> DataFrame:
+    """The shared distributed combine: union the per-field scored
+    match sets, ONE hash-aggregate keyed by doc_id (matched-set-sized,
+    never the corpus), top-k. Also the engine under the list-based
+    :func:`~.query_exec.search_topk_fields`."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    if combine == "most_fields":
+        score = F.sum("score")
+    else:
+        score = F.max("score") + tie_breaker * (F.sum("score") - F.max("score"))
+    return (
+        u.groupBy("doc_id")
+        .agg(score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def multi_match(
     mf: MultiFieldIndex,
     query_text: str,
@@ -137,23 +162,11 @@ def multi_match(
     _check_combine(combine, tie_breaker)
     boosts = _resolve_boosts(mf, boosts)
     parts = [
-        match_scores(mf.fields[name], query_text, synonyms=synonyms,
-                     mode=mode, similarity=similarity, boost=w)
+        scored_docs(mf.fields[name], query_text, synonyms=synonyms,
+                    mode=mode, similarity=similarity, boost=w)
         for name, w in sorted(boosts.items())
     ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    if combine == "most_fields":
-        score = F.sum("score")
-    else:
-        score = F.max("score") + tie_breaker * (F.sum("score") - F.max("score"))
-    return (
-        u.groupBy("doc_id")
-        .agg(score.alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+    return combine_scored_parts(parts, combine, tie_breaker, k)
 
 
 def multi_match_rows(
@@ -175,7 +188,7 @@ def multi_match_rows(
     sums: dict[int, float] = {}
     maxes: dict[int, float] = {}
     for name, w in sorted(boosts.items()):
-        for d, s in match_scores_pairs(
+        for d, s in scored_docs_pairs(
             mf.fields[name], query_text, synonyms=synonyms, mode=mode,
             similarity=similarity, boost=w,
         ):

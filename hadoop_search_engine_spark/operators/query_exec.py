@@ -842,7 +842,7 @@ def _similarity_term_fns(
     query re-parses through the same front end (cheap: the lexicon
     probe is driver-cached), keeping :func:`_resolve_query`'s contract
     unchanged for its other callers. ``boost`` scales every term's
-    contribution (match_scores' field weight)."""
+    contribution (scored_docs' field weight)."""
     from .ranking import build_term_fns, resolve_similarity
 
     sim = resolve_similarity(similarity)
@@ -865,7 +865,7 @@ def _similarity_term_fns(
     return build_term_fns(sim, meta, boosts, index.stats.n_docs, total)
 
 
-def match_scores(
+def scored_docs(
     index: Index,
     query_text: str,
     synonyms: dict[str, str] | None = None,
@@ -873,37 +873,43 @@ def match_scores(
     similarity=None,
     doc_filter: DataFrame | None = None,
     boost: float = 1.0,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """EVERY matched doc with its exact relevance score — the scored
     match set (doc_id, score), no top-k cut. The composition primitive
-    under :func:`~.multifield.multi_match` and
-    :func:`~.hybrid.function_score`: anything that re-weights or
-    combines scores needs the full match set, because a doc outside
-    one ranking's top k can lead the combined ranking.
+    under every rank-free consumer: weighted multi-field fusion
+    (:func:`search_topk_fields`, :func:`~.multifield.multi_match`),
+    static-prior fusion (:func:`boosted_topk`,
+    :func:`~.hybrid.function_score`), score-threshold filters,
+    analytics — anything that re-weights or combines scores needs the
+    full match set, because a doc outside one ranking's top k can lead
+    the combined ranking.
 
     Cost ∝ the query terms' total df (the same pruned postings decode
     every search runs — never a corpus scan); the dense scorer already
     materializes each shard's full score accumulator, so this just
     skips the per-shard selection (k = corpus bound) and the global
-    top-k merge. Distributed output, unordered; tombstones and
-    ``doc_filter`` compose as in :func:`search_topk`. ``boost``
-    scales every score (a field weight, folded driver-side)."""
+    top-k merge. Distributed output, unordered; tombstones,
+    ``doc_filter``, per-query ``similarity``, and ``k1``/``b``
+    overrides compose as in :func:`search_topk`. ``boost`` scales
+    every score (a field weight, folded driver-side)."""
     resolved = _resolve_query(index, query_text, synonyms, mode, "dense",
-                              None, None)
+                              k1, b)
     if resolved is None:
         return _empty_df(index.spark, TOPK_SCHEMA)
     stats, ordered_terms, _ = resolved
     if boost != 1.0:
         ordered_terms = [(h, t, w * boost) for h, t, w in ordered_terms]
     term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
-                                    boost=boost)
+                                    k1=k1, b=b, boost=boost)
     k_all = stats.num_shards * stats.shard_span
     return _execute_topk(index, stats, ordered_terms, k_all, mode, "spark",
                          "dense", doc_filter, merge_topk=False,
                          term_fns=term_fns)
 
 
-def match_scores_pairs(
+def scored_docs_pairs(
     index: Index,
     query_text: str,
     synonyms: dict[str, str] | None = None,
@@ -911,7 +917,7 @@ def match_scores_pairs(
     similarity=None,
     boost: float = 1.0,
 ) -> list[tuple[int, float]]:
-    """:func:`match_scores` served from the driver (no Spark job):
+    """:func:`scored_docs` served from the driver (no Spark job):
     plain ``[(doc_id, score)]`` for every matched doc, (score desc,
     doc_id asc)-ordered. Same driver-serving constraints as
     :func:`search_topk_rows`."""
@@ -925,7 +931,7 @@ def match_scores_pairs(
     if index.dl_array() is None:
         raise ValueError(
             f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): too "
-            "large for driver serving; use match_scores"
+            "large for driver serving; use scored_docs"
         )
     term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
                                     boost=boost)
@@ -934,7 +940,7 @@ def match_scores_pairs(
         if index.tombstone_count() > TOMBSTONE_OVERFETCH_MAX:
             raise ValueError(
                 "tombstone set too large for driver serving; use "
-                "match_scores or vacuum_index"
+                "scored_docs or vacuum_index"
             )
         tomb = index.tombstone_array()
     hit_hashes = sorted(h for h, _, _ in ordered_terms)
@@ -3277,30 +3283,6 @@ def top_hits_facet(
     )
 
 
-def scored_docs(
-    index: Index,
-    query_text: str,
-    synonyms: dict[str, str] | None = None,
-    mode: str = "or",
-    k1: float | None = None,
-    b: float | None = None,
-) -> DataFrame:
-    """ALL docs matching the query with their full BM25 scores — the
-    recall-side frame (no top-k), sized by the query terms' total df,
-    never the corpus. Runs the distributed shard scorers with the
-    per-shard selection disabled; scores are the same float64 values
-    ``search_topk`` ranks by (its top-k is exactly this frame's k best
-    rows). Feeds rank-free consumers: weighted multi-field fusion
-    (:func:`search_topk_fields`), score-threshold filters, analytics."""
-    resolved = _resolve_query(index, query_text, synonyms, mode, "dense",
-                              k1, b)
-    if resolved is None:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    stats, ordered_terms, _algo = resolved
-    return _execute_topk(index, stats, ordered_terms, (1 << 31), mode,
-                         "spark", "dense", None, merge_topk=False)
-
-
 def search_topk_fields(
     fields: list[tuple[Index, float]],
     query_text: str,
@@ -3319,25 +3301,21 @@ def search_topk_fields(
     cartesian, no corpus scan. Per-field statistics (df, avgdl, N)
     stay the field's own, the standard per-field-BM25 combination.
     ``mode="and"`` is per-field conjunctive: a doc qualifies through
-    any single field containing every term."""
+    any single field containing every term.
+
+    This is the list-based form; the manifest-backed superset —
+    ``best_fields`` + tie_breaker, per-query similarity, driver
+    serving, build/load — is :func:`~.multifield.multi_match`. Both
+    run the same combine (:func:`~.multifield.combine_scored_parts`)."""
     if not fields:
         raise ValueError("need at least one (index, weight) field")
-    spark = fields[0][0].spark
-    parts = []
-    for ix, w in fields:
-        sd = scored_docs(ix, query_text, synonyms, mode=mode)
-        parts.append(
-            sd.select("doc_id", (F.col("score") * float(w)).alias("score"))
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return (
-        u.groupBy("doc_id")
-        .agg(F.sum("score").alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+    from .multifield import combine_scored_parts
+
+    parts = [
+        scored_docs(ix, query_text, synonyms, mode=mode, boost=float(w))
+        for ix, w in fields
+    ]
+    return combine_scored_parts(parts, "most_fields", 0.0, k)
 
 
 def boosted_topk(

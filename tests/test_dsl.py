@@ -1,0 +1,283 @@
+"""ES-style JSON DSL (operators/dsl.py): every clause must be
+IDENTICAL to the direct engine call it compiles to — the DSL adds no
+scoring code, so identity is the whole contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.boolean import search_topk_boolean
+from hadoop_search_engine_spark.operators.dsl import (
+    DslError,
+    search_dsl,
+)
+from hadoop_search_engine_spark.operators.hybrid import function_score
+from hadoop_search_engine_spark.operators.query_exec import (
+    facet_counts,
+    fuzzy_search_topk,
+    matched_docs,
+    phrase_search,
+    prefix_search,
+    search_topk,
+    stats_facet,
+    wildcard_search,
+)
+
+Q = "w00000 w00017"
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _same(a_df, b_df):
+    return _pairs(a_df) == _pairs(b_df)
+
+
+# ------------------------------------------------------- match family
+
+
+def test_match_equals_search_topk(tiny_index):
+    got = search_dsl(tiny_index, {"query": {"match": {"text": Q}}, "size": 7})
+    assert _same(got.hits, search_topk(tiny_index, Q, k=7))
+
+
+def test_match_operator_and_msm(tiny_index):
+    got = search_dsl(tiny_index, {
+        "query": {"match": {"text": {"query": Q, "operator": "and"}}},
+    })
+    assert _same(got.hits, search_topk(tiny_index, Q, k=10, mode="and"))
+    got2 = search_dsl(tiny_index, {
+        "query": {"match": {"text": {"query": Q + " w00001",
+                                     "minimum_should_match": 2}}},
+    })
+    assert _same(got2.hits, search_topk(tiny_index, Q + " w00001", k=10,
+                                        min_should_match=2))
+
+
+def test_query_string_boosts(tiny_index):
+    body = {"query": {"query_string": {"query": "w00000^2 w00017"}}}
+    assert _same(search_dsl(tiny_index, body).hits,
+                 search_topk(tiny_index, "w00000^2 w00017", k=10))
+
+
+def test_term_and_terms(tiny_index):
+    assert _same(
+        search_dsl(tiny_index, {"query": {"term": {"text": "w00000"}}}).hits,
+        search_topk(tiny_index, "w00000", k=10))
+    assert _same(
+        search_dsl(tiny_index,
+                   {"query": {"terms": {"text": ["w00000", "w00017"]}}}).hits,
+        search_topk(tiny_index, Q, k=10))
+
+
+def test_similarity_through_dsl(tiny_index):
+    body = {"query": {"match": {"text": Q}}, "similarity": "lm_dirichlet"}
+    assert _same(search_dsl(tiny_index, body).hits,
+                 search_topk(tiny_index, Q, k=10, similarity="lm_dirichlet"))
+
+
+def test_search_after_pages(tiny_index):
+    p1 = search_dsl(tiny_index, {"query": {"match": {"text": Q}}, "size": 5})
+    last = _pairs(p1.hits)[-1]
+    p2 = search_dsl(tiny_index, {"query": {"match": {"text": Q}},
+                                 "size": 5, "search_after": list(last)})
+    assert _pairs(p1.hits) + _pairs(p2.hits) == _pairs(
+        search_topk(tiny_index, Q, k=10))
+
+
+# ----------------------------------------------------- other variants
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tiny_corpus, tmp_path_factory):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    out = str(tmp_path_factory.mktemp("dslpos") / "idx")
+    build_index(spark, tiny_corpus.select("doc_id", "text"), out,
+                num_shards=4, n_buckets=8, block_size=16, positions=True)
+    return Index.load(spark, out)
+
+
+def test_match_phrase(pos_index, tiny_corpus):
+    first_two = " ".join(
+        tiny_corpus.select("text").first()["text"].split()[:2])
+    body = {"query": {"match_phrase": {"text": first_two}}}
+    assert _same(search_dsl(pos_index, body).hits,
+                 phrase_search(pos_index, first_two, k=10))
+    slopb = {"query": {"match_phrase": {"text": {"query": first_two,
+                                                 "slop": 2}}}}
+    assert _same(search_dsl(pos_index, slopb).hits,
+                 phrase_search(pos_index, first_two, k=10, slop=2))
+
+
+def test_prefix_wildcard_fuzzy(tiny_index):
+    assert _same(
+        search_dsl(tiny_index, {"query": {"prefix": {"text": "w0001"}}}).hits,
+        prefix_search(tiny_index, "w0001", k=10))
+    assert _same(
+        search_dsl(tiny_index,
+                   {"query": {"wildcard": {"text": "w*17"}}}).hits,
+        wildcard_search(tiny_index, "w*17", k=10))
+    assert _same(
+        search_dsl(tiny_index, {"query": {"fuzzy": {"text": "w0001x"}}}).hits,
+        fuzzy_search_topk(tiny_index, "w0001x", k=10))
+
+
+def test_multi_match(spark, tiny_corpus, tmp_path_factory):
+    from hadoop_search_engine_spark.operators.multifield import (
+        build_multifield_index,
+        multi_match,
+    )
+
+    out = str(tmp_path_factory.mktemp("dslmf") / "idx")
+    mf = build_multifield_index(spark, tiny_corpus, out, {
+        "title": F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "),
+        "body": F.array_join(
+            F.slice(F.split(F.col("text"), " "), 9, 1 << 20), " "),
+    }, num_shards=2, n_buckets=4)
+    body = {"query": {"multi_match": {
+        "query": Q, "fields": ["title^3", "body"],
+        "type": "best_fields", "tie_breaker": 0.3,
+    }}}
+    got = search_dsl(mf.fields["title"], body, multifield=mf)
+    direct = multi_match(mf, Q, k=10, boosts={"title": 3.0, "body": 1.0},
+                         combine="best_fields", tie_breaker=0.3)
+    assert _same(got.hits, direct)
+
+
+# -------------------------------------------------------------- bool
+
+
+def test_bool_must_should_not(tiny_index):
+    body = {"query": {"bool": {
+        "must": [{"term": {"text": "w00000"}}],
+        "should": [{"term": {"text": "w00017"}}],
+        "must_not": [{"term": {"text": "w00001"}}],
+    }}}
+    got = search_dsl(tiny_index, body)
+    direct = search_topk_boolean(
+        tiny_index, "w00000 AND (w00017 OR w00000) NOT w00001", k=10)
+    assert _same(got.hits, direct)
+
+
+def test_bool_should_is_score_only_with_must(tiny_index):
+    # eligibility == must alone; docs also containing the should term
+    # outrank those without it
+    body = {"query": {"bool": {
+        "must": [{"term": {"text": "w00000"}}],
+        "should": [{"term": {"text": "w00017"}}],
+    }}, "size": 1000}
+    got = set(d for d, _ in _pairs(search_dsl(tiny_index, body).hits))
+    must_only = set(
+        d for d, _ in _pairs(search_topk(tiny_index, "w00000", k=1000)))
+    assert got == must_only
+
+
+def test_bool_should_required_without_must(tiny_index):
+    body = {"query": {"bool": {"should": [
+        {"term": {"text": "w00000"}}, {"term": {"text": "w00017"}},
+    ]}}}
+    assert _same(search_dsl(tiny_index, body).hits,
+                 search_topk_boolean(tiny_index, "(w00000 OR w00017)", k=10))
+
+
+def test_bool_filter_metadata(tiny_index, tiny_corpus):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": Q}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}}
+    got = search_dsl(tiny_index, body, documents=tiny_corpus)
+    direct = search_topk(
+        tiny_index, Q, k=10,
+        doc_filter=tiny_corpus.where("lang = 'en'").select("doc_id"))
+    assert _same(got.hits, direct)
+
+
+def test_bool_filter_range(tiny_index, tiny_corpus):
+    docs = tiny_corpus.withColumn("n_chars", F.length("text"))
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": Q}}],
+        "filter": [{"range": {"n_chars": {"gte": 200, "lt": 900}}}],
+    }}}
+    got = search_dsl(tiny_index, body, documents=docs)
+    direct = search_topk(
+        tiny_index, Q, k=10,
+        doc_filter=docs.where("n_chars >= 200 and n_chars < 900")
+        .select("doc_id"))
+    assert _same(got.hits, direct)
+
+
+# ----------------------------------------------------- function_score
+
+
+def test_function_score_dsl(tiny_index, tiny_corpus):
+    docs = tiny_corpus.withColumn("n_chars", F.length("text"))
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": Q}},
+        "gauss": {"n_chars": {"origin": 800.0, "scale": 400.0}},
+        "boost_mode": "multiply",
+    }}}
+    got = search_dsl(tiny_index, body, documents=docs)
+    direct = function_score(
+        tiny_index, Q, docs, k=10,
+        decay={"kind": "gauss", "field": "n_chars",
+               "origin": 800.0, "scale": 400.0})
+    assert [(r["doc_id"], r["score"]) for r in got.hits.collect()] == [
+        (r["doc_id"], r["score"]) for r in direct.collect()]
+
+
+# --------------------------------------------------------------- aggs
+
+
+def test_aggs_terms_and_stats(tiny_index, tiny_corpus):
+    docs = tiny_corpus.withColumn("n_chars", F.length("text"))
+    body = {"query": {"match": {"text": Q}},
+            "aggs": {"langs": {"terms": {"field": "lang"}},
+                     "len": {"stats": {"field": "n_chars"}}}}
+    got = search_dsl(tiny_index, body, documents=docs)
+    m = matched_docs(tiny_index, Q)
+    assert sorted(map(tuple, got.aggs["langs"].collect())) == sorted(
+        map(tuple, facet_counts(m, docs, ["lang"]).collect()))
+    assert got.aggs["len"].collect() == stats_facet(m, docs,
+                                                    "n_chars").collect()
+
+
+# -------------------------------------------------------------- errors
+
+
+def test_dsl_errors(tiny_index, tiny_corpus):
+    with pytest.raises(DslError, match="single-key"):
+        search_dsl(tiny_index, {"query": {"match": {}, "term": {}}})
+    with pytest.raises(DslError, match="unsupported body keys"):
+        search_dsl(tiny_index, {"query": {"match": {"text": Q}}, "from": 3})
+    with pytest.raises(DslError, match="unsupported query clause"):
+        search_dsl(tiny_index, {"query": {"more_like_this": {}}})
+    with pytest.raises(DslError, match="targets field"):
+        search_dsl(tiny_index, {"query": {"match": {"title": Q}}})
+    with pytest.raises(DslError, match="minimum_should_match > 1"):
+        search_dsl(tiny_index, {"query": {"bool": {
+            "should": [{"term": {"text": "a"}},
+                       {"term": {"text": "b"}}],
+            "minimum_should_match": 2}}})
+    with pytest.raises(DslError, match="needs documents="):
+        search_dsl(tiny_index, {"query": {"bool": {
+            "must": [{"match": {"text": Q}}],
+            "filter": [{"term": {"lang": "en"}}]}}})
+    with pytest.raises(DslError, match="not\\s+supported yet"):
+        search_dsl(tiny_index, {"query": {"bool": {
+            "must": [{"term": {"text": "w00000"}}],
+            "must_not": [{"term": {"text": "w00001"}}],
+            "filter": [{"term": {"lang": "en"}}]}},
+            }, documents=tiny_corpus)
+    with pytest.raises(DslError, match="search_after does not compose"):
+        search_dsl(tiny_index, {"query": {"bool": {
+            "must": [{"term": {"text": "w00000"}}]}},
+            "search_after": [1, 0.5]})
+    with pytest.raises(DslError, match="aggs compose"):
+        search_dsl(tiny_index, {"query": {"bool": {
+            "must": [{"term": {"text": "w00000"}}]}},
+            "aggs": {"x": {"terms": {"field": "lang"}}}},
+            documents=tiny_corpus)

@@ -1,4 +1,4 @@
-"""match_scores (full scored match set), multi-field indexes +
+"""scored_docs (full scored match set), multi-field indexes +
 multi_match combine semantics, and ES function_score — parity with
 brute-force references, cross-serving identity, error surfaces."""
 
@@ -20,8 +20,8 @@ from hadoop_search_engine_spark.operators.multifield import (
     multi_match_rows,
 )
 from hadoop_search_engine_spark.operators.query_exec import (
-    match_scores,
-    match_scores_pairs,
+    scored_docs,
+    scored_docs_pairs,
     search_topk_rows,
 )
 
@@ -65,7 +65,7 @@ def _bm25_all(rows, terms):
     return out
 
 
-# ------------------------------------------------------ match_scores
+# ------------------------------------------------------ scored_docs
 
 
 def test_match_scores_is_full_match_set(tiny_index, tiny_corpus):
@@ -73,8 +73,8 @@ def test_match_scores_is_full_match_set(tiny_index, tiny_corpus):
             tiny_corpus.select("doc_id", "text").collect()]
     ref = sorted(_bm25_all(rows, QUERY.split()).items(),
                  key=lambda kv: (-kv[1], kv[0]))
-    drv = match_scores_pairs(tiny_index, QUERY)
-    spk = sorted(_pairs(match_scores(tiny_index, QUERY)),
+    drv = scored_docs_pairs(tiny_index, QUERY)
+    spk = sorted(_pairs(scored_docs(tiny_index, QUERY)),
                  key=lambda kv: (-kv[1], kv[0]))
     assert _close(drv, ref)
     assert _close(spk, ref)
@@ -83,13 +83,13 @@ def test_match_scores_is_full_match_set(tiny_index, tiny_corpus):
 
 
 def test_match_scores_boost_scales(tiny_index):
-    base = match_scores_pairs(tiny_index, QUERY)
-    scaled = match_scores_pairs(tiny_index, QUERY, boost=2.5)
+    base = scored_docs_pairs(tiny_index, QUERY)
+    scaled = scored_docs_pairs(tiny_index, QUERY, boost=2.5)
     assert _close(scaled, [(d, 2.5 * s) for d, s in base], tol=1e-9)
 
 
 def test_match_scores_similarity_composes(tiny_index):
-    got = match_scores_pairs(tiny_index, QUERY, similarity="boolean")
+    got = scored_docs_pairs(tiny_index, QUERY, similarity="boolean")
     assert got and all(s in (1.0, 2.0) for _, s in got)
 
 
@@ -222,7 +222,7 @@ def _r(x: float, n: int) -> float:
 def _fs_ref(tiny_index, docs_n, factor_fn, boost_mode="multiply", k=10):
     nch = {int(r["doc_id"]): int(r["n_chars"])
            for r in docs_n.select("doc_id", "n_chars").collect()}
-    rel = dict(match_scores_pairs(tiny_index, QUERY))
+    rel = dict(scored_docs_pairs(tiny_index, QUERY))
     out = []
     for d, s in rel.items():
         fac = _r(factor_fn(nch[d]), 6)
