@@ -4121,21 +4121,29 @@ def explain_score(
     synonyms: dict[str, str] | None = None,
     k1: float | None = None,
     b: float | None = None,
+    similarity=None,
 ) -> DataFrame:
-    """Per-term BM25 breakdown of one (query, document) pair — the
+    """Per-term score breakdown of one (query, document) pair — the
     relevance-debugging surface (Lucene's ``Explanation``): one row per
     query term the document contains, with the term's tf in the doc,
-    global df, idf, and its score contribution
-    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``; the contributions
-    sum to exactly the doc's :func:`search_topk` score (same float64
-    partials, same per-term math — by test). Driver-side: a lexicon
-    probe plus ONE bucket-pruned postings read of the doc's shard — no
-    corpus scan, no Spark job on the hot path."""
+    global df, idf (the term's static weight — with a non-BM25
+    ``similarity`` the column holds that model's weight), and its
+    score contribution; the contributions sum to exactly the doc's
+    :func:`search_topk` score under the same ``similarity`` (same
+    float64 kernels, same per-term math — by test). A tombstoned doc
+    explains to zero rows, consistent with search. Driver-side: a
+    lexicon probe plus ONE bucket-pruned postings read of the doc's
+    shard — no corpus scan, no Spark job on the hot path."""
     resolved = _resolve_query(index, query_text, synonyms, "or", "dense",
                               k1, b)
     spark = index.spark
     if resolved is None:
         return _empty_df(spark, EXPLAIN_SCHEMA)
+    tomb = index.tombstone_array() if index.tombstone_count() else None
+    if tomb is not None and np.any(tomb == int(doc_id)):
+        return _empty_df(spark, EXPLAIN_SCHEMA)
+    term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
+                                    k1=k1, b=b)
     stats, ordered_terms, _algorithm = resolved
     meta = _lookup_terms(index, [t for _h, t, _i in ordered_terms])
     doc_id = int(doc_id)
@@ -4181,10 +4189,15 @@ def explain_score(
         if j >= d.shape[0] or int(d[j]) != doc_id:
             continue  # term absent from this doc: contributes exact 0
         tf = int(t[j])
-        contrib = float(
-            idf * _partial(np.array([tf]), np.array([dl]),
-                           stats.k1, stats.b, stats.avgdl)[0]
-        )
+        if term_fns is not None:
+            contrib = float(
+                term_fns[th](np.array([tf]), np.array([dl]))[0]
+            )
+        else:
+            contrib = float(
+                idf * _partial(np.array([tf]), np.array([dl]),
+                               stats.k1, stats.b, stats.avgdl)[0]
+            )
         rows.append((term, tf, int(meta[term]["df"]), float(idf), contrib))
     if not rows:
         return _empty_df(spark, EXPLAIN_SCHEMA)

@@ -124,3 +124,30 @@ def test_explain_tuned_parameters(mlt_setup):
     rows = explain_score(idx, "spark merge", doc_id, k1=0.9, b=0.3).collect()
     total = sum(r["contribution"] for r in rows)
     assert math.isclose(total, score, rel_tol=1e-12)
+
+
+def test_explain_similarity_sums_to_search_score(mlt_setup):
+    idx, _oracle, _docs = mlt_setup
+    for sim in ("lm_dirichlet", "tfidf", "boolean"):
+        pairs = search_topk_rows(idx, "spark merge", k=100, similarity=sim)
+        doc_id, score = pairs[0]
+        rows = explain_score(idx, "spark merge", doc_id,
+                             similarity=sim).collect()
+        total = sum(r["contribution"] for r in rows)
+        assert math.isclose(total, score, rel_tol=1e-12)
+
+
+def test_explain_tombstoned_doc_is_empty(spark, tiny_corpus, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    out = str(tmp_path / "expl_tomb")
+    build_index(spark, tiny_corpus.select("doc_id", "text"), out,
+                num_shards=2, n_buckets=4)
+    ix = Index.load(spark, out)
+    (doc_id, _), *_ = search_topk_rows(ix, "w00000", k=1)
+    assert explain_score(ix, "w00000", doc_id).count() > 0
+    delete_docs(ix, [doc_id])
+    ix = Index.load(spark, out)
+    assert explain_score(ix, "w00000", doc_id).count() == 0
