@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="print the significant terms of the result set "
                          "(requires --documents for the foreground "
                          "re-read; JLH scorer, top --k terms)")
+    ap.add_argument("--dsl", metavar="JSON",
+                    help="ES-style request body (operators/dsl.py): "
+                         '\'{"query": {"match": {"text": "spark"}}, '
+                         '"size": 10}\'; hits (and any aggs) print as '
+                         "JSON. --documents supplies the metadata "
+                         "table for filters/function_score/aggs")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -129,6 +135,26 @@ def main(argv: list[str] | None = None) -> None:
         search_topk,
     )
     from hadoop_search_engine_spark.session import get_spark
+
+    if args.dsl:
+        if not args.index:
+            ap.error("--dsl requires --index")
+        spark = get_spark(app_name="hse-search")
+        from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+        docs = (spark.read.parquet(args.documents)
+                if args.documents else None)
+        res = search_dsl(Index.load(spark, args.index),
+                         json.loads(args.dsl), documents=docs)
+        out = {"hits": [r.asDict() for r in res.hits.collect()]}
+        for name, df in res.aggs.items():
+            out.setdefault("aggregations", {})[name] = [
+                r.asDict() for r in df.collect()
+            ]
+        print(json.dumps(out, default=str))
+        if SparkSession.getActiveSession() is not None:
+            spark.stop()
+        return
 
     if bool(args.query) == bool(args.queries_file):
         ap.error("exactly one of --query / --queries-file is required")
