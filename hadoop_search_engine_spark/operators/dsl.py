@@ -497,22 +497,97 @@ def search_dsl(
     body: dict,
     documents: DataFrame | None = None,
     multifield=None,
+    embeddings: DataFrame | None = None,
     synonyms: dict[str, str] | None = None,
 ) -> DslResult:
     """Execute an ES-style request body. See the module docstring for
     the supported subset; every clause runs an existing exact engine
     path, so DSL results are identical to the direct calls by
-    construction (and by test)."""
-    if not isinstance(body, dict) or "query" not in body:
-        raise DslError('body must be {"query": {...}, ...}')
+    construction (and by test).
+
+    ``knn`` (ES 8 dense-vector search, needs ``embeddings=``):
+    ``{"knn": {"field": "embedding", "query_vector": [...], "k": n,
+    "id_field": "vec_id"}}`` alone → exact cosine top-k
+    (:func:`~.similarity.cosine_topk`; swap in an LSH/IVF/int8 table
+    upstream for the approximate paths). ``knn`` + ``query`` requires
+    ``"rank": {"rrf": {"rank_window_size": w, "rank_constant": c}}``
+    (the ES RRF retriever) and maps to :func:`~.hybrid.hybrid_topk` —
+    hits are ``(doc_id, rrf, lex_rank, vec_rank)``."""
+    if not isinstance(body, dict) or not ("query" in body or "knn" in body):
+        raise DslError('body must carry "query" and/or "knn"')
     unknown = set(body) - {"query", "size", "search_after", "similarity",
-                           "aggs"}
+                           "aggs", "knn", "rank"}
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
     k = int(body.get("size", 10))
     after = body.get("search_after")
     if after is not None:
         after = (int(after[0]), float(after[1]))
+
+    if "knn" in body:
+        knn = body["knn"]
+        if embeddings is None:
+            raise DslError("knn needs embeddings= (the vector table)")
+        if after is not None or body.get("similarity") or body.get("aggs"):
+            raise DslError(
+                "knn composes with size/rank only "
+                "(no search_after/similarity/aggs yet)"
+            )
+        vec = [float(x) for x in knn["query_vector"]]
+        vcol = knn.get("field", "embedding")
+        icol = knn.get("id_field", "vec_id")
+        # dim guard: a mismatched query vector would yield all-null
+        # cosines (zip_with pads with null) — fail loudly instead.
+        # One 1-row probe, DSL-layer only (the hot ops stay unguarded).
+        row = embeddings.select(F.size(F.col(vcol)).alias("d")).first()
+        if row is not None and int(row["d"]) != len(vec):
+            raise DslError(
+                f"query_vector has {len(vec)} dims but {vcol!r} has "
+                f"{int(row['d'])}"
+            )
+        if "query" not in body:
+            from .similarity import cosine_topk
+
+            if "rank" in body:
+                raise DslError("rank applies to knn + query hybrids")
+            return DslResult(hits=cosine_topk(
+                embeddings, vec, k=int(knn.get("k", k)),
+                id_col=icol, vec_col=vcol,
+            ))
+        rank = body.get("rank")
+        if not rank or "rrf" not in rank:
+            raise DslError(
+                'knn + query needs "rank": {"rrf": {...}} (the ES RRF '
+                "retriever — this engine fuses hybrids by RRF)"
+            )
+        qk, qb = _one_key(body["query"], "query")
+        if qk not in ("match", "query_string", "term", "terms"):
+            raise DslError(
+                f"knn hybrids take a match-family query, not {qk!r}"
+            )
+        if qk == "match":
+            fld, b = _field_body(qb, "match")
+            _require_text_field(fld, "match")
+            text = str(b["query"])
+        elif qk == "query_string":
+            text = str(qb["query"])
+        elif qk == "term":
+            _, b = _field_body(qb, "term")
+            text = str(b["value"])
+        else:
+            _, vals = _one_key(qb, "terms")
+            text = " ".join(str(v) for v in vals)
+        from .hybrid import RRF_K_DEFAULT, hybrid_topk
+
+        rrf = rank["rrf"]
+        w = int(rrf.get("rank_window_size", 50))
+        return DslResult(hits=hybrid_topk(
+            index, text, embeddings, vec, k=k, k_lex=w,
+            k_vec=int(knn.get("k", w)),
+            rrf_k=int(rrf.get("rank_constant", RRF_K_DEFAULT)),
+            id_col=icol, vec_col=vcol,
+        ))
+
     hits = _compile(body["query"], index, k, after,
                     body.get("similarity"), synonyms, documents,
                     multifield, None)

@@ -118,6 +118,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="print the significant terms of the result set "
                          "(requires --documents for the foreground "
                          "re-read; JLH scorer, top --k terms)")
+    ap.add_argument("--embeddings", metavar="PARQUET",
+                    help="vector table for --dsl knn clauses "
+                         "(vec_id, embedding)")
     ap.add_argument("--dsl", metavar="JSON",
                     help="ES-style request body (operators/dsl.py): "
                          '\'{"query": {"match": {"text": "spark"}}, '
@@ -144,8 +147,11 @@ def main(argv: list[str] | None = None) -> None:
 
         docs = (spark.read.parquet(args.documents)
                 if args.documents else None)
+        emb = (spark.read.parquet(args.embeddings)
+               if args.embeddings else None)
         res = search_dsl(Index.load(spark, args.index),
-                         json.loads(args.dsl), documents=docs)
+                         json.loads(args.dsl), documents=docs,
+                         embeddings=emb)
         out = {"hits": [r.asDict() for r in res.hits.collect()]}
         for name, df in res.aggs.items():
             out.setdefault("aggregations", {})[name] = [

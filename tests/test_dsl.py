@@ -281,3 +281,57 @@ def test_dsl_errors(tiny_index, tiny_corpus):
             "must": [{"term": {"text": "w00000"}}]}},
             "aggs": {"x": {"terms": {"field": "lang"}}}},
             documents=tiny_corpus)
+
+
+# ---------------------------------------------------------------- knn
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(100)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_alone_equals_cosine_topk(tiny_index, embeddings):
+    from hadoop_search_engine_spark.operators.similarity import cosine_topk
+
+    qv = [1.0, 0.0, -1.0, 0.5, 0.0, 0.0, 2.0, -0.5]
+    got = search_dsl(tiny_index, {"knn": {
+        "field": "embedding", "query_vector": qv, "k": 5,
+    }}, embeddings=embeddings)
+    direct = cosine_topk(embeddings, qv, k=5)
+    assert [tuple(r) for r in got.hits.collect()] == [
+        tuple(r) for r in direct.collect()]
+
+
+def test_knn_plus_query_rrf(tiny_index, embeddings):
+    from hadoop_search_engine_spark.operators.hybrid import hybrid_topk
+
+    qv = [1.0] * 8
+    body = {"query": {"match": {"text": Q}},
+            "knn": {"field": "embedding", "query_vector": qv, "k": 20},
+            "rank": {"rrf": {"rank_window_size": 20, "rank_constant": 60}},
+            "size": 5}
+    got = search_dsl(tiny_index, body, embeddings=embeddings)
+    direct = hybrid_topk(tiny_index, Q, embeddings, qv, k=5, k_lex=20,
+                         k_vec=20, rrf_k=60)
+    assert [tuple(r) for r in got.hits.collect()] == [
+        tuple(r) for r in direct.collect()]
+
+
+def test_knn_errors(tiny_index, embeddings):
+    qv = [1.0] * 8
+    with pytest.raises(DslError, match="needs embeddings"):
+        search_dsl(tiny_index, {"knn": {"query_vector": qv}})
+    with pytest.raises(DslError, match='"rank"'):
+        search_dsl(tiny_index, {"query": {"match": {"text": Q}},
+                                "knn": {"query_vector": qv}},
+                   embeddings=embeddings)
+    with pytest.raises(DslError, match="rank applies"):
+        search_dsl(tiny_index, {"knn": {"query_vector": qv},
+                                "rank": {"rrf": {}}},
+                   embeddings=embeddings)
