@@ -34,6 +34,7 @@ dir instead.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from typing import Iterable
@@ -969,3 +970,66 @@ def restore_snapshot(snap_dir: str, dst_dir: str, verify: bool = True) -> str:
         except OSError:
             shutil.copy2(s, t)
     return dst_dir
+
+
+# ---------------------------------------------------------------------------
+# Aliases (ES index aliases): atomic name -> index-dir indirection
+# ---------------------------------------------------------------------------
+
+ALIASES_FILE = "aliases.json"
+
+
+def _aliases_path(root: str) -> str:
+    return os.path.join(root, ALIASES_FILE)
+
+
+def read_aliases(root: str) -> dict[str, str]:
+    p = _aliases_path(root)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)["aliases"]
+
+
+def set_alias(root: str, name: str, index_dir: str) -> dict[str, str]:
+    """Point ``name`` at ``index_dir`` (ES alias-swap semantics): the
+    zero-downtime reindex primitive — build the new generation beside
+    the old, flip the alias, readers loading by alias atomically see
+    the new index, then retire the old directory at leisure. The
+    aliases file is the ONLY mutable state and is written temp+rename
+    (atomic under crashes, new inode — snapshot-safe like stats.json);
+    the index directories themselves stay immutable. ``index_dir``
+    must hold a servable index (stats.json present)."""
+    if not os.path.exists(os.path.join(index_dir, "stats.json")):
+        raise ValueError(f"{index_dir!r} is not a built index (no stats.json)")
+    os.makedirs(root, exist_ok=True)
+    aliases = read_aliases(root)
+    aliases[name] = os.path.abspath(index_dir)
+    tmp = _aliases_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"aliases": aliases}, f)
+    os.replace(tmp, _aliases_path(root))
+    return aliases
+
+
+def drop_alias(root: str, name: str) -> dict[str, str]:
+    aliases = read_aliases(root)
+    if name not in aliases:
+        raise KeyError(f"no alias {name!r} (have {sorted(aliases)})")
+    del aliases[name]
+    tmp = _aliases_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"aliases": aliases}, f)
+    os.replace(tmp, _aliases_path(root))
+    return aliases
+
+
+def load_alias(spark, root: str, name: str) -> Index:
+    """Load the index an alias currently points at — the reader half
+    of the swap. One manifest read + the normal Index.load; a flip
+    between two loads is invisible to the old Index object (it holds
+    its own paths), exactly the point."""
+    aliases = read_aliases(root)
+    if name not in aliases:
+        raise KeyError(f"no alias {name!r} (have {sorted(aliases)})")
+    return Index.load(spark, aliases[name])

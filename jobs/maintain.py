@@ -82,7 +82,36 @@ def main(argv: list[str] | None = None) -> None:
              "tombstone-heavy segments routed to vacuum) without "
              "touching anything — no Spark job",
     )
+    ap.add_argument("--alias-root", metavar="DIR",
+                    help="directory holding aliases.json for the "
+                         "alias actions below")
+    ap.add_argument("--set-alias", metavar="NAME",
+                    help="point NAME at --index (atomic temp+rename "
+                         "flip; the zero-downtime reindex swap)")
+    ap.add_argument("--drop-alias", metavar="NAME")
+    ap.add_argument("--list-aliases", action="store_true")
     args = ap.parse_args(argv)
+    if args.set_alias or args.drop_alias or args.list_aliases:
+        from hadoop_search_engine_spark.operators.index_maint import (
+            drop_alias,
+            read_aliases,
+            set_alias,
+        )
+
+        if not args.alias_root:
+            ap.error("alias actions need --alias-root")
+        if args.set_alias:
+            if not args.index:
+                ap.error("--set-alias needs --index (the target)")
+            print(json.dumps(
+                {"aliases": set_alias(args.alias_root, args.set_alias,
+                                      args.index)}))
+        if args.drop_alias:
+            print(json.dumps(
+                {"aliases": drop_alias(args.alias_root, args.drop_alias)}))
+        if args.list_aliases:
+            print(json.dumps({"aliases": read_aliases(args.alias_root)}))
+        return
     if args.verify_snapshot:
         from hadoop_search_engine_spark.operators.index_maint import (
             verify_snapshot,
