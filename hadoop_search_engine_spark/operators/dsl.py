@@ -516,7 +516,8 @@ def search_dsl(
     if not isinstance(body, dict) or not ("query" in body or "knn" in body):
         raise DslError('body must carry "query" and/or "knn"')
     unknown = set(body) - {"query", "size", "search_after", "similarity",
-                           "aggs", "knn", "rank"}
+                           "aggs", "knn", "rank", "collapse", "highlight",
+                           "sort"}
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
     k = int(body.get("size", 10))
@@ -588,11 +589,102 @@ def search_dsl(
             id_col=icol, vec_col=vcol,
         ))
 
-    hits = _compile(body["query"], index, k, after,
+    post = [kk for kk in ("collapse", "highlight", "sort") if kk in body]
+    if post:
+        qk0, _ = _one_key(body["query"], "query")
+        if qk0 not in ("match", "query_string", "term", "terms", "bool"):
+            raise DslError(
+                f"{'/'.join(post)} compose with the match family, not "
+                f"{qk0!r}"
+            )
+        if documents is None:
+            raise DslError(f"{'/'.join(post)} need documents=")
+
+    if "sort" in body:
+        # ES field sort REPLACES relevance: eligible docs ordered by
+        # the metadata field — matched set semi-join, TakeOrdered, no
+        # scoring at all. Exclusive with the score-shaped stages.
+        if len(body["sort"]) != 1 or len(post) > 1 or after is not None:
+            raise DslError(
+                "sort supports exactly one field and composes only "
+                "with query/size"
+            )
+        fld, spec = _one_key(body["sort"][0], "sort")
+        order = (spec if isinstance(spec, str)
+                 else spec.get("order", "asc"))
+        qk0, qb0 = _one_key(body["query"], "query")
+        if qk0 == "bool":
+            raise DslError("sort composes with match/term queries")
+        text = _query_text(qk0, qb0)
+        m = matched_docs(index, text, synonyms,
+                         mode=_query_mode(qk0, qb0))
+        col = F.col(fld)
+        return DslResult(hits=(
+            documents.join(m.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", fld)
+            .orderBy(col.desc() if order == "desc" else col.asc(),
+                     F.col("doc_id").asc())
+            .limit(k)
+        ))
+
+    collapse = body.get("collapse")
+    over = int(collapse.get("window", 50)) if collapse else k
+    hits = _compile(body["query"], index, max(k, over), after,
                     body.get("similarity"), synonyms, documents,
                     multifield, None)
+    if collapse:
+        # ES field collapsing over a ranked window (the established
+        # collapsed_search semantics): best doc per key within the
+        # top-`window`, then the k best keys
+        from .query_exec import collapse_topk
+
+        hits = collapse_topk(
+            hits, documents.select("doc_id", collapse["field"]),
+            collapse["field"], k=k,
+        )
+    if body.get("highlight"):
+        from .query_exec import materialize_with_snippets, parse_query
+
+        h = body["highlight"]
+        fields = h.get("fields", {"text": {}})
+        if set(fields) != {"text"}:
+            raise DslError("highlight supports the text field")
+        frag = int(fields["text"].get("fragment_size", 80)) // 2
+        mark = None
+        if "pre_tags" in h or "post_tags" in h:
+            mark = (str((h.get("pre_tags") or ["<em>"])[0]),
+                    str((h.get("post_tags") or ["</em>"])[0]))
+        qk0, qb0 = _one_key(body["query"], "query")
+        terms = parse_query(_query_text(qk0, qb0), synonyms,
+                            index.token_fn())
+        hits = materialize_with_snippets(hits, documents, terms,
+                                         width=frag, mark=mark)
     aggs = {}
     if body.get("aggs"):
         aggs = _run_aggs(body["aggs"], index, body["query"], documents,
                          synonyms)
     return DslResult(hits=hits, aggs=aggs)
+
+
+def _query_text(kind: str, body) -> str:
+    if kind == "match":
+        fld, b = _field_body(body, "match")
+        _require_text_field(fld, "match")
+        return str(b["query"])
+    if kind == "query_string":
+        return str(body["query"])
+    if kind == "term":
+        fld, b = _field_body(body, "term")
+        _require_text_field(fld, "term")
+        return str(b["value"])
+    if kind == "terms":
+        _, vals = _one_key(body, "terms")
+        return " ".join(str(v) for v in vals)
+    raise DslError(f"no query text for clause {kind!r}")
+
+
+def _query_mode(kind: str, body) -> str:
+    if kind == "match":
+        _, b = _field_body(body, "match")
+        return "and" if b.get("operator", "or") == "and" else "or"
+    return "or"

@@ -335,3 +335,56 @@ def test_knn_errors(tiny_index, embeddings):
         search_dsl(tiny_index, {"knn": {"query_vector": qv},
                                 "rank": {"rrf": {}}},
                    embeddings=embeddings)
+
+
+# ------------------------------------------- collapse / highlight / sort
+
+
+def test_collapse_equals_direct(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import collapse_topk
+
+    body = {"query": {"match": {"text": Q}}, "size": 3,
+            "collapse": {"field": "lang", "window": 50}}
+    got = search_dsl(tiny_index, body, documents=tiny_corpus)
+    direct = collapse_topk(
+        search_topk(tiny_index, Q, k=50),
+        tiny_corpus.select("doc_id", "lang"), "lang", k=3)
+    assert sorted(map(tuple, got.hits.collect())) == sorted(
+        map(tuple, direct.collect()))
+
+
+def test_highlight_marks_terms(tiny_index, tiny_corpus):
+    body = {"query": {"match": {"text": "w00000"}}, "size": 5,
+            "highlight": {"fields": {"text": {"fragment_size": 60}},
+                          "pre_tags": ["<em>"], "post_tags": ["</em>"]}}
+    got = search_dsl(tiny_index, body, documents=tiny_corpus)
+    rows = got.hits.collect()
+    assert rows and all("<em>w00000</em>" in r["snippet"].lower()
+                        for r in rows)
+
+
+def test_sort_by_field(tiny_index, tiny_corpus):
+    docs = tiny_corpus.withColumn("n_chars", F.length("text"))
+    body = {"query": {"match": {"text": Q}}, "size": 5,
+            "sort": [{"n_chars": {"order": "desc"}}]}
+    got = search_dsl(tiny_index, body, documents=docs)
+    rows = [(r["doc_id"], r["n_chars"]) for r in got.hits.collect()]
+    matched = {r["doc_id"] for r in
+               matched_docs(tiny_index, Q).collect()}
+    assert len(rows) == 5 and all(d in matched for d, _ in rows)
+    assert [n for _, n in rows] == sorted((n for _, n in rows),
+                                          reverse=True)
+
+
+def test_post_stage_errors(tiny_index, tiny_corpus):
+    with pytest.raises(DslError, match="need documents"):
+        search_dsl(tiny_index, {"query": {"match": {"text": Q}},
+                                "collapse": {"field": "lang"}})
+    with pytest.raises(DslError, match="compose with the match family"):
+        search_dsl(tiny_index, {"query": {"fuzzy": {"text": "w0001x"}},
+                                "sort": [{"n_chars": "asc"}]},
+                   documents=tiny_corpus)
+    with pytest.raises(DslError, match="exactly one field"):
+        search_dsl(tiny_index, {"query": {"match": {"text": Q}},
+                                "sort": [{"a": "asc"}, {"b": "asc"}]},
+                   documents=tiny_corpus)
