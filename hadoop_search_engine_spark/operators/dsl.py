@@ -75,8 +75,9 @@ _TOKEN_OK = re.compile(r"^\S+$")
 
 @dataclass
 class DslResult:
-    hits: DataFrame
+    hits: DataFrame | None
     aggs: dict[str, DataFrame] = field(default_factory=dict)
+    suggest: dict[str, DataFrame] = field(default_factory=dict)
 
 
 class DslError(ValueError):
@@ -492,6 +493,54 @@ def _run_aggs(
 # ---------------------------------------------------------------- main
 
 
+def _run_suggest(spec: dict, index: Index, lm_tables) -> dict:
+    """ES ``suggest`` section: ``completion`` (lexicon prefix,
+    df-ranked — :func:`~.query_exec.suggest_terms`), ``term``
+    (single-token spell candidates —
+    :func:`~.query_exec.fuzzy_terms`), ``phrase`` (whole-query
+    did-you-mean over the corpus LM — :func:`~.lm.suggest_phrase`;
+    needs ``lm_tables=(unigrams, bigrams)``)."""
+    out = {}
+    for name, s in spec.items():
+        kinds = [kk for kk in s if kk in ("completion", "term", "phrase")]
+        if len(kinds) != 1:
+            raise DslError(
+                f"suggest[{name}] needs exactly one of "
+                "completion/term/phrase"
+            )
+        kind, b = kinds[0], s[kinds[0]]
+        if kind == "completion":
+            from .query_exec import suggest_terms
+
+            out[name] = suggest_terms(index, str(s.get("prefix",
+                                                       b.get("prefix", ""))),
+                                      k=int(b.get("size", 10)))
+        elif kind == "term":
+            from .query_exec import fuzzy_terms
+
+            text = str(s.get("text", b.get("text", "")))
+            if len(text.split()) != 1:
+                raise DslError("term suggester takes a single token")
+            out[name] = fuzzy_terms(index, text,
+                                    max_edits=int(b.get("max_edits", 1)),
+                                    k=int(b.get("size", 5)))
+        elif kind == "phrase":
+            from .lm import suggest_phrase
+
+            if lm_tables is None:
+                raise DslError(
+                    "phrase suggester needs lm_tables=(unigrams, bigrams)"
+                )
+            out[name] = suggest_phrase(
+                index.spark, str(s.get("text", b.get("text", ""))),
+                lm_tables[0], lm_tables[1],
+                topn=int(b.get("size", 3)),
+            )
+        else:
+            raise DslError(f"unsupported suggester {kind!r}")
+    return out
+
+
 def search_dsl(
     index: Index,
     body: dict,
@@ -499,6 +548,7 @@ def search_dsl(
     multifield=None,
     embeddings: DataFrame | None = None,
     synonyms: dict[str, str] | None = None,
+    lm_tables=None,
 ) -> DslResult:
     """Execute an ES-style request body. See the module docstring for
     the supported subset; every clause runs an existing exact engine
@@ -513,13 +563,20 @@ def search_dsl(
     ``"rank": {"rrf": {"rank_window_size": w, "rank_constant": c}}``
     (the ES RRF retriever) and maps to :func:`~.hybrid.hybrid_topk` —
     hits are ``(doc_id, rrf, lex_rank, vec_rank)``."""
-    if not isinstance(body, dict) or not ("query" in body or "knn" in body):
-        raise DslError('body must carry "query" and/or "knn"')
+    if not isinstance(body, dict) or not (
+        "query" in body or "knn" in body or "suggest" in body
+    ):
+        raise DslError('body must carry "query", "knn", and/or "suggest"')
     unknown = set(body) - {"query", "size", "search_after", "similarity",
                            "aggs", "knn", "rank", "collapse", "highlight",
-                           "sort"}
+                           "sort", "suggest"}
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
+    suggest = {}
+    if body.get("suggest"):
+        suggest = _run_suggest(body["suggest"], index, lm_tables)
+        if "query" not in body and "knn" not in body:
+            return DslResult(hits=None, suggest=suggest)
     k = int(body.get("size", 10))
     after = body.get("search_after")
     if after is not None:
@@ -554,7 +611,7 @@ def search_dsl(
             return DslResult(hits=cosine_topk(
                 embeddings, vec, k=int(knn.get("k", k)),
                 id_col=icol, vec_col=vcol,
-            ))
+            ), suggest=suggest)
         rank = body.get("rank")
         if not rank or "rrf" not in rank:
             raise DslError(
@@ -587,7 +644,7 @@ def search_dsl(
             k_vec=int(knn.get("k", w)),
             rrf_k=int(rrf.get("rank_constant", RRF_K_DEFAULT)),
             id_col=icol, vec_col=vcol,
-        ))
+        ), suggest=suggest)
 
     post = [kk for kk in ("collapse", "highlight", "sort") if kk in body]
     if post:
@@ -625,7 +682,7 @@ def search_dsl(
             .orderBy(col.desc() if order == "desc" else col.asc(),
                      F.col("doc_id").asc())
             .limit(k)
-        ))
+        ), suggest=suggest)
 
     collapse = body.get("collapse")
     over = int(collapse.get("window", 50)) if collapse else k
@@ -663,7 +720,7 @@ def search_dsl(
     if body.get("aggs"):
         aggs = _run_aggs(body["aggs"], index, body["query"], documents,
                          synonyms)
-    return DslResult(hits=hits, aggs=aggs)
+    return DslResult(hits=hits, aggs=aggs, suggest=suggest)
 
 
 def _query_text(kind: str, body) -> str:

@@ -388,3 +388,34 @@ def test_post_stage_errors(tiny_index, tiny_corpus):
         search_dsl(tiny_index, {"query": {"match": {"text": Q}},
                                 "sort": [{"a": "asc"}, {"b": "asc"}]},
                    documents=tiny_corpus)
+
+
+# ------------------------------------------------------------ suggest
+
+
+def test_suggest_completion_and_term(tiny_index):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        fuzzy_terms,
+        suggest_terms,
+    )
+
+    body = {"suggest": {
+        "c": {"prefix": "w0001", "completion": {"size": 5}},
+        "t": {"text": "w0001x", "term": {"size": 3}},
+    }}
+    got = search_dsl(tiny_index, body)
+    assert got.hits is None
+    assert sorted(map(tuple, got.suggest["c"].collect())) == sorted(
+        map(tuple, suggest_terms(tiny_index, "w0001", k=5).collect()))
+    assert sorted(map(tuple, got.suggest["t"].collect())) == sorted(
+        map(tuple, fuzzy_terms(tiny_index, "w0001x", k=3).collect()))
+
+
+def test_suggest_composes_with_query(tiny_index):
+    body = {"query": {"match": {"text": Q}}, "size": 3,
+            "suggest": {"c": {"prefix": "w0001", "completion": {}}}}
+    got = search_dsl(tiny_index, body)
+    assert got.hits.count() == 3 and got.suggest["c"].count() > 0
+    with pytest.raises(DslError, match="single token"):
+        search_dsl(tiny_index, {"suggest": {
+            "t": {"text": "two words", "term": {}}}})
