@@ -454,6 +454,36 @@ def q_dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.hits.select("doc_id", "score")
 
 
+def q_dsl_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL collapse stage (ES field collapsing over a ranked window)
+    — same window-50 semantics and oracle as collapsed_search."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    body = {"query": {"match": {"text": " ".join(FLAGSHIP_TERMS)}},
+            "size": 20, "collapse": {"field": "lang", "window": 50}}
+    r = search_dsl(ix, body, documents=docs)
+    return r.hits.select("doc_id", "lang",
+                         F.round("score", 4).alias("score"))
+
+
+def q_dsl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL knn clause (ES 8 dense-vector search) — exact cosine over
+    the embeddings table; same oracle as ann_cosine_topk (the query
+    vector is vec 0, passed as the DSL's query_vector literal)."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ix = _oracle_index(spark, sf_dir)
+    r = search_dsl(ix, {"knn": {"field": "embedding",
+                                "query_vector": [float(x) for x in qvec],
+                                "k": ANN_K}},
+                   embeddings=emb)
+    return r.hits
+
+
 # Time-partitioned index (ES data stream / ILM): derived doc
 # timestamps (2026-01-01 + doc_id % 120 days -> four calendar months,
 # deterministic in both engines), monthly sub-indexes, range-routed
@@ -2391,6 +2421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bool": q_dsl_bool,
         "dsl_filtered": q_dsl_filtered,
         "dsl_function_score": q_dsl_function_score,
+        "dsl_collapsed": q_dsl_collapsed,
+        "dsl_knn": q_dsl_knn,
         "multi_match_most_fields": q_multi_match_most_fields,
         "multi_match_best_fields": q_multi_match_best_fields,
         "function_score_gauss": q_function_score_gauss,
@@ -3493,6 +3525,8 @@ def oracle_sql() -> dict[str, str]:
     out["dsl_bool"] = out["boolean_search"]
     out["dsl_filtered"] = out["filtered_search"]
     out["dsl_function_score"] = out["function_score_gauss"]
+    out["dsl_collapsed"] = out["collapsed_search"]
+    out["dsl_knn"] = out["ann_cosine_topk"]
     out["bm25_topk_resharded"] = out["bm25_topk"]
     out["bm25_topk_indexed_driver"] = out["bm25_topk"]
     out["boolean_search_indexed"] = out["boolean_search"]
