@@ -102,11 +102,16 @@ def _build_periods(
     ts_col: str,
     interval: str,
     build_kw: dict,
+    concurrency: int = 1,
 ) -> list[dict]:
     """One sub-index + sidecar per calendar period present in
     ``docs``; returns the new manifest entries. The period list is a
     small collect (bounded by the corpus' calendar span, never its
-    row count); each slice build prunes by the period key."""
+    row count); each slice build prunes by the period key.
+    ``concurrency`` > 1 runs period builds as concurrent Spark jobs
+    (see multifield.build_multifield_index — same trade: sequential
+    saturates a real cluster per period, concurrency amortizes fixed
+    costs at small scale; bytes identical either way)."""
     key = F.date_format(
         F.date_trunc(interval, F.col(ts_col).cast("timestamp")),
         _period_name(interval),
@@ -121,8 +126,7 @@ def _build_periods(
         )
         .collect()
     )
-    entries = []
-    for r in sorted(rows, key=lambda r: r["_period"]):
+    def _one(r) -> dict:
         name = r["_period"]
         pdir = os.path.join(out_dir, "periods", name)
         part = tagged.where(F.col("_period") == name)
@@ -135,11 +139,16 @@ def _build_periods(
             .write.mode("overwrite")
             .parquet(os.path.join(pdir, "doc_ts"))
         )
-        entries.append(
-            {"name": name, "min_us": int(r["min_us"]),
-             "max_us": int(r["max_us"]), "n_docs": int(r["n_docs"])}
-        )
-    return entries
+        return {"name": name, "min_us": int(r["min_us"]),
+                "max_us": int(r["max_us"]), "n_docs": int(r["n_docs"])}
+
+    ordered = sorted(rows, key=lambda r: r["_period"])
+    if concurrency > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as ex:
+            return list(ex.map(_one, ordered))
+    return [_one(r) for r in ordered]
 
 
 def build_time_partitioned_index(
@@ -148,6 +157,7 @@ def build_time_partitioned_index(
     out_dir: str,
     ts_col: str = "warc_ts",
     interval: str = "month",
+    concurrency: int = 1,
     **build_kw,
 ) -> "TimePartitionedIndex":
     """``docs``: (doc_id, text, <ts_col>). One complete sub-index per
@@ -155,7 +165,7 @@ def build_time_partitioned_index(
     if interval not in _INTERVALS:
         raise ValueError(f"interval must be one of {_INTERVALS}")
     entries = _build_periods(spark, docs, out_dir, ts_col, interval,
-                             build_kw)
+                             build_kw, concurrency=concurrency)
     if not entries:
         raise ValueError("docs produced no periods (empty input?)")
     _write_manifest(out_dir, interval, entries)

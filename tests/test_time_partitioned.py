@@ -206,3 +206,20 @@ def test_bad_args(tpi, spark, tiny_corpus, tmp_path):
         build_time_partitioned_index(
             spark, _with_ts(tiny_corpus).select("doc_id", "text", "warc_ts"),
             str(tmp_path / "x"), interval="fortnight")
+
+
+def test_concurrent_builds_identical(spark, tiny_corpus, tmp_path):
+    """concurrency > 1 overlaps the per-period Spark jobs; the
+    resulting indexes must serve rank/score-identically to the
+    sequential build (each build is its own deterministic job tree)."""
+    docs = _with_ts(tiny_corpus).select("doc_id", "text", "warc_ts")
+    seq = build_time_partitioned_index(
+        spark, docs, str(tmp_path / "seq"), interval="month",
+        num_shards=2, n_buckets=4)
+    par = build_time_partitioned_index(
+        spark, docs, str(tmp_path / "par"), interval="month",
+        num_shards=2, n_buckets=4, concurrency=4)
+    assert [p["name"] for p in par.periods] == [p["name"] for p in seq.periods]
+    a = _triples(search_time_range(seq, QUERY, LO, HI, k=20))
+    b = _triples(search_time_range(par, QUERY, LO, HI, k=20))
+    assert a == b and a
