@@ -2396,6 +2396,66 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token windows (RAG / context prep): 32-token chunks
+    with 8-token overlap; the oracle replays the step arithmetic and
+    the list slicing per chunk."""
+    from hadoop_search_engine_spark.operators.training import chunk_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_docs(docs, max_tokens=32, overlap=8)
+
+
+def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split packing lineage: which token range
+    of which doc landed in which 128-token training bin, packed per
+    lang group (so each group's window runs independently). The
+    oracle replays the exclusive running-sum + floor-division span
+    arithmetic exactly (pure integers)."""
+    from hadoop_search_engine_spark.operators.training import pack_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_spans(docs, 128, group_col="lang")
+
+
+def q_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training rows: every bin exactly 128 tokens
+    except each lang group's final partial bin; text is the
+    space-joined token stream in doc_id concatenation order."""
+    from hadoop_search_engine_spark.operators.training import pack_text
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_text(docs, 128, group_col="lang")
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored bigram collocations (phrase mining): adjacent-pair
+    counts >= 5 with pointwise mutual information over the full bigram
+    and token probability spaces; the oracle replays the bigram
+    extraction, both totals, and the log-ratio at 6 dp."""
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5)
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the REAL block index's BM25 top-20
+    window, lam=0.7, k=10 — the greedy relevance-vs-redundancy
+    re-rank. The DuckDB oracle replays the whole contract: the BM25
+    window, rel normalization, the pairwise-cosine matrix, and the
+    greedy argmax itself as a recursive CTE carrying the picked list."""
+    from hadoop_search_engine_spark.operators.hybrid import mmr_rerank
+
+    ix = _oracle_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        ix, " ".join(FLAGSHIP_TERMS), emb, k=10, window=20, lam=0.7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -2544,6 +2604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
+        # training-sequence assembly + phrase mining + diversification
+        "chunk_docs": q_chunk_docs,
+        "pack_spans": q_pack_spans,
+        "pack_text": q_pack_text,
+        "collocations": q_collocations,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -4889,5 +4955,146 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN c
         WHERE tf.doc_id IN (SELECT doc_id FROM best)
         ORDER BY tf.term ASC
+    """
+    # training-sequence assembly: chunking (32-token windows, overlap
+    # 8 -> step 24) and concat-and-split packing (seq_len 128 per lang
+    # group) — pure integer arithmetic, replayed verbatim
+    out["chunk_docs"] = f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0)
+        SELECT doc_id, i AS chunk_id,
+               len(toks[(i*24 + 1)::int : (i*24 + 32)::int]) AS n_tokens,
+               array_to_string(
+                 toks[(i*24 + 1)::int : (i*24 + 32)::int], ' ') AS chunk_text
+        FROM t, unnest(range(0, greatest((n - 8 + 23) // 24, 1))) AS u(i)
+    """
+    _pack_st = f"""
+        tok AS (SELECT lang, doc_id, {_TOKS} AS toks FROM documents),
+        st AS (
+          SELECT lang, doc_id, toks, len(toks)::bigint AS n,
+                 coalesce(sum(len(toks)) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::bigint AS g
+          FROM tok WHERE len(toks) > 0
+        ),
+        sp AS (
+          SELECT lang, doc_id, toks, n, g,
+                 unnest(range(g // 128, (g + n - 1) // 128 + 1)) AS bin_id
+          FROM st
+        )"""
+    out["pack_spans"] = f"""
+        WITH {_pack_st}
+        SELECT lang, doc_id, bin_id,
+               greatest(g - bin_id * 128, 0) AS bin_pos,
+               greatest(bin_id * 128 - g, 0) AS tok_start,
+               least((bin_id + 1) * 128 - g, n) AS tok_end
+        FROM sp
+    """
+    out["pack_text"] = f"""
+        WITH {_pack_st},
+        pieces AS (
+          SELECT lang, bin_id,
+                 greatest(g - bin_id * 128, 0) AS bin_pos,
+                 toks[(greatest(bin_id * 128 - g, 0) + 1)::int
+                      : (least((bin_id + 1) * 128 - g, n))::int] AS piece
+          FROM sp
+        ),
+        bins AS (
+          SELECT lang, bin_id,
+                 flatten(list(piece ORDER BY bin_pos)) AS toks
+          FROM pieces GROUP BY lang, bin_id
+        )
+        SELECT lang, bin_id, len(toks) AS n_tokens,
+               array_to_string(toks, ' ') AS text
+        FROM bins
+    """
+    # PMI bigram collocations: min_count floors REPORTING only — the
+    # bigram total N spans every adjacent pair
+    out["collocations"] = f"""
+        WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
+        bg AS (
+          SELECT toks[i] AS term_a, toks[i + 1] AS term_b
+          FROM tok, unnest(range(1, len(toks))) AS u(i)
+        ),
+        ap AS (SELECT term_a, term_b, count(*) AS pair_count
+               FROM bg GROUP BY 1, 2),
+        ntot AS (SELECT sum(pair_count)::double AS n FROM ap),
+        uc AS (SELECT term, count(*) AS cnt
+               FROM (SELECT unnest(toks) AS term FROM tok) GROUP BY term),
+        tt AS (SELECT sum(cnt)::double AS t FROM uc)
+        SELECT p.term_a, p.term_b, p.pair_count,
+               a.cnt AS count_a, b.cnt AS count_b,
+               round(ln((p.pair_count::double / n.n)
+                        / ((a.cnt::double / t.t) * (b.cnt::double / t.t))),
+                     6) AS pmi
+        FROM ap p
+        JOIN uc a ON p.term_a = a.term
+        JOIN uc b ON p.term_b = b.term
+        CROSS JOIN ntot n CROSS JOIN tt t
+        WHERE p.pair_count >= 5
+    """
+    # MMR diversification: the greedy loop itself runs as a recursive
+    # CTE — state is the picked list; each step re-derives every
+    # candidate's max-cosine-to-picked from the pair matrix and takes
+    # the argmax (mmr desc, doc_id asc), exactly hybrid.mmr_rerank's
+    # contract (bm25@4dp, rel/cos/score@6dp, maxsim floored at 0)
+    out["mmr_rerank"] = f"""
+        WITH RECURSIVE {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        top AS (SELECT doc_id, round(score, 4) AS bm25
+                FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20),
+        rel AS (SELECT doc_id, bm25,
+                       round(bm25 / (SELECT max(bm25) FROM top), 6) AS rel
+                FROM top),
+        vec AS (SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS v
+                FROM embeddings e
+                WHERE e.vec_id IN (SELECT doc_id FROM top)),
+        pr AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 round(list_dot_product(a.v, b.v) /
+                       ((CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0
+                              THEN 1 ELSE sqrt(list_dot_product(a.v, a.v)) END)
+                        * (CASE WHEN sqrt(list_dot_product(b.v, b.v)) = 0
+                               THEN 1 ELSE sqrt(list_dot_product(b.v, b.v)) END)),
+                       6) AS cos
+          FROM vec a, vec b
+        ),
+        sel AS (
+          (SELECT 1 AS mmr_rank, cand.doc_id,
+                  round(0.7 * cand.rel, 6) AS mmr_score,
+                  cand.bm25, [cand.doc_id] AS picked
+           FROM rel cand
+           ORDER BY round(0.7 * cand.rel, 6) DESC, cand.doc_id ASC LIMIT 1)
+          UNION ALL
+          SELECT s.mmr_rank + 1, pick.doc_id, pick.m, pick.bm25,
+                 list_append(s.picked, pick.doc_id)
+          FROM sel s,
+               LATERAL (
+                 SELECT cand.doc_id, cand.bm25,
+                        round(0.7 * cand.rel - 0.3 *
+                              greatest(coalesce(
+                                (SELECT max(p.cos) FROM pr p
+                                 WHERE p.da = cand.doc_id
+                                   AND list_contains(s.picked, p.db)), 0), 0),
+                              6) AS m
+                 FROM rel cand
+                 WHERE NOT list_contains(s.picked, cand.doc_id)
+                 ORDER BY m DESC, cand.doc_id ASC LIMIT 1
+               ) pick
+          WHERE s.mmr_rank < 10
+        )
+        SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
     """
     return out

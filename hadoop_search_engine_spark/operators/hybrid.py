@@ -323,3 +323,94 @@ def function_score(
         fac.alias("factor"),
     )
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def mmr_rerank(
+    index,
+    query_text: str,
+    embeddings: DataFrame,
+    k: int = 10,
+    window: int = 50,
+    lam: float = 0.7,
+    serving: str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998): greedily re-rank the BM25 top-``window`` so each
+    pick balances relevance against redundancy with what is already
+    picked,
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max_{s in S} cos(d, s)
+
+    with ``rel`` the window-max-normalized BM25 and ``S`` the selected
+    set (the first pick is the plain BM25 winner). Near-duplicate hits
+    that survive collapse/dedup stop crowding the first page. Returns
+    ``(doc_id, mmr_rank, mmr_score, bm25)``, ``mmr_rank`` 1-based in
+    selection order.
+
+    Scale shape: phase 1 is the proven block-index scorer; the greedy
+    loop is inherently sequential in k, so it runs driver-side over
+    the BOUNDED window — <= ``window`` rows and one window x selected
+    cosine matrix (both tiny by construction; the embedding scan is
+    pruned to the window ids before collection). Determinism contract
+    (the DuckDB oracle replays every step): bm25 at 4 dp, rel and each
+    pairwise cosine at 6 dp, the combined score at 6 dp, ties by
+    ascending doc_id; docs with no embedding have cosine 0 to
+    everything (maximally "diverse", never dropped).
+    """
+    from .query_exec import search_topk
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    win = search_topk(index, query_text, k=window, serving=serving)
+    emb = embeddings.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    pruned = emb.join(
+        F.broadcast(win.select("doc_id")), "doc_id", "left_semi"
+    )
+    rows = (
+        win.join(F.broadcast(pruned), "doc_id", "left")
+        .select("doc_id", F.round("score", 4).alias("bm25"), "_v")
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    schema = "doc_id long, mmr_rank int, mmr_score double, bm25 double"
+    if not rows:
+        return spark.createDataFrame([], schema)
+
+    import numpy as np
+
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    bm = np.array([r["bm25"] for r in rows], dtype=np.float64)
+    dim = next((len(r["_v"]) for r in rows if r["_v"] is not None), 0)
+    V = np.zeros((len(rows), max(dim, 1)), dtype=np.float64)
+    has_v = np.zeros(len(rows), dtype=bool)
+    for i, r in enumerate(rows):
+        if r["_v"] is not None:
+            V[i] = r["_v"]
+            has_v[i] = True
+    norm = np.linalg.norm(V, axis=1)
+    norm[norm == 0] = 1.0
+    rel = np.round(bm / bm.max(), 6)
+
+    n = len(rows)
+    picked: list[int] = []
+    remaining = np.ones(n, dtype=bool)
+    maxsim = np.zeros(n, dtype=np.float64)
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        score = np.round(lam * rel - (1.0 - lam) * maxsim, 6)
+        score[~remaining] = -np.inf
+        best = np.flatnonzero(score == np.max(score))  # ties: low id
+        i = best[np.argmin(ids[best])]
+        out.append((int(ids[i]), rank, float(score[i]), float(bm[i])))
+        remaining[i] = False
+        picked.append(i)
+        if has_v[i]:
+            sims = np.round((V @ V[i]) / (norm * norm[i]), 6)
+            sims[~has_v] = 0.0
+            maxsim = np.maximum(maxsim, sims)
+    return spark.createDataFrame(out, schema)

@@ -340,3 +340,63 @@ def corpus_mix_report(
         F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
         F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("token_share"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI-scored bigram collocations over the corpus — the classic
+    phrase-mining / tokenizer-vocab-induction signal (Church & Hanks
+    1990): ``(term_a, term_b, pair_count, count_a, count_b, pmi)``
+    for every adjacent word pair seen >= ``min_count`` times, with
+
+        pmi = ln( (c_ab / N) / ((c_a / T) * (c_b / T)) )
+
+    over bigram total N and token total T. High-PMI pairs are
+    multiword units ("new york"); the ``min_count`` floor removes the
+    hapax pairs whose PMI is spuriously maximal.
+
+    Scale shape: two partial-aggregated groupBys (bigrams via the
+    shifted-slice zip — no per-gram strings — and unigrams), then the
+    pair frame joins the vocab-sized unigram counts twice on plain
+    term keys (shuffle hash joins; the unigram side is |vocab|, never
+    corpus-sized) and the two 1-row totals fold in as broadcasts.
+    The PMI arithmetic is fixed-shape double math rounded at 6 dp —
+    the DuckDB oracle replays it term for term."""
+    grams = _ngrams_col(F.col(text_col), 2)
+    all_pairs = (
+        docs.select(F.explode(grams).alias("_g"))
+        .select(
+            F.col("_g").getField("0").alias("term_a"),
+            F.col("_g").getField("1").alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    # N counts ALL bigram occurrences — the min_count floor prunes
+    # which pairs are REPORTED, not the probability space
+    ntot = all_pairs.agg(F.sum("pair_count").alias("_n"))
+    pairs = all_pairs.where(F.col("pair_count") >= int(min_count))
+    uni = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = uni.agg(F.sum("cnt").alias("_t"))
+    ua = uni.select(F.col("term").alias("term_a"), F.col("cnt").alias("count_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("cnt").alias("count_b"))
+    joined = (
+        pairs.join(ua, "term_a")
+        .join(ub, "term_b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ntot))
+    )
+    p_ab = F.col("pair_count").cast("double") / F.col("_n").cast("double")
+    p_a = F.col("count_a").cast("double") / F.col("_t").cast("double")
+    p_b = F.col("count_b").cast("double") / F.col("_t").cast("double")
+    return joined.select(
+        "term_a", "term_b", "pair_count", "count_a", "count_b",
+        F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
+    )

@@ -6,6 +6,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from hadoop_search_engine_spark.operators.hybrid import (
     hybrid_topk,
@@ -213,3 +214,103 @@ def test_rescore_modes_and_missing_embedding(spark, hybrid_setup):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="score_mode"):
         rescore_topk(ix, "spark query", emb, _vec(3), score_mode="avg")
+
+
+def _py_mmr(win, vecs, k, lam):
+    """Greedy MMR mirroring hybrid.mmr_rerank's determinism contract:
+    bm25 at 4 dp, rel/cosines/score at 6 dp, maxsim floored at 0,
+    missing embeddings cosine-0, ties by ascending doc_id."""
+    ids = [i for i, _b in win]
+    bm = {i: round(b, 4) for i, b in win}
+    bmax = max(bm.values())
+    rel = {i: round(bm[i] / bmax, 6) for i in ids}
+
+    def cos(a, b):
+        va, vb = vecs.get(a), vecs.get(b)
+        if va is None or vb is None:
+            return 0.0
+        na = math.sqrt(sum(x * x for x in va)) or 1.0
+        nb = math.sqrt(sum(x * x for x in vb)) or 1.0
+        return round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 6)
+
+    picked, maxsim, out = [], {i: 0.0 for i in ids}, []
+    remaining = set(ids)
+    for rank in range(1, min(k, len(ids)) + 1):
+        best = min(
+            remaining,
+            key=lambda i: (-round(lam * rel[i] - (1 - lam) * maxsim[i], 6), i),
+        )
+        out.append(
+            (best, rank,
+             round(lam * rel[best] - (1 - lam) * maxsim[best], 6), bm[best])
+        )
+        remaining.discard(best)
+        picked.append(best)
+        for i in ids:
+            maxsim[i] = max(maxsim[i], cos(i, best))
+    return out
+
+
+def test_mmr_matches_python_reference(hybrid_setup):
+    from hadoop_search_engine_spark.operators.hybrid import mmr_rerank
+
+    ix, emb = hybrid_setup
+    # drop one doc's vector to exercise the cosine-0 path
+    emb2 = emb.where(F.col("vec_id") != 3)
+    win = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_topk(ix, "spark query merge", k=6).collect()
+    ]
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb2.collect()}
+    for lam in (0.3, 0.7, 1.0):
+        want = _py_mmr(win, vecs, k=4, lam=lam)
+        got = [
+            (r["doc_id"], r["mmr_rank"], r["mmr_score"], r["bm25"])
+            for r in mmr_rerank(
+                ix, "spark query merge", emb2, k=4, window=6, lam=lam
+            ).orderBy("mmr_rank").collect()
+        ]
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want], lam
+        for g, w in zip(got, want):
+            assert abs(g[2] - w[2]) < 1e-9 and abs(g[3] - w[3]) < 1e-9
+
+
+def test_mmr_demotes_duplicate_vectors(hybrid_setup, spark):
+    """Two top-BM25 docs sharing an identical vector: after the first
+    is picked, the clone's cosine-1 redundancy must push it below a
+    relevant-but-different doc (the point of MMR)."""
+    from hadoop_search_engine_spark.operators.hybrid import mmr_rerank
+
+    ix, _ = hybrid_setup
+    bm_order = [r["doc_id"]
+                for r in search_topk(ix, "spark query", k=4).collect()]
+    a, b = bm_order[0], bm_order[1]
+    emb = spark.createDataFrame(
+        [(i, _vec(a) if i in (a, b) else _vec(i + 50))
+         for i in bm_order],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["doc_id"] for r in mmr_rerank(
+        ix, "spark query", emb, k=4, window=4, lam=0.5
+    ).orderBy("mmr_rank").collect()]
+    assert got[0] == a            # first pick is the plain BM25 winner
+    assert got[1] != b            # the vector clone is demoted
+    assert b in got               # ...but never dropped
+
+
+def test_mmr_lam_one_is_plain_bm25_order(hybrid_setup):
+    from hadoop_search_engine_spark.operators.hybrid import mmr_rerank
+
+    ix, emb = hybrid_setup
+    bm_order = [
+        (r["doc_id"], round(r["score"], 4))
+        for r in search_topk(ix, "spark merge", k=5).collect()
+    ]
+    bm_order.sort(key=lambda t: (-t[1], t[0]))
+    got = [r["doc_id"] for r in mmr_rerank(
+        ix, "spark merge", emb, k=5, window=5, lam=1.0
+    ).orderBy("mmr_rank").collect()]
+    assert got == [i for i, _s in bm_order]
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(ix, "spark merge", emb, lam=1.5)

@@ -298,3 +298,64 @@ def test_corpus_mix_report_shares_sum_to_one(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="by"):
         corpus_mix_report(docs, by=())
+
+
+def test_collocations_matches_python(spark):
+    import math
+
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    rows = [
+        (0, "new york is big and new york is loud"),
+        (1, "the new york subway runs all night"),
+        (2, "a brand new day in york"),
+        (3, "new york new york so good they named it twice"),
+        (4, "is it new or is it old"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pure-python PMI over adjacent token pairs
+    pair_c, uni_c = {}, {}
+    for _i, text in rows:
+        toks = tokenize(text)
+        for t in toks:
+            uni_c[t] = uni_c.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            pair_c[(a, b)] = pair_c.get((a, b), 0) + 1
+    N = sum(pair_c.values())
+    T = sum(uni_c.values())
+    want = {
+        (a, b): (
+            c, uni_c[a], uni_c[b],
+            round(math.log((c / N) / ((uni_c[a] / T) * (uni_c[b] / T))), 6),
+        )
+        for (a, b), c in pair_c.items() if c >= 2
+    }
+
+    got = {
+        (r["term_a"], r["term_b"]): (
+            r["pair_count"], r["count_a"], r["count_b"], r["pmi"],
+        )
+        for r in collocations(docs, min_count=2).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3]
+        assert abs(got[k][3] - want[k][3]) < 1e-9
+    # "new york" is the dominant collocation: most frequent pair,
+    # positively associated (PMI > 0)
+    assert ("new", "york") in got
+    assert got[("new", "york")][0] == max(c for c, *_r in got.values())
+    assert got[("new", "york")][3] > 0
+    # min_count floor prunes reporting, not the probability space:
+    # loosening it adds pairs but never changes surviving PMI values
+    loose = {
+        (r["term_a"], r["term_b"]): r["pmi"]
+        for r in collocations(docs, min_count=1).collect()
+    }
+    assert len(loose) > len(got)
+    for k in got:
+        assert abs(loose[k] - got[k][3]) < 1e-9
