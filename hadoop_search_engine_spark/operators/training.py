@@ -22,14 +22,16 @@ exclusive cumulative sum + floor divisions), so the layout is
 identical across partitionings, reruns, and engines; the DuckDB
 oracle replays it verbatim.
 
-Scale shape: the cumulative sum is a window over ``group_col`` (pass
-one at 100 TB — e.g. the deterministic split/stratum from
-``curate.split_corpus`` — so each group packs independently and in
-parallel; ``None`` packs the whole corpus as ONE ordered group, which
-is exact but serializes the window into a single task chain).
-``pack_text`` additionally shuffles each bin's token slices once —
-inherent, packing is a data reorganization — with bin_id keys, never
-whole documents, as the shuffle payload alongside the slices.
+Scale shape: the exclusive cumulative sum never serializes — by
+default it runs bucketed (:func:`_exclusive_cumsum`): docs land in
+``cumsum_buckets`` deterministic id-value ranges, per-bucket token
+totals fold into offsets over a tiny (groups x buckets) frame, and
+the per-doc window runs per (group, bucket), so every task is bounded
+by a bucket even when one group — or the ungrouped whole corpus —
+dominates. ``pack_text`` additionally shuffles each bin's token
+slices once — inherent, packing is a data reorganization — with
+bin_id keys, never whole documents, as the shuffle payload alongside
+the slices.
 """
 
 from __future__ import annotations
@@ -94,6 +96,73 @@ def chunk_docs(
     )
 
 
+def _exclusive_cumsum(
+    inner: DataFrame,
+    keys: list[str],
+    id_col: str,
+    cumsum_buckets: int | None,
+) -> DataFrame:
+    """Exact exclusive running sum of ``_n`` in ``id_col`` order
+    (within ``keys`` groups) as column ``_g``.
+
+    ``cumsum_buckets=None`` is the textbook window — which serializes
+    each group (or, ungrouped, the WHOLE corpus) into one task. The
+    default bucketed path is identical arithmetic but parallel: docs
+    land in ``cumsum_buckets`` deterministic id-value ranges, a
+    vocab-free aggregation yields per-bucket token totals, a window
+    over that TINY frame (<= groups x buckets rows) folds them into
+    per-bucket offsets, and the per-doc window runs per (group,
+    bucket) — every task bounded by a bucket, never a group. The
+    bucketing is a pure function of the id values (no sampling, no
+    ``repartitionByRange`` nondeterminism), so the result is
+    partition-invariant and identical to the window path."""
+    if not cumsum_buckets:
+        w = (
+            Window.partitionBy(*keys)
+            if keys
+            else Window.partitionBy(F.lit(0))
+        ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+        return inner.withColumn(
+            "_g", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+        )
+    lo, hi = inner.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return inner.withColumn("_g", F.lit(0).cast("long"))
+    width = max((int(hi) - int(lo)) // int(cumsum_buckets) + 1, 1)
+    bucketed = inner.withColumn(
+        "_b", F.expr(f"({id_col} - {int(lo)}) DIV {width}")
+    )
+    woff = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        bucketed.groupBy(*keys, "_b")
+        .agg(F.sum("_n").alias("_bt"))
+        .select(
+            *keys,
+            "_b",
+            F.coalesce(F.sum("_bt").over(woff), F.lit(0))
+            .cast("long")
+            .alias("_off"),
+        )
+    )
+    wloc = (
+        Window.partitionBy(*keys, "_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offs), [*keys, "_b"])
+        .withColumn(
+            "_g",
+            (
+                F.coalesce(F.sum("_n").over(wloc), F.lit(0)) + F.col("_off")
+            ).cast("long"),
+        )
+        .drop("_b", "_off")
+    )
+
+
 def _spans(
     docs: DataFrame,
     seq_len: int,
@@ -101,6 +170,7 @@ def _spans(
     text_col: str,
     id_col: str,
     carry_tokens: bool,
+    cumsum_buckets: int | None,
 ) -> tuple[DataFrame, list[str]]:
     """Shared packing arithmetic: per doc the exclusive running token
     total ``g`` (within its group, in id order), exploded to one row
@@ -114,16 +184,13 @@ def _spans(
     inner = docs.select(
         *cols, tokens_col(F.col(text_col)).alias("_toks")
     ).select(*cols, F.col("_toks"), F.size("_toks").alias("_n"))
-    w = (
-        Window.partitionBy(*keys)
-        if keys
-        else Window.partitionBy(F.lit(0))
-    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    g = F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
-    staged = inner.where(F.col("_n") > 0).select(
+    summed = _exclusive_cumsum(
+        inner.where(F.col("_n") > 0), keys, id_col, cumsum_buckets
+    )
+    staged = summed.select(
         *cols,
         F.col("_n").cast("long").alias("_n"),
-        g.alias("_g"),
+        F.col("_g"),
         *([F.col("_toks")] if carry_tokens else []),
     )
     bin_id = F.explode(
@@ -156,6 +223,7 @@ def pack_spans(
     group_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cumsum_buckets: int | None = 1024,
 ) -> DataFrame:
     """The (doc, bin) token-range mapping of concat-and-split packing:
     one row per training bin each doc's tokens land in —
@@ -166,7 +234,8 @@ def pack_spans(
     group is partial. This is the lineage table ("which document bytes
     trained in which row") and the input to :func:`pack_text`."""
     spans, keys = _spans(
-        docs, seq_len, group_col, text_col, id_col, carry_tokens=False
+        docs, seq_len, group_col, text_col, id_col,
+        carry_tokens=False, cumsum_buckets=cumsum_buckets,
     )
     return spans.select(
         *keys, id_col, "bin_id", "bin_pos", "tok_start", "tok_end"
@@ -179,6 +248,7 @@ def pack_text(
     group_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cumsum_buckets: int | None = 1024,
 ) -> DataFrame:
     """Materialized packed training rows: ``(group?, bin_id, n_tokens,
     text)`` — every bin holds exactly ``seq_len`` tokens except the
@@ -187,7 +257,8 @@ def pack_text(
     emit a sentinel token in ``text_col`` upstream if the recipe wants
     one). One shuffle of token slices keyed by bin."""
     spans, keys = _spans(
-        docs, seq_len, group_col, text_col, id_col, carry_tokens=True
+        docs, seq_len, group_col, text_col, id_col,
+        carry_tokens=True, cumsum_buckets=cumsum_buckets,
     )
     piece = F.slice(
         F.col("_toks"),

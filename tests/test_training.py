@@ -145,3 +145,35 @@ def test_pack_partition_invariant(docs, spark):
 def test_pack_rejects_bad_seq_len(docs):
     with pytest.raises(ValueError):
         pack_spans(docs, 0)
+
+
+def test_bucketed_cumsum_identical_to_window_path(docs):
+    """The parallel bucketed exclusive-cumsum (default) is arithmetic-
+    identical to the single-window path — with a bucket width small
+    enough that docs genuinely spread across several buckets, grouped
+    and ungrouped."""
+    for grp in (None, "grp"):
+        for buckets in (2, 3, 1024):
+            a = sorted(map(tuple, pack_spans(
+                docs, 5, group_col=grp, cumsum_buckets=buckets).collect()))
+            b = sorted(map(tuple, pack_spans(
+                docs, 5, group_col=grp, cumsum_buckets=None).collect()))
+            assert a == b, (grp, buckets)
+    t_a = sorted(map(tuple, pack_text(docs, 6, cumsum_buckets=2).collect()))
+    t_b = sorted(map(tuple, pack_text(docs, 6, cumsum_buckets=None).collect()))
+    assert t_a == t_b
+
+
+def test_bucketed_cumsum_partition_invariant_and_sparse_ids(spark):
+    """Sparse, adversarially-spaced ids (all in one value bucket, then
+    spread) still pack exactly like the dense python model."""
+    rows = [(i, f"w{j} " * (i % 5 + 1)) for j, i in
+            enumerate([3, 1_000_000, 7, 2**40, 11, 2**40 + 5])]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+    ref = sorted(map(tuple, pack_spans(
+        docs.coalesce(1), 4, cumsum_buckets=None).collect()))
+    for parts in (2, 5):
+        got = sorted(map(tuple, pack_spans(
+            docs.repartition(parts), 4, cumsum_buckets=8).collect()))
+        assert got == ref
