@@ -2456,6 +2456,35 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocab induction: the first 30 learned merges over
+    the documents corpus (count desc, lexicographic ties). Iterative —
+    each merge depends on the table rewritten by all previous merges —
+    so this is a rows-only entry; correctness is pinned by the
+    driver==spark identity test and a hand-derived Sennrich fixture
+    (tests/test_bpe.py)."""
+    from hadoop_search_engine_spark.operators.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=30, mode="driver")
+
+
+def q_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE segmentation of every document with the 30-merge
+    table (memoized per distinct word per Arrow batch). Rows-only —
+    the encoder replays the iterative merge ranks; the reconstruction
+    invariant (subwords always reconcatenate to word + '</w>') is
+    pytest-pinned."""
+    from hadoop_search_engine_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=30, mode="driver")
+    return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -2610,6 +2639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_text": q_pack_text,
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encoded": q_bpe_encoded,
     }
 
 
