@@ -2456,6 +2456,21 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-recipe epoch mixing: en x1.5, es x0.4, everything else
+    x1.0 — each doc appears floor(w) times plus a deterministic
+    murmur3(id:epoch)-bucketed fractional epoch. The oracle replays
+    the stratum CASE, the epoch grid, and the bit-exact hash."""
+    from hadoop_search_engine_spark.operators.curate import mix_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mix_corpus(
+        docs, {"en": 1.5, "es": 0.4}, strata_col="lang",
+        default_weight=1.0,
+    )
+    return out.select("doc_id", "lang", "epoch")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-vocab induction: the first 30 learned merges over
     the documents corpus (count desc, lexicographic ties). Iterative —
@@ -2639,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_text": q_pack_text,
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
+        "mix_corpus": q_mix_corpus,
         "bpe_merges": q_bpe_merges,
         "bpe_encoded": q_bpe_encoded,
     }
@@ -5064,6 +5080,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN uc b ON p.term_b = b.term
         CROSS JOIN ntot n CROSS JOIN tt t
         WHERE p.pair_count >= 5
+    """
+    # training-recipe epoch mixing: stratum CASE + epoch grid + the
+    # bit-exact murmur3(id:epoch) fractional-epoch bucket
+    from hadoop_search_engine_spark.operators.curate import (
+        sql_mix_epochs_duckdb,
+    )
+
+    _mix_wq, _mix_pred = sql_mix_epochs_duckdb(
+        {"en": 1.5, "es": 0.4}, strata_col="lang", default_weight=1.0
+    )
+    out["mix_corpus"] = f"""
+        SELECT doc_id, lang, epoch FROM (
+          SELECT doc_id, lang,
+                 unnest(range(0, {_mix_wq} // 10000 + 1)) AS epoch
+          FROM documents
+        ) WHERE {_mix_pred}
     """
     # MMR diversification: the greedy loop itself runs as a recursive
     # CTE — state is the picked list; each step re-derives every

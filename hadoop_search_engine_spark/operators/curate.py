@@ -206,6 +206,121 @@ def stratified_sample(
     return docs.where(bucket < thr)
 
 
+def _weight_buckets(
+    weights: dict[str, float] | float,
+    strata_col: str | None,
+    default_weight: float,
+):
+    """Per-row quantized weight (weight * SPLIT_BUCKETS) as an int
+    column — the shared stratum CASE of the mixing family."""
+
+    def _check(w) -> float:
+        w = float(w)
+        if w < 0.0:
+            raise ValueError(f"weight must be >= 0, got {w}")
+        return w
+
+    if isinstance(weights, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum weights need strata_col")
+        wq = F.lit(int(round(_check(default_weight) * SPLIT_BUCKETS)))
+        for val, w in sorted(weights.items()):
+            wq = F.when(
+                F.col(strata_col) == val,
+                F.lit(int(round(_check(w) * SPLIT_BUCKETS))),
+            ).otherwise(wq)
+        return wq
+    return F.lit(int(round(_check(weights) * SPLIT_BUCKETS)))
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights: dict[str, float] | float,
+    strata_col: str | None = None,
+    default_weight: float = 0.0,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-recipe epoch mixing: weight ``w`` means each doc of
+    that stratum appears ``floor(w)`` times (``epoch`` 0..floor(w)-1)
+    plus once more at ``epoch == floor(w)`` iff its deterministic
+    ``murmur3(f"{id}:{epoch}", salt) % 10000`` bucket clears the
+    fractional part — "2 epochs of wiki, 0.3 of common-crawl" as one
+    declarative op. Appends an ``epoch`` int column; weight-0 strata
+    vanish (explode of an empty epoch list).
+
+    Same determinism family as :func:`stratified_sample`: the epoch
+    set is a PURE FUNCTION of (id, salt, weight) — reproducible across
+    reruns, partitionings, and engines (the DuckDB oracle replays the
+    hash bit-exactly), stable under corpus growth, and NESTED: raising
+    a stratum's weight only ever ADDS (doc, epoch) rows — the mixes of
+    an ablation ladder are supersets of each other, never resamples.
+
+    Scale shape: map-only — the stratum CASE, the per-epoch hash, and
+    the explode all run beside the scan; no shuffle, no sampling job.
+    Epoch multiplicity lands in the OUTPUT row count only (exactly
+    what a downstream :func:`~..training.pack_spans` run expects —
+    give it ``(doc_id, epoch)`` composite ids upstream)."""
+    from ..functions.hashes import murmur3_u32
+
+    wq = _weight_buckets(weights, strata_col, default_weight)
+    n_full = F.floor(wq / F.lit(SPLIT_BUCKETS)).cast("int")
+    rem = F.pmod(wq, F.lit(SPLIT_BUCKETS))
+    idstr = F.col(id_col).cast("string")
+    epochs = F.filter(
+        F.sequence(F.lit(0), n_full),
+        lambda e: (e < n_full)
+        | (
+            F.pmod(
+                murmur3_u32(
+                    F.concat(idstr, F.lit(":"), e.cast("string")),
+                    salt=salt,
+                ),
+                F.lit(SPLIT_BUCKETS),
+            )
+            < rem
+        ),
+    )
+    return docs.select("*", F.explode(epochs).alias("epoch"))
+
+
+def sql_mix_epochs_duckdb(
+    weights: dict[str, float] | float,
+    strata_col: str | None = None,
+    default_weight: float = 0.0,
+    salt: str = "mix",
+    id_expr: str = "doc_id",
+) -> tuple[str, str]:
+    """(epoch-list SELECT fragment, keep predicate) replaying
+    :func:`mix_corpus` in DuckDB: use as
+    ``SELECT ..., unnest(range(0, {wq} // 10000 + 1)) AS epoch``
+    then ``WHERE {pred}``."""
+    from ..functions.hashes import sql_murmur3_u32_duckdb
+
+    def _q(w) -> int:
+        return int(round(float(w) * SPLIT_BUCKETS))
+
+    if isinstance(weights, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum weights need strata_col")
+        wq = "CASE"
+        for val, w in sorted(weights.items()):
+            wq += f" WHEN {strata_col} = '{val}' THEN {_q(w)}"
+        wq += f" ELSE {_q(default_weight)} END"
+        wq = f"({wq})"
+    else:
+        wq = str(_q(weights))
+    h1 = sql_murmur3_u32_duckdb(
+        f"(({id_expr})::varchar || ':' || epoch::varchar)"
+    )
+    h = sql_murmur3_u32_duckdb(f"'{salt}'", seed=h1)
+    pred = (
+        f"(epoch < {wq} // {SPLIT_BUCKETS}"
+        f" OR (({h}) % {SPLIT_BUCKETS}) < ({wq} % {SPLIT_BUCKETS}))"
+    )
+    return wq, pred
+
+
 def contamination_report(
     train: DataFrame,
     eval_docs: DataFrame,

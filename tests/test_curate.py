@@ -305,3 +305,68 @@ def test_dedup_lines_doc_fully_boilerplate_disappears(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         dedup_lines(docs, mode="bogus")
+
+
+def test_mix_corpus_integer_weights_exact_epochs(spark):
+    from hadoop_search_engine_spark.operators.curate import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "es", f"t{i}") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    out = mix_corpus(docs, {"en": 2.0, "es": 0.0}, strata_col="lang")
+    rows = out.collect()
+    assert all(r["lang"] == "en" for r in rows)   # es weight 0: dropped
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert len(per) == 20
+    assert all(sorted(v) == [0, 1] for v in per.values())
+
+
+def test_mix_corpus_matches_python_reference_and_nests(spark):
+    from hadoop_search_engine_spark.functions.hashes import mm3_u32_ref_str
+    from hadoop_search_engine_spark.operators.curate import (
+        SPLIT_BUCKETS,
+        mix_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(300)], "doc_id long, text string"
+    )
+
+    def py_mix(w):
+        wq = int(round(w * SPLIT_BUCKETS))
+        nf, rem = wq // SPLIT_BUCKETS, wq % SPLIT_BUCKETS
+        out = set()
+        for i in range(300):
+            for e in range(nf + 1):
+                if e < nf or (
+                    mm3_u32_ref_str(f"{i}:{e}", "mix") % SPLIT_BUCKETS < rem
+                ):
+                    out.add((i, e))
+        return out
+
+    prev = None
+    for w in (0.3, 0.7, 1.3):
+        got = {
+            (r["doc_id"], r["epoch"])
+            for r in mix_corpus(docs.repartition(5), w).collect()
+        }
+        assert got == py_mix(w), w
+        if prev is not None:
+            assert prev < got  # strict superset: the ablation ladder nests
+        prev = got
+    # fractional share lands near the weight
+    assert abs(len({d for d, _e in py_mix(0.3)}) / 300 - 0.3) < 0.07
+
+
+def test_mix_corpus_validation(spark):
+    from hadoop_search_engine_spark.operators.curate import mix_corpus
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="strata_col"):
+        mix_corpus(docs, {"en": 1.0})
+    with _pytest.raises(ValueError, match="weight"):
+        mix_corpus(docs, -0.5)
