@@ -580,6 +580,75 @@ def main() -> None:
         reps=3,
     )
 
+    # training-sequence assembly: sliding-window chunking (map-only)
+    # and concat-and-split packing (bucketed parallel cumsum + one
+    # bin-keyed shuffle) over the full sf corpus
+    from hadoop_search_engine_spark.operators.training import (
+        chunk_docs,
+        pack_text,
+    )
+
+    timed(
+        "chunk_docs_32",
+        lambda: chunk_docs(docs, max_tokens=32, overlap=8).count(),
+        reps=3,
+    )
+    timed(
+        "pack_text_128",
+        lambda: pack_text(docs, 128).count(),
+        reps=3,
+    )
+
+    # BPE vocab induction (driver path over the vocab-sized word-count
+    # table) + corpus segmentation with the learned merges
+    from hadoop_search_engine_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    _bpe_merges = bpe_train(docs, n_merges=30, mode="driver").persist()
+    timed(
+        "bpe_train_30",
+        lambda: bpe_train(docs, n_merges=30, mode="driver").count(),
+        reps=3,
+    )
+    timed(
+        "bpe_encode",
+        lambda: bpe_encode(docs, _bpe_merges)
+        .agg(F.sum("n_bpe_tokens")).collect(),
+        reps=3,
+    )
+
+    # epoch mixing (map-only explode) and PMI collocations (two
+    # vocab-sized joins)
+    from hadoop_search_engine_spark.operators.curate import mix_corpus
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        collocations,
+    )
+
+    timed(
+        "mix_corpus",
+        lambda: mix_corpus(docs.withColumn("lang", F.lit("en")),
+                           {"en": 1.5}, strata_col="lang").count(),
+        reps=3,
+    )
+    timed(
+        "collocations",
+        lambda: collocations(docs, min_count=5).count(),
+        reps=3,
+    )
+
+    # MMR diversification over the warm index + sf embeddings
+    from hadoop_search_engine_spark.operators.hybrid import mmr_rerank
+
+    timed(
+        "mmr_rerank_query",
+        lambda: mmr_rerank(
+            idx, "spark query table", emb, k=10, window=50
+        ).collect(),
+        reps=3,
+    )
+
     # relevance evaluation of the 50-query batch run against synthetic
     # qrels (every 2nd retrieved doc judged relevant) — measures the
     # metric join + windows at query-log scale

@@ -172,6 +172,31 @@ CHECKS = {
     "function_score_gauss": [
         "TakeOrderedAndProject", "!text", "!CartesianProduct",
     ],
+    # sliding-window chunking: pure expressions + explode, fuses with
+    # the scan — no shuffle, no Python
+    "chunk_docs": ["Generate", "!Exchange", "!EvalPython"],
+    # packing lineage: the bucketed exclusive-cumsum is per-(group,
+    # bucket) windows + a BROADCAST offsets join — never a
+    # single-partition corpus window, no Python, no cartesian
+    "pack_spans": [
+        "Window", "BroadcastHashJoin", "!EvalPython", "!CartesianProduct",
+    ],
+    # packed rows add exactly the one bin-keyed shuffle (the groupBy)
+    "pack_text": [
+        "Window", "HashAggregate", "!EvalPython", "!CartesianProduct",
+    ],
+    # PMI collocations: two partial-agg groupBys + vocab-sized joins;
+    # the only nested-loop joins are 1-row broadcast totals — no
+    # cartesian, no Python
+    "collocations": [
+        "HashAggregate", "Join", "!CartesianProduct", "!EvalPython",
+    ],
+    # epoch mixing: the stratum CASE + per-epoch hash + explode all
+    # fuse with the scan — map-only
+    "mix_corpus": ["Generate", "!Exchange", "!EvalPython"],
+    # BPE segmentation is an ARROW-batched pandas UDF (never
+    # row-at-a-time PythonUDF) over one projection
+    "bpe_encoded": ["ArrowEvalPython", "!BatchEvalPython", "!Exchange"],
 }
 
 
