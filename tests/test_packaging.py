@@ -70,3 +70,57 @@ def test_build_and_search_jobs(spark, tmp_path):
         ])
     finally:
         sys.path.remove(os.path.join(REPO, "jobs"))
+
+
+def test_train_prep_job(spark, tmp_path):
+    """End-to-end recipe CLI: mix -> bpe -> pack, with spans lineage
+    and persisted merges."""
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+    from pyspark.sql import functions as F
+
+    docs_path = str(tmp_path / "docs.parquet")
+    assign_doc_ids(gen_documents(spark, 300, n_partitions=4)).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("es")
+    ).write.parquet(docs_path)
+
+    out = str(tmp_path / "packed")
+    spans = str(tmp_path / "spans.parquet")
+    merges = str(tmp_path / "merges.parquet")
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        import train_prep
+
+        train_prep.main([
+            "--input", docs_path, "--output", out, "--pack", "256",
+            "--mix", "en=1.5,*=1.0", "--mix-by", "lang",
+            "--bpe-train", "40", "--bpe-merges-out", merges,
+            "--spans-out", spans,
+        ])
+    finally:
+        sys.path.remove(os.path.join(REPO, "jobs"))
+
+    packed = spark.read.parquet(out)
+    rows = packed.collect()
+    assert len(rows) > 0
+    # every bin full except the last
+    full = [r for r in rows if r["n_tokens"] == 256]
+    assert len(rows) - len(full) <= 1
+    assert os.path.exists(os.path.join(spans, "_SUCCESS"))
+    assert spark.read.parquet(merges).count() == 40
+    # BPE segmentation happened: packed text contains subword merges
+    # (END marker visible in the token stream)
+    assert "</w>" in rows[0]["text"]
+    # chunk mode too
+    out2 = str(tmp_path / "chunks")
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        import train_prep
+
+        train_prep.main([
+            "--input", docs_path, "--output", out2, "--chunk", "64:8",
+        ])
+    finally:
+        sys.path.remove(os.path.join(REPO, "jobs"))
+    ch = spark.read.parquet(out2)
+    assert ch.agg({"n_tokens": "max"}).first()[0] <= 64
