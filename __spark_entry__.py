@@ -2456,6 +2456,30 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsl_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_all through the DSL: every live doc at constant boost
+    score in _doc order, top-25. The oracle is the plain ordered scan."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    return search_dsl(
+        ix, {"query": {"match_all": {"boost": 2.0}}, "size": 25}
+    ).hits
+
+
+def q_dsl_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ids query through the DSL: live-id intersection at constant
+    score (one absent id included to prove the intersection)."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    return search_dsl(
+        ix,
+        {"query": {"ids": {"values": [3, 7, 11, 999_999_999]}},
+         "size": 10},
+    ).hits
+
+
 def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-recipe epoch mixing: en x1.5, es x0.4, everything else
     x1.0 — each doc appears floor(w) times plus a deterministic
@@ -2655,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "dsl_match_all": q_dsl_match_all,
+        "dsl_ids": q_dsl_ids,
         "bpe_merges": q_bpe_merges,
         "bpe_encoded": q_bpe_encoded,
     }
@@ -5080,6 +5106,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN uc b ON p.term_b = b.term
         CROSS JOIN ntot n CROSS JOIN tt t
         WHERE p.pair_count >= 5
+    """
+    # DSL constant-score leaves: live docs in _doc order / id probe
+    out["dsl_match_all"] = """
+        SELECT doc_id, 2.0 AS score FROM documents
+        ORDER BY doc_id ASC LIMIT 25
+    """
+    out["dsl_ids"] = """
+        SELECT doc_id, 1.0 AS score FROM documents
+        WHERE doc_id IN (3, 7, 11, 999999999)
+        ORDER BY doc_id ASC LIMIT 10
     """
     # training-recipe epoch mixing: stratum CASE + epoch grid + the
     # bit-exact murmur3(id:epoch) fractional-epoch bucket

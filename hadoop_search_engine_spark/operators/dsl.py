@@ -49,6 +49,15 @@ Query clauses → engine paths:
   function_score       → hybrid.function_score ({"query": ...,
                          "gauss"/"exp"/"linear"/"field_value_factor",
                          "boost_mode"}) — needs `documents=`
+  match_all            → every live doc at constant score ("boost",
+                         default 1.0), _doc (doc_id) order — the
+                         browse/export query; composes with filters
+  ids                  → {"values": [...]} at constant score (live
+                         ids only — tombstones excluded like every
+                         other path)
+  exists               → {"field": f}: docs whose METADATA column is
+                         non-null, constant score — needs
+                         `documents=`
 
 Results come back as :class:`DslResult` — ``hits`` (the standard
 (doc_id, score) frame, plus period/segment columns where the
@@ -405,6 +414,56 @@ def _compile(
             boost_mode=body.get("boost_mode", "multiply"),
             mode=mode, synonyms=synonyms,
         )
+    if kind in ("match_all", "ids", "exists"):
+        # constant-score metadata leaves: eligibility comes from the
+        # index's own doc_stats (live docs = doc_stats minus the
+        # tombstone table, anti-joined DISTRIBUTED — never a driver
+        # set), optionally narrowed by bool.filter's eligibility page
+        # and, for exists, the metadata table. Ordering is ES's _doc
+        # tiebreak (doc_id asc); cost is one pruned doc_stats scan.
+        if after is not None:
+            raise DslError(f"{kind} does not support search_after")
+        import os as _os
+
+        live = index.doc_stats.select("doc_id")
+        tomb_dir = _os.path.join(index.out_dir, "tombstones")
+        if _os.path.isdir(tomb_dir):
+            live = live.join(
+                index.spark.read.parquet(tomb_dir).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        if doc_filter is not None:
+            live = live.join(doc_filter.select("doc_id"), "doc_id",
+                             "left_semi")
+        if kind == "ids":
+            vals = [int(v) for v in body.get("values", [])]
+            if not vals:
+                raise DslError("ids needs values")
+            live = live.where(F.col("doc_id").isin(vals))
+        elif kind == "exists":
+            fld = body.get("field")
+            if not fld:
+                raise DslError("exists needs field")
+            if fld == "text":
+                pass  # every indexed doc has text by construction
+            else:
+                if documents is None:
+                    raise DslError("exists needs documents= "
+                                   "(the metadata table)")
+                live = live.join(
+                    documents.where(F.col(fld).isNotNull())
+                    .select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+        boost = float(body.get("boost", 1.0)) if kind == "match_all" else 1.0
+        return (
+            live.orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", F.lit(boost).alias("score"))
+        )
+
     raise DslError(f"unsupported query clause {kind!r}")
 
 

@@ -419,3 +419,72 @@ def test_suggest_composes_with_query(tiny_index):
     with pytest.raises(DslError, match="single token"):
         search_dsl(tiny_index, {"suggest": {
             "t": {"text": "two words", "term": {}}}})
+
+
+# ------------------------------------- constant-score metadata leaves
+
+
+def test_match_all_browses_live_docs(tiny_index, spark, tmp_path):
+    n = tiny_index.doc_stats.count()
+    got = search_dsl(tiny_index, {"query": {"match_all": {}},
+                                  "size": 10_000}).hits.collect()
+    assert len(got) == n
+    assert [r["doc_id"] for r in got[:5]] == sorted(
+        r["doc_id"] for r in got)[:5]          # _doc order
+    assert all(r["score"] == 1.0 for r in got)
+    boosted = search_dsl(tiny_index, {"query": {"match_all":
+                                                {"boost": 2.5}},
+                                      "size": 3}).hits.collect()
+    assert [r["score"] for r in boosted] == [2.5] * 3
+
+    # tombstoned docs vanish, like every other path
+    import shutil
+
+    from hadoop_search_engine_spark.operators.index_maint import (
+        delete_docs,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    d = str(tmp_path / "ma_idx")
+    shutil.copytree(tiny_index.out_dir, d)
+    ix2 = Index.load(spark, d)
+    dead = [r["doc_id"] for r in got[:2]]
+    delete_docs(ix2, dead)
+    after = {r["doc_id"] for r in search_dsl(
+        ix2, {"query": {"match_all": {}}, "size": 10_000}
+    ).hits.collect()}
+    assert after == {r["doc_id"] for r in got} - set(dead)
+
+
+def test_ids_query(tiny_index):
+    all_ids = sorted(
+        r["doc_id"] for r in tiny_index.doc_stats.select("doc_id").collect()
+    )
+    want = [all_ids[0], all_ids[2]]
+    got = search_dsl(tiny_index, {
+        "query": {"ids": {"values": [*want, 999_999_999]}},
+    }).hits.collect()
+    assert [r["doc_id"] for r in got] == want
+    with pytest.raises(DslError, match="values"):
+        search_dsl(tiny_index, {"query": {"ids": {}}})
+
+
+def test_exists_query(tiny_index, tiny_corpus, spark):
+    meta = tiny_corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("en")).alias("lang"),
+    )
+    got = search_dsl(tiny_index, {"query": {"exists": {"field": "lang"}},
+                                  "size": 10_000},
+                     documents=meta).hits.collect()
+    assert len(got) > 0
+    assert all(r["doc_id"] % 2 == 0 for r in got)
+    # field "text" needs no metadata table (every indexed doc has it)
+    n = tiny_index.doc_stats.count()
+    assert search_dsl(tiny_index, {"query": {"exists": {"field": "text"}},
+                                   "size": 10_000}).hits.count() == n
+    with pytest.raises(DslError, match="documents"):
+        search_dsl(tiny_index, {"query": {"exists": {"field": "lang"}}})
+    with pytest.raises(DslError, match="search_after"):
+        search_dsl(tiny_index, {"query": {"match_all": {}},
+                                "search_after": [1, 1.0]})
