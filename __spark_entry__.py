@@ -2524,6 +2524,94 @@ def q_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def _derived_url_col() -> F.Column:
+    """Deterministic noisy-URL column over documents (the testdata has
+    no url column): mixed-case schemes/hosts, default ports, tracking
+    params, trailing slashes, fragments — every normalization case.
+    Mirrored bit-exactly in SQL by :func:`_derived_url_sql`."""
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.lit("A.Example.COM"))
+        .when(d % 6 == 1, F.lit("WWW.News.co.uk"))
+        .when(d % 6 == 2, F.lit("cdn.news.CO.UK"))
+        .when(d % 6 == 3, F.lit("x.org"))
+        .when(d % 6 == 4, F.lit("deep.a.blog.co.uk"))
+        .otherwise(F.lit("Big.Site.com"))
+    )
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        host,
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 37).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1"))
+        .when(d % 4 == 2, F.lit("?gclid=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#f")).otherwise(F.lit("")),
+    )
+
+
+_DERIVED_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END || "
+    "CASE doc_id % 6 WHEN 0 THEN 'A.Example.COM' "
+    "WHEN 1 THEN 'WWW.News.co.uk' WHEN 2 THEN 'cdn.news.CO.UK' "
+    "WHEN 3 THEN 'x.org' WHEN 4 THEN 'deep.a.blog.co.uk' "
+    "ELSE 'Big.Site.com' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END || "
+    "'/p/' || (doc_id % 37)::varchar || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1' "
+    "WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?gclid=1' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '#f' ELSE '' END)"
+)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-URL canonicalization: lowercase scheme/host, default-port
+    strip, fragment drop, tracking-param drop + byte-sort, trailing-
+    slash strip — pure expressions, oracle replays each step."""
+    from hadoop_search_engine_spark.operators.urltools import normalize_url
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_url(_derived_url_col()).alias("url_norm"),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: one survivor (lowest doc_id) per
+    normalized strip-www URL — partial-agg min winner + id semi-join,
+    the skew-safe shape (vs a window per hot URL)."""
+    from hadoop_search_engine_spark.operators.urltools import url_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    out = url_dedup(docs.withColumn("url", _derived_url_col()))
+    return out.select("url_norm", "doc_id")
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain census (docs, bytes, share): host →
+    public-suffix-aware domain, one groupBy + broadcast total."""
+    from hadoop_search_engine_spark.operators.urltools import domain_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return domain_stats(docs.withColumn("url", _derived_url_col()))
+
+
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain diversity cap: keep <= 3 docs per registrable domain
+    by deterministic salted-murmur rank (unbiased, engine-replayable);
+    the oracle replays the hash and the window."""
+    from hadoop_search_engine_spark.operators.urltools import cap_per_domain
+
+    docs = _read(spark, sf_dir, "documents")
+    out = cap_per_domain(docs.withColumn("url", _derived_url_col()), 3)
+    return out.select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -2679,6 +2767,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
+        "cap_per_domain": q_cap_per_domain,
         "dsl_match_all": q_dsl_match_all,
         "dsl_ids": q_dsl_ids,
         "bpe_merges": q_bpe_merges,
@@ -5195,5 +5287,59 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.mmr_rank < 10
         )
         SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
+    """
+    # URL curation: the derived noisy URL + each operator's exact
+    # replay (functions restricted to the shared Java-regex ∩ RE2 +
+    # list-builtin dialect, see operators/urltools.py)
+    from hadoop_search_engine_spark.functions.hashes import (
+        sql_murmur3_u32_duckdb,
+    )
+    from hadoop_search_engine_spark.operators.urltools import (
+        sql_normalize_url_duckdb,
+        sql_registrable_domain_duckdb,
+        sql_url_parts_duckdb,
+    )
+
+    out["url_normalize"] = f"""
+        SELECT doc_id,
+               {sql_normalize_url_duckdb(_DERIVED_URL_SQL)} AS url_norm
+        FROM documents
+    """
+    out["url_dedup"] = f"""
+        WITH u AS (
+          SELECT doc_id,
+                 {sql_normalize_url_duckdb(_DERIVED_URL_SQL,
+                                           strip_www=True)} AS url_norm
+          FROM documents
+        )
+        SELECT url_norm, min(doc_id) AS doc_id FROM u GROUP BY url_norm
+    """
+    _host_sql = (
+        f"regexp_replace(lower({sql_url_parts_duckdb(_DERIVED_URL_SQL)['host']}), "
+        "'^www\\.', '')"
+    )
+    _dom_sql = sql_registrable_domain_duckdb(_host_sql)
+    out["domain_stats"] = f"""
+        WITH d AS (SELECT {_dom_sql} AS domain, n_chars FROM documents),
+        t AS (SELECT count(*)::double AS n_total FROM d)
+        SELECT domain, count(*)::bigint AS n_docs,
+               sum(n_chars)::bigint AS total_size,
+               round(count(*) / (SELECT n_total FROM t), 6) AS doc_share
+        FROM d GROUP BY domain
+    """
+    _h1 = sql_murmur3_u32_duckdb("(doc_id)::varchar")
+    _hcap = sql_murmur3_u32_duckdb("'domaincap'", seed=_h1)
+    out["cap_per_domain"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_dom_sql} AS dom, {_hcap} AS h FROM documents
+        ),
+        r AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                   PARTITION BY dom ORDER BY h ASC, doc_id ASC
+                 ) AS rk
+          FROM d
+        )
+        SELECT doc_id FROM r WHERE rk <= 3
     """
     return out

@@ -46,6 +46,21 @@ def main(argv: list[str] | None = None) -> None:
                          "engines, unlike randomSplit)")
     ap.add_argument("--split-salt", default="split",
                     help="with --split: salt for the hash assignment")
+    ap.add_argument("--url-col", default="url",
+                    help="URL column for the --url-* / --blocklist / "
+                         "--cap-per-domain stages")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="canonical-URL dedup FIRST (normalize scheme/"
+                         "host/port/params, lowest doc_id wins) — the "
+                         "cheapest dedup, before any text work")
+    ap.add_argument("--blocklist", default=None, metavar="PARQUET",
+                    help="drop docs whose registrable domain appears in "
+                         "this parquet (column: domain); broadcast "
+                         "anti-join")
+    ap.add_argument("--cap-per-domain", type=int, default=None,
+                    metavar="N",
+                    help="keep <= N docs per registrable domain "
+                         "(deterministic salted-murmur sample)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="scrub emails/IPv4s/phones before anything else "
                          "(map-only regexp_replace)")
@@ -82,6 +97,22 @@ def main(argv: list[str] | None = None) -> None:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-curate")
     docs = spark.read.parquet(args.input)
+    if args.url_dedup or args.blocklist or args.cap_per_domain:
+        from hadoop_search_engine_spark.operators import urltools
+
+        if args.url_dedup:
+            docs = urltools.url_dedup(docs, url_col=args.url_col).drop(
+                "url_norm"
+            )
+        if args.blocklist:
+            blocked = spark.read.parquet(args.blocklist)
+            docs = urltools.blocklist_filter(
+                docs, blocked, url_col=args.url_col
+            )
+        if args.cap_per_domain:
+            docs = urltools.cap_per_domain(
+                docs, args.cap_per_domain, url_col=args.url_col
+            )
     if args.redact_pii:
         from hadoop_search_engine_spark.operators.text_analysis import (
             redact_pii,
