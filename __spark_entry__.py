@@ -2612,6 +2612,127 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation with keyset pagination over the indexed
+    hit set: (lang, 500-wide n_chars bucket) sources, page size 4 —
+    page ONE is collected and page TWO is returned, proving the
+    after-key resume. The oracle ranks all buckets in composite-key
+    order and selects rows 5..8 (keyset page 2 == offset page 2 by the
+    strict key ordering)."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        composite_agg_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    sources = [("lang", "terms", "lang"),
+               ("len_bucket", "histogram", "n_chars", 500.0)]
+    page1 = composite_agg_facet(m, docs, sources, size=4).collect()
+    after = (page1[-1]["lang"], page1[-1]["len_bucket"])
+    return composite_agg_facet(m, docs, sources, size=4, after=after)
+
+
+def q_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with metric sub-aggregations (avg/sum/max/
+    cardinality) per lang bucket over the indexed hit set — one
+    partial-aggregated groupBy pass."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        terms_metrics_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return terms_metrics_facet(
+        m, docs, "lang",
+        {"avg_len": ("avg", "n_chars"), "sum_len": ("sum", "n_chars"),
+         "max_len": ("max", "n_chars"), "n_sources": ("cardinality",
+                                                      "source")},
+    )
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats over the indexed hit set: ES's naive-formula
+    variance/std fields derived from (count, sum, sum of squares) —
+    engine-replayable because the formula defines the result."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        extended_stats_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return extended_stats_facet(m, docs, "n_chars")
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation: named (possibly overlapping) predicate
+    buckets counted in one conditional-aggregation pass."""
+    from hadoop_search_engine_spark.operators.analytics import filters_facet
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return filters_facet(
+        m, docs,
+        {"en": "lang = 'en'", "long": "n_chars >= 1500",
+         "short": "n_chars < 500"},
+    )
+
+
+def q_dsl_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max through the DSL: best_fields combine (max +
+    tie_breaker * rest) of two match-family branches' FULL scored
+    match sets; oracle replays both branch BM25 sums and the combine."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    out = search_dsl(
+        ix,
+        {"query": {"dis_max": {
+            "queries": [{"match": {"text": "spark query"}},
+                        {"term": {"text": "table"}}],
+            "tie_breaker": 0.3}}, "size": 20},
+    ).hits
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query through the DSL: positive matches keep their
+    BM25 score unless they also match the negative query (× 0.4
+    demotion — not exclusion)."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    out = search_dsl(
+        ix,
+        {"query": {"boosting": {
+            "positive": {"match": {"text": "spark query"}},
+            "negative": {"term": {"text": "table"}},
+            "negative_boost": 0.4}}, "size": 20},
+    ).hits
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dsl_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score through the DSL: filter-context match at a
+    fixed boost, _doc order — recall without scoring."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    return search_dsl(
+        ix,
+        {"query": {"constant_score": {
+            "filter": {"match": {"text": "spark query"}},
+            "boost": 2.5}}, "size": 30},
+    ).hits
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -2767,6 +2888,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "composite_page": q_composite_page,
+        "terms_metrics": q_terms_metrics,
+        "extended_stats": q_extended_stats,
+        "filters_agg": q_filters_agg,
+        "dsl_dis_max": q_dsl_dis_max,
+        "dsl_boosting": q_dsl_boosting,
+        "dsl_constant_score": q_dsl_constant_score,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "domain_stats": q_domain_stats,
@@ -5287,6 +5415,144 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.mmr_rank < 10
         )
         SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
+    """
+    # ES composite agg: all (lang, 500-wide n_chars bucket) buckets of
+    # the hit set in composite-key order; keyset page 2 of size 4 ==
+    # rank rows 5..8 (strict key ordering)
+    out["composite_page"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        b AS (
+          SELECT doc.lang,
+                 floor(doc.n_chars::double / 500.0) * 500.0 AS len_bucket,
+                 count(*) AS n_docs
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          WHERE doc.lang IS NOT NULL AND doc.n_chars IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT lang, len_bucket, n_docs,
+                 row_number() OVER (ORDER BY lang ASC, len_bucket ASC) AS rk
+          FROM b
+        )
+        SELECT lang, len_bucket, n_docs FROM r
+        WHERE rk BETWEEN 5 AND 8
+    """
+    # ES terms agg + metric sub-aggs: one GROUP BY pass per bucket
+    out["terms_metrics"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+        SELECT doc.lang, count(*)::bigint AS n_docs,
+               round(avg(doc.n_chars::double), 6) AS avg_len,
+               sum(doc.n_chars::double) AS sum_len,
+               max(doc.n_chars::double) AS max_len,
+               count(DISTINCT doc.source)::bigint AS n_sources
+        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        GROUP BY doc.lang
+    """
+    # ES extended_stats: ES's naive formulas from (n, sum, sumsq)
+    out["extended_stats"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        base AS (
+          SELECT count(doc.n_chars)::bigint AS n_docs,
+                 min(doc.n_chars::double) AS min,
+                 max(doc.n_chars::double) AS max,
+                 sum(doc.n_chars::double) AS sum,
+                 sum(doc.n_chars::double * doc.n_chars::double)
+                   AS sum_of_squares
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT n_docs, min, max, sum, sum_of_squares,
+               round(sum / n_docs, 6) AS avg,
+               round(sum_of_squares / n_docs
+                     - (sum / n_docs) * (sum / n_docs), 6) AS variance,
+               round(CASE WHEN n_docs > 1 THEN
+                       (sum_of_squares - sum * sum / n_docs) / (n_docs - 1)
+                     END, 6) AS variance_sampling,
+               round(sqrt(sum_of_squares / n_docs
+                          - (sum / n_docs) * (sum / n_docs)), 6)
+                 AS std_deviation,
+               round(sqrt(CASE WHEN n_docs > 1 THEN
+                       (sum_of_squares - sum * sum / n_docs) / (n_docs - 1)
+                     END), 6) AS std_deviation_sampling,
+               round(sum / n_docs + 2.0 * sqrt(sum_of_squares / n_docs
+                     - (sum / n_docs) * (sum / n_docs)), 6) AS std_upper,
+               round(sum / n_docs - 2.0 * sqrt(sum_of_squares / n_docs
+                     - (sum / n_docs) * (sum / n_docs)), 6) AS std_lower
+        FROM base
+    """
+    # ES filters agg: independent named predicate counts, one pass
+    out["filters_agg"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        hits AS (
+          SELECT doc.lang, doc.n_chars
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT 'en' AS filter_label,
+               (count(*) FILTER (WHERE lang = 'en'))::bigint AS n_docs
+        FROM hits
+        UNION ALL
+        SELECT 'long', (count(*) FILTER (WHERE n_chars >= 1500))::bigint
+        FROM hits
+        UNION ALL
+        SELECT 'short', (count(*) FILTER (WHERE n_chars < 500))::bigint
+        FROM hits
+    """
+    # ES dis_max: per-branch full BM25 match sets, best_fields combine
+    out["dsl_dis_max"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d1 AS (SELECT term, count(*)::double AS df FROM tf
+               WHERE term IN ('query', 'spark') GROUP BY term),
+        s1 AS (SELECT tf.doc_id, sum({score.replace("d.df", "d1.df")}) AS score
+               FROM tf JOIN d1 ON tf.term = d1.term
+               JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+               GROUP BY tf.doc_id),
+        d2 AS (SELECT term, count(*)::double AS df FROM tf
+               WHERE term = 'table' GROUP BY term),
+        s2 AS (SELECT tf.doc_id, sum({score.replace("d.df", "d2.df")}) AS score
+               FROM tf JOIN d2 ON tf.term = d2.term
+               JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+               GROUP BY tf.doc_id),
+        u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        comb AS (
+          SELECT doc_id,
+                 max(score) + 0.3 * (sum(score) - max(score)) AS score
+          FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM comb ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # ES boosting: positive BM25, ×0.4 where the negative term matches
+    out["dsl_boosting"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ('query', 'spark') GROUP BY term),
+        pos AS (SELECT tf.doc_id, sum({score}) AS score
+                FROM tf JOIN d ON tf.term = d.term
+                JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+                GROUP BY tf.doc_id),
+        neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
+        demoted AS (
+          SELECT p.doc_id,
+                 CASE WHEN n.doc_id IS NOT NULL THEN p.score * 0.4
+                      ELSE p.score END AS score
+          FROM pos p LEFT JOIN neg n ON p.doc_id = n.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM demoted ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # ES constant_score: the matched set at a fixed boost, _doc order
+    out["dsl_constant_score"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf
+              WHERE term IN ('query', 'spark'))
+        SELECT doc_id, 2.5 AS score FROM m ORDER BY doc_id LIMIT 30
     """
     # URL curation: the derived noisy URL + each operator's exact
     # replay (functions restricted to the shared Java-regex ∩ RE2 +

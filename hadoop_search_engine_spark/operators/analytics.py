@@ -317,3 +317,235 @@ def date_histogram_facet(
     as the other hit facets — output is |buckets| rows."""
     hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
     return date_histogram(hits, col, interval, min_doc_count)
+
+
+# ------------------------------------------------------------------ #
+# Composite aggregation (paginated bucket enumeration)                #
+# ------------------------------------------------------------------ #
+
+
+def composite_agg(
+    df: DataFrame,
+    sources: list[tuple],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """Elasticsearch ``composite`` aggregation: enumerate the buckets
+    of one or more grouping sources in DETERMINISTIC composite-key
+    order, ``size`` at a time, resuming from an ``after`` key — the
+    scale path for high-cardinality bucketing. A ``terms`` agg must
+    materialize (and at 100 TB, shuffle and spill) every bucket to
+    rank them; composite instead streams the bucket space in key
+    order with keyset pagination, so each page costs one aggregation
+    + a bounded sort, and a consumer can walk ALL buckets of a
+    trillion-row table page by page (ES's own bulk-export answer).
+
+    ``sources``: ordered specs, each one of
+    ``(name, "terms", field)``,
+    ``(name, "histogram", field, interval)``,
+    ``(name, "date_histogram", field, calendar_interval)``.
+    ``after``: the last composite key of the previous page (tuple in
+    source order), exclusive. Rows with a NULL source value are
+    skipped (ES default, ``missing_bucket=false``).
+
+    Plan: one partial-aggregated groupBy on the key expressions (the
+    keyset predicate prunes BEFORE the shuffle on the resume path),
+    then a global top-``size`` by key — TakeOrderedAndProject, never a
+    full sort. Output: one column per source name + ``n_docs``.
+    """
+    if not sources:
+        raise ValueError("composite needs at least one source")
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    keys = []
+    for spec in sources:
+        name, kind = spec[0], spec[1]
+        if kind == "terms":
+            expr = F.col(spec[2])
+        elif kind == "histogram":
+            interval = float(spec[3])
+            if interval <= 0:
+                raise ValueError("histogram interval must be positive")
+            expr = (
+                F.floor(F.col(spec[2]).cast("double") / interval) * interval
+            )
+        elif kind == "date_histogram":
+            unit = spec[3]
+            if unit not in _CALENDAR_STEPS:
+                raise ValueError(
+                    f"calendar_interval must be one of "
+                    f"{sorted(_CALENDAR_STEPS)}, got {unit!r}"
+                )
+            expr = F.date_trunc(unit, F.col(spec[2]))
+        else:
+            raise ValueError(f"unknown composite source kind {kind!r}")
+        keys.append((name, expr))
+    out = df
+    for name, expr in keys:
+        out = out.where(expr.isNotNull())
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError(
+                f"after key has {len(after)} values for {len(keys)} sources"
+            )
+        # keyset predicate: strictly greater in composite-key order —
+        # prunes rows before the aggregation shuffle
+        pred = F.lit(False)
+        eq = F.lit(True)
+        for (_n, expr), v in zip(keys, after):
+            pred = pred | (eq & (expr > F.lit(v)))
+            eq = eq & (expr == F.lit(v))
+        out = out.where(pred)
+    grouped = out.groupBy(
+        *[expr.alias(name) for name, expr in keys]
+    ).agg(F.count("*").alias("n_docs"))
+    order = [F.col(name).asc() for name, _ in keys]
+    return grouped.orderBy(*order).limit(size)
+
+
+def composite_agg_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    sources: list[tuple],
+    size: int = 10,
+    after: tuple | None = None,
+) -> DataFrame:
+    """:func:`composite_agg` over SEARCH HITS (semi-join to the
+    matched doc_id set first), the ES request shape."""
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    return composite_agg(hits, sources, size=size, after=after)
+
+
+# ------------------------------------------------------------------ #
+# Bucket metrics (terms + metric sub-aggregations)                    #
+# ------------------------------------------------------------------ #
+
+_METRIC_KINDS = ("avg", "sum", "min", "max", "cardinality")
+
+
+def _metric_expr(kind: str, field: str):
+    x = F.col(field).cast("double")
+    if kind == "avg":
+        return F.round(F.avg(x), 6)
+    if kind == "sum":
+        return F.sum(x)
+    if kind == "min":
+        return F.min(x)
+    if kind == "max":
+        return F.max(x)
+    if kind == "cardinality":
+        return F.countDistinct(F.col(field)).cast("long")
+    raise ValueError(
+        f"metric kind must be one of {_METRIC_KINDS}, got {kind!r}"
+    )
+
+
+def terms_metrics_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    group_field: str,
+    metrics: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """ES ``terms`` aggregation with metric SUB-aggregations: per
+    bucket of ``group_field``, the doc count plus every requested
+    metric — ``{"avg_len": ("avg", "n_chars"), "sites":
+    ("cardinality", "source")}`` — in ONE partial-aggregated groupBy
+    pass (ES evaluates sub-aggs per bucket the same way; there is no
+    per-bucket re-query). Output is |buckets| rows × (1 + #metrics)
+    columns regardless of corpus size. ``avg`` rounds to 6 dp
+    (cross-engine float contract); ``cardinality`` is the exact
+    two-stage distinct count."""
+    if not metrics:
+        raise ValueError("metrics must name at least one (kind, field)")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    aggs = [F.count("*").alias("n_docs")]
+    for name, (kind, field) in metrics.items():
+        aggs.append(_metric_expr(kind, field).alias(name))
+    return hits.groupBy(group_field).agg(*aggs)
+
+
+def extended_stats_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    col: str,
+    sigma: float = 2.0,
+) -> DataFrame:
+    """ES ``extended_stats`` aggregation over search hits: stats plus
+    sum_of_squares, variance (population AND sampling, ES 7.9+ fields),
+    std deviation (both), and the ±``sigma`` std-deviation bounds.
+
+    Derived values replay ES's own naive formulas from (count, sum,
+    sum of squares) — one aggregation pass, map-side combinable, and
+    engine-replayable because the formula (not the engine's built-in
+    Welford variance) defines the result. Derived floats round to 6 dp;
+    over integer-valued fields the three base sums are exact in double
+    (< 2^53) so the output is partitioning- and engine-invariant.
+    Non-integer fields inherit summation-order float noise in the last
+    bits, exactly as ES documents for its own implementation."""
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(col).cast("double")
+    base = hits.agg(
+        F.count(x).alias("n_docs"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        F.sum(x).alias("sum"),
+        F.sum(x * x).alias("sum_of_squares"),
+    )
+    n = F.col("n_docs").cast("double")
+    mean = F.col("sum") / n
+    var_pop = F.col("sum_of_squares") / n - mean * mean
+    var_samp = F.when(
+        n > 1.0,
+        (F.col("sum_of_squares") - F.col("sum") * F.col("sum") / n)
+        / (n - 1.0),
+    )
+    std_pop = F.sqrt(var_pop)
+    return base.select(
+        "n_docs",
+        "min",
+        "max",
+        "sum",
+        "sum_of_squares",
+        F.round(mean, 6).alias("avg"),
+        F.round(var_pop, 6).alias("variance"),
+        F.round(var_samp, 6).alias("variance_sampling"),
+        F.round(std_pop, 6).alias("std_deviation"),
+        F.round(F.sqrt(var_samp), 6).alias("std_deviation_sampling"),
+        F.round(mean + sigma * std_pop, 6).alias("std_upper"),
+        F.round(mean - sigma * std_pop, 6).alias("std_lower"),
+    )
+
+
+def filters_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    filters: dict[str, object],
+) -> DataFrame:
+    """ES ``filters`` aggregation over search hits: one named bucket
+    per boolean predicate (Column or SQL string), each counted
+    independently in ONE conditional-aggregation pass — the
+    possibly-overlapping cousin of ``range_facets`` for arbitrary
+    predicates ("how many hits are english / long / recent"). Empty
+    buckets report 0; declaration order preserved."""
+    if not filters:
+        raise ValueError("filters must name at least one predicate")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    aggs = []
+    for name, pred in filters.items():
+        cond = F.expr(pred) if isinstance(pred, str) else pred
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(str(name)))
+    wide = hits.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(str(name)).alias("filter_label"),
+                F.coalesce(F.col(str(name)), F.lit(0))
+                .cast("long")
+                .alias("n_docs"),
+            )
+            for name in filters
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.filter_label", "r.n_docs"
+    )

@@ -464,7 +464,120 @@ def _compile(
             .select("doc_id", F.lit(boost).alias("score"))
         )
 
+    if kind == "dis_max":
+        # ES dis_max: score = max of sub-query scores + tie_breaker *
+        # sum of the rest. Exactness needs every branch's FULL scored
+        # match set (a doc outside one branch's top-k can lead the
+        # combined ranking), so branches compile to scored_docs and the
+        # combine is the same one-hash-aggregate best_fields engine as
+        # multi_match (multifield.combine_scored_parts).
+        from .multifield import combine_scored_parts
+        from .query_exec import scored_docs
+
+        if after is not None:
+            raise DslError("search_after does not compose with dis_max yet")
+        _no_filter(kind)
+        subqs = body.get("queries", [])
+        if not subqs:
+            raise DslError("dis_max needs queries")
+        tie = float(body.get("tie_breaker", 0.0))
+        if not 0.0 <= tie <= 1.0:
+            raise DslError(f"tie_breaker must be in [0, 1], got {tie}")
+        parts = []
+        for sq in subqs:
+            text, mode = _match_family_text(sq, "dis_max.queries[]")
+            parts.append(
+                scored_docs(index, text, synonyms=synonyms, mode=mode)
+            )
+        return combine_scored_parts(parts, "best_fields", tie, k)
+    if kind == "boosting":
+        # ES boosting query: positive matches keep their score unless
+        # they ALSO match the negative query, in which case the score
+        # multiplies by negative_boost (a demotion, not an exclusion —
+        # that's bool.must_not). Full positive match set + a negative
+        # doc_id left-semi flag, then one top-k.
+        from .query_exec import matched_docs, scored_docs
+
+        if after is not None:
+            raise DslError("search_after does not compose with boosting yet")
+        _no_filter(kind)
+        if "positive" not in body or "negative" not in body:
+            raise DslError("boosting needs positive and negative queries")
+        nb = float(body.get("negative_boost", 0.5))
+        if not 0.0 <= nb <= 1.0:
+            raise DslError(f"negative_boost must be in [0, 1], got {nb}")
+        ptext, pmode = _match_family_text(body["positive"],
+                                          "boosting.positive")
+        ntext, nmode = _match_family_text(body["negative"],
+                                          "boosting.negative")
+        pos = scored_docs(index, ptext, synonyms=synonyms, mode=pmode)
+        neg = matched_docs(index, ntext, synonyms, mode=nmode).select(
+            "doc_id", F.lit(True).alias("_demote")
+        )
+        return (
+            pos.join(neg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_demote"), F.col("score") * nb)
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+    if kind == "constant_score":
+        # ES constant_score: filter-context match at a fixed boost —
+        # recall without scoring (the postings decode skips nothing,
+        # but no statistics join and rank is _doc order).
+        from .query_exec import matched_docs
+
+        if after is not None:
+            raise DslError(
+                "search_after does not compose with constant_score yet"
+            )
+        flt = body.get("filter")
+        if flt is None:
+            raise DslError("constant_score needs filter")
+        boost = float(body.get("boost", 1.0))
+        text, mode = _match_family_text(flt, "constant_score.filter")
+        m = matched_docs(index, text, synonyms, mode=mode)
+        if doc_filter is not None:
+            m = m.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+        return (
+            m.select("doc_id")
+            .orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", F.lit(boost).alias("score"))
+        )
+
     raise DslError(f"unsupported query clause {kind!r}")
+
+
+def _match_family_text(q: dict, what: str) -> tuple[str, str]:
+    """A match-family leaf (match / query_string / term / terms) →
+    (query text, or|and mode) — the shared sub-query extractor for
+    dis_max / boosting / constant_score / aggs."""
+    kind, body = _one_key(q, what)
+    if kind == "match":
+        fld, b = _field_body(body, "match")
+        _require_text_field(fld, "match")
+        return str(b["query"]), (
+            "and" if b.get("operator", "or") == "and" else "or"
+        )
+    if kind == "query_string":
+        return str(body["query"]), "or"
+    if kind == "term":
+        fld, b = _field_body(body, "term")
+        _require_text_field(fld, "term")
+        return str(b["value"]), "or"
+    if kind == "terms":
+        fld, vals = _one_key(body, "terms")
+        _require_text_field(fld, "terms")
+        return " ".join(str(v) for v in vals), "or"
+    raise DslError(
+        f"{what} must be a match-family leaf "
+        f"(match/query_string/term/terms), got {kind!r}"
+    )
 
 
 # ---------------------------------------------------------------- aggs
@@ -498,7 +611,13 @@ def _run_aggs(
         text, mode = " ".join(str(v) for v in vals), "or"
     matched = matched_docs(index, text, synonyms, mode=mode)
 
-    from .analytics import date_histogram_facet
+    from .analytics import (
+        composite_agg_facet,
+        date_histogram_facet,
+        extended_stats_facet,
+        filters_facet,
+        terms_metrics_facet,
+    )
     from .query_exec import (
         cardinality_facet,
         facet_counts,
@@ -511,12 +630,37 @@ def _run_aggs(
 
     out: dict[str, DataFrame] = {}
     for name, spec in aggs.items():
+        # ES nests sub-aggs as a SIBLING "aggs" key beside the bucket
+        # agg — split it off before the single-key dispatch
+        subs = spec.get("aggs") if isinstance(spec, dict) else None
+        if subs is not None:
+            spec = {kk: vv for kk, vv in spec.items() if kk != "aggs"}
         akind, ab = _one_key(spec, f"aggs[{name}]")
+        if subs is not None and akind != "terms":
+            raise DslError(
+                f"sub-aggs are supported under terms only, not {akind!r}"
+            )
         if akind == "terms":
-            if "aggs" in spec or "top_hits" in ab:
-                raise DslError("nested sub-aggs unsupported (use the "
-                               "top_hits agg kind directly)")
-            out[name] = facet_counts(matched, documents, [ab["field"]])
+            if "top_hits" in ab:
+                raise DslError("top_hits nests via the sub-aggs form "
+                               "or the top_hits agg kind directly")
+            if subs:
+                # terms + metric sub-aggregations: one groupBy pass
+                metrics: dict[str, tuple[str, str]] = {}
+                for sname, sspec in subs.items():
+                    skind, sb = _one_key(sspec, f"aggs[{name}].aggs[{sname}]")
+                    if skind not in ("avg", "sum", "min", "max",
+                                     "cardinality"):
+                        raise DslError(
+                            f"unsupported metric sub-agg {skind!r} "
+                            "(avg/sum/min/max/cardinality)"
+                        )
+                    metrics[sname] = (skind, sb["field"])
+                out[name] = terms_metrics_facet(
+                    matched, documents, ab["field"], metrics
+                )
+            else:
+                out[name] = facet_counts(matched, documents, [ab["field"]])
         elif akind == "histogram":
             out[name] = histogram_facets(matched, documents, ab["field"],
                                          float(ab["interval"]))
@@ -536,6 +680,60 @@ def _run_aggs(
                                                    95.0, 99.0))))
         elif akind == "cardinality":
             out[name] = cardinality_facet(matched, documents, ab["field"])
+        elif akind == "extended_stats":
+            out[name] = extended_stats_facet(
+                matched, documents, ab["field"],
+                sigma=float(ab.get("sigma", 2.0)))
+        elif akind == "filters":
+            named = ab.get("filters")
+            if not isinstance(named, dict) or not named:
+                raise DslError("filters agg needs {filters: {name: "
+                               "term/range clause}}")
+            preds: dict[str, object] = {}
+            for fname, clause in named.items():
+                fkind, fb = _one_key(clause, f"filters[{fname}]")
+                if fkind == "term":
+                    fld, tb = _field_body(fb, "term")
+                    preds[fname] = F.col(fld) == F.lit(tb["value"])
+                elif fkind == "range":
+                    fld, rb = _one_key(fb, "range")
+                    cond = F.lit(True)
+                    ops = {"gte": "__ge__", "gt": "__gt__",
+                           "lte": "__le__", "lt": "__lt__"}
+                    for op, v in rb.items():
+                        if op not in ops:
+                            raise DslError(f"unknown range operator {op!r}")
+                        cond = cond & getattr(F.col(fld), ops[op])(F.lit(v))
+                    preds[fname] = cond
+                else:
+                    raise DslError(
+                        f"unsupported filters clause {fkind!r} "
+                        "(term/range only)"
+                    )
+            out[name] = filters_facet(matched, documents, preds)
+        elif akind == "composite":
+            srcs = []
+            for s in ab.get("sources", []):
+                sname, sspec = _one_key(s, "composite source")
+                skind, sb = _one_key(sspec, f"composite[{sname}]")
+                if skind == "terms":
+                    srcs.append((sname, "terms", sb["field"]))
+                elif skind == "histogram":
+                    srcs.append((sname, "histogram", sb["field"],
+                                 float(sb["interval"])))
+                elif skind == "date_histogram":
+                    srcs.append((sname, "date_histogram", sb["field"],
+                                 sb.get("calendar_interval", "day")))
+                else:
+                    raise DslError(
+                        f"unsupported composite source {skind!r}"
+                    )
+            after = ab.get("after")
+            if after is not None:
+                after = tuple(after[s[0]] for s in srcs)
+            out[name] = composite_agg_facet(
+                matched, documents, srcs,
+                size=int(ab.get("size", 10)), after=after)
         elif akind == "top_hits":
             # ES top_hits ranks within the FULL hit set (not the
             # returned page) — the scored_docs frame, df-proportional

@@ -1,0 +1,312 @@
+"""Session-8 DSL + aggregation additions: dis_max / boosting /
+constant_score query kinds, and composite / terms-with-sub-aggs /
+extended_stats / filters aggregations. The DSL adds no scoring code,
+so identity with the direct calls (or a brute-force replay) is the
+contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.analytics import (
+    composite_agg,
+    composite_agg_facet,
+    extended_stats_facet,
+    filters_facet,
+    terms_metrics_facet,
+)
+from hadoop_search_engine_spark.operators.dsl import DslError, search_dsl
+from hadoop_search_engine_spark.operators.multifield import (
+    combine_scored_parts,
+)
+from hadoop_search_engine_spark.operators.query_exec import (
+    facet_counts,
+    matched_docs,
+    scored_docs,
+    search_topk,
+)
+
+Q = "w00000 w00017"
+Q2 = "w00001 w00002"
+
+
+def _pairs(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+# ----------------------------------------------------------- dis_max
+
+
+def test_dis_max_single_query_equals_search_topk(tiny_index):
+    got = search_dsl(
+        tiny_index,
+        {"query": {"dis_max": {"queries": [{"match": {"text": Q}}]}},
+         "size": 8},
+    )
+    assert _pairs(got.hits) == _pairs(search_topk(tiny_index, Q, k=8))
+
+
+def test_dis_max_matches_manual_best_fields_combine(tiny_index):
+    tie = 0.3
+    got = search_dsl(
+        tiny_index,
+        {"query": {"dis_max": {
+            "queries": [{"match": {"text": Q}}, {"term": {"text": "w00002"}}],
+            "tie_breaker": tie}}, "size": 10},
+    )
+    parts = [
+        scored_docs(tiny_index, Q),
+        scored_docs(tiny_index, "w00002"),
+    ]
+    want = combine_scored_parts(parts, "best_fields", tie, 10)
+    assert _pairs(got.hits) == _pairs(want)
+
+
+def test_dis_max_validates(tiny_index):
+    with pytest.raises(DslError, match="needs queries"):
+        search_dsl(tiny_index, {"query": {"dis_max": {"queries": []}}})
+    with pytest.raises(DslError, match="tie_breaker"):
+        search_dsl(tiny_index, {"query": {"dis_max": {
+            "queries": [{"match": {"text": Q}}], "tie_breaker": 1.5}}})
+
+
+# ----------------------------------------------------------- boosting
+
+
+def test_boosting_demotes_but_keeps_negative_matches(tiny_index):
+    nb = 0.2
+    got = search_dsl(
+        tiny_index,
+        {"query": {"boosting": {
+            "positive": {"match": {"text": Q}},
+            "negative": {"term": {"text": "w00017"}},
+            "negative_boost": nb}}, "size": 200},
+    ).hits.collect()
+    pos = {r["doc_id"]: r["score"]
+           for r in scored_docs(tiny_index, Q).collect()}
+    neg = {r["doc_id"] for r in
+           matched_docs(tiny_index, "w00017").collect()}
+    assert {r["doc_id"] for r in got} == set(pos)  # demotion, not removal
+    for r in got:
+        want = pos[r["doc_id"]] * (nb if r["doc_id"] in neg else 1.0)
+        assert math.isclose(r["score"], want, rel_tol=1e-12)
+    # demoted docs sort below untouched ones with comparable base
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_boosting_neutral_at_boost_one(tiny_index):
+    got = search_dsl(
+        tiny_index,
+        {"query": {"boosting": {
+            "positive": {"match": {"text": Q}},
+            "negative": {"term": {"text": "w00017"}},
+            "negative_boost": 1.0}}, "size": 9},
+    )
+    assert _pairs(got.hits) == _pairs(search_topk(tiny_index, Q, k=9))
+
+
+# ------------------------------------------------------ constant_score
+
+
+def test_constant_score_is_matched_set_in_doc_order(tiny_index):
+    boost = 3.5
+    got = search_dsl(
+        tiny_index,
+        {"query": {"constant_score": {
+            "filter": {"match": {"text": Q}}, "boost": boost}},
+         "size": 500},
+    ).hits.collect()
+    want = sorted(
+        r["doc_id"] for r in matched_docs(tiny_index, Q).collect()
+    )
+    assert [r["doc_id"] for r in got] == want
+    assert all(r["score"] == boost for r in got)
+
+
+# ------------------------------------------------------------ composite
+
+
+def _docs(tiny_corpus):
+    return tiny_corpus.withColumn("n_chars", F.length("text"))
+
+
+def test_composite_pages_cover_terms_facet(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    want = sorted(
+        (r["lang"], r["n_docs"])
+        for r in facet_counts(m, docs, ["lang"]).collect()
+    )
+    pages = []
+    after = None
+    while True:
+        page = composite_agg_facet(
+            m, docs, [("lang", "terms", "lang")], size=2, after=after
+        ).collect()
+        if not page:
+            break
+        pages.extend((r["lang"], r["n_docs"]) for r in page)
+        after = (page[-1]["lang"],)
+    assert pages == want  # already in key order, no dup/missing buckets
+
+
+def test_composite_multi_source_key_order_and_after(spark):
+    rows = [(i, "ab"[i % 2], i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "g", "v"])
+    full = composite_agg(
+        df, [("g", "terms", "g"), ("vb", "histogram", "v", 2.0)], size=100
+    ).collect()
+    keys = [(r["g"], r["vb"]) for r in full]
+    assert keys == sorted(keys)
+    # keyset resume: page after the 2nd key == tail of the full listing
+    after = keys[1]
+    tail = composite_agg(
+        df, [("g", "terms", "g"), ("vb", "histogram", "v", 2.0)],
+        size=100, after=after,
+    ).collect()
+    assert [(r["g"], r["vb"]) for r in tail] == keys[2:]
+
+
+def test_composite_date_histogram_source(spark):
+    df = spark.sql(
+        "SELECT id AS doc_id, "
+        "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,id,0,0,0)"
+        " AS ts FROM range(10)"
+    )
+    out = composite_agg(df, [("day", "date_histogram", "ts", "day")],
+                        size=20).collect()
+    assert len(out) == 10
+    assert sum(r["n_docs"] for r in out) == 10
+
+
+def test_composite_validates(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="at least one source"):
+        composite_agg(df, [], size=2)
+    with pytest.raises(ValueError, match="after key"):
+        composite_agg(df, [("a", "terms", "doc_id")], size=2,
+                      after=(1, 2))
+    with pytest.raises(ValueError, match="source kind"):
+        composite_agg(df, [("a", "percentile", "doc_id")], size=2)
+
+
+# --------------------------------------------------- terms sub-aggs
+
+
+def test_terms_metrics_matches_manual_groupby(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = {
+        r["lang"]: (r["n_docs"], r["avg_len"], r["max_len"], r["n_langs"])
+        for r in terms_metrics_facet(
+            m, docs, "lang",
+            {"avg_len": ("avg", "n_chars"), "max_len": ("max", "n_chars"),
+             "n_langs": ("cardinality", "lang")},
+        ).collect()
+    }
+    hits = docs.join(m.select("doc_id"), "doc_id", "left_semi").collect()
+    byg: dict[str, list[int]] = {}
+    for r in hits:
+        byg.setdefault(r["lang"], []).append(r["n_chars"])
+    for g, vals in byg.items():
+        n, avg, mx, card = got[g]
+        assert n == len(vals)
+        assert avg == round(sum(vals) / len(vals), 6)
+        assert mx == max(vals)
+        assert card == 1
+    assert set(got) == set(byg)
+
+
+def test_dsl_terms_sub_aggs(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"langs": {"terms": {"field": "lang"},
+                            "aggs": {"avg_len": {"avg": {"field":
+                                                         "n_chars"}}}}}},
+        documents=docs,
+    )
+    m = matched_docs(tiny_index, Q)
+    want = terms_metrics_facet(m, docs, "lang",
+                               {"avg_len": ("avg", "n_chars")})
+    assert sorted(map(tuple, got.aggs["langs"].collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+# ------------------------------------------------------ extended_stats
+
+
+def test_extended_stats_matches_numpy(tiny_index, tiny_corpus):
+    import numpy as np
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    row = extended_stats_facet(m, docs, "n_chars").collect()[0]
+    vals = np.array(
+        [r["n_chars"] for r in docs.join(
+            m.select("doc_id"), "doc_id", "left_semi").collect()],
+        dtype=np.float64,
+    )
+    assert row["n_docs"] == len(vals)
+    assert row["sum"] == vals.sum()
+    assert row["sum_of_squares"] == (vals * vals).sum()
+    mean = vals.sum() / len(vals)
+    var_pop = (vals * vals).sum() / len(vals) - mean * mean
+    assert math.isclose(row["variance"], round(var_pop, 6), abs_tol=1e-6)
+    assert math.isclose(
+        row["std_deviation"], round(math.sqrt(var_pop), 6), abs_tol=1e-6
+    )
+    var_samp = ((vals * vals).sum() - vals.sum() ** 2 / len(vals)) / (
+        len(vals) - 1
+    )
+    assert math.isclose(
+        row["variance_sampling"], round(var_samp, 6), abs_tol=1e-6
+    )
+    assert math.isclose(
+        row["std_upper"], round(mean + 2 * math.sqrt(var_pop), 6),
+        abs_tol=1e-6,
+    )
+
+
+def test_dsl_extended_stats_and_filters(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {
+             "len": {"extended_stats": {"field": "n_chars"}},
+             "cuts": {"filters": {"filters": {
+                 "en": {"term": {"lang": "en"}},
+                 "long": {"range": {"n_chars": {"gte": 200}}},
+             }}},
+         }},
+        documents=docs,
+    )
+    m = matched_docs(tiny_index, Q)
+    assert got.aggs["len"].collect() == extended_stats_facet(
+        m, docs, "n_chars").collect()
+    want = filters_facet(
+        m, docs,
+        {"en": F.col("lang") == "en", "long": F.col("n_chars") >= 200},
+    )
+    assert got.aggs["cuts"].collect() == want.collect()
+
+
+def test_filters_facet_counts_and_order(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    out = filters_facet(
+        m, docs,
+        {"all": "n_chars >= 0", "none": "n_chars < 0",
+         "en": F.col("lang") == "en"},
+    ).collect()
+    assert [r["filter_label"] for r in out] == ["all", "none", "en"]
+    n_hits = docs.join(m.select("doc_id"), "doc_id", "left_semi").count()
+    assert out[0]["n_docs"] == n_hits
+    assert out[1]["n_docs"] == 0
