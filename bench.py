@@ -749,6 +749,74 @@ def main() -> None:
         reps=3,
     )
 
+    # session-8 operators: composite keyset agg + terms sub-aggs over
+    # the hit set, dis_max/boosting DSL queries, URL curation passes
+    from hadoop_search_engine_spark.operators.analytics import (
+        composite_agg_facet,
+        terms_metrics_facet,
+    )
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+    from hadoop_search_engine_spark.operators.urltools import (
+        cap_per_domain,
+        url_dedup,
+    )
+
+    meta = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    m_flag = matched_docs(idx, "spark query table")
+    timed(
+        "composite_agg_page",
+        lambda: composite_agg_facet(
+            m_flag, meta,
+            [("lang", "terms", "lang"),
+             ("len_bucket", "histogram", "n_chars", 500.0)],
+            size=50,
+        ).collect(),
+        reps=3,
+    )
+    timed(
+        "terms_metrics_agg",
+        lambda: terms_metrics_facet(
+            m_flag, meta, "lang",
+            {"avg_len": ("avg", "n_chars"),
+             "n_sources": ("cardinality", "source")},
+        ).collect(),
+        reps=3,
+    )
+    timed(
+        "dis_max_query",
+        lambda: search_dsl(
+            idx,
+            {"query": {"dis_max": {
+                "queries": [{"match": {"text": "spark query"}},
+                            {"term": {"text": "table"}}],
+                "tie_breaker": 0.3}}, "size": 10},
+        ).hits.collect(),
+        reps=3,
+    )
+    timed(
+        "boosting_query",
+        lambda: search_dsl(
+            idx,
+            {"query": {"boosting": {
+                "positive": {"match": {"text": "spark query"}},
+                "negative": {"term": {"text": "table"}},
+                "negative_boost": 0.4}}, "size": 10},
+        ).hits.collect(),
+        reps=3,
+    )
+    crawl = meta.withColumn("url", entry_mod._derived_url_col())
+    timed(
+        "url_dedup_pass",
+        lambda: url_dedup(crawl).count(),
+        reps=3,
+    )
+    timed(
+        "cap_per_domain_pass",
+        lambda: cap_per_domain(crawl, 100).count(),
+        reps=3,
+    )
+
     # snapshot/restore: point-in-time hardlink+manifest copy of the
     # bench index — the cost to compare against is segment_merge /
     # index_build; a snapshot should be ~metadata-only (CRC pass over

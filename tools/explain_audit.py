@@ -197,6 +197,50 @@ CHECKS = {
     # BPE segmentation is an ARROW-batched pandas UDF (never
     # row-at-a-time PythonUDF) over one projection
     "bpe_encoded": ["ArrowEvalPython", "!BatchEvalPython", "!Exchange"],
+    # composite agg: a partial-aggregated groupBy on the composite key
+    # ending in a bounded TakeOrdered page — NEVER a full bucket sort
+    # (that is the whole point vs a terms agg at high cardinality)
+    "composite_page": [
+        "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct",
+        "!EvalPython",
+    ],
+    # terms + metric sub-aggs: ONE groupBy pass computes count and
+    # every metric — no window, no per-metric re-scan, no Python
+    "terms_metrics": [
+        "HashAggregate", "!Window", "!EvalPython", "!CartesianProduct",
+    ],
+    # extended_stats: one aggregation pass (count/min/max/sum/sumsq),
+    # derived fields are a 1-row projection
+    "extended_stats": ["HashAggregate", "!Window", "!EvalPython"],
+    # filters agg: every named predicate counted in one conditional
+    # aggregation — no per-filter scan
+    "filters_agg": ["HashAggregate", "!Window", "!EvalPython"],
+    # dis_max: branch scorer waves union into one partial-agg combine
+    # + top-k — no cartesian of branches, no corpus sort
+    "dsl_dis_max": [
+        "HashAggregate", "TakeOrderedAndProject", "!CartesianProduct",
+    ],
+    # URL normalization: pure regex/list expressions fused with the
+    # scan — map-only, no Python, no shuffle (the param-list lambdas
+    # are HOFs = CodegenFallback, so the Project is unstarred, like
+    # fingerprint's aggregate fold)
+    "url_normalize": ["Project", "!Exchange", "!EvalPython"],
+    # canonical-URL dedup: winner selection is a map-side-combinable
+    # min-aggregate (NOT a window — a viral URL would ship every copy
+    # to one reducer) + an id-keyed semi-join
+    "url_dedup": [
+        "HashAggregate", "LeftSemi", "!Window", "!EvalPython",
+        "!CartesianProduct",
+    ],
+    # per-domain census: map-only annotation + one groupBy + a 1-row
+    # broadcast total
+    "domain_stats": [
+        "HashAggregate", "BroadcastNestedLoopJoin", "!EvalPython",
+    ],
+    # domain cap: one rank window partitioned by domain (the
+    # skew_buckets variant splits hot domains; plain path audited) —
+    # no Python, no cartesian
+    "cap_per_domain": ["Window", "!EvalPython", "!CartesianProduct"],
 }
 
 
