@@ -2612,6 +2612,43 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+_SPAN_APPENDIX = " zz boiler marker span words end extra tail"
+
+
+def q_span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span census (Lee et al. 2022 signal): an
+    8-token boilerplate appendix is added to EVERY doc in both
+    engines, so each doc shares three 6-gram occurrences with the
+    corpus; keep-first = min (doc_id, pos). The oracle replays the
+    gram enumeration (parallel unnest + list_slice), the winner
+    window, and the per-doc rollup on gram STRINGS (the Spark side
+    keys by a salted murmur pair — identical classes absent
+    collisions)."""
+    from hadoop_search_engine_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.concat("text", F.lit(_SPAN_APPENDIX))
+    )
+    return duplicate_span_stats(docs, n=6)
+
+
+def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL: tokens covered by non-first duplicate
+    6-gram occurrences are cut and the text rebuilt in token order;
+    the lowest (doc_id, pos) occurrence of the appendix survives in
+    exactly one document."""
+    from hadoop_search_engine_spark.operators.dedup import (
+        drop_duplicate_spans,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.concat("text", F.lit(_SPAN_APPENDIX))
+    )
+    return drop_duplicate_spans(docs, n=6)
+
+
 def q_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES composite aggregation with keyset pagination over the indexed
     hit set: (lang, 500-wide n_chars bucket) sources, page size 4 —
@@ -2888,6 +2925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "span_dedup_stats": q_span_dedup_stats,
+        "span_dedup_rewrite": q_span_dedup_rewrite,
         "composite_page": q_composite_page,
         "terms_metrics": q_terms_metrics,
         "extended_stats": q_extended_stats,
@@ -5415,6 +5454,67 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.mmr_rank < 10
         )
         SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
+    """
+    # exact duplicate-span dedup: derived boilerplate appendix, gram
+    # enumeration via parallel unnest + list_slice, keep-first winner
+    # via a (doc_id, pos) rank window over each gram's occurrences
+    _span_toks = sql_tokens_duckdb(f"text || '{_SPAN_APPENDIX}'")
+    _span_base = f"""
+        t AS (SELECT doc_id, {_span_toks} AS toks FROM documents),
+        occ AS (
+          SELECT doc_id, unnest(range(len(toks) - 5)) AS pos, toks
+          FROM t WHERE len(toks) >= 6
+        ),
+        g AS (
+          SELECT doc_id, pos,
+                 array_to_string(list_slice(toks, pos + 1, pos + 6), ' ')
+                   AS gram
+          FROM occ
+        ),
+        r AS (
+          SELECT doc_id, pos,
+                 count(*) OVER (PARTITION BY gram) AS df,
+                 row_number() OVER (
+                   PARTITION BY gram ORDER BY doc_id, pos
+                 ) AS rk
+          FROM g
+        )
+    """
+    out["span_dedup_stats"] = f"""
+        WITH {_span_base},
+        per AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN df > 1 AND rk > 1 THEN 1 ELSE 0 END)
+                   AS n_dup
+          FROM r GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_grams, 0)::bigint AS n_grams,
+               coalesce(per.n_dup, 0)::bigint AS n_dup_grams,
+               CASE WHEN coalesce(per.n_grams, 0) > 0
+                    THEN round(per.n_dup / per.n_grams::double, 6)
+                    ELSE 0.0 END AS dup_ratio
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+    out["span_dedup_rewrite"] = f"""
+        WITH {_span_base},
+        dup AS (SELECT doc_id, pos FROM r WHERE df > 1 AND rk > 1),
+        cov AS (
+          SELECT DISTINCT doc_id, pos + unnest(range(6)) AS p FROM dup
+        ),
+        posed AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 unnest(range(len(toks))) AS p
+          FROM t
+        )
+        SELECT posed.doc_id,
+               string_agg(tok, ' ' ORDER BY p) AS text
+        FROM posed
+        WHERE NOT EXISTS (
+          SELECT 1 FROM cov
+          WHERE cov.doc_id = posed.doc_id AND cov.p = posed.p
+        )
+        GROUP BY posed.doc_id
     """
     # ES composite agg: all (lang, 500-wide n_chars bucket) buckets of
     # the hit set in composite-key order; keyset page 2 of size 4 ==

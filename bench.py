@@ -811,6 +811,20 @@ def main() -> None:
         lambda: url_dedup(crawl).count(),
         reps=3,
     )
+    # exact duplicate-span removal (Lee et al.): the occurrence table
+    # is ~|tokens| rows — the honest cost of substring dedup; compare
+    # against minhash_lsh_dedup (doc-level near dup)
+    from hadoop_search_engine_spark.operators.dedup import (
+        drop_duplicate_spans,
+    )
+
+    timed(
+        "span_dedup_rewrite",
+        lambda: drop_duplicate_spans(
+            meta.select("doc_id", "text"), n=8
+        ).count(),
+        reps=3,
+    )
     timed(
         "cap_per_domain_pass",
         lambda: cap_per_domain(crawl, 100).count(),

@@ -491,3 +491,153 @@ def dup_clusters(
         )
         labels = labels.unionByName(singles)
     return labels
+
+
+# ------------------------------------------------------------------ #
+# Exact duplicate-span removal (substring dedup, Lee et al. 2022)    #
+# ------------------------------------------------------------------ #
+
+
+def _span_occurrences(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Every token n-gram occurrence as ``(id, pos, h1, h2)`` — pos is
+    the 0-based start token, (h1, h2) a salted murmur3 pair of the
+    space-joined gram (16-byte shuffle keys instead of ~n·token-length
+    strings; tokens contain no spaces, so the join is injective). The
+    gram array builds from arrays_zip of n shifted slices (the
+    repetition_stats mechanism) — pure JVM expressions before the
+    explode."""
+    from ..functions.hashes import murmur3_u32
+    from ..functions.tokenizer import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    span = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, span) for i in range(n)])
+    occ = docs.select(F.col(id_col), F.posexplode(z).alias("pos", "_g"))
+    gram = F.concat_ws(" ", *[F.col(f"_g.{i}") for i in range(n)])
+    return occ.select(
+        F.col(id_col),
+        F.col("pos"),
+        murmur3_u32(gram).alias("h1"),
+        murmur3_u32(gram, salt="spandedup").alias("h2"),
+    )
+
+
+def _flagged_occurrences(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Occurrences joined to their gram's corpus-wide stats, with a
+    ``dup`` flag: an occurrence is a duplicate iff its gram occurs
+    more than once corpus-wide AND it is not the gram's FIRST
+    occurrence (minimum (id, pos) — the keep-first winner, a pure
+    function of the data)."""
+    occ = _span_occurrences(docs, n, text_col, id_col)
+    winners = occ.groupBy("h1", "h2").agg(
+        F.count("*").alias("_df"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_w"),
+    )
+    flagged = occ.join(winners, ["h1", "h2"])
+    dup = (F.col("_df") > 1) & ~(
+        (F.col(id_col) == F.col(f"_w.{id_col}"))
+        & (F.col("pos") == F.col("_w.pos"))
+    )
+    return flagged.select(id_col, "pos", dup.alias("dup"))
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span census: per doc, total n-gram
+    occurrences, how many are duplicates of an EARLIER occurrence
+    anywhere in the corpus (keep-first: the minimum (id, pos) owns the
+    gram), and the ratio — the exact-substring-dedup signal of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"; they use 50-token spans over a suffix array). Docs
+    shorter than ``n`` tokens report 0/0/0.0.
+
+    100 TB shape: the occurrence table is ~|corpus tokens| rows of
+    (id, pos, 16-byte gram key) — the honest cost of exact substring
+    dedup, and still far below a distributed suffix array. The gram
+    stats are a map-side-combinable groupBy on the hash pair; the
+    join back is hash-keyed; per-doc rollup is one partial agg.
+    The 2×32-bit murmur key risks ~birthday(2^64) collisions (a
+    collision can only over-flag); key by the gram string itself to
+    be exact at small scale.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    flagged = _flagged_occurrences(docs, n, text_col, id_col)
+    per = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+            ).otherwise(F.lit(0.0)).alias("dup_ratio"),
+        )
+    )
+
+
+def drop_duplicate_spans(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (Lee et al. 2022 semantics,
+    keep-first): every token covered by a duplicate n-gram occurrence
+    — positions ``[pos, pos+n)`` of each occurrence that is not its
+    gram's corpus-wide first — is cut; the surviving tokens rebuild
+    the text in order (token-normalized, like ``dedup_lines``); docs
+    losing every token drop out. The FIRST occurrence of each span
+    survives, including the first of a within-doc repeat (the second
+    copy inside one doc is removed too). Overlap edge effects (a cut
+    span overlapping a kept span's tokens) resolve in favor of
+    cutting, the standard approximation of the suffix-array method.
+
+    Returns ``(id_col, text_col)`` — join back on id for the other
+    columns. Scale shape: the coverage explode is ``n × duplicate
+    occurrences`` rows (bounded by n·|tokens|, proportional to how
+    much duplication exists); kept tokens shuffle once keyed by doc
+    for the ordered rebuild."""
+    from ..functions.tokenizer import tokens_col
+
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    flagged = _flagged_occurrences(docs, n, text_col, id_col)
+    covered = (
+        flagged.where("dup")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    posed = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("p", "_tok"),
+    )
+    kept = posed.join(covered, [id_col, "p"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias(text_col)
+    )

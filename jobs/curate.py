@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> None:
                          "filtering: 'drop_all:3' (C4) or "
                          "'keep_first:1' (CCNet); docs losing every "
                          "line are dropped")
+    ap.add_argument("--span-dedup", type=int, default=None, metavar="N",
+                    help="exact duplicate-SPAN removal (Lee et al. "
+                         "2022): cut every token covered by a "
+                         "non-first duplicate N-gram occurrence "
+                         "corpus-wide (keep-first); docs losing every "
+                         "token drop out")
     ap.add_argument("--max-dup-ratio", type=float, default=None,
                     help="drop docs whose within-doc bigram dup_ratio "
                          "exceeds this (Gopher repetition rule)")
@@ -126,6 +132,13 @@ def main(argv: list[str] | None = None) -> None:
         rebuilt = dedup_lines(
             docs, max_line_df=int(maxdf or 1), mode=mode
         )
+        docs = docs.drop("text").join(rebuilt, "doc_id")
+    if args.span_dedup:
+        from hadoop_search_engine_spark.operators.dedup import (
+            drop_duplicate_spans,
+        )
+
+        rebuilt = drop_duplicate_spans(docs, n=args.span_dedup)
         docs = docs.drop("text").join(rebuilt, "doc_id")
     if args.max_dup_ratio is not None:
         from hadoop_search_engine_spark.operators.text_analysis import (

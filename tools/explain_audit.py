@@ -241,6 +241,16 @@ CHECKS = {
     # skew_buckets variant splits hot domains; plain path audited) —
     # no Python, no cartesian
     "cap_per_domain": ["Window", "!EvalPython", "!CartesianProduct"],
+    # duplicate-span stats: gram stats are a map-side-combinable
+    # HashAggregate on the 16-byte murmur pair + a hash-keyed
+    # join-back — no window over occurrences, no Python, no cartesian
+    "span_dedup_stats": [
+        "HashAggregate", "!Window", "!EvalPython", "!CartesianProduct",
+    ],
+    # span removal adds the coverage anti-join + ordered rebuild agg
+    "span_dedup_rewrite": [
+        "HashAggregate", "LeftAnti", "!EvalPython", "!CartesianProduct",
+    ],
 }
 
 
