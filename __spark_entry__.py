@@ -2612,6 +2612,19 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget cut: the maximal prefix of the
+    (murmur3(id:budget), id) order fitting 20k tokens — the "cut this
+    mix to N tokens" op; the oracle replays the hash, the exclusive
+    running sum, and the prefix predicate."""
+    from hadoop_search_engine_spark.operators.curate import (
+        token_budget_cut,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_budget_cut(docs, 20_000).select("doc_id", "n_tokens")
+
+
 _SPAN_APPENDIX = " zz boiler marker span words end extra tail"
 
 
@@ -2925,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "token_budget": q_token_budget,
         "span_dedup_stats": q_span_dedup_stats,
         "span_dedup_rewrite": q_span_dedup_rewrite,
         "composite_page": q_composite_page,
@@ -5454,6 +5468,28 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.mmr_rank < 10
         )
         SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
+    """
+    # token-budget cut: murmur order replay + exclusive window sum
+    from hadoop_search_engine_spark.functions.hashes import (
+        sql_murmur3_u32_duckdb as _sql_mm3,
+    )
+
+    _h1b = _sql_mm3("(doc_id)::varchar")
+    _hb = _sql_mm3("'budget'", seed=_h1b)
+    out["token_budget"] = f"""
+        WITH n AS (
+          SELECT doc_id, len({_TOKS})::bigint AS n_tokens, {_hb} AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS g
+          FROM n
+        )
+        SELECT doc_id, n_tokens FROM c WHERE g + n_tokens <= 20000
     """
     # exact duplicate-span dedup: derived boilerplate appendix, gram
     # enumeration via parallel unnest + list_slice, keep-first winner

@@ -30,7 +30,7 @@ stage materializes to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import minhash_lsh_pairs
@@ -514,3 +514,79 @@ def sql_split_duckdb(
         case += f" WHEN {bucket} < {hi} THEN '{name}'"
     case += f" ELSE '{cuts[-1][0]}' END"
     return case
+
+
+def token_budget_cut(
+    docs: DataFrame,
+    budget_tokens: int,
+    salt: str = "budget",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_buckets: int = 256,
+) -> DataFrame:
+    """Cut a corpus to a token budget, deterministically: docs are
+    ordered by ``(murmur3(id:salt), id)`` — an unbiased reproducible
+    shuffle, the same determinism contract as :func:`split_corpus` —
+    and the MAXIMAL PREFIX whose running token total fits
+    ``budget_tokens`` survives (once a doc overflows, it and
+    everything after it is cut: pure prefix semantics, so the kept
+    set of a smaller budget is a subset of a larger one's, and the
+    cut is stable across reruns, partitionings, engines, and corpus
+    append order). The "give me exactly a 1T-token mix" op between
+    :func:`mix_corpus` and packing.
+
+    Scale shape: the exclusive running sum never serializes — the
+    hash's top bits split the order into ``order_buckets`` ranges
+    (the bucket is a PREFIX of the sort key), per-bucket totals fold
+    into offsets over a ≤ ``order_buckets``-row frame, and the
+    per-doc window runs per bucket (the ``pack_spans`` /
+    ``cap_per_domain`` two-phase pattern). Output keeps every input
+    column plus ``n_tokens``.
+    """
+    from ..functions.hashes import murmur3_u32
+    from .text_analysis import token_count
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    b = int(order_buckets)
+    if b < 2 or (b & (b - 1)) != 0 or b > 1 << 20:
+        raise ValueError("order_buckets must be a power of two in [2, 2^20]")
+    shift = 32 - b.bit_length() + 1
+    base = docs.withColumns(
+        {
+            "_h": murmur3_u32(F.col(id_col).cast("string"), salt=salt),
+            "n_tokens": token_count(F.col(text_col)).cast("long"),
+        }
+    ).withColumn("_b", F.shiftrightunsigned(F.col("_h"), shift))
+    woff = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("_b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        base.groupBy("_b")
+        .agg(F.sum("n_tokens").alias("_bt"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_bt").over(woff), F.lit(0))
+            .cast("long")
+            .alias("_off"),
+        )
+    )
+    wloc = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offs), "_b")
+        .withColumn(
+            "_g",
+            (
+                F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0))
+                + F.col("_off")
+            ).cast("long"),
+        )
+        .where(F.col("_g") + F.col("n_tokens") <= budget_tokens)
+        .drop("_h", "_b", "_off", "_g")
+    )

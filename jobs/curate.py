@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--sample-by", default=None,
                     help="with per-stratum --sample: the strata column")
     ap.add_argument("--sample-salt", default="sample")
+    ap.add_argument("--token-budget", type=int, default=None, metavar="N",
+                    help="after sampling: cut to the maximal salted-"
+                         "murmur-order prefix fitting N tokens "
+                         "(deterministic, nested across budgets)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -183,6 +187,12 @@ def main(argv: list[str] | None = None) -> None:
             curated = stratified_sample(
                 curated, float(args.sample), salt=args.sample_salt
             )
+    if args.token_budget is not None:
+        from hadoop_search_engine_spark.operators.curate import (
+            token_budget_cut,
+        )
+
+        curated = token_budget_cut(curated, args.token_budget)
     if args.split:
         from hadoop_search_engine_spark.operators.curate import split_corpus
 

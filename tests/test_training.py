@@ -177,3 +177,76 @@ def test_bucketed_cumsum_partition_invariant_and_sparse_ids(spark):
         got = sorted(map(tuple, pack_spans(
             docs.repartition(parts), 4, cumsum_buckets=8).collect()))
         assert got == ref
+
+
+# ------------------------------------------------- token budget cut
+
+
+def _budget_corpus(spark, n=60):
+    rows = [(i, " ".join(f"w{j}" for j in range((i % 7) + 2)))
+            for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_budget_cut_prefix_semantics(spark):
+    from hadoop_search_engine_spark.functions.hashes import mm3_u32_ref_str
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+    from hadoop_search_engine_spark.operators.curate import (
+        token_budget_cut,
+    )
+
+    docs = _budget_corpus(spark)
+    budget = 80
+    kept = token_budget_cut(docs, budget).collect()
+    # reference: maximal prefix of the (murmur(id:salt), id) order
+    rows = docs.collect()
+    ordered = sorted(
+        rows, key=lambda r: (mm3_u32_ref_str(str(r["doc_id"]),
+                                             salt="budget"), r["doc_id"])
+    )
+    total, want = 0, []
+    for r in ordered:
+        n = len(tokenize(r["text"]))
+        if total + n > budget:
+            break
+        total += n
+        want.append((r["doc_id"], n))
+    assert sorted(r["doc_id"] for r in kept) == sorted(d for d, _ in want)
+    assert {r["doc_id"]: r["n_tokens"] for r in kept} == dict(want)
+    assert sum(r["n_tokens"] for r in kept) <= budget
+
+
+def test_token_budget_cut_nested_and_invariant(spark):
+    from hadoop_search_engine_spark.operators.curate import (
+        token_budget_cut,
+    )
+
+    docs = _budget_corpus(spark)
+    small = {r["doc_id"] for r in token_budget_cut(docs, 50).collect()}
+    big = {r["doc_id"] for r in token_budget_cut(docs, 150).collect()}
+    assert small <= big  # prefix nesting
+    repart = {
+        r["doc_id"]
+        for r in token_budget_cut(docs.repartition(7), 50).collect()
+    }
+    assert repart == small
+    bucketed = {
+        r["doc_id"]
+        for r in token_budget_cut(docs, 50, order_buckets=4).collect()
+    }
+    assert bucketed == small  # bucket-count-invariant (prefix of key)
+
+
+def test_token_budget_cut_validates(spark):
+    import pytest
+
+    from hadoop_search_engine_spark.operators.curate import (
+        token_budget_cut,
+    )
+
+    docs = _budget_corpus(spark, n=4)
+    with pytest.raises(ValueError):
+        token_budget_cut(docs, -1)
+    with pytest.raises(ValueError):
+        token_budget_cut(docs, 10, order_buckets=3)
+    assert token_budget_cut(docs, 0).count() == 0
