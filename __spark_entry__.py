@@ -2612,6 +2612,32 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_dsl_bool_structured_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Term-structured ES bool (must + score-only should + must_not)
+    COMPOSED with a non-scoring metadata range filter — the boolean
+    engine scores the full eligible set (per-shard cut disabled for
+    filter-exactness), the metadata frame semi-joins, then top-k. The
+    round's previously-documented DSL gap, now closed and oracled."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    out = search_dsl(
+        ix,
+        {"query": {"bool": {
+            "must": [{"term": {"text": "spark"}}],
+            "should": [{"term": {"text": "query"}},
+                       {"term": {"text": "merge"}}],
+            "must_not": [{"term": {"text": "vector"}}],
+            "filter": [{"range": {"n_chars": {"gte": 300}}}],
+        }}, "size": 20},
+        documents=docs,
+    ).hits
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget cut: the maximal prefix of the
     (murmur3(id:budget), id) order fitting 20k tokens — the "cut this
@@ -2938,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "dsl_bool_structured_filtered": q_dsl_bool_structured_filtered,
         "token_budget": q_token_budget,
         "span_dedup_stats": q_span_dedup_stats,
         "span_dedup_rewrite": q_span_dedup_rewrite,
@@ -5468,6 +5495,35 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.mmr_rank < 10
         )
         SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
+    """
+    # structured bool + metadata filter: boolean eligibility flags,
+    # score over the positive terms, n_chars range gate, top-k
+    out["dsl_bool_structured_filtered"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ('merge', 'query', 'spark') GROUP BY term),
+        pres AS (
+          SELECT doc_id,
+                 bool_or(term = 'spark')  AS has_spark,
+                 bool_or(term = 'vector') AS has_vector
+          FROM tf GROUP BY doc_id
+        ),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id, round(s.score, 4) AS score
+        FROM scored s
+        JOIN pres p ON s.doc_id = p.doc_id
+        JOIN documents doc ON s.doc_id = doc.doc_id
+        WHERE p.has_spark AND NOT p.has_vector AND doc.n_chars >= 300
+        ORDER BY score DESC, s.doc_id ASC LIMIT 20
     """
     # token-budget cut: murmur order replay + exclusive window sum
     from hadoop_search_engine_spark.functions.hashes import (

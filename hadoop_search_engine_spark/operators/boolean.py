@@ -306,6 +306,7 @@ def search_topk_boolean(
     serving: str = "auto",
     k1: float | None = None,
     b: float | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a boolean query over the block index.
 
@@ -313,9 +314,24 @@ def search_topk_boolean(
     ``b`` behave exactly as in :func:`~.query_exec.search_topk`; both
     serving modes are rank- and score-identical by construction (the
     per-shard evaluator is shared) and by test.
+
+    ``doc_filter`` (a doc_id eligibility frame, e.g. a metadata
+    predicate projection) composes EXACTLY by disabling the per-shard
+    cut — every boolean-eligible doc is scored (the ``scored_docs``
+    cost class, proportional to the query terms' df), the filter
+    applies as a distributed semi-join, and the top-k follows — a doc
+    the filter admits can never be displaced by one it rejects.
+    Distributed serving only (the filter is a DataFrame).
     """
     if serving not in ("auto", "driver", "spark"):
         raise ValueError(f"serving must be auto|driver|spark, got {serving!r}")
+    if doc_filter is not None:
+        if serving == "driver":
+            raise ValueError(
+                "doc_filter needs distributed serving (the eligibility "
+                "frame is a DataFrame); use serving='spark'"
+            )
+        serving = "spark"
     spark = index.spark
     stats = index.stats
     if k1 is not None or b is not None:
@@ -364,6 +380,11 @@ def search_topk_boolean(
             )
         tomb = index.tombstone_array()
     k_eff = k + (int(tomb.size) if tomb is not None else 0)
+    if doc_filter is not None:
+        # no per-shard cut: rank-exactness under the filter needs the
+        # full eligible score set (df-proportional, the scored_docs
+        # cost class)
+        k_eff = stats.num_shards * stats.shard_span
 
     pairs_fn = functools.partial(
         _boolean_pairs, ast=ast, leaf_hashes=leaf_hashes,
@@ -415,6 +436,10 @@ def search_topk_boolean(
     if tomb is not None:
         per_shard = per_shard.join(
             F.broadcast(index.tombstones), "doc_id", "left_anti"
+        )
+    if doc_filter is not None:
+        per_shard = per_shard.join(
+            doc_filter.select("doc_id").distinct(), "doc_id", "left_semi"
         )
     return per_shard.orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -367,15 +367,16 @@ def _compile(
                 return _compile(rest["must"][0], index, k, after,
                                 similarity, synonyms, documents,
                                 multifield, merged)
-            raise DslError(
-                "bool.filter currently composes with a single must "
-                "match-family clause (the cogroup eligibility page); "
-                "term-structured bool + metadata filter is not "
-                "supported yet"
-            )
-        _no_filter("bool")
+            # term-structured bool + metadata filter: the boolean
+            # engine scores the FULL eligible set (per-shard cut
+            # disabled — exactness under the filter) and the metadata
+            # frame applies as a semi-join before the top-k
+            return search_topk_boolean(index, _bool_expr(rest), k=k,
+                                       synonyms=synonyms,
+                                       doc_filter=merged)
         return search_topk_boolean(index, _bool_expr(rest), k=k,
-                                   synonyms=synonyms)
+                                   synonyms=synonyms,
+                                   doc_filter=doc_filter)
     if kind == "function_score":
         from .hybrid import function_score
 

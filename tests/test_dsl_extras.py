@@ -310,3 +310,58 @@ def test_filters_facet_counts_and_order(tiny_index, tiny_corpus):
     n_hits = docs.join(m.select("doc_id"), "doc_id", "left_semi").count()
     assert out[0]["n_docs"] == n_hits
     assert out[1]["n_docs"] == 0
+
+
+# -------------------------------------- bool.filter + term structure
+
+
+def test_boolean_doc_filter_exact_vs_posthoc(tiny_index, tiny_corpus):
+    """doc_filter must compose EXACTLY: equal to scoring the whole
+    boolean match set, filtering, then cutting top-k."""
+    from hadoop_search_engine_spark.operators.boolean import (
+        search_topk_boolean,
+    )
+
+    expr = "w00000 AND (w00017 OR w00002) NOT w00001"
+    flt = tiny_corpus.where(F.length("text") >= 100).select("doc_id")
+    got = search_topk_boolean(tiny_index, expr, k=5, doc_filter=flt)
+    full = search_topk_boolean(tiny_index, expr, k=10**6,
+                               serving="spark").collect()
+    allowed = {r["doc_id"] for r in flt.collect()}
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in full if r["doc_id"] in allowed
+    ]
+    want = sorted(want, key=lambda t: (-t[1], t[0]))[:5]
+    assert _pairs(got) == want
+
+
+def test_boolean_doc_filter_rejects_driver(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.boolean import (
+        search_topk_boolean,
+    )
+
+    with pytest.raises(ValueError, match="distributed serving"):
+        search_topk_boolean(
+            tiny_index, "w00000 AND w00017", serving="driver",
+            doc_filter=tiny_corpus.select("doc_id"),
+        )
+
+
+def test_dsl_structured_bool_with_metadata_filter(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.boolean import (
+        search_topk_boolean,
+    )
+
+    docs = tiny_corpus.withColumn("n_chars", F.length("text"))
+    body = {"query": {"bool": {
+        "must": [{"term": {"text": "w00000"}}],
+        "must_not": [{"term": {"text": "w00001"}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }}, "size": 7}
+    got = search_dsl(tiny_index, body, documents=docs)
+    flt = docs.where(F.col("n_chars") >= 100).select("doc_id")
+    want = search_topk_boolean(
+        tiny_index, "w00000 NOT w00001", k=7, doc_filter=flt
+    )
+    assert _pairs(got.hits) == _pairs(want)
