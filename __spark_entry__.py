@@ -2612,6 +2612,38 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_dsl_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this through the DSL — identical compile target to
+    the direct call, same SQL oracle (doc 0, top-3 tf*idf terms)."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = search_dsl(
+        ix,
+        {"query": {"more_like_this": {"like": [{"_id": 0}],
+                                      "max_query_terms": 3}},
+         "size": 10},
+        documents=docs,
+    ).hits
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_dsl_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range QUERY (query context): constant-score metadata range
+    over live docs in _doc order."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return search_dsl(
+        ix,
+        {"query": {"range": {"n_chars": {"gte": 500, "lt": 1500,
+                                         "boost": 2.0}}}, "size": 40},
+        documents=docs,
+    ).hits
+
+
 def q_dsl_bool_structured_filtered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2964,6 +2996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "dsl_mlt": q_dsl_mlt,
+        "dsl_range_query": q_dsl_range_query,
         "dsl_bool_structured_filtered": q_dsl_bool_structured_filtered,
         "token_budget": q_token_budget,
         "span_dedup_stats": q_span_dedup_stats,
@@ -5495,6 +5529,13 @@ def oracle_sql() -> dict[str, str]:
           WHERE s.mmr_rank < 10
         )
         SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
+    """
+    out["dsl_mlt"] = out["more_like_this"]
+    # range QUERY: constant-score metadata range, _doc order
+    out["dsl_range_query"] = """
+        SELECT doc_id, 2.0 AS score FROM documents
+        WHERE n_chars >= 500 AND n_chars < 1500
+        ORDER BY doc_id LIMIT 40
     """
     # structured bool + metadata filter: boolean eligibility flags,
     # score over the positive terms, n_chars range gate, top-k

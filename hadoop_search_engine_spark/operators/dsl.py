@@ -465,6 +465,61 @@ def _compile(
             .select("doc_id", F.lit(boost).alias("score"))
         )
 
+    if kind == "more_like_this":
+        # ES MLT: the source doc's top tf*idf terms become a standard
+        # disjunctive query, the source excluded. `like` subset: one
+        # {"_id": n} entry (docs-as-text not supported — supply text
+        # through a match query instead).
+        from .query_exec import more_like_this
+
+        if after is not None:
+            raise DslError(
+                "search_after does not compose with more_like_this yet"
+            )
+        _no_filter(kind)
+        if documents is None:
+            raise DslError("more_like_this needs documents= "
+                           "(the metadata table)")
+        like = body.get("like")
+        if isinstance(like, dict):
+            like = [like]
+        if (not isinstance(like, list) or len(like) != 1
+                or not isinstance(like[0], dict) or "_id" not in like[0]):
+            raise DslError(
+                'more_like_this.like must be [{"_id": doc_id}]'
+            )
+        return more_like_this(
+            index, documents, int(like[0]["_id"]),
+            m=int(body.get("max_query_terms", 5)), k=k,
+            synonyms=synonyms,
+        )
+    if kind == "range":
+        # ES range QUERY (query context): metadata range at constant
+        # score in _doc order — sugar over constant_score semantics
+        # for non-text fields (text ranges belong in bool.filter)
+        if after is not None:
+            raise DslError("range does not support search_after")
+        fld, rb = _one_key(body, "range")
+        if not isinstance(rb, dict):
+            raise DslError("range needs {field: {gte/gt/lte/lt...}}")
+        boost = float(rb.get("boost", 1.0))
+        ops = {op: v for op, v in rb.items() if op != "boost"}
+        frame = _metadata_filter([{"range": {fld: ops}}], documents)
+        if doc_filter is not None:
+            frame = frame.join(doc_filter.select("doc_id"), "doc_id",
+                               "left_semi")
+        # intersect with the index's live docs (tombstones excluded,
+        # absent ids never fabricated)
+        live = index.doc_stats.select("doc_id")
+        if index.tombstone_count():
+            live = live.join(index.tombstones.select("doc_id"),
+                             "doc_id", "left_anti")
+        return (
+            live.join(frame, "doc_id", "left_semi")
+            .orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", F.lit(boost).alias("score"))
+        )
     if kind == "dis_max":
         # ES dis_max: score = max of sub-query scores + tie_breaker *
         # sum of the rest. Exactness needs every branch's FULL scored

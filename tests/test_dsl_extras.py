@@ -365,3 +365,48 @@ def test_dsl_structured_bool_with_metadata_filter(tiny_index, tiny_corpus):
         tiny_index, "w00000 NOT w00001", k=7, doc_filter=flt
     )
     assert _pairs(got.hits) == _pairs(want)
+
+
+# ------------------------------------------- more_like_this + range
+
+
+def test_dsl_more_like_this_equals_direct_call(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        more_like_this,
+    )
+
+    got = search_dsl(
+        tiny_index,
+        {"query": {"more_like_this": {
+            "like": [{"_id": 3}], "max_query_terms": 4}}, "size": 6},
+        documents=tiny_corpus,
+    )
+    want = more_like_this(tiny_index, tiny_corpus, 3, m=4, k=6)
+    assert _pairs(got.hits) == _pairs(want)
+    assert all(r["doc_id"] != 3 for r in got.hits.collect())
+
+
+def test_dsl_more_like_this_validates(tiny_index, tiny_corpus):
+    with pytest.raises(DslError, match="documents="):
+        search_dsl(tiny_index,
+                   {"query": {"more_like_this": {"like": [{"_id": 1}]}}})
+    with pytest.raises(DslError, match="_id"):
+        search_dsl(tiny_index,
+                   {"query": {"more_like_this": {"like": ["raw text"]}}},
+                   documents=tiny_corpus)
+
+
+def test_dsl_range_query_constant_score_doc_order(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"range": {"n_chars": {"gte": 100, "lt": 300,
+                                         "boost": 1.5}}}, "size": 1000},
+        documents=docs,
+    ).hits.collect()
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where("n_chars >= 100 AND n_chars < 300").collect()
+    )
+    assert [r["doc_id"] for r in got] == want
+    assert all(r["score"] == 1.5 for r in got)
