@@ -2612,6 +2612,20 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_function_score_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score random_score: reproducible pseudo-random
+    factor in [0, 1) from a salted murmur3 of doc_id over 2^32 —
+    deterministic jitter, bit-replayed by the oracle's murmur chain."""
+    from hadoop_search_engine_spark.operators.hybrid import function_score
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return function_score(
+        ix, " ".join(FLAGSHIP_TERMS), docs, k=10,
+        random_score={"seed": 7},
+    )
+
+
 def q_dsl_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES more_like_this through the DSL — identical compile target to
     the direct call, same SQL oracle (doc 0, top-3 tf*idf terms)."""
@@ -2996,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "function_score_random": q_function_score_random,
         "dsl_mlt": q_dsl_mlt,
         "dsl_range_query": q_dsl_range_query,
         "dsl_bool_structured_filtered": q_dsl_bool_structured_filtered,
@@ -5530,6 +5545,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
     """
+    # function_score random_score: murmur(doc_id:"rs:7") / 2^32
+    from hadoop_search_engine_spark.functions.hashes import (
+        sql_murmur3_u32_duckdb as _sql_mm3,
+    )
+
+    _h1r = _sql_mm3("(doc_id)::varchar")
+    _hr = _sql_mm3("'rs:7'", seed=_h1r)
+    out["function_score_random"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, round(sum({score}), 4) AS relevance
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        fac AS (
+          SELECT doc_id,
+                 round(({_hr}) / 4294967296.0, 6) AS factor
+          FROM documents
+        )
+        SELECT s.doc_id,
+               round(s.relevance * f.factor, 6) AS score,
+               s.relevance, f.factor
+        FROM scored s JOIN fac f ON s.doc_id = f.doc_id
+        ORDER BY score DESC, s.doc_id ASC LIMIT 10
+    """
     out["dsl_mlt"] = out["more_like_this"]
     # range QUERY: constant-score metadata range, _doc order
     out["dsl_range_query"] = """
@@ -5567,10 +5614,6 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, s.doc_id ASC LIMIT 20
     """
     # token-budget cut: murmur order replay + exclusive window sum
-    from hadoop_search_engine_spark.functions.hashes import (
-        sql_murmur3_u32_duckdb as _sql_mm3,
-    )
-
     _h1b = _sql_mm3("(doc_id)::varchar")
     _hb = _sql_mm3("'budget'", seed=_h1b)
     out["token_budget"] = f"""

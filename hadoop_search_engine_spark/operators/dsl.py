@@ -412,6 +412,7 @@ def _compile(
         return function_score(
             index, text, documents, k=k, decay=decay,
             field_value_factor=body.get("field_value_factor"),
+            random_score=body.get("random_score"),
             boost_mode=body.get("boost_mode", "multiply"),
             mode=mode, synonyms=synonyms,
         )

@@ -220,6 +220,7 @@ def function_score(
     k: int = 10,
     decay: dict | None = None,
     field_value_factor: dict | None = None,
+    random_score: dict | None = None,
     boost_mode: str = "multiply",
     mode: str = "or",
     synonyms: dict[str, str] | None = None,
@@ -240,7 +241,14 @@ def function_score(
       * ``field_value_factor``: ``{"field": col, "factor": f,
         "modifier": "none"|"log1p"|"sqrt", "missing": m}`` —
         modifier(field * factor), ES field_value_factor.
-      * both given: the factors multiply (ES score_mode=multiply).
+      * ``random_score``: ``{"seed": n, "field": col}`` — ES's
+        reproducible pseudo-random factor in [0, 1): here a salted
+        murmur3 of the field value over 2^32 (pure function of
+        (value, seed) — stable across reruns, partitionings, and
+        engines, and replayed bit-exactly in the DuckDB oracle; field
+        defaults to doc_id). The deterministic-jitter / sampling-boost
+        function.
+      * several given: the factors multiply (ES score_mode=multiply).
       * ``boost_mode``: ``multiply`` (default) | ``sum`` | ``replace``
         — how the factor combines with the relevance score.
 
@@ -262,8 +270,10 @@ def function_score(
 
     if boost_mode not in ("multiply", "sum", "replace"):
         raise ValueError(f"unknown boost_mode {boost_mode!r}")
-    if decay is None and field_value_factor is None:
-        raise ValueError("need decay and/or field_value_factor")
+    if decay is None and field_value_factor is None and random_score is None:
+        raise ValueError(
+            "need decay, field_value_factor, and/or random_score"
+        )
 
     matched = scored_docs(index, query_text, synonyms=synonyms, mode=mode,
                            similarity=similarity)
@@ -305,6 +315,18 @@ def function_score(
         missing = float(fvf.get("missing", 1.0))
         factor = factor * F.coalesce(raw, F.lit(missing))
         cols.add(fvf["field"])
+
+    if random_score is not None:
+        from ..functions.hashes import murmur3_u32
+
+        seed = int(random_score.get("seed", 0))
+        fld = random_score.get("field", "doc_id")
+        rnd = murmur3_u32(
+            F.col(fld).cast("string"), salt=f"rs:{seed}"
+        ) / F.lit(float(1 << 32))
+        factor = factor * rnd
+        if fld != "doc_id":
+            cols.add(fld)
 
     meta = docs.select(F.col("doc_id"), *[F.col(c) for c in sorted(cols)])
     j = matched.join(meta, "doc_id", "left")

@@ -410,3 +410,50 @@ def test_dsl_range_query_constant_score_doc_order(tiny_index, tiny_corpus):
     )
     assert [r["doc_id"] for r in got] == want
     assert all(r["score"] == 1.5 for r in got)
+
+
+# -------------------------------------------------------- random_score
+
+
+def test_function_score_random_deterministic_and_in_range(
+    tiny_index, tiny_corpus
+):
+    from hadoop_search_engine_spark.functions.hashes import mm3_u32_ref_str
+    from hadoop_search_engine_spark.operators.hybrid import function_score
+    from hadoop_search_engine_spark.operators.query_exec import scored_docs
+
+    docs = _docs(tiny_corpus)
+    out = function_score(
+        tiny_index, Q, docs, k=300, random_score={"seed": 7},
+    ).collect()
+    rel = {r["doc_id"]: round(r["score"], 4)
+           for r in scored_docs(tiny_index, Q).collect()}
+    assert {r["doc_id"] for r in out} == set(rel)
+    for r in out:
+        want_fac = round(
+            mm3_u32_ref_str(str(r["doc_id"]), salt="rs:7") / 2**32, 6
+        )
+        assert r["factor"] == want_fac
+        assert 0.0 <= r["factor"] < 1.0
+        assert r["score"] == round(rel[r["doc_id"]] * want_fac, 6)
+    again = function_score(
+        tiny_index, Q, docs.repartition(5), k=300,
+        random_score={"seed": 7},
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_dsl_random_score_clause(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.hybrid import function_score
+
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"function_score": {
+            "query": {"match": {"text": Q}},
+            "random_score": {"seed": 7}}}, "size": 5},
+        documents=docs,
+    )
+    want = function_score(tiny_index, Q, docs, k=5,
+                          random_score={"seed": 7})
+    assert got.hits.collect() == want.collect()
