@@ -251,6 +251,19 @@ CHECKS = {
     "span_dedup_rewrite": [
         "HashAggregate", "LeftAnti", "!EvalPython", "!CartesianProduct",
     ],
+    # token-budget cut: per-bucket windows + a broadcast offsets join
+    # (the sort-key-prefix two-phase cumsum) — no corpus-wide single
+    # partition window... the offsets frame's own tiny window is
+    # unpartitioned by construction (<= order_buckets rows)
+    "token_budget": [
+        "Window", "BroadcastHashJoin", "!EvalPython", "!CartesianProduct",
+    ],
+    # structured bool + metadata filter: grouped-map scorer wave +
+    # the filter semi-join + top-k, no cartesian
+    "dsl_bool_structured_filtered": [
+        "FlatMapGroupsInPandas", "LeftSemi", "TakeOrderedAndProject",
+        "!CartesianProduct",
+    ],
 }
 
 
