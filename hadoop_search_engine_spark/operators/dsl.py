@@ -648,25 +648,46 @@ def _run_aggs(
     synonyms,
 ) -> dict[str, DataFrame]:
     kind, body = _one_key(q, "query")
-    if kind not in ("match", "query_string", "term", "terms"):
+    if kind not in ("match", "query_string", "term", "terms",
+                    "dis_max", "constant_score"):
         raise DslError(
-            f"aggs compose with the match family only, not {kind!r}"
+            "aggs compose with the match family (plus dis_max / "
+            f"constant_score over it), not {kind!r}"
         )
     if documents is None:
         raise DslError("aggs need documents= (the metadata table)")
-    if kind == "match":
-        _, b = _field_body(body, "match")
-        text = str(b["query"])
-        mode = "and" if b.get("operator", "or") == "and" else "or"
-    elif kind == "query_string":
-        text, mode = str(body["query"]), "or"
-    elif kind == "term":
-        _, b = _field_body(body, "term")
-        text, mode = str(b["value"]), "or"
+    if kind == "dis_max":
+        # hit set = union of the branches' matched sets (scores don't
+        # matter to an agg)
+        subqs = body.get("queries", [])
+        if not subqs:
+            raise DslError("dis_max needs queries")
+        matched = None
+        for sq in subqs:
+            t, m = _match_family_text(sq, "dis_max.queries[]")
+            part = matched_docs(index, t, synonyms, mode=m).select("doc_id")
+            matched = part if matched is None else matched.unionByName(part)
+        matched = matched.distinct()
+        text = mode = None  # top_hits (needs scores) unsupported here
+    elif kind == "constant_score":
+        t, m = _match_family_text(body.get("filter"),
+                                  "constant_score.filter")
+        matched = matched_docs(index, t, synonyms, mode=m)
+        text = mode = None
     else:
-        _, vals = _one_key(body, "terms")
-        text, mode = " ".join(str(v) for v in vals), "or"
-    matched = matched_docs(index, text, synonyms, mode=mode)
+        if kind == "match":
+            _, b = _field_body(body, "match")
+            text = str(b["query"])
+            mode = "and" if b.get("operator", "or") == "and" else "or"
+        elif kind == "query_string":
+            text, mode = str(body["query"]), "or"
+        elif kind == "term":
+            _, b = _field_body(body, "term")
+            text, mode = str(b["value"]), "or"
+        else:
+            _, vals = _one_key(body, "terms")
+            text, mode = " ".join(str(v) for v in vals), "or"
+        matched = matched_docs(index, text, synonyms, mode=mode)
 
     from .analytics import (
         composite_agg_facet,
@@ -796,6 +817,11 @@ def _run_aggs(
             # returned page) — the scored_docs frame, df-proportional
             from .query_exec import scored_docs
 
+            if text is None:
+                raise DslError(
+                    "top_hits needs a scoring match-family query "
+                    "(dis_max/constant_score hit sets are unscored)"
+                )
             sc = scored_docs(index, text, synonyms, mode=mode)
             out[name] = top_hits_facet(sc, documents, ab["field"],
                                        n=int(ab.get("size", 3)))

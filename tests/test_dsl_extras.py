@@ -457,3 +457,40 @@ def test_dsl_random_score_clause(tiny_index, tiny_corpus):
     want = function_score(tiny_index, Q, docs, k=5,
                           random_score={"seed": 7})
     assert got.hits.collect() == want.collect()
+
+
+def test_aggs_compose_with_dis_max_and_constant_score(
+    tiny_index, tiny_corpus
+):
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"dis_max": {"queries": [
+            {"match": {"text": Q}}, {"term": {"text": "w00002"}}]}},
+         "aggs": {"langs": {"terms": {"field": "lang"}}}},
+        documents=docs,
+    )
+    m = matched_docs(tiny_index, Q).select("doc_id").unionByName(
+        matched_docs(tiny_index, "w00002").select("doc_id")
+    ).distinct()
+    want = facet_counts(m, docs, ["lang"])
+    assert sorted(map(tuple, got.aggs["langs"].collect())) == sorted(
+        map(tuple, want.collect()))
+    got2 = search_dsl(
+        tiny_index,
+        {"query": {"constant_score": {"filter": {"match": {"text": Q}}}},
+         "aggs": {"len": {"stats": {"field": "n_chars"}}}},
+        documents=docs,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import stats_facet
+
+    want2 = stats_facet(matched_docs(tiny_index, Q), docs, "n_chars")
+    assert got2.aggs["len"].collect() == want2.collect()
+    with pytest.raises(DslError, match="top_hits needs"):
+        search_dsl(
+            tiny_index,
+            {"query": {"constant_score": {"filter": {"match":
+                                                     {"text": Q}}}},
+             "aggs": {"h": {"top_hits": {"field": "lang"}}}},
+            documents=docs,
+        )
