@@ -2612,6 +2612,19 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_span_first_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_first: the data-derived flagship phrase must END
+    within the first 8 tokens — the oracle adds the position bound to
+    the phrase window filter (the adjacency index i IS the 0-based
+    position of the phrase's last token)."""
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    ix = _oracle_index(spark, sf_dir, positions=True)
+    top = phrase_search(ix, _flagship_phrase(spark, sf_dir), k=20,
+                        first_end=8)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_function_score_random(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES function_score random_score: reproducible pseudo-random
     factor in [0, 1) from a salted murmur3 of doc_id over 2^32 —
@@ -3010,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "span_first_search": q_span_first_search,
         "function_score_random": q_function_score_random,
         "dsl_mlt": q_dsl_mlt,
         "dsl_range_query": q_dsl_range_query,
@@ -4335,6 +4349,36 @@ def oracle_sql() -> dict[str, str]:
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     out["phrase_search_indexed_spark"] = out["phrase_search_indexed"]
+    # span_first: same phrase window filter + the end bound (the
+    # 1-based adjacency index i equals the 0-based position of the
+    # phrase's LAST token, so "span ends within first 8" is i < 8)
+    out["span_first_search"] = f"""
+        WITH {_TF_CTE},
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        ph AS (SELECT toks[1] AS a, toks[2] AS b FROM t WHERE doc_id = 0),
+        m AS (
+          SELECT t.doc_id FROM t, ph
+          WHERE len(list_filter(range(1, len(toks)),
+                                i -> toks[i] = a AND toks[i+1] = b
+                                     AND i < 8)) > 0
+        ),
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          WHERE tf.doc_id IN (SELECT doc_id FROM m)
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
 
     # per-doc term vectors: parallel unnest zips (term, 0-based pos)
     out["doc_term_vectors"] = f"""

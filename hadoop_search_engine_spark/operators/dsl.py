@@ -466,6 +466,33 @@ def _compile(
             .select("doc_id", F.lit(boost).alias("score"))
         )
 
+    if kind == "span_first":
+        # ES span_first: the (ordered) span must END within the first
+        # `end` tokens of the document. Inner span subset: span_term
+        # (single token) or match_phrase (our ordered-span sugar).
+        from .query_exec import phrase_search
+
+        _no_filter(kind)
+        inner = body.get("match")
+        end = body.get("end")
+        if inner is None or end is None:
+            raise DslError("span_first needs match and end")
+        ik, ib = _one_key(inner, "span_first.match")
+        if ik == "span_term":
+            fld, b = _field_body(ib, "term")
+            _require_text_field(fld, "span_term")
+            text, slop = str(b["value"]), 0
+        elif ik == "match_phrase":
+            fld, b = _field_body(ib, "match_phrase")
+            _require_text_field(fld, "match_phrase")
+            text, slop = str(b["query"]), int(b.get("slop", 0))
+        else:
+            raise DslError(
+                f"span_first.match must be span_term or match_phrase, "
+                f"got {ik!r}"
+            )
+        return phrase_search(index, text, k=k, synonyms=synonyms,
+                             slop=slop, first_end=int(end), after=after)
     if kind == "more_like_this":
         # ES MLT: the source doc's top tf*idf terms become a standard
         # disjunctive query, the source excluded. `like` subset: one

@@ -2414,6 +2414,7 @@ def _phrase_pairs(
     window: int | None = None,
     after: tuple[int, float] | None = None,
     exp_terms: list[tuple[int, str, float]] | None = None,
+    first_end: int | None = None,
 ) -> list[tuple[int, float]]:
     """Exact-phrase (or, with ``slop`` > 0, ordered-proximity; or,
     with ``window``, UNORDERED proximity) matches in one shard,
@@ -2557,6 +2558,13 @@ def _phrase_pairs(
             cur = nxt[ok]
         if not cur.size:
             return []
+    if first_end is not None:
+        # span_first (Lucene SpanFirstQuery): the match must END within
+        # the first `first_end` tokens — last-term pos + 1 <= end, i.e.
+        # the packed key's position bits < first_end
+        cur = cur[(cur & np.int64((1 << 21) - 1)) < np.int64(first_end)]
+        if not cur.size:
+            return []
     docs_arr = np.unique(cur >> np.int64(21)) + base
     scores = np.zeros(docs_arr.shape[0], dtype=np.float64)
     scorables = [
@@ -2586,6 +2594,7 @@ def phrase_search(
     serving: str = "auto",
     slop: int = 0,
     after: tuple[int, float] | None = None,
+    first_end: int | None = None,
     _window: int | None = None,
     _expansions: list[str] | None = None,
     _seq: list[str] | None = None,
@@ -2597,6 +2606,10 @@ def phrase_search(
     rewrite applies per token without dedup). A doc matches iff the
     terms occur at consecutive token positions. Matching docs are
     ranked by the same BM25 per-term partials as ``mode="and"``.
+
+    ``first_end`` (Lucene/ES span_first): the match must additionally
+    END within the first ``first_end`` tokens of the document — the
+    "title-ish leading text" positional filter; composes with ``slop``.
 
     ``slop`` relaxes adjacency into ORDERED PROXIMITY: each adjacent
     pair of phrase terms may be separated by up to ``slop`` intervening
@@ -2621,6 +2634,17 @@ def phrase_search(
         if not (1 <= _window <= (1 << 20)):
             raise ValueError(
                 f"window must be in [1, 2^20], got {_window}"
+            )
+    if first_end is not None:
+        first_end = int(first_end)
+        if not (1 <= first_end < (1 << 20)):
+            raise ValueError(
+                f"first_end must be in [1, 2^20), got {first_end}"
+            )
+        if _window is not None:
+            raise ValueError(
+                "first_end (span_first) applies to ordered spans, not "
+                "the unordered window"
             )
     from ..functions.tokenizer import tokenize
 
@@ -2689,6 +2713,7 @@ def phrase_search(
         _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
         k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff, slop=slop,
         window=_window, after=_check_after(after), exp_terms=exp_terms,
+        first_end=first_end,
     )
 
     # auto picks driver serving whenever the index is small enough for

@@ -292,6 +292,7 @@ def main(argv: list[str] | None = None) -> None:
         from hadoop_search_engine_spark.operators.query_exec import phrase_search
 
         result = phrase_search(idx, args.query, k=args.k, slop=args.slop,
+                               first_end=args.first_end,
                                after=_parse_after(args.after))
     elif args.phrase_prefix:
         from hadoop_search_engine_spark.operators.query_exec import (

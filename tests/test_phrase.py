@@ -274,3 +274,63 @@ def test_near_search_window_boundary_and_servings(phrase_setup):
         near_search(ix, "quick dog", window=0)
     # absent term -> empty (AND semantics)
     assert _pairs(near_search(ix, "quick zebra", window=5, k=10)) == []
+
+
+# --------------------------------------------------------- span_first
+
+
+def test_span_first_single_term(phrase_setup):
+    """span_first(term, end=N): docs where the term occurs within the
+    first N tokens; scores equal the unconstrained phrase/term search
+    for surviving docs (the constraint changes eligibility, never the
+    score)."""
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+
+    idx, _oracle = phrase_setup
+    for term, end in [("brown", 2), ("fox", 3), ("the", 1), ("dog", 3)]:
+        got = _pairs(phrase_search(idx, term, k=10, first_end=end))
+        want_docs = {
+            d for d, t in ROWS if any(
+                p < end for p, tok in enumerate(tokenize(t)) if tok == term
+            )
+        }
+        assert {d for d, _s in got} == want_docs, (term, end)
+        base = {d: s for d, s in
+                _pairs(phrase_search(idx, term, k=10))}
+        for d, s in got:
+            assert math.isclose(s, base[d], rel_tol=1e-12), (term, end)
+
+
+def test_span_first_phrase_end_is_last_token(phrase_setup):
+    """For a 2-token phrase the span END (last token pos + 1) must fit:
+    'quick brown' sits at pos 0-1 in docs 1 and 6 -> end 2; doc 0 at
+    pos 1-2 -> end 3; doc 2 only at pos 9-10 (excluded)."""
+    idx, _oracle = phrase_setup
+    got2 = {d for d, _s in
+            _pairs(phrase_search(idx, "quick brown", k=10, first_end=2))}
+    assert got2 == {1, 6}
+    got3 = {d for d, _s in
+            _pairs(phrase_search(idx, "quick brown", k=10, first_end=3))}
+    assert got3 == {0, 1, 6}
+
+
+def test_span_first_validates(phrase_setup):
+    idx, _oracle = phrase_setup
+    with pytest.raises(ValueError, match="first_end"):
+        phrase_search(idx, "brown", first_end=0)
+    with pytest.raises(ValueError, match="span_first"):
+        phrase_search(idx, "brown fox", first_end=3, _window=4)
+
+
+def test_dsl_span_first(phrase_setup, tiny_corpus):
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    idx, _oracle = phrase_setup
+    got = search_dsl(
+        idx,
+        {"query": {"span_first": {
+            "match": {"span_term": {"text": "brown"}}, "end": 2}},
+         "size": 10},
+    )
+    want = phrase_search(idx, "brown", k=10, first_end=2)
+    assert _pairs(got.hits) == _pairs(want)
