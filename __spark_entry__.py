@@ -2612,6 +2612,20 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_terms_agg_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg page semantics: top-3 buckets by (count desc, key
+    asc) — a TakeOrdered over the bucket aggregate."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        facet_counts,
+        matched_docs,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return facet_counts(m, docs, ["lang"], size=3)
+
+
 def q_span_first_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene/ES span_first: the data-derived flagship phrase must END
     within the first 8 tokens — the oracle adds the position bound to
@@ -3023,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "terms_agg_sized": q_terms_agg_sized,
         "span_first_search": q_span_first_search,
         "function_score_random": q_function_score_random,
         "dsl_mlt": q_dsl_mlt,
@@ -4139,6 +4154,15 @@ def oracle_sql() -> dict[str, str]:
     out["federated_search"] = out["bm25_topk"]
     out["federated_batch"] = out["bm25_topk_batch"]
     out["facet_counts_indexed"] = out["facet_counts"]
+    # ES terms-agg page: top-3 buckets by (count desc, key asc)
+    out["terms_agg_sized"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+        SELECT doc.lang, count(*)::bigint AS n_docs
+        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        GROUP BY doc.lang
+        ORDER BY n_docs DESC, lang ASC LIMIT 3
+    """
     # ES histogram agg: floor bucketing + interior gap fill
     out["histogram_facets"] = f"""
         WITH {_TF_CTE},

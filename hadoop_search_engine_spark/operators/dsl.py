@@ -765,7 +765,11 @@ def _run_aggs(
                     matched, documents, ab["field"], metrics
                 )
             else:
-                out[name] = facet_counts(matched, documents, [ab["field"]])
+                out[name] = facet_counts(
+                    matched, documents, [ab["field"]],
+                    size=(int(ab["size"]) if "size" in ab else None),
+                    min_doc_count=int(ab.get("min_doc_count", 1)),
+                )
         elif akind == "histogram":
             out[name] = histogram_facets(matched, documents, ab["field"],
                                          float(ab["interval"]))

@@ -3081,6 +3081,8 @@ def facet_counts(
     matched: DataFrame,
     documents: DataFrame,
     facet_cols: list[str],
+    size: int | None = None,
+    min_doc_count: int = 1,
 ) -> DataFrame:
     """Search-result faceting: per-facet-value matched-document counts
     (the sidebar a search UI renders next to results). ``matched`` is
@@ -3096,11 +3098,22 @@ def facet_counts(
     """
     if not facet_cols:
         raise ValueError("facet_cols must name at least one column")
-    return (
+    out = (
         documents.join(matched.select("doc_id"), "doc_id", "left_semi")
         .groupBy(*facet_cols)
         .agg(F.count("*").alias("n_docs"))
     )
+    if min_doc_count > 1:
+        out = out.where(F.col("n_docs") >= min_doc_count)
+    if size is not None:
+        # ES terms-agg page: top-`size` buckets by (count desc, key
+        # asc) — a TakeOrdered over the |buckets|-row aggregate, never
+        # a full sort (walk ALL buckets with composite_agg instead)
+        out = out.orderBy(
+            F.col("n_docs").desc(),
+            *[F.col(c).asc() for c in facet_cols],
+        ).limit(int(size))
+    return out
 
 
 def histogram_facets(

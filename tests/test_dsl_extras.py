@@ -494,3 +494,24 @@ def test_aggs_compose_with_dis_max_and_constant_score(
              "aggs": {"h": {"top_hits": {"field": "lang"}}}},
             documents=docs,
         )
+
+
+def test_terms_agg_size_and_min_doc_count(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    full = sorted(
+        ((r["lang"], r["n_docs"])
+         for r in facet_counts(m, docs, ["lang"]).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"langs": {"terms": {"field": "lang", "size": 2}}}},
+        documents=docs,
+    )
+    assert [(r["lang"], r["n_docs"])
+            for r in got.aggs["langs"].collect()] == full[:2]
+    floor = full[0][1]  # only buckets at the max count survive
+    got2 = facet_counts(m, docs, ["lang"], min_doc_count=floor).collect()
+    assert all(r["n_docs"] >= floor for r in got2)
