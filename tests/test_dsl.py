@@ -254,7 +254,7 @@ def test_dsl_errors(tiny_index, tiny_corpus):
     with pytest.raises(DslError, match="unsupported body keys"):
         search_dsl(tiny_index, {"query": {"match": {"text": Q}}, "from": 3})
     with pytest.raises(DslError, match="unsupported query clause"):
-        search_dsl(tiny_index, {"query": {"more_like_this": {}}})
+        search_dsl(tiny_index, {"query": {"nested": {}}})
     with pytest.raises(DslError, match="targets field"):
         search_dsl(tiny_index, {"query": {"match": {"title": Q}}})
     with pytest.raises(DslError, match="minimum_should_match > 1"):
@@ -266,12 +266,6 @@ def test_dsl_errors(tiny_index, tiny_corpus):
         search_dsl(tiny_index, {"query": {"bool": {
             "must": [{"match": {"text": Q}}],
             "filter": [{"term": {"lang": "en"}}]}}})
-    with pytest.raises(DslError, match="not\\s+supported yet"):
-        search_dsl(tiny_index, {"query": {"bool": {
-            "must": [{"term": {"text": "w00000"}}],
-            "must_not": [{"term": {"text": "w00001"}}],
-            "filter": [{"term": {"lang": "en"}}]}},
-            }, documents=tiny_corpus)
     with pytest.raises(DslError, match="search_after does not compose"):
         search_dsl(tiny_index, {"query": {"bool": {
             "must": [{"term": {"text": "w00000"}}]}},
