@@ -2612,6 +2612,27 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured log processing: extract a JSON field from the
+    events props column (Spark get_json_object — JVM-side JSON path,
+    no UDF) and aggregate per event_type; the oracle replays with
+    DuckDB's json_extract_string. The clickstream-props surface every
+    log pipeline needs."""
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull() & (F.col("k") >= 10))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_terms_agg_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms agg page semantics: top-3 buckets by (count desc, key
     asc) — a TakeOrdered over the bucket aggregate."""
@@ -3037,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "json_props_agg": q_json_props_agg,
         "terms_agg_sized": q_terms_agg_sized,
         "span_first_search": q_span_first_search,
         "function_score_random": q_function_score_random,
@@ -4154,6 +4176,18 @@ def oracle_sql() -> dict[str, str]:
     out["federated_search"] = out["bm25_topk"]
     out["federated_batch"] = out["bm25_topk_batch"]
     out["facet_counts_indexed"] = out["facet_counts"]
+    # semi-structured props: JSON field extraction + per-type rollup
+    out["json_props_agg"] = """
+        WITH e AS (
+          SELECT event_type,
+                 json_extract_string(props, '$.k')::bigint AS k
+          FROM events
+        )
+        SELECT event_type, count(*)::bigint AS n_events,
+               sum(k)::bigint AS sum_k, min(k) AS min_k, max(k) AS max_k
+        FROM e WHERE k IS NOT NULL AND k >= 10
+        GROUP BY event_type
+    """
     # ES terms-agg page: top-3 buckets by (count desc, key asc)
     out["terms_agg_sized"] = f"""
         WITH {_TF_CTE},
