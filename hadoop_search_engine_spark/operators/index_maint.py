@@ -1033,3 +1033,46 @@ def load_alias(spark, root: str, name: str) -> Index:
     if name not in aliases:
         raise KeyError(f"no alias {name!r} (have {sorted(aliases)})")
     return Index.load(spark, aliases[name])
+
+
+def index_usage(index, top: int = 20):
+    """Per-term disk-usage breakdown (the ES ``_disk_usage`` analog at
+    term grain): the ``top`` terms by compressed posting bytes, with
+    df, block count, and each term's share of total index bytes — the
+    report that drives ``prune_index`` df-band decisions ("three stop
+    words are 18% of the index"). One postings-metadata aggregation
+    (binary blob LENGTHS, no decode) + a vocab-sized lexicon join for
+    the term strings + a 1-row broadcast total; output is ``top``
+    rows. Positional indexes include position-blob bytes."""
+    from pyspark.sql import functions as F
+
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    p = index.postings
+    bytes_col = (
+        F.length("doc_ids").cast("long")
+        + F.length("tfs").cast("long")
+        + F.coalesce(F.length("positions").cast("long"), F.lit(0))
+    )
+    per = p.groupBy("term_hash").agg(
+        F.sum(bytes_col).alias("bytes"),
+        F.count("*").alias("n_blocks"),
+        F.sum("n_docs").cast("long").alias("df"),
+    )
+    total = per.agg(F.sum("bytes").alias("_total"))
+    lex = index.lexicon.select("term_hash", "term")
+    return (
+        per.join(lex, "term_hash")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "df",
+            "n_blocks",
+            "bytes",
+            F.round(F.col("bytes") / F.col("_total"), 6).alias(
+                "bytes_share"
+            ),
+        )
+        .orderBy(F.col("bytes").desc(), F.col("term").asc())
+        .limit(int(top))
+    )

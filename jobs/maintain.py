@@ -90,6 +90,10 @@ def main(argv: list[str] | None = None) -> None:
                          "flip; the zero-downtime reindex swap)")
     ap.add_argument("--drop-alias", metavar="NAME")
     ap.add_argument("--list-aliases", action="store_true")
+    ap.add_argument("--usage", type=int, default=None, metavar="TOP",
+                    help="print the TOP terms by compressed posting "
+                         "bytes (df, blocks, bytes, share) — the "
+                         "prune-decision report")
     args = ap.parse_args(argv)
     if args.set_alias or args.drop_alias or args.list_aliases:
         from hadoop_search_engine_spark.operators.index_maint import (
@@ -219,6 +223,17 @@ def main(argv: list[str] | None = None) -> None:
         print("vacuum: done")
     if args.report:
         print(json.dumps(idx.report(), indent=2))
+    if args.usage:
+        from hadoop_search_engine_spark.operators.index_maint import (
+            index_usage,
+        )
+
+        for r in index_usage(idx, top=args.usage).collect():
+            print(json.dumps({
+                "term": r["term"], "df": r["df"],
+                "n_blocks": r["n_blocks"], "bytes": r["bytes"],
+                "bytes_share": r["bytes_share"],
+            }))
     if owns_session:
         spark.stop()
 

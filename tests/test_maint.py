@@ -43,3 +43,20 @@ def test_alias_swap_is_atomic_pointer(spark, tiny_corpus, tmp_path):
         load_alias(spark, root, "prod")
     with _pytest.raises(ValueError, match="not a built index"):
         set_alias(root, "prod", str(tmp_path / "nope"))
+
+
+def test_index_usage_top_terms(tiny_index):
+    """Per-term disk usage: shares sum to <= 1, ordered by bytes desc,
+    df matches the lexicon, and the full listing's share total is 1."""
+    from hadoop_search_engine_spark.operators.index_maint import index_usage
+
+    rows = index_usage(tiny_index, top=10).collect()
+    assert 0 < len(rows) <= 10
+    byts = [r["bytes"] for r in rows]
+    assert byts == sorted(byts, reverse=True)
+    lex = {r["term"]: r["df"] for r in tiny_index.lexicon.collect()}
+    for r in rows:
+        assert lex[r["term"]] == r["df"]
+        assert 0 < r["bytes_share"] <= 1
+    everything = index_usage(tiny_index, top=10**6).collect()
+    assert abs(sum(r["bytes_share"] for r in everything) - 1.0) < 1e-3
