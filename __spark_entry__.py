@@ -2612,6 +2612,37 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=cross_fields (term-centric): per query term
+    the BEST weighted per-field BM25 contribution, summed as exact
+    decimals (order-independent) — the treat-fields-as-one-logical-
+    field semantics most_fields/best_fields can't express. Same
+    derived text+source field pair as multifield_search."""
+    import hashlib
+
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.multifield import (
+        cross_fields_topk,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    ix_text = _oracle_index(spark, sf_dir)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_srcidx_{tag}"
+    if not (
+        os.path.exists(os.path.join(d, "stats.json"))
+        and os.path.exists(os.path.join(d, "lexicon", "_SUCCESS"))
+    ):
+        src_docs = _read(spark, sf_dir, "documents").select(
+            "doc_id", F.col("source").alias("text")
+        )
+        build_index(spark, src_docs, d, n_buckets=4)
+    ix_src = Index.load(spark, d)
+    return cross_fields_topk(
+        [(ix_text, 1.0), (ix_src, 2.0)], "spark src1", k=20
+    )
+
+
 def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured log processing: extract a JSON field from the
     events props column (Spark get_json_object — JVM-side JSON path,
@@ -3058,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "multi_match_cross": q_multi_match_cross,
         "json_props_agg": q_json_props_agg,
         "terms_agg_sized": q_terms_agg_sized,
         "span_first_search": q_span_first_search,
@@ -5198,6 +5230,51 @@ def oracle_sql() -> dict[str, str]:
         u AS (SELECT * FROM t_scored UNION ALL SELECT * FROM s_scored)
         SELECT doc_id, round(sum(score), 4) AS score
         FROM u GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # cross_fields: per-(field, term) contributions, max per (doc,
+    # term) at 6dp, DECIMAL sum (order-independent), top-20
+    out["multi_match_cross"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ('spark', 'src1') GROUP BY term),
+        tsc AS (
+          SELECT tf.doc_id, tf.term, 1.0 * ({score}) AS s
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+        ),
+        stoks AS (SELECT doc_id, unnest({_stoks}) AS term FROM documents),
+        stf AS (SELECT term, doc_id, count(*) AS tf
+                FROM stoks GROUP BY term, doc_id),
+        sdl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM stf GROUP BY doc_id),
+        sc AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM sdl),
+        sd AS (SELECT term, count(*)::double AS df FROM stf
+               WHERE term IN ('spark', 'src1') GROUP BY term),
+        ssc AS (
+          SELECT stf.doc_id, stf.term,
+                 2.0 * (
+                   ln(1.0 + (sc.n - sd.df + 0.5) / (sd.df + 0.5))
+                   * (stf.tf * ({BM25_K1} + 1.0))
+                   / (stf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * sdl.doc_len / sc.avgdl))
+                 ) AS s
+          FROM stf
+          JOIN sd ON stf.term = sd.term
+          JOIN sdl ON stf.doc_id = sdl.doc_id
+          CROSS JOIN sc
+        ),
+        u AS (SELECT * FROM tsc UNION ALL SELECT * FROM ssc),
+        per_term AS (
+          SELECT doc_id, term, round(max(s), 6) AS s
+          FROM u GROUP BY doc_id, term
+        )
+        SELECT doc_id,
+               round((sum(s::decimal(28,10)))::double, 6) AS score
+        FROM per_term GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     # ranking metrics: replay the 3-query run (BM25 row_number per

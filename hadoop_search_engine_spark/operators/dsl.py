@@ -31,8 +31,9 @@ Query clauses → engine paths:
   prefix / wildcard    → prefix_search / wildcard_search
   fuzzy                → fuzzy_search_topk (fuzziness = max_edits)
   multi_match          → multifield.multi_match ("fields": ["title^3",
-                         "body"], type most_fields|best_fields,
-                         tie_breaker) — needs `multifield=`
+                         "body"], type most_fields|best_fields|
+                         cross_fields, tie_breaker) — needs
+                         `multifield=`
   bool                 → boolean.search_topk_boolean; must=AND,
                          must_not=NOT, should compiles to an OR group
                          (required when there is no must or when
@@ -44,8 +45,9 @@ Query clauses → engine paths:
                          scoring set). filter clauses (term/range on
                          METADATA columns, non-scoring) compile to the
                          cogroup eligibility page and compose with the
-                         match family; combining metadata filters with
-                         a bool TERM query is not supported yet.
+                         match family; term-structured bools compose
+                         via search_topk_boolean(doc_filter=) — the
+                         full eligible set is scored, then filtered.
   function_score       → hybrid.function_score ({"query": ...,
                          "gauss"/"exp"/"linear"/"field_value_factor",
                          "boost_mode"}) — needs `documents=`
@@ -333,7 +335,7 @@ def _compile(
             raise DslError("multi_match needs multifield= "
                            "(a MultiFieldIndex)")
         combine = body.get("type", "most_fields")
-        if combine not in ("most_fields", "best_fields"):
+        if combine not in ("most_fields", "best_fields", "cross_fields"):
             raise DslError(f"multi_match type {combine!r} unsupported")
         return multi_match(
             multifield, str(body["query"]), k=k,

@@ -133,9 +133,10 @@ def _resolve_boosts(
 
 
 def _check_combine(combine: str, tie_breaker: float) -> None:
-    if combine not in ("most_fields", "best_fields"):
+    if combine not in ("most_fields", "best_fields", "cross_fields"):
         raise ValueError(
-            f"combine must be most_fields|best_fields, got {combine!r}"
+            "combine must be most_fields|best_fields|cross_fields, "
+            f"got {combine!r}"
         )
     if not (0.0 <= tie_breaker <= 1.0):
         raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
@@ -181,6 +182,16 @@ def multi_match(
     the per-field scored match sets (see module docstring)."""
     _check_combine(combine, tie_breaker)
     boosts = _resolve_boosts(mf, boosts)
+    if combine == "cross_fields":
+        if similarity is not None:
+            raise ValueError(
+                "cross_fields composes with BM25 only (per-term "
+                "max-contribution semantics)"
+            )
+        return cross_fields_topk(
+            [(mf.fields[n], w) for n, w in sorted(boosts.items())],
+            query_text, k=k, mode=mode, synonyms=synonyms,
+        )
     parts = [
         scored_docs(mf.fields[name], query_text, synonyms=synonyms,
                     mode=mode, similarity=similarity, boost=w)
@@ -223,3 +234,77 @@ def multi_match_rows(
         }
     top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     return [(int(d), float(s)) for d, s in top]
+
+
+def cross_fields_topk(
+    fields: list[tuple],
+    query_text: str,
+    k: int = 10,
+    mode: str = "or",
+    synonyms: dict[str, str] | None = None,
+) -> DataFrame:
+    """ES ``multi_match type=cross_fields`` (term-centric): treat the
+    fields as one logical field — each query TERM scores as its best
+    per-field contribution, ``score(doc) = Σ_t max_f(w_f ·
+    BM25_f(t))`` — the person-name-across-first/last-name-fields
+    query shape that most_fields/best_fields (field-centric) get
+    wrong. ``mode="and"`` is ES ``operator=and``: every in-vocabulary
+    term must match in AT LEAST ONE field (per-term, not per-field —
+    the defining cross_fields difference).
+
+    Determinism contract: per-(doc, term) maxes round to 6 dp and sum
+    as DECIMAL (exact, order-independent — a float sum over 3+ terms
+    would expose partition order in the last ulp), so the DuckDB
+    oracle replays bit-identically. Scale shape: one scored match set
+    per (field, term) — each field's postings decode once per term,
+    the same total df cost as most_fields — then ONE hash aggregate
+    keyed by (doc, term) and one by doc; no cartesian, top-k at the
+    end. ``fields``: list of (Index, weight), as search_topk_fields.
+    """
+    from ..functions.tokenizer import tokenize
+    from .query_exec import scored_docs
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be or|and, got {mode!r}")
+    if not fields:
+        raise ValueError("fields must name at least one (Index, weight)")
+    syn = synonyms or {}
+    toks = sorted({syn.get(t, t) for t in tokenize(query_text)})
+    if not toks:
+        first = fields[0][0]
+        from .query_exec import TOPK_SCHEMA, _empty_df
+
+        return _empty_df(first.spark, TOPK_SCHEMA)
+    parts = []
+    for tok in toks:
+        for ix, w in fields:
+            parts.append(
+                scored_docs(ix, tok, boost=float(w)).withColumn(
+                    "_t", F.lit(tok)
+                )
+            )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    per_term = u.groupBy("doc_id", "_t").agg(
+        F.round(F.max("score"), 6).alias("_s")
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum(F.col("_s").cast("decimal(28,10)")).alias("_sum"),
+        F.countDistinct("_t").alias("_nt"),
+    )
+    if mode == "and":
+        req = per_term.select(
+            F.countDistinct("_t").alias("_req")
+        )
+        agg = agg.crossJoin(F.broadcast(req)).where(
+            F.col("_nt") == F.col("_req")
+        )
+    return (
+        agg.select(
+            "doc_id",
+            F.round(F.col("_sum").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )

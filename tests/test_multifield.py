@@ -298,3 +298,61 @@ def test_function_score_errors(tiny_index, docs_n):
         function_score(tiny_index, QUERY, docs_n,
                        field_value_factor={"field": "n_chars",
                                            "modifier": "square"})
+
+
+# ---------------------------------------------------------- cross_fields
+
+
+def _cross_ref(field_rows, terms, weights=(3.0, 1.0), mode="or"):
+    """Literal cross_fields reference: per term, max weighted per-field
+    BM25 (6dp), summed; and-mode requires every matching-anywhere term."""
+    title, body = field_rows
+    per_term: dict[tuple[int, str], float] = {}
+    for t in sorted(set(terms)):
+        for rows, w in zip((title, body), weights):
+            for d, s in _bm25_all(rows, [t]).items():
+                key = (d, t)
+                per_term[key] = max(per_term.get(key, 0.0), w * s)
+    req = {t for (_d, t) in per_term}
+    comb: dict[int, dict[str, float]] = {}
+    for (d, t), s in per_term.items():
+        comb.setdefault(d, {})[t] = round(s, 6)
+    out = {}
+    for d, by_t in comb.items():
+        if mode == "and" and set(by_t) != req:
+            continue
+        out[d] = round(sum(sorted(by_t.values())), 6)
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_cross_fields_matches_reference(mf, field_rows):
+    from hadoop_search_engine_spark.operators.multifield import multi_match
+
+    boosts = {"title": 3.0, "body": 1.0}
+    got = _pairs(multi_match(mf, QUERY, k=10, boosts=boosts,
+                             combine="cross_fields"))
+    ref = _cross_ref(field_rows, QUERY.split())[:10]
+    assert _close(got, ref, tol=1e-6)
+
+
+def test_cross_fields_and_mode_per_term(mf, field_rows):
+    from hadoop_search_engine_spark.operators.multifield import multi_match
+
+    boosts = {"title": 3.0, "body": 1.0}
+    got = _pairs(multi_match(mf, QUERY, k=50, boosts=boosts,
+                             combine="cross_fields", mode="and"))
+    ref = _cross_ref(field_rows, QUERY.split(), mode="and")[:50]
+    assert _close(got, ref, tol=1e-6)
+    # and-mode is a subset of or-mode with identical scores
+    or_scores = dict(_pairs(multi_match(mf, QUERY, k=1000, boosts=boosts,
+                                        combine="cross_fields")))
+    for d, s in got:
+        assert abs(or_scores[d] - s) < 1e-9
+
+
+def test_cross_fields_rejects_similarity(mf):
+    from hadoop_search_engine_spark.operators.multifield import multi_match
+
+    with pytest.raises(ValueError, match="cross_fields"):
+        multi_match(mf, QUERY, combine="cross_fields",
+                    similarity="tfidf")
