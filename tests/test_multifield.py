@@ -285,7 +285,7 @@ def test_missing_decay_field_is_factor_one(tiny_index, docs_n):
 
 
 def test_function_score_errors(tiny_index, docs_n):
-    with pytest.raises(ValueError, match="decay and/or"):
+    with pytest.raises(ValueError, match="decay, field_value_factor"):
         function_score(tiny_index, QUERY, docs_n)
     with pytest.raises(ValueError, match="boost_mode"):
         function_score(tiny_index, QUERY, docs_n, boost_mode="avg",
