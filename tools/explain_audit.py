@@ -264,6 +264,14 @@ CHECKS = {
         "FlatMapGroupsInPandas", "LeftSemi", "TakeOrderedAndProject",
         "!CartesianProduct",
     ],
+    # cross_fields: per-(field, term) scorer waves -> two hash
+    # aggregates -> top-k; never a cartesian of fields x terms
+    "multi_match_cross": [
+        "FlatMapGroupsInPandas", "HashAggregate",
+        "TakeOrderedAndProject", "!CartesianProduct",
+    ],
+    # JSON props extraction stays JVM expressions beside the scan
+    "json_props_agg": ["HashAggregate", "!EvalPython"],
 }
 
 
