@@ -2612,6 +2612,28 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_url_pattern_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL-pattern blocklist: derived URLs cycle through search/
+    tag/login/article/feed endpoints; only the article pages survive
+    the default pattern filter — both engines derive and filter with
+    the same regexes."""
+    from hadoop_search_engine_spark.operators.urltools import (
+        url_pattern_filter,
+    )
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".com"),
+        F.when(d % 5 == 0, F.lit("/tags/py/"))
+        .when(d % 5 == 1, F.lit("/?s=find"))
+        .when(d % 5 == 2, F.lit("/login"))
+        .when(d % 5 == 3, F.concat(F.lit("/article/"), d.cast("string")))
+        .otherwise(F.lit("/feed/")),
+    )
+    docs = _read(spark, sf_dir, "documents").withColumn("url", url)
+    return url_pattern_filter(docs).select("doc_id", "url")
+
+
 def q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES multi_match type=cross_fields (term-centric): per query term
     the BEST weighted per-field BM25 contribution, summed as exact
@@ -3089,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "url_pattern_keep": q_url_pattern_keep,
         "multi_match_cross": q_multi_match_cross,
         "json_props_agg": q_json_props_agg,
         "terms_agg_sized": q_terms_agg_sized,
@@ -5231,6 +5254,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(score), 4) AS score
         FROM u GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # URL-pattern blocklist: derived endpoint cycle + the same regexes
+    from hadoop_search_engine_spark.operators.urltools import (
+        sql_url_pattern_predicate_duckdb,
+    )
+
+    _pat_url = (
+        "('https://' || source || '.com' || "
+        "CASE doc_id % 5 WHEN 0 THEN '/tags/py/' WHEN 1 THEN '/?s=find' "
+        "WHEN 2 THEN '/login' "
+        "WHEN 3 THEN '/article/' || doc_id::varchar "
+        "ELSE '/feed/' END)"
+    )
+    out["url_pattern_keep"] = f"""
+        WITH u AS (SELECT doc_id, {_pat_url} AS url FROM documents)
+        SELECT doc_id, url FROM u
+        WHERE {sql_url_pattern_predicate_duckdb(url_expr="url")}
     """
     # cross_fields: per-(field, term) contributions, max per (doc,
     # term) at 6dp, DECIMAL sum (order-independent), top-20

@@ -406,3 +406,49 @@ def sql_registrable_domain_duckdb(
         f"WHEN {two} IN ({suffix_in}) THEN {three} "
         f"ELSE {two} END"
     )
+
+
+# Default crawl-cleaning patterns (RefinedWeb/CCNet-style URL filters):
+# search/tag/calendar/login pages and obvious non-content endpoints.
+# Java-regex ∩ RE2 dialect so the oracle replays them exactly.
+URL_PATTERN_DEFAULTS = (
+    "[?&](s|q|search|query)=",        # on-site search results
+    "/(tag|tags|category|label)s?/",  # tag/category listing pages
+    "/(login|signin|signup|register|logout)([/?#]|$)",
+    "/calendar/",
+    "/(feed|rss|atom)([/?#]|$)",
+    "\\.(css|js|ico|woff2?)([?#]|$)",
+)
+
+
+def url_pattern_filter(
+    docs: DataFrame,
+    patterns: tuple[str, ...] = URL_PATTERN_DEFAULTS,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose (lowercased) URL matches any of the given
+    regexes — the pattern-blocklist crawl cleaner (search-result
+    pages, tag listings, login/feed endpoints) that runs before any
+    text is read. Map-only codegen'd filter fused with the scan; the
+    pattern list is a plan literal (keep it dozens, not thousands —
+    a huge list belongs in a broadcast :func:`blocklist_filter`
+    domain table instead)."""
+    if not patterns:
+        raise ValueError("patterns must name at least one regex")
+    u = F.lower(F.col(url_col))
+    keep = F.lit(True)
+    for p in patterns:
+        keep = keep & ~(u.rlike(p))
+    return docs.where(keep)
+
+
+def sql_url_pattern_predicate_duckdb(
+    patterns: tuple[str, ...] = URL_PATTERN_DEFAULTS,
+    url_expr: str = "url",
+) -> str:
+    """DuckDB WHERE predicate computing the SAME keep decision as
+    :func:`url_pattern_filter`."""
+    parts = [
+        f"NOT regexp_matches(lower({url_expr}), '{p}')" for p in patterns
+    ]
+    return " AND ".join(parts)

@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="drop docs whose registrable domain appears in "
                          "this parquet (column: domain); broadcast "
                          "anti-join")
+    ap.add_argument("--url-patterns", action="store_true",
+                    help="drop docs whose URL matches the default "
+                         "crawl-cleaning regex blocklist (search/tag/"
+                         "login/feed/asset endpoints)")
     ap.add_argument("--cap-per-domain", type=int, default=None,
                     metavar="N",
                     help="keep <= N docs per registrable domain "
@@ -107,9 +111,12 @@ def main(argv: list[str] | None = None) -> None:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-curate")
     docs = spark.read.parquet(args.input)
-    if args.url_dedup or args.blocklist or args.cap_per_domain:
+    if (args.url_dedup or args.blocklist or args.cap_per_domain
+            or args.url_patterns):
         from hadoop_search_engine_spark.operators import urltools
 
+        if args.url_patterns:
+            docs = urltools.url_pattern_filter(docs, url_col=args.url_col)
         if args.url_dedup:
             docs = urltools.url_dedup(docs, url_col=args.url_col).drop(
                 "url_norm"

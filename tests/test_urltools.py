@@ -277,3 +277,37 @@ def test_curate_cli_url_stages(spark, tiny_corpus, tmp_path):
     assert report["docs_out"] >= 1
     got = spark.read.parquet(out)
     assert got.count() == report["docs_out"]
+
+
+def test_url_pattern_filter_defaults_and_parity(spark):
+    import duckdb
+
+    from hadoop_search_engine_spark.operators.urltools import (
+        url_pattern_filter,
+        sql_url_pattern_predicate_duckdb,
+    )
+
+    urls = [
+        (0, "http://a.com/article/1"),
+        (1, "http://a.com/?s=spark+query"),
+        (2, "http://a.com/tags/python/"),
+        (3, "http://a.com/Login"),
+        (4, "http://a.com/login-tips"),      # not the login endpoint
+        (5, "http://a.com/feed/"),
+        (6, "http://a.com/style.css?v=3"),
+        (7, "http://a.com/calendar/2026/08"),
+        (8, "http://a.com/blog/css-tricks"),  # .css not at path end
+    ]
+    docs = spark.createDataFrame(urls, ["doc_id", "url"])
+    kept = sorted(r["doc_id"] for r in url_pattern_filter(docs).collect())
+    assert kept == [0, 4, 8]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (doc_id INT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", urls)
+    duck = sorted(
+        r[0] for r in con.execute(
+            "SELECT doc_id FROM u WHERE "
+            + sql_url_pattern_predicate_duckdb()
+        ).fetchall()
+    )
+    assert duck == kept
