@@ -2612,6 +2612,22 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_snippet_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-fragment highlighting over the indexed top-20: one window
+    per matching query term (distinct starts, document order, capped
+    at 3), pure expressions; oracle replays with strpos +
+    list_transform."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk,
+        snippet_fragments,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    top = search_topk(ix, " ".join(FLAGSHIP_TERMS), k=20)
+    return snippet_fragments(top, docs, FLAGSHIP_TERMS, width=30)
+
+
 def q_url_pattern_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl URL-pattern blocklist: derived URLs cycle through search/
     tag/login/article/feed endpoints; only the article pages survive
@@ -3111,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "snippet_fragments": q_snippet_fragments,
         "url_pattern_keep": q_url_pattern_keep,
         "multi_match_cross": q_multi_match_cross,
         "json_props_agg": q_json_props_agg,
@@ -5254,6 +5271,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(score), 4) AS score
         FROM u GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # multi-fragment highlight: top-20 BM25 + per-term first-occurrence
+    # windows (distinct starts, document order, cap 3)
+    out["snippet_fragments"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        top AS (SELECT doc_id, round(score, 4) AS score
+                FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20),
+        fr AS (
+          SELECT top.doc_id, top.score,
+                 list_filter([nullif(strpos(lower(doc.text), 'spark'), 0), nullif(strpos(lower(doc.text), 'query'), 0), nullif(strpos(lower(doc.text), 'table'), 0)], x -> x IS NOT NULL) AS ps,
+                 doc.text AS txt
+          FROM top JOIN documents doc ON top.doc_id = doc.doc_id
+        )
+        SELECT doc_id, score,
+               len(ps)::int AS n_matched_terms,
+               array_to_string(
+                 list_transform(
+                   list_sort(list_distinct(ps))[1:3],
+                   p -> substr(txt, greatest(p - 30, 1), 60)
+                 ), ' | ') AS fragments
+        FROM fr
     """
     # URL-pattern blocklist: derived endpoint cycle + the same regexes
     from hadoop_search_engine_spark.operators.urltools import (

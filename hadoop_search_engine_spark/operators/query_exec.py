@@ -4243,3 +4243,62 @@ def explain_score(
         rows, columns=["term", "tf", "df", "idf", "contribution"]
     ).astype({"tf": "int64", "df": "int64"})
     return spark.createDataFrame(out, schema=EXPLAIN_SCHEMA)
+
+
+def snippet_fragments(
+    topk: DataFrame,
+    documents: DataFrame,
+    query_terms: list[str],
+    width: int = 40,
+    n_fragments: int = 3,
+    text_col: str = "text",
+    sep: str = " | ",
+) -> DataFrame:
+    """ES-style MULTI-fragment highlighting: up to ``n_fragments``
+    snippet windows per hit — one around each query term's FIRST
+    case-insensitive occurrence (distinct window starts, document
+    order), joined with ``sep`` — where
+    :func:`materialize_with_snippets` returns only the earliest
+    window. Adds ``n_matched_terms`` (how many query terms literally
+    occur) and ``fragments``.
+
+    Pure built-in expressions over the k joined rows (instr/substr/
+    array ops — no Python, no extra shuffle beyond the k-row join);
+    replayed exactly in DuckDB (strpos/list_transform)."""
+    if n_fragments < 1:
+        raise ValueError("n_fragments must be >= 1")
+    lowered = F.lower(F.col(text_col))
+    pos_cols = [
+        F.nullif(F.instr(lowered, t.lower()), F.lit(0))
+        for t in dict.fromkeys(query_terms)
+        if t
+    ]
+    if not pos_cols:
+        raise ValueError("query_terms must name at least one term")
+    starts = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.array(*pos_cols), lambda x: x.isNotNull())
+            )
+        ),
+        1,
+        int(n_fragments),
+    )
+    frags = F.transform(
+        starts,
+        lambda p: F.col(text_col).substr(
+            F.greatest(p - F.lit(int(width)), F.lit(1)),
+            F.lit(2 * int(width)),
+        ),
+    )
+    hits = documents.select("doc_id", text_col).join(
+        F.broadcast(topk), "doc_id"
+    )
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.size(
+            F.filter(F.array(*pos_cols), lambda x: x.isNotNull())
+        ).alias("n_matched_terms"),
+        F.array_join(frags, sep).alias("fragments"),
+    )

@@ -515,3 +515,27 @@ def test_terms_agg_size_and_min_doc_count(tiny_index, tiny_corpus):
     floor = full[0][1]  # only buckets at the max count survive
     got2 = facet_counts(m, docs, ["lang"], min_doc_count=floor).collect()
     assert all(r["n_docs"] >= floor for r in got2)
+
+
+def test_snippet_fragments_windows_and_counts(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        snippet_fragments,
+    )
+
+    top = search_topk(tiny_index, Q, k=5)
+    out = snippet_fragments(top, tiny_corpus, Q.split(), width=10,
+                            n_fragments=2).collect()
+    assert len(out) == 5
+    texts = {r["doc_id"]: r["text"]
+             for r in tiny_corpus.select("doc_id", "text").collect()}
+    for r in out:
+        t = texts[r["doc_id"]].lower()
+        want_pos = sorted({p for p in
+                           (t.find("w00000") + 1, t.find("w00017") + 1)
+                           if p > 0})
+        assert r["n_matched_terms"] == len(want_pos)
+        frags = r["fragments"].split(" | ") if r["fragments"] else []
+        assert len(frags) == min(len(want_pos), 2)
+        for f, p in zip(frags, want_pos[:2]):
+            start = max(p - 10, 1) - 1
+            assert texts[r["doc_id"]][start:start + 20] == f
