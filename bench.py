@@ -328,6 +328,13 @@ def main() -> None:
         lambda: multi_match_rows(mf, "spark query table", k=10,
                                  boosts=mm_boosts),
     )
+    timed(
+        "multi_match_cross_query",
+        lambda: multi_match(mf, "spark query table", k=10,
+                            boosts=mm_boosts,
+                            combine="cross_fields").collect(),
+        reps=3,
+    )
 
     # time-partitioned index (ES data stream): 4 monthly generations
     # over derived timestamps; the range query routes to 3 of them
