@@ -2612,6 +2612,52 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES missing agg over the indexed hit set (derived sparse column:
+    lang only on doc_id %% 3 == 0)."""
+    from hadoop_search_engine_spark.operators.analytics import missing_facet
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "maybe", F.when(F.col("doc_id") % 3 == 0, F.col("lang"))
+    )
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return missing_facet(m, docs, "maybe")
+
+
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks (exact inverse percentiles) of n_chars at
+    500 and 1500 over the indexed hit set."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        percentile_ranks_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return percentile_ranks_facet(m, docs, "n_chars", (500.0, 1500.0))
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix: named segments + pairwise intersections in
+    one conditional-agg pass."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        adjacency_matrix_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return adjacency_matrix_facet(
+        m, docs,
+        {"en": "lang = 'en'", "long": "n_chars >= 1500",
+         "short": "n_chars < 500"},
+    )
+
+
 def q_snippet_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-fragment highlighting over the indexed top-20: one window
     per matching query term (distinct starts, document order, capped
@@ -3127,6 +3173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "missing_agg": q_missing_agg,
+        "percentile_ranks": q_percentile_ranks,
+        "adjacency_matrix": q_adjacency_matrix,
         "snippet_fragments": q_snippet_fragments,
         "url_pattern_keep": q_url_pattern_keep,
         "multi_match_cross": q_multi_match_cross,
@@ -5271,6 +5320,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(score), 4) AS score
         FROM u GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # missing / percentile_ranks / adjacency_matrix aggs
+    out["missing_agg"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+        SELECT sum(CASE WHEN (CASE WHEN doc.doc_id % 3 = 0
+                              THEN doc.lang END) IS NULL
+                        THEN 1 ELSE 0 END)::bigint AS n_missing
+        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+    """
+    out["percentile_ranks"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        hits AS (
+          SELECT doc.n_chars::double AS x
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT 500.0 AS value,
+               round((count(*) FILTER (WHERE x <= 500.0)) * 100.0
+                     / count(x), 6) AS percent
+        FROM hits
+        UNION ALL
+        SELECT 1500.0,
+               round((count(*) FILTER (WHERE x <= 1500.0)) * 100.0
+                     / count(x), 6)
+        FROM hits
+    """
+    out["adjacency_matrix"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        hits AS (
+          SELECT doc.lang, doc.n_chars
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT 'en' AS key,
+               (count(*) FILTER (WHERE lang = 'en'))::bigint AS n_docs
+        FROM hits
+        UNION ALL SELECT 'long',
+               (count(*) FILTER (WHERE n_chars >= 1500))::bigint FROM hits
+        UNION ALL SELECT 'short',
+               (count(*) FILTER (WHERE n_chars < 500))::bigint FROM hits
+        UNION ALL SELECT 'en&long',
+               (count(*) FILTER (WHERE lang = 'en' AND n_chars >= 1500))::bigint
+        FROM hits
+        UNION ALL SELECT 'en&short',
+               (count(*) FILTER (WHERE lang = 'en' AND n_chars < 500))::bigint
+        FROM hits
+        UNION ALL SELECT 'long&short',
+               (count(*) FILTER (WHERE n_chars >= 1500 AND n_chars < 500))::bigint
+        FROM hits
     """
     # multi-fragment highlight: top-20 BM25 + per-term first-occurrence
     # windows (distinct starts, document order, cap 3)

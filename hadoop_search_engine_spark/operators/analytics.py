@@ -549,3 +549,96 @@ def filters_facet(
     return wide.select(F.explode(pairs).alias("r")).select(
         "r.filter_label", "r.n_docs"
     )
+
+
+def missing_facet(
+    matched: DataFrame, documents: DataFrame, col: str
+) -> DataFrame:
+    """ES ``missing`` aggregation: how many hits lack a value for the
+    field — the metadata-coverage check. One conditional count."""
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    return hits.agg(
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing")
+    )
+
+
+def percentile_ranks_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    col: str,
+    values: tuple[float, ...],
+) -> DataFrame:
+    """ES ``percentile_ranks`` (inverse percentiles): for each given
+    value, the percentage of hit values <= it — exact (one
+    conditional-aggregation pass; ES's own t-digest answer converges
+    to this). One row per requested value, declaration order."""
+    if not values:
+        raise ValueError("values must name at least one cut point")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(col).cast("double")
+    aggs = [F.count(x).alias("_n")]
+    for i, v in enumerate(values):
+        aggs.append(
+            F.sum(F.when(x <= float(v), 1).otherwise(0)).alias(f"_c{i}")
+        )
+    wide = hits.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(v)).alias("value"),
+                F.round(
+                    F.col(f"_c{i}") * 100.0 / F.col("_n"), 6
+                ).alias("percent"),
+            )
+            for i, v in enumerate(values)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.value", "r.percent"
+    )
+
+
+def adjacency_matrix_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    filters: dict[str, object],
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: hit counts for every named
+    predicate AND every pairwise intersection ("en∩long", the
+    co-occurrence matrix over result-set segments) in ONE
+    conditional-aggregation pass — n + n(n-1)/2 counters, no
+    per-pair scan. Keys sorted; intersections labeled ``a&b`` in key
+    order (ES's own label form). Empty cells report 0."""
+    if not filters:
+        raise ValueError("filters must name at least one predicate")
+    names = sorted(filters)
+    preds = {
+        n: (F.expr(p) if isinstance(p, str) else p)
+        for n, p in filters.items()
+    }
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    cells: list[tuple[str, object]] = [(n, preds[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            cells.append((f"{a}&{b}", preds[a] & preds[b]))
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c{i}")
+        for i, (_n, cond) in enumerate(cells)
+    ]
+    wide = hits.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("key"),
+                F.coalesce(F.col(f"_c{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_docs"),
+            )
+            for i, (label, _c) in enumerate(cells)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.key", "r.n_docs"
+    )

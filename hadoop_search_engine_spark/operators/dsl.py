@@ -796,32 +796,26 @@ def _run_aggs(
                 matched, documents, ab["field"],
                 sigma=float(ab.get("sigma", 2.0)))
         elif akind == "filters":
-            named = ab.get("filters")
-            if not isinstance(named, dict) or not named:
-                raise DslError("filters agg needs {filters: {name: "
-                               "term/range clause}}")
-            preds: dict[str, object] = {}
-            for fname, clause in named.items():
-                fkind, fb = _one_key(clause, f"filters[{fname}]")
-                if fkind == "term":
-                    fld, tb = _field_body(fb, "term")
-                    preds[fname] = F.col(fld) == F.lit(tb["value"])
-                elif fkind == "range":
-                    fld, rb = _one_key(fb, "range")
-                    cond = F.lit(True)
-                    ops = {"gte": "__ge__", "gt": "__gt__",
-                           "lte": "__le__", "lt": "__lt__"}
-                    for op, v in rb.items():
-                        if op not in ops:
-                            raise DslError(f"unknown range operator {op!r}")
-                        cond = cond & getattr(F.col(fld), ops[op])(F.lit(v))
-                    preds[fname] = cond
-                else:
-                    raise DslError(
-                        f"unsupported filters clause {fkind!r} "
-                        "(term/range only)"
-                    )
-            out[name] = filters_facet(matched, documents, preds)
+            out[name] = filters_facet(
+                matched, documents,
+                _compile_agg_predicates(ab.get("filters"), "filters"))
+        elif akind == "adjacency_matrix":
+            from .analytics import adjacency_matrix_facet
+
+            out[name] = adjacency_matrix_facet(
+                matched, documents,
+                _compile_agg_predicates(ab.get("filters"),
+                                        "adjacency_matrix"))
+        elif akind == "missing":
+            from .analytics import missing_facet
+
+            out[name] = missing_facet(matched, documents, ab["field"])
+        elif akind == "percentile_ranks":
+            from .analytics import percentile_ranks_facet
+
+            out[name] = percentile_ranks_facet(
+                matched, documents, ab["field"],
+                tuple(float(v) for v in ab.get("values", ())))
         elif akind == "composite":
             srcs = []
             for s in ab.get("sources", []):
@@ -861,6 +855,36 @@ def _run_aggs(
         else:
             raise DslError(f"unsupported agg kind {akind!r}")
     return out
+
+
+
+def _compile_agg_predicates(named, what: str) -> dict:
+    """{name: term/range clause} → {name: boolean Column} (the shared
+    predicate compiler for the filters / adjacency_matrix aggs)."""
+    if not isinstance(named, dict) or not named:
+        raise DslError(f"{what} agg needs {{filters: {{name: "
+                       "term/range clause}}}")
+    preds: dict[str, object] = {}
+    for fname, clause in named.items():
+        fkind, fb = _one_key(clause, f"{what}[{fname}]")
+        if fkind == "term":
+            fld, tb = _field_body(fb, "term")
+            preds[fname] = F.col(fld) == F.lit(tb["value"])
+        elif fkind == "range":
+            fld, rb = _one_key(fb, "range")
+            cond = F.lit(True)
+            ops = {"gte": "__ge__", "gt": "__gt__",
+                   "lte": "__le__", "lt": "__lt__"}
+            for op, v in rb.items():
+                if op not in ops:
+                    raise DslError(f"unknown range operator {op!r}")
+                cond = cond & getattr(F.col(fld), ops[op])(F.lit(v))
+            preds[fname] = cond
+        else:
+            raise DslError(
+                f"unsupported {what} clause {fkind!r} (term/range only)"
+            )
+    return preds
 
 
 # ---------------------------------------------------------------- main

@@ -539,3 +539,48 @@ def test_snippet_fragments_windows_and_counts(tiny_index, tiny_corpus):
         for f, p in zip(frags, want_pos[:2]):
             start = max(p - 10, 1) - 1
             assert texts[r["doc_id"]][start:start + 20] == f
+
+
+def test_missing_percentile_ranks_adjacency(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        adjacency_matrix_facet,
+        missing_facet,
+        percentile_ranks_facet,
+    )
+
+    docs = _docs(tiny_corpus).withColumn(
+        "maybe", F.when(F.col("doc_id") % 3 == 0, F.col("lang"))
+    )
+    m = matched_docs(tiny_index, Q)
+    hits = [r for r in docs.join(m.select("doc_id"), "doc_id",
+                                 "left_semi").collect()]
+    # missing
+    got = missing_facet(m, docs, "maybe").collect()[0]["n_missing"]
+    assert got == sum(1 for r in hits if r["maybe"] is None)
+    # percentile_ranks
+    vals = (150.0, 250.0)
+    pr = percentile_ranks_facet(m, docs, "n_chars", vals).collect()
+    xs = [r["n_chars"] for r in hits]
+    for row, v in zip(pr, vals):
+        want = round(sum(1 for x in xs if x <= v) * 100.0 / len(xs), 6)
+        assert row["value"] == v and abs(row["percent"] - want) < 1e-9
+    # adjacency matrix through the DSL
+    got2 = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"adj": {"adjacency_matrix": {"filters": {
+             "en": {"term": {"lang": "en"}},
+             "long": {"range": {"n_chars": {"gte": 200}}},
+         }}}}},
+        documents=docs,
+    ).aggs["adj"].collect()
+    n_en = sum(1 for r in hits if r["lang"] == "en")
+    n_long = sum(1 for r in hits if r["n_chars"] >= 200)
+    n_both = sum(1 for r in hits
+                 if r["lang"] == "en" and r["n_chars"] >= 200)
+    assert {(r["key"], r["n_docs"]) for r in got2} == {
+        ("en", n_en), ("long", n_long), ("en&long", n_both)}
+    want2 = adjacency_matrix_facet(
+        m, docs, {"en": F.col("lang") == "en",
+                  "long": F.col("n_chars") >= 200}).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
