@@ -272,6 +272,12 @@ CHECKS = {
     ],
     # JSON props extraction stays JVM expressions beside the scan
     "json_props_agg": ["HashAggregate", "!EvalPython"],
+    # adjacency matrix: n + n(n-1)/2 counters in ONE conditional
+    # aggregation — no per-pair scan, no window, no Python
+    "adjacency_matrix": ["HashAggregate", "!Window", "!EvalPython"],
+    # multi-fragment highlight: expressions over the k-row broadcast
+    # join — no Python, no extra exchange beyond the join
+    "snippet_fragments": ["BroadcastHashJoin", "!EvalPython"],
 }
 
 
