@@ -2612,6 +2612,20 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES simple_query_string with -negation: compiles to the boolean
+    engine ("(spark OR query) NOT vector") — the search-box syntax."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    out = search_dsl(
+        ix,
+        {"query": {"simple_query_string": {
+            "query": "spark query -vector"}}, "size": 20},
+    ).hits
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES missing agg over the indexed hit set (derived sparse column:
     lang only on doc_id %% 3 == 0)."""
@@ -3173,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "simple_qs": q_simple_query_string,
         "missing_agg": q_missing_agg,
         "percentile_ranks": q_percentile_ranks,
         "adjacency_matrix": q_adjacency_matrix,
@@ -5320,6 +5335,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(score), 4) AS score
         FROM u GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # simple_query_string negation form: (spark OR query) NOT vector
+    out["simple_qs"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ('query', 'spark') GROUP BY term),
+        pres AS (
+          SELECT doc_id,
+                 bool_or(term = 'spark')  AS has_spark,
+                 bool_or(term = 'query')  AS has_query,
+                 bool_or(term = 'vector') AS has_vector
+          FROM tf GROUP BY doc_id
+        ),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        )
+        SELECT s.doc_id, round(s.score, 4) AS score
+        FROM scored s JOIN pres p ON s.doc_id = p.doc_id
+        WHERE (p.has_spark OR p.has_query) AND NOT p.has_vector
+        ORDER BY score DESC, s.doc_id ASC LIMIT 20
     """
     # missing / percentile_ranks / adjacency_matrix aggs
     out["missing_agg"] = f"""

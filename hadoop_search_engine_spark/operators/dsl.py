@@ -468,6 +468,63 @@ def _compile(
             .select("doc_id", F.lit(boost).alias("score"))
         )
 
+    if kind == "simple_query_string":
+        # ES simple_query_string, strict documented subset: a whole
+        # quoted phrase ("..."~N → match_phrase slop), -token
+        # negation (must_not), remaining tokens joined by
+        # default_operator. Each form compiles to an existing exact
+        # path (phrase_search / boolean engine / search_topk); the
+        # |, +, *, ~ infix operators are out of subset — use bool /
+        # match_phrase_prefix / fuzzy directly.
+        _no_filter(kind)
+        text = str(body.get("query", "")).strip()
+        if not text:
+            raise DslError("simple_query_string needs query")
+        default_op = body.get("default_operator", "or").lower()
+        if default_op not in ("or", "and"):
+            raise DslError(f"unknown default_operator {default_op!r}")
+        flds = body.get("fields", ["text"])
+        if flds != ["text"]:
+            raise DslError(
+                "simple_query_string targets the 'text' field (use "
+                "multi_match for multi-field indexes)"
+            )
+        m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', text)
+        if m:
+            from .query_exec import phrase_search
+
+            return phrase_search(index, m.group(1), k=k,
+                                 synonyms=synonyms,
+                                 slop=int(m.group(2) or 0), after=after)
+        if any(ch in text for ch in '"|+~*()'):
+            raise DslError(
+                "simple_query_string subset: whole-quoted phrase or "
+                "space-separated tokens with -negation only"
+            )
+        toks = text.split()
+        neg = [t[1:] for t in toks if t.startswith("-") and len(t) > 1]
+        pos = [t for t in toks if not t.startswith("-")]
+        if not pos:
+            raise DslError(
+                "simple_query_string needs at least one positive token"
+            )
+        if not neg:
+            return search_topk(
+                index, " ".join(pos), k=k, synonyms=synonyms,
+                mode=default_op, after=after, doc_filter=doc_filter,
+            )
+        from .boolean import search_topk_boolean
+
+        if after is not None:
+            raise DslError(
+                "search_after does not compose with negation yet"
+            )
+        op = " AND " if default_op == "and" else " OR "
+        expr = "(" + op.join(pos) + ")" if len(pos) > 1 else pos[0]
+        for n in neg:
+            expr += f" NOT {n}"
+        return search_topk_boolean(index, expr, k=k, synonyms=synonyms,
+                                   doc_filter=doc_filter)
     if kind == "span_first":
         # ES span_first: the (ordered) span must END within the first
         # `end` tokens of the document. Inner span subset: span_term

@@ -584,3 +584,30 @@ def test_missing_percentile_ranks_adjacency(tiny_index, tiny_corpus):
         m, docs, {"en": F.col("lang") == "en",
                   "long": F.col("n_chars") >= 200}).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+
+
+# ------------------------------------------------ simple_query_string
+
+
+def test_simple_query_string_forms(tiny_index):
+    from hadoop_search_engine_spark.operators.boolean import (
+        search_topk_boolean,
+    )
+
+    # plain tokens == match
+    got = search_dsl(tiny_index,
+                     {"query": {"simple_query_string": {"query": Q}},
+                      "size": 6})
+    assert _pairs(got.hits) == _pairs(search_topk(tiny_index, Q, k=6))
+    # default_operator and
+    got = search_dsl(tiny_index, {"query": {"simple_query_string": {
+        "query": Q, "default_operator": "and"}}, "size": 6})
+    assert _pairs(got.hits) == _pairs(
+        search_topk(tiny_index, Q, k=6, mode="and"))
+    # negation routes through the boolean engine
+    got = search_dsl(tiny_index, {"query": {"simple_query_string": {
+        "query": "w00000 w00017 -w00001"}}, "size": 8})
+    want = search_topk_boolean(tiny_index, "(w00000 OR w00017) NOT w00001",
+                               k=8)
+    assert _pairs(got.hits) == _pairs(want)
+

@@ -334,3 +334,21 @@ def test_dsl_span_first(phrase_setup, tiny_corpus):
     )
     want = phrase_search(idx, "brown", k=10, first_end=2)
     assert _pairs(got.hits) == _pairs(want)
+
+def test_simple_query_string_phrase_and_errors(phrase_setup):
+    from hadoop_search_engine_spark.operators.dsl import (
+        DslError,
+        search_dsl,
+    )
+
+    idx, _oracle = phrase_setup
+    got = search_dsl(idx, {"query": {"simple_query_string": {
+        "query": '"quick brown"~1'}}, "size": 10})
+    want = phrase_search(idx, "quick brown", k=10, slop=1)
+    assert _pairs(got.hits) == _pairs(want)
+    with pytest.raises(DslError, match="subset"):
+        search_dsl(idx, {"query": {"simple_query_string": {
+            "query": "a | b"}}})
+    with pytest.raises(DslError, match="positive token"):
+        search_dsl(idx, {"query": {"simple_query_string": {
+            "query": "-a -b"}}})
