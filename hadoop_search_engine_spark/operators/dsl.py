@@ -203,6 +203,16 @@ def _metadata_filter(filters: list, documents: DataFrame | None) -> DataFrame:
         if kind == "term":
             fld, b = _field_body(body, "term")
             out = out.where(F.col(fld) == F.lit(b["value"]))
+        elif kind == "terms":
+            fld, vals = _one_key(body, "terms filter")
+            if not isinstance(vals, (list, tuple)) or not vals:
+                raise DslError("terms filter needs a non-empty value list")
+            out = out.where(F.col(fld).isin(list(vals)))
+        elif kind == "exists":
+            fld = body.get("field")
+            if not fld:
+                raise DslError("exists filter needs field")
+            out = out.where(F.col(fld).isNotNull())
         elif kind == "range":
             fld, b = _one_key(body, "range")
             col = F.col(fld)
@@ -219,7 +229,8 @@ def _metadata_filter(filters: list, documents: DataFrame | None) -> DataFrame:
                     raise DslError(f"unknown range operator {op!r}")
         else:
             raise DslError(
-                f"unsupported filter clause {kind!r} (term/range only)"
+                f"unsupported filter clause {kind!r} "
+                "(term/terms/exists/range)"
             )
     return out.select("doc_id")
 

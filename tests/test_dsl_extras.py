@@ -611,3 +611,29 @@ def test_simple_query_string_forms(tiny_index):
                                k=8)
     assert _pairs(got.hits) == _pairs(want)
 
+
+
+def test_bool_filter_terms_and_exists(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus).withColumn(
+        "maybe", F.when(F.col("doc_id") % 2 == 0, F.lit("x"))
+    )
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    keep = sorted(langs)[:2]
+    got = search_dsl(
+        tiny_index,
+        {"query": {"bool": {
+            "must": [{"match": {"text": Q}}],
+            "filter": [{"terms": {"lang": keep}},
+                       {"exists": {"field": "maybe"}}]}}, "size": 100},
+        documents=docs,
+    ).hits.collect()
+    flt = docs.where(F.col("lang").isin(keep)
+                     & F.col("maybe").isNotNull()).select("doc_id")
+    want = search_topk(tiny_index, Q, k=100, doc_filter=flt).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want]
+    with pytest.raises(DslError, match="non-empty value list"):
+        search_dsl(tiny_index,
+                   {"query": {"bool": {"must": [{"match": {"text": Q}}],
+                                       "filter": [{"terms": {"lang": []}}]}}},
+                   documents=docs)
