@@ -2612,6 +2612,22 @@ def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature (saturation, explicit pivot): BM25 + 1.2 *
+    (n_chars / (n_chars + 800)) — the pagerank/popularity fusion
+    clause; the oracle replays both branches and the 4/6 dp contract."""
+    from hadoop_search_engine_spark.operators.hybrid import (
+        rank_feature_topk,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    return rank_feature_topk(
+        ix, " ".join(FLAGSHIP_TERMS), docs, "n_chars",
+        fn="saturation", pivot=800.0, boost=1.2, k=20,
+    )
+
+
 def q_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES simple_query_string with -negation: compiles to the boolean
     engine ("(spark OR query) NOT vector") — the search-box syntax."""
@@ -3187,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "rank_feature_search": q_rank_feature,
         "simple_qs": q_simple_query_string,
         "missing_agg": q_missing_agg,
         "percentile_ranks": q_percentile_ranks,
@@ -5335,6 +5352,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, round(sum(score), 4) AS score
         FROM u GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # rank_feature: BM25 (4dp) + boost * saturation(n_chars) (6dp)
+    out["rank_feature_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, round(sum({score}), 4) AS relevance
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        feat AS (
+          SELECT doc_id,
+                 CASE WHEN n_chars > 0 THEN
+                   round(n_chars::double / (n_chars::double + 800.0), 6)
+                 ELSE 0.0 END AS feature_score
+          FROM documents
+        )
+        SELECT s.doc_id,
+               round(s.relevance + 1.2 * coalesce(f.feature_score, 0.0),
+                     6) AS score,
+               s.relevance, coalesce(f.feature_score, 0.0) AS feature_score
+        FROM scored s LEFT JOIN feat f ON s.doc_id = f.doc_id
+        ORDER BY score DESC, s.doc_id ASC LIMIT 20
     """
     # simple_query_string negation form: (spark OR query) NOT vector
     out["simple_qs"] = f"""

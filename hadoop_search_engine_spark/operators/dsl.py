@@ -479,6 +479,50 @@ def _compile(
             .select("doc_id", F.lit(boost).alias("score"))
         )
 
+    if kind == "rank_feature":
+        # ES rank_feature (additive saturating feature fusion). ES
+        # nests this inside bool.should beside the text query; here
+        # the clause carries its text query as a "query" sibling —
+        # same semantics, flat shape: {"field": f, "saturation":
+        # {"pivot": p}, "boost": b, "query": <match-family>}.
+        from .hybrid import rank_feature_topk
+
+        _no_filter(kind)
+        if after is not None:
+            raise DslError("search_after does not compose with "
+                           "rank_feature yet")
+        if documents is None:
+            raise DslError("rank_feature needs documents= "
+                           "(the metadata table)")
+        fld = body.get("field")
+        inner = body.get("query")
+        if not fld or inner is None:
+            raise DslError("rank_feature needs field and query")
+        text, mode = _match_family_text(inner, "rank_feature.query")
+        kwargs: dict = {}
+        if "saturation" in body:
+            kwargs = {"fn": "saturation",
+                      "pivot": float(body["saturation"]["pivot"])}
+        elif "log" in body:
+            kwargs = {"fn": "log",
+                      "scaling": float(body["log"].get(
+                          "scaling_factor", 1.0))}
+        elif "sigmoid" in body:
+            kwargs = {"fn": "sigmoid",
+                      "pivot": float(body["sigmoid"]["pivot"]),
+                      "exponent": float(body["sigmoid"].get(
+                          "exponent", 1.0))}
+        else:
+            raise DslError(
+                "rank_feature needs saturation/log/sigmoid "
+                "(saturation requires an explicit pivot — the ES "
+                "default pivot is sketch-derived and nondeterministic)"
+            )
+        return rank_feature_topk(
+            index, text, documents, fld, k=k, mode=mode,
+            synonyms=synonyms, boost=float(body.get("boost", 1.0)),
+            **kwargs,
+        )
     if kind == "simple_query_string":
         # ES simple_query_string, strict documented subset: a whole
         # quoted phrase ("..."~N → match_phrase slop), -token

@@ -436,3 +436,76 @@ def mmr_rerank(
             sims[~has_v] = 0.0
             maxsim = np.maximum(maxsim, sims)
     return spark.createDataFrame(out, schema)
+
+
+def rank_feature_topk(
+    index,
+    query_text: str,
+    docs: DataFrame,
+    field: str,
+    fn: str = "saturation",
+    pivot: float | None = None,
+    scaling: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+    k: int = 10,
+    mode: str = "or",
+    synonyms: dict[str, str] | None = None,
+) -> DataFrame:
+    """ES ``rank_feature`` fusion: relevance plus an ADDITIVE
+    monotone-saturating function of a static numeric feature
+    (pagerank, popularity, freshness score) —
+
+      saturation: S = f / (f + pivot)        (pivot REQUIRED here: ES
+                  defaults it to an approximate geometric mean, which
+                  is sketch-derived and nondeterministic; an explicit
+                  pivot keeps the score a pure function of the data)
+      log:        S = ln(scaling + f)
+      sigmoid:    S = f^exp / (f^exp + pivot^exp)
+
+    ``score = round(bm25, 4) + boost · round(S, 6)`` — the branch
+    precisions of the board's determinism contract, so the DuckDB
+    oracle replays bit-identically. Missing/negative features
+    contribute 0 (ES: rank_feature fields are positive; docs without
+    the feature get no boost — NOT excluded).
+
+    Scale shape: the relevance side is the FULL scored match set (an
+    additive boost can promote any matched doc, so a top-k window
+    would be inexact — that trade is :func:`rescore_topk`); the
+    feature side is a column-pruned (doc_id, field) join on the match
+    set. One shuffle sized by the match set, top-k at the end."""
+    from .query_exec import scored_docs
+
+    if fn not in ("saturation", "log", "sigmoid"):
+        raise ValueError(f"fn must be saturation|log|sigmoid, got {fn!r}")
+    if fn in ("saturation", "sigmoid"):
+        if pivot is None or not pivot > 0:
+            raise ValueError(f"{fn} needs an explicit pivot > 0")
+    if fn == "sigmoid" and not exponent > 0:
+        raise ValueError("sigmoid needs exponent > 0")
+    if fn == "log" and not scaling > 0:
+        raise ValueError("log needs scaling > 0")
+    matched = scored_docs(index, query_text, synonyms=synonyms, mode=mode)
+    x = F.col(field).cast("double")
+    pos = F.when(x > 0, x)  # null and non-positive features -> no boost
+    if fn == "saturation":
+        s = pos / (pos + float(pivot))
+    elif fn == "log":
+        s = F.log(float(scaling) + pos)
+    else:
+        p = F.pow(pos, float(exponent))
+        s = p / (p + float(pivot) ** float(exponent))
+    meta = docs.select("doc_id", field)
+    j = matched.join(meta, "doc_id", "left")
+    rel = F.round(F.col("score"), 4)
+    feat = F.coalesce(F.round(s, 6), F.lit(0.0))
+    return (
+        j.select(
+            "doc_id",
+            F.round(rel + float(boost) * feat, 6).alias("score"),
+            rel.alias("relevance"),
+            feat.alias("feature_score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )

@@ -637,3 +637,65 @@ def test_bool_filter_terms_and_exists(tiny_index, tiny_corpus):
                    {"query": {"bool": {"must": [{"match": {"text": Q}}],
                                        "filter": [{"terms": {"lang": []}}]}}},
                    documents=docs)
+
+
+# ------------------------------------------------------- rank_feature
+
+
+def test_rank_feature_matches_python_reference(tiny_index, tiny_corpus):
+    import math as _math
+
+    from hadoop_search_engine_spark.operators.hybrid import (
+        rank_feature_topk,
+    )
+
+    docs = _docs(tiny_corpus).withColumn(
+        "feat", F.when(F.col("doc_id") % 4 != 0, F.col("n_chars"))
+    )  # every 4th doc lacks the feature -> no boost, not excluded
+    rel = {r["doc_id"]: round(r["score"], 4)
+           for r in scored_docs(tiny_index, Q).collect()}
+    feats = {r["doc_id"]: r["feat"] for r in docs.collect()}
+    for fn, kw, sfun in [
+        ("saturation", {"pivot": 150.0},
+         lambda f: f / (f + 150.0)),
+        ("log", {"scaling": 2.0}, lambda f: _math.log(2.0 + f)),
+        ("sigmoid", {"pivot": 150.0, "exponent": 2.0},
+         lambda f: f**2 / (f**2 + 150.0**2)),
+    ]:
+        got = rank_feature_topk(
+            tiny_index, Q, docs, "feat", fn=fn, boost=0.7, k=300, **kw
+        ).collect()
+        assert {r["doc_id"] for r in got} == set(rel)
+        for r in got:
+            f = feats[r["doc_id"]]
+            s = round(sfun(float(f)), 6) if f and f > 0 else 0.0
+            # F.round is HALF_UP, Python round is banker's: compare
+            # the 6dp values with a half-ulp tolerance
+            assert abs(r["feature_score"] - s) <= 5.1e-7, (fn, r)
+            assert abs(
+                r["score"] - (rel[r["doc_id"]] + 0.7 * s)
+            ) <= 1.1e-6, (fn, r)
+
+
+def test_dsl_rank_feature_clause(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.hybrid import (
+        rank_feature_topk,
+    )
+
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"rank_feature": {
+            "field": "n_chars", "saturation": {"pivot": 200.0},
+            "boost": 1.2, "query": {"match": {"text": Q}}}}, "size": 7},
+        documents=docs,
+    )
+    want = rank_feature_topk(tiny_index, Q, docs, "n_chars",
+                             fn="saturation", pivot=200.0, boost=1.2, k=7)
+    assert got.hits.collect() == want.collect()
+    with pytest.raises(DslError, match="saturation/log/sigmoid"):
+        search_dsl(tiny_index,
+                   {"query": {"rank_feature": {
+                       "field": "n_chars",
+                       "query": {"match": {"text": Q}}}}},
+                   documents=docs)
