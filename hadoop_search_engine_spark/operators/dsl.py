@@ -787,7 +787,17 @@ def _run_aggs(
     q: dict,
     documents: DataFrame | None,
     synonyms,
+    _matched: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
+    if _matched is not None:
+        # pre-resolved hit set (the global agg's live-doc frame)
+        if documents is None:
+            raise DslError("aggs need documents= (the metadata table)")
+        matched = _matched
+        text = mode = None
+        kind = "match_all_precompiled"
+        return _dispatch_aggs(aggs, index, documents, synonyms,
+                              matched, text, mode)
     kind, body = _one_key(q, "query")
     if kind not in ("match", "query_string", "term", "terms",
                     "dis_max", "constant_score"):
@@ -829,7 +839,19 @@ def _run_aggs(
             _, vals = _one_key(body, "terms")
             text, mode = " ".join(str(v) for v in vals), "or"
         matched = matched_docs(index, text, synonyms, mode=mode)
+    return _dispatch_aggs(aggs, index, documents, synonyms, matched,
+                          text, mode)
 
+
+def _dispatch_aggs(
+    aggs: dict,
+    index: Index,
+    documents: DataFrame,
+    synonyms,
+    matched: DataFrame,
+    text,
+    mode,
+) -> dict[str, DataFrame]:
     from .analytics import (
         composite_agg_facet,
         date_histogram_facet,
@@ -855,6 +877,21 @@ def _run_aggs(
         if subs is not None:
             spec = {kk: vv for kk, vv in spec.items() if kk != "aggs"}
         akind, ab = _one_key(spec, f"aggs[{name}]")
+        if akind == "global" and subs is not None:
+            # ES global agg: the sub-agg computes over ALL live docs,
+            # ignoring the query — the corpus-vs-hits comparison panel.
+            # Exactly one metric/bucket sub-agg, evaluated with the
+            # live-doc set as the hit set.
+            live = index.doc_stats.select("doc_id")
+            if index.tombstone_count():
+                live = live.join(index.tombstones.select("doc_id"),
+                                 "doc_id", "left_anti")
+            sub = _run_aggs(subs, index,
+                            {"match_all_precompiled": None},
+                            documents, synonyms, _matched=live)
+            for sname, frame in sub.items():
+                out[f"{name}.{sname}"] = frame
+            continue
         if subs is not None and akind != "terms":
             raise DslError(
                 f"sub-aggs are supported under terms only, not {akind!r}"

@@ -699,3 +699,27 @@ def test_dsl_rank_feature_clause(tiny_index, tiny_corpus):
                        "field": "n_chars",
                        "query": {"match": {"text": Q}}}}},
                    documents=docs)
+
+
+def test_global_agg_ignores_query(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import stats_facet
+
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {
+             "hits_len": {"stats": {"field": "n_chars"}},
+             "all": {"global": {},
+                     "aggs": {"corpus_len": {"stats":
+                                             {"field": "n_chars"}}}},
+         }},
+        documents=docs,
+    )
+    live = tiny_index.doc_stats.select("doc_id")
+    want_all = stats_facet(live, docs, "n_chars").collect()
+    assert got.aggs["all.corpus_len"].collect() == want_all
+    # the sibling agg still reflects only the query's hits
+    m = matched_docs(tiny_index, Q)
+    assert got.aggs["hits_len"].collect() == stats_facet(
+        m, docs, "n_chars").collect()
