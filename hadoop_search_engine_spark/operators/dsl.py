@@ -1260,8 +1260,22 @@ def search_dsl(
         qk0, qb0 = _one_key(body["query"], "query")
         terms = parse_query(_query_text(qk0, qb0), synonyms,
                             index.token_fn())
-        hits = materialize_with_snippets(hits, documents, terms,
-                                         width=frag, mark=mark)
+        nfrags = int(fields["text"].get("number_of_fragments", 1))
+        if nfrags > 1:
+            # ES number_of_fragments > 1: one window per matching
+            # query term (snippet_fragments), no marking pass
+            from .query_exec import snippet_fragments
+
+            if mark is not None:
+                raise DslError(
+                    "pre/post tags compose with single-fragment "
+                    "highlighting only"
+                )
+            hits = snippet_fragments(hits, documents, terms,
+                                     width=frag, n_fragments=nfrags)
+        else:
+            hits = materialize_with_snippets(hits, documents, terms,
+                                             width=frag, mark=mark)
     aggs = {}
     if body.get("aggs"):
         aggs = _run_aggs(body["aggs"], index, body["query"], documents,

@@ -723,3 +723,27 @@ def test_global_agg_ignores_query(tiny_index, tiny_corpus):
     m = matched_docs(tiny_index, Q)
     assert got.aggs["hits_len"].collect() == stats_facet(
         m, docs, "n_chars").collect()
+
+
+def test_dsl_highlight_multi_fragment(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        snippet_fragments,
+    )
+
+    body = {"query": {"match": {"text": Q}},
+            "highlight": {"fields": {"text": {
+                "fragment_size": 20, "number_of_fragments": 2}}},
+            "size": 5}
+    got = search_dsl(tiny_index, body, documents=tiny_corpus)
+    want = snippet_fragments(search_topk(tiny_index, Q, k=5),
+                             tiny_corpus, Q.split(), width=10,
+                             n_fragments=2)
+    assert sorted(map(tuple, got.hits.collect())) == sorted(
+        map(tuple, want.collect()))
+    with pytest.raises(DslError, match="single-fragment"):
+        search_dsl(tiny_index, {
+            "query": {"match": {"text": Q}},
+            "highlight": {"pre_tags": ["<b>"],
+                          "fields": {"text":
+                                     {"number_of_fragments": 2}}},
+        }, documents=tiny_corpus)
