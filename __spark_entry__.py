@@ -2524,6 +2524,46 @@ def q_bpe_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed
+    unigram+bigram bag log-likelihood ratio of target (lang='en')
+    vs raw (everything), 1024 feature buckets, int64 micro-nats.
+    The oracle replays the murmur feature hash, the add-one smoothed
+    distributions, and the quantized per-feature log-ratios."""
+    from hadoop_search_engine_spark.operators.dsir import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    w = dsir_weights(
+        docs, target_docs=docs.where(F.col("lang") == "en"),
+        n_features=1024,
+    )
+    # stringified: the driver compare float-upcasts all-numeric rows
+    # and 7+ digit int64s lose digits through %.6g
+    return w.select(
+        "doc_id", F.col("dsir_llq").cast("string").alias("dsir_llq")
+    )
+
+
+def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k selection (without-replacement importance
+    resample at T=1): the 50 raw docs with the largest
+    ``dsir_llq + gumbel(doc_id:'dsir')`` keys. The oracle replays the
+    murmur-seeded uniform, the double-log Gumbel transform, and the
+    quantized key ordering."""
+    from hadoop_search_engine_spark.operators.dsir import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    sel = dsir_select(
+        docs, target_docs=docs.where(F.col("lang") == "en"),
+        k=50, n_features=1024, temperature=1.0, salt="dsir",
+    )
+    return sel.select(
+        "doc_id", "lang",
+        F.col("dsir_llq").cast("string").alias("dsir_llq"),
+        F.col("key_llq").cast("string").alias("key_llq"),
+    )
+
+
 def _derived_url_col() -> F.Column:
     """Deterministic noisy-URL column over documents (the testdata has
     no url column): mixed-case schemes/hosts, default ports, tracking
@@ -3203,6 +3243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
         "mix_corpus": q_mix_corpus,
+        "dsir_weights": q_dsir_weights,
+        "dsir_selected": q_dsir_selected,
         "rank_feature_search": q_rank_feature,
         "simple_qs": q_simple_query_string,
         "missing_agg": q_missing_agg,
@@ -5176,6 +5218,85 @@ def oracle_sql() -> dict[str, str]:
                round(n_docs / td, 6) AS doc_share,
                round(n_tokens / tt, 6) AS token_share
         FROM g, tot
+    """
+    # DSIR (operators/dsir.py): hashed unigram+bigram features
+    # (murmur3 % 1024, replayed bit-exactly over distinct grams), raw
+    # vs target(lang='en') add-one distributions, per-feature
+    # log-ratios quantized to int64 micro-nats, per-doc exact sums,
+    # Gumbel top-k keyed by the murmur-seeded uniform
+    from hadoop_search_engine_spark.functions.hashes import (
+        sql_murmur3_u32_duckdb as _mm_sql,
+    )
+    from hadoop_search_engine_spark.operators.dsir import (
+        LLQ_SCALE as _DSIR_SCALE,
+    )
+
+    _dsir_nf = 1024
+    _dsir_cte = f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+        tok AS (
+          SELECT doc_id, lang, unnest(t) AS w,
+                 unnest(range(1, len(t) + 1)) AS pos, t
+          FROM t
+        ),
+        gram AS (
+          SELECT doc_id, lang, w AS g FROM tok
+          UNION ALL
+          SELECT doc_id, lang, t[pos - 1] || ' ' || w AS g
+          FROM tok WHERE pos > 1
+        ),
+        gf AS (
+          SELECT g, ({_mm_sql("g")}) % {_dsir_nf} AS feature
+          FROM (SELECT DISTINCT g FROM gram)
+        ),
+        gfeat AS (
+          SELECT gram.doc_id, gram.lang, gf.feature
+          FROM gram JOIN gf USING (g)
+        ),
+        raw_c AS (SELECT feature, count(*)::BIGINT AS c
+                  FROM gfeat GROUP BY feature),
+        tgt_c AS (SELECT feature, count(*)::BIGINT AS ct
+                  FROM gfeat WHERE lang = 'en' GROUP BY feature),
+        rt AS (SELECT sum(c)::BIGINT AS n_raw FROM raw_c),
+        tt AS (SELECT sum(ct)::BIGINT AS n_tgt FROM tgt_c),
+        lam AS (
+          SELECT feature,
+                 CAST(round(ln((coalesce(ct, 0) + 1)
+                               / (tt.n_tgt + {_dsir_nf}))
+                            * {_DSIR_SCALE}) AS BIGINT)
+               - CAST(round(ln((coalesce(c, 0) + 1)
+                               / (rt.n_raw + {_dsir_nf}))
+                            * {_DSIR_SCALE}) AS BIGINT) AS lambda_llq
+          FROM raw_c FULL OUTER JOIN tgt_c USING (feature)
+          CROSS JOIN rt CROSS JOIN tt
+        ),
+        dw AS (
+          SELECT gfeat.doc_id, sum(lam.lambda_llq)::BIGINT AS dsir_llq
+          FROM gfeat JOIN lam USING (feature) GROUP BY gfeat.doc_id
+        ),
+        w AS (
+          SELECT d.doc_id, d.lang,
+                 coalesce(dw.dsir_llq, 0)::BIGINT AS dsir_llq
+          FROM documents d LEFT JOIN dw USING (doc_id)
+        )
+    """
+    out["dsir_weights"] = _dsir_cte + """
+        SELECT doc_id, dsir_llq::VARCHAR AS dsir_llq FROM w
+    """
+    _h_id = _mm_sql("(doc_id)::varchar")
+    _h_gum = _mm_sql("'dsir'", seed=_h_id)
+    out["dsir_selected"] = _dsir_cte + f"""
+        , keyed AS (
+          SELECT doc_id, lang, dsir_llq,
+                 dsir_llq + CAST(round(
+                     -ln(-ln((({_h_gum}) + 0.5) / 4294967296.0))
+                     * {float(1.0) * _DSIR_SCALE}) AS BIGINT) AS key_llq
+          FROM w
+        )
+        SELECT doc_id, lang, dsir_llq::VARCHAR AS dsir_llq,
+               key_llq::VARCHAR AS key_llq
+        FROM (SELECT * FROM keyed
+              ORDER BY key_llq DESC, doc_id ASC LIMIT 50)
     """
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over

@@ -98,6 +98,17 @@ def main(argv: list[str] | None = None) -> None:
                     help="after sampling: cut to the maximal salted-"
                          "murmur-order prefix fitting N tokens "
                          "(deterministic, nested across budgets)")
+    ap.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="DSIR importance resampling: keep the "
+                         "--dsir-k docs that look most like this "
+                         "target corpus (hashed-ngram log-likelihood "
+                         "ratio + deterministic Gumbel top-k)")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="docs to keep for --dsir-target")
+    ap.add_argument("--dsir-temperature", type=float, default=1.0,
+                    help="Gumbel temperature (0 = hard top-k by weight)")
+    ap.add_argument("--dsir-features", type=int, default=None,
+                    help="hashed feature buckets (default 2^16)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -170,6 +181,19 @@ def main(argv: list[str] | None = None) -> None:
 
         evald = spark.read.parquet(args.decontaminate)
         curated = decontaminate(curated, evald, n=args.decon_ngram)
+    if args.dsir_target:
+        from hadoop_search_engine_spark.operators import dsir
+
+        if not args.dsir_k:
+            ap.error("--dsir-target needs --dsir-k")
+        tgt = spark.read.parquet(args.dsir_target)
+        kw = {}
+        if args.dsir_features:
+            kw["n_features"] = args.dsir_features
+        curated = dsir.dsir_select(
+            curated, tgt, k=args.dsir_k,
+            temperature=args.dsir_temperature, **kw,
+        ).drop("dsir_llq", "key_llq")
     if args.sample:
         from hadoop_search_engine_spark.operators.curate import (
             stratified_sample,
