@@ -2564,6 +2564,51 @@ def q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLS_NF, _CLS_ITERS, _CLS_LR = 256, 3, 0.5
+
+
+def _classifier_weights_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_search_engine_spark.operators.classifier import (
+        train_text_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "label", (F.col("lang") == "en").cast("long")
+    )
+    return train_text_classifier(
+        docs, n_features=_CLS_NF, iters=_CLS_ITERS, lr=_CLS_LR
+    )
+
+
+def q_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (GPT-3 / CCNet style): logistic
+    regression over hashed unigram+bigram PRESENCE features, trained
+    by deterministic int64-quantized full-batch GD (label: lang='en').
+    The oracle unrolls the 3 GD iterations as CTE chains — exact
+    margins, quantized residuals, rounded updates — like the IVF
+    trainer unrolls Lloyd iterations."""
+    w = _classifier_weights_df(spark, sf_dir)
+    return w.select("feature", F.col("wq").cast("string").alias("wq"))
+
+
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every doc with the trained classifier: exact int64 logit
+    (micro-units) + sigmoid probability — the model-based quality gate
+    a 100 TB crawl pipeline runs after heuristic curation."""
+    from hadoop_search_engine_spark.operators.classifier import (
+        score_text_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    w = _classifier_weights_df(spark, sf_dir)
+    s = score_text_classifier(docs, w, n_features=_CLS_NF)
+    return s.select(
+        "doc_id",
+        F.col("logit_micro").cast("string").alias("logit_micro"),
+        "prob",
+    )
+
+
 def _derived_url_col() -> F.Column:
     """Deterministic noisy-URL column over documents (the testdata has
     no url column): mixed-case schemes/hosts, default ports, tracking
@@ -3245,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "dsir_weights": q_dsir_weights,
         "dsir_selected": q_dsir_selected,
+        "classifier_weights": q_classifier_weights,
+        "classifier_scores": q_classifier_scores,
         "rank_feature_search": q_rank_feature,
         "simple_qs": q_simple_query_string,
         "missing_agg": q_missing_agg,
@@ -5297,6 +5344,89 @@ def oracle_sql() -> dict[str, str]:
                key_llq::VARCHAR AS key_llq
         FROM (SELECT * FROM keyed
               ORDER BY key_llq DESC, doc_id ASC LIMIT 50)
+    """
+    # learned classifier (operators/classifier.py): hashed-ngram
+    # PRESENCE features + intercept, int64-quantized full-batch GD
+    # unrolled iteration-by-iteration as CTEs (the IVF-Lloyd pattern).
+    # Weights are exact int64 micro-units; residuals are quantized
+    # BEFORE the gradient sum, so every aggregate is an order-free
+    # int64 sum and the unroll is bit-identical to the Spark loop.
+    _sig = "1.0 / (1.0 + exp(-(mm::DOUBLE / 1000000.0)))"
+
+    def _cls_iter(i: int) -> str:
+        """One GD step: margins from w{i-1} -> quantized residuals ->
+        int64 gradients -> rounded weight update (zeros dropped; a
+        zero weight is indistinguishable from an absent one in every
+        consumer, matching the Spark trainer's canonical table)."""
+        upd = "-CAST(round(0.5 * (g::DOUBLE) / n) AS BIGINT)"
+        return f"""
+        m{i} AS (
+          SELECT f.doc_id, sum(coalesce(w.wq, 0))::BIGINT AS mm
+          FROM cfeat f LEFT JOIN w{i - 1} w USING (feature)
+          GROUP BY f.doc_id
+        ),
+        r{i} AS (
+          SELECT m.doc_id,
+                 CAST(round(({_sig} - y) * 1000000.0) AS BIGINT) AS r
+          FROM m{i} m JOIN clbl USING (doc_id)
+        ),
+        g{i} AS (
+          SELECT feature, sum(r)::BIGINT AS g
+          FROM cfeat JOIN r{i} USING (doc_id) GROUP BY feature
+        ),
+        w{i} AS (
+          SELECT feature, sum(wq)::BIGINT AS wq FROM (
+            SELECT feature, wq FROM w{i - 1}
+            UNION ALL
+            SELECT feature, {upd} AS wq FROM g{i}, cn
+          ) GROUP BY feature HAVING sum(wq) <> 0
+        )"""
+
+    _cls_nf = _CLS_NF
+    _cls_cte = f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(t) AS w,
+                 unnest(range(1, len(t) + 1)) AS pos, t
+          FROM t
+        ),
+        gram AS (
+          SELECT doc_id, w AS g FROM tok
+          UNION ALL
+          SELECT doc_id, t[pos - 1] || ' ' || w AS g FROM tok WHERE pos > 1
+        ),
+        gf AS (
+          SELECT g, ({_mm_sql("g")}) % {_cls_nf} AS feature
+          FROM (SELECT DISTINCT g FROM gram)
+        ),
+        cfeat AS (
+          SELECT DISTINCT gram.doc_id, gf.feature
+          FROM gram JOIN gf USING (g)
+          UNION ALL
+          SELECT doc_id, {_cls_nf} AS feature FROM documents
+        ),
+        clbl AS (
+          SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+        ),
+        cn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        w0 AS (SELECT {_cls_nf}::BIGINT AS feature, 0::BIGINT AS wq
+               WHERE FALSE),
+        {",".join(_cls_iter(i + 1) for i in range(_CLS_ITERS))}
+    """
+    out["classifier_weights"] = _cls_cte + f"""
+        SELECT feature, wq::VARCHAR AS wq FROM w{_CLS_ITERS}
+    """
+    out["classifier_scores"] = _cls_cte + f"""
+        , ms AS (
+          SELECT f.doc_id, sum(coalesce(w.wq, 0))::BIGINT AS mm
+          FROM cfeat f LEFT JOIN w{_CLS_ITERS} w USING (feature)
+          GROUP BY f.doc_id
+        )
+        SELECT doc_id, mm::VARCHAR AS logit_micro,
+               round({_sig}, 6) AS prob
+        FROM ms m
     """
     # prefix/wildcard: expansion = lexicon terms matching the pattern,
     # capped by (df desc, term asc) — then the standard BM25 sum over
