@@ -1809,6 +1809,88 @@ def q_cardinality_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cardinality_facet(m, docs, "source")
 
 
+def q_rare_terms_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation: the LONG-TAIL buckets — n_chars
+    values seen in at most 2 matched docs, count ASC (the mirror of
+    terms, which shows the head)."""
+    from hadoop_search_engine_spark.operators.analytics import rare_terms_facet
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return rare_terms_facet(m, docs, "n_chars", max_doc_count=2)
+
+
+def q_date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range aggregation over the events table: per-window
+    counts of click events ([from, to) semantics, open sides,
+    overlapping 'all' window counted independently)."""
+    from hadoop_search_engine_spark.operators.analytics import date_range_facet
+
+    ev = _read(spark, sf_dir, "events")
+    d = ev.select(F.col("event_id").alias("doc_id"), "ts")
+    m = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("doc_id")
+    )
+    return date_range_facet(
+        m, d, "ts",
+        [("w1", None, "2024-01-08 00:00:00"),
+         ("w2", "2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+         ("rest", "2024-01-15 00:00:00", None),
+         ("all", None, None)],
+    )
+
+
+def q_multi_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation: buckets keyed by the (lang, source)
+    TUPLE over the indexed hit set, top-8 by count desc then keys asc."""
+    from hadoop_search_engine_spark.operators.analytics import multi_terms_facet
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return multi_terms_facet(m, docs, ["lang", "source"], size=8)
+
+
+def q_weighted_avg_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg metric aggregation: sum(v*w)/sum(w) of n_chars
+    over the indexed hit set with a deterministic derived weight."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        single_metric_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "w", (F.col("doc_id") % 7 + 1).cast("double")
+    )
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return single_metric_facet(m, docs, "weighted_avg", "n_chars",
+                               weight_field="w")
+
+
+def q_dsl_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSL range aggregation with ES auto keys (regression: the DSL
+    used to pass 2-tuples into range_facets' 3-tuple unpack — every
+    DSL range agg crashed before session 9)."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    r = search_dsl(
+        ix,
+        {"query": {"match": {"text": " ".join(FLAGSHIP_TERMS)}},
+         "aggs": {"len": {"range": {
+             "field": "n_chars",
+             "ranges": [{"to": 500}, {"from": 400, "to": 1500},
+                        {"from": 1500, "key": "long"}]}}}},
+        documents=docs,
+    )
+    return r.aggs["len"]
+
+
 def q_snippets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippets/highlighting materialized from the INDEXED hit set."""
     from hadoop_search_engine_spark.operators.query_exec import (
@@ -3227,6 +3309,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_indexed": q_facet_counts_indexed,
         "histogram_facets": q_histogram_facets,
         "range_facets": q_range_facets,
+        "rare_terms": q_rare_terms_facet,
+        "date_range_agg": q_date_range_agg,
+        "multi_terms_agg": q_multi_terms_agg,
+        "weighted_avg_metric": q_weighted_avg_metric,
+        "dsl_range_agg": q_dsl_range_agg,
         "stats_facet": q_stats_facet,
         "percentiles_facet": q_percentiles_facet,
         "cardinality_facet": q_cardinality_facet,
@@ -4478,6 +4565,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'long', (count(*) FILTER (WHERE x >= 1500))::bigint FROM hits
         UNION ALL
         SELECT 'none', (count(*) FILTER (WHERE x >= 1000000000))::bigint FROM hits
+    """
+    # ES range agg via the DSL: same counts, ES auto-key labels
+    out["dsl_range_agg"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        hits AS (
+          SELECT doc.n_chars::double AS x
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT '*-500.0' AS range_label,
+               (count(*) FILTER (WHERE x IS NOT NULL AND x < 500))::bigint AS n_docs
+        FROM hits
+        UNION ALL
+        SELECT '400.0-1500.0', (count(*) FILTER (WHERE x >= 400 AND x < 1500))::bigint FROM hits
+        UNION ALL
+        SELECT 'long', (count(*) FILTER (WHERE x >= 1500))::bigint FROM hits
+    """
+    # ES rare_terms agg: the long tail (<= 2 matched docs per value)
+    out["rare_terms"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT doc.n_chars::varchar AS key, count(*)::bigint AS n_docs
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          WHERE doc.n_chars IS NOT NULL
+          GROUP BY 1
+        )
+        SELECT key, n_docs FROM h WHERE n_docs <= 2
+        ORDER BY n_docs ASC, key ASC
+    """
+    # ES date_range agg over click events ([from, to), open sides,
+    # overlapping 'all' window counted independently)
+    out["date_range_agg"] = """
+        WITH hits AS (SELECT ts FROM events WHERE event_type = 'click')
+        SELECT 'w1' AS range_label,
+               (count(*) FILTER (WHERE ts IS NOT NULL
+                 AND ts < TIMESTAMP '2024-01-08 00:00:00'))::bigint AS n_docs
+        FROM hits
+        UNION ALL
+        SELECT 'w2', (count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-15 00:00:00'))::bigint FROM hits
+        UNION ALL
+        SELECT 'rest', (count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'))::bigint FROM hits
+        UNION ALL
+        SELECT 'all', (count(*) FILTER (WHERE ts IS NOT NULL))::bigint FROM hits
+    """
+    # ES multi_terms agg: composite (lang, source) buckets, top-8
+    out["multi_terms_agg"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT doc.lang, doc.source, count(*)::bigint AS n_docs
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          WHERE doc.lang IS NOT NULL AND doc.source IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT lang, source, n_docs FROM h
+        ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 8
+    """
+    # ES weighted_avg metric: sum(v*w)/sum(w), null pairs skipped
+    out["weighted_avg_metric"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT doc.n_chars::double AS x,
+                 ((doc.doc_id % 7) + 1)::double AS w
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        )
+        SELECT round(sum(x * w) / sum(w), 6) AS value
+        FROM h WHERE x IS NOT NULL AND w IS NOT NULL
     """
     # ES stats agg over the hit set
     out["stats_facet"] = f"""

@@ -100,9 +100,16 @@ def significant_terms(
     mode: str = "or",
     id_col: str = "doc_id",
     text_col: str = "text",
+    fg: DataFrame | None = None,
 ) -> DataFrame:
     """Terms that are unusually frequent in the query's result set
     relative to the whole corpus (Elasticsearch ``significant_terms``).
+
+    ``fg`` (optional): a pre-resolved foreground ``(doc_id)`` frame —
+    the DSL layer passes its compiled hit set here (which may carry
+    metadata filters the plain query text can't express). The query's
+    own terms are still excluded when ``query_text`` is given; with
+    ``fg`` and an empty ``query_text``, nothing is excluded.
 
     Output: ``(term, fg_df, bg_df, score)`` — document frequency of
     the term inside the matched set (fg) and corpus-wide (bg, from the
@@ -135,10 +142,12 @@ def significant_terms(
     spark = index.spark
     query_terms = sorted(set(parse_query(query_text, synonyms,
                                           index.token_fn())))
-    if not query_terms:
-        return _empty_df(spark, _SIG_SCHEMA)
-
-    fg = matched_docs(index, query_text, synonyms, mode)
+    if fg is None:
+        if not query_terms:
+            return _empty_df(spark, _SIG_SCHEMA)
+        fg = matched_docs(index, query_text, synonyms, mode)
+    else:
+        fg = fg.select("doc_id")
     n_fg = fg.agg(F.count("*").cast("double").alias("n_fg"))
 
     docs = documents.select(
@@ -642,3 +651,158 @@ def adjacency_matrix_facet(
     return wide.select(F.explode(pairs).alias("r")).select(
         "r.key", "r.n_docs"
     )
+
+
+# ------------------------------------------------- long-tail / range / metric
+
+def rare_terms_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    field: str,
+    max_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``rare_terms`` aggregation: the LONG-TAIL buckets of
+    ``field`` inside the hit set — values appearing in at most
+    ``max_doc_count`` matched docs, ordered count ASC then key ASC
+    (the mirror image of ``terms``, which shows the head). Null keys
+    are skipped (ES ignores missing values unless configured).
+
+    One semi-join + one partial-aggregated groupBy; output is bounded
+    by the number of distinct qualifying values, never corpus rows.
+    (ES approximates this with a bloom filter per shard; an exact
+    groupBy is both cheaper to reason about and exact at any scale —
+    the agg output is vocabulary-sized either way.)"""
+    if max_doc_count < 1:
+        raise ValueError(
+            f"max_doc_count must be >= 1, got {max_doc_count}"
+        )
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    return (
+        hits.where(F.col(field).isNotNull())
+        .groupBy(F.col(field).cast("string").alias("key"))
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") <= int(max_doc_count))
+        .orderBy(F.asc("n_docs"), F.asc("key"))
+    )
+
+
+def date_range_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    field: str,
+    ranges: list[tuple],
+) -> DataFrame:
+    """ES ``date_range`` aggregation: per-range matched-doc counts
+    over a timestamp field — ``from`` inclusive, ``to`` exclusive,
+    either side open with ``None``, ranges may overlap (each counted
+    independently, ES semantics). ``ranges`` is ``(label, lo, hi)``
+    with ISO-8601 strings (or ``None``). One conditional-aggregation
+    pass like :func:`~.query_exec.range_facets`; empty ranges report
+    0 and declaration order is preserved."""
+    if not ranges:
+        raise ValueError("ranges must name at least one (label, lo, hi)")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(field).cast("timestamp")
+    aggs = []
+    for i, (_label, lo, hi) in enumerate(ranges):
+        cond = x.isNotNull()
+        if lo is not None:
+            cond = cond & (x >= F.to_timestamp(F.lit(str(lo))))
+        if hi is not None:
+            cond = cond & (x < F.to_timestamp(F.lit(str(hi))))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c{i}"))
+    wide = hits.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(str(label)).alias("range_label"),
+                F.coalesce(F.col(f"_c{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_docs"),
+            )
+            for i, (label, _lo, _hi) in enumerate(ranges)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.range_label", "r.n_docs"
+    )
+
+
+def multi_terms_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    fields: list[str],
+    size: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of
+    fields (e.g. ``(lang, source)``), doc count per composite bucket,
+    ordered count DESC then each key ASC, top ``size``. Docs missing
+    ANY key field are skipped (ES semantics). One groupBy over the
+    composite key + a TakeOrdered — |buckets| rows, map-side
+    combinable, never wider than the distinct key-tuple space."""
+    if not fields or len(fields) < 2:
+        raise ValueError("multi_terms needs at least two fields")
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    for f in fields:
+        hits = hits.where(F.col(f).isNotNull())
+    out = hits.groupBy(*[F.col(f) for f in fields]).agg(
+        F.count("*").alias("n_docs")
+    )
+    if min_doc_count > 1:
+        out = out.where(F.col("n_docs") >= int(min_doc_count))
+    return out.orderBy(
+        F.desc("n_docs"), *[F.asc(f) for f in fields]
+    ).limit(int(size))
+
+
+SINGLE_METRICS = ("avg", "sum", "min", "max", "value_count",
+                  "weighted_avg")
+
+
+def single_metric_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    kind: str,
+    field: str,
+    weight_field: str | None = None,
+) -> DataFrame:
+    """ES single-value metric aggregations at the TOP level of the
+    aggs body — ``avg``/``sum``/``min``/``max``/``value_count``/
+    ``weighted_avg`` over a numeric field of the hit set. One row
+    ``(value)``. ``value_count`` counts non-null values;
+    ``weighted_avg`` is ``sum(v*w)/sum(w)`` over rows where BOTH value
+    and weight are non-null (ES skips them). ``avg``/``weighted_avg``
+    round to 6 dp (the cross-engine float contract); the rest are
+    exact. One semi-join + one 1-row aggregate — nothing scales past
+    the scan."""
+    if kind not in SINGLE_METRICS:
+        raise ValueError(
+            f"kind must be one of {SINGLE_METRICS}, got {kind!r}"
+        )
+    if kind == "weighted_avg" and not weight_field:
+        raise ValueError("weighted_avg needs weight_field")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(field).cast("double")
+    if kind == "value_count":
+        expr = (
+            F.sum(F.when(F.col(field).isNotNull(), 1).otherwise(0))
+            .cast("long")
+        )
+    elif kind == "weighted_avg":
+        w = F.col(weight_field).cast("double")
+        ok = F.col(field).isNotNull() & F.col(weight_field).isNotNull()
+        expr = F.round(
+            F.sum(F.when(ok, x * w)) / F.sum(F.when(ok, w)), 6
+        )
+    elif kind == "avg":
+        expr = F.round(F.avg(x), 6)
+    elif kind == "sum":
+        expr = F.sum(x)
+    elif kind == "min":
+        expr = F.min(x)
+    else:
+        expr = F.max(x)
+    return hits.agg(expr.alias("value"))

@@ -892,6 +892,31 @@ def _dispatch_aggs(
             for sname, frame in sub.items():
                 out[f"{name}.{sname}"] = frame
             continue
+        if akind == "sampler":
+            # ES sampler agg: sub-aggs run over only the top
+            # shard_size BEST-scoring hits (focus follow-up analysis
+            # on the most relevant docs). Needs a scoring query.
+            from .query_exec import scored_docs
+
+            if subs is None:
+                raise DslError("sampler needs sub-aggs (an aggs body)")
+            if text is None:
+                raise DslError(
+                    "sampler needs a scoring match-family query "
+                    "(dis_max/constant_score hit sets are unscored)"
+                )
+            shard_size = int(ab.get("shard_size", 100))
+            sampled = (
+                scored_docs(index, text, synonyms, mode=mode)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(shard_size)
+                .select("doc_id")
+            )
+            sub = _dispatch_aggs(subs, index, documents, synonyms,
+                                 sampled, None, None)
+            for sname, frame in sub.items():
+                out[f"{name}.{sname}"] = frame
+            continue
         if subs is not None and akind != "terms":
             raise DslError(
                 f"sub-aggs are supported under terms only, not {akind!r}"
@@ -929,8 +954,10 @@ def _dispatch_aggs(
                 matched, documents, ab["field"],
                 ab.get("calendar_interval", "day"))
         elif akind == "range":
-            rs = [(r.get("from"), r.get("to")) for r in ab["ranges"]]
-            out[name] = range_facets(matched, documents, ab["field"], rs)
+            out[name] = range_facets(
+                matched, documents, ab["field"],
+                _ranges_with_keys(ab.get("ranges"), "range",
+                                  numeric=True))
         elif akind == "stats":
             out[name] = stats_facet(matched, documents, ab["field"])
         elif akind == "percentiles":
@@ -1001,8 +1028,71 @@ def _dispatch_aggs(
             sc = scored_docs(index, text, synonyms, mode=mode)
             out[name] = top_hits_facet(sc, documents, ab["field"],
                                        n=int(ab.get("size", 3)))
+        elif akind == "rare_terms":
+            from .analytics import rare_terms_facet
+
+            out[name] = rare_terms_facet(
+                matched, documents, ab["field"],
+                max_doc_count=int(ab.get("max_doc_count", 1)))
+        elif akind == "date_range":
+            from .analytics import date_range_facet
+
+            out[name] = date_range_facet(
+                matched, documents, ab["field"],
+                _ranges_with_keys(ab.get("ranges"), "date_range",
+                                  numeric=False))
+        elif akind == "multi_terms":
+            from .analytics import multi_terms_facet
+
+            flds = [t["field"] for t in ab.get("terms", [])]
+            out[name] = multi_terms_facet(
+                matched, documents, flds,
+                size=int(ab.get("size", 10)),
+                min_doc_count=int(ab.get("min_doc_count", 1)))
+        elif akind in ("avg", "sum", "min", "max", "value_count",
+                       "weighted_avg"):
+            from .analytics import single_metric_facet
+
+            if akind == "weighted_avg":
+                # ES shape: {value: {field}, weight: {field}}
+                out[name] = single_metric_facet(
+                    matched, documents, akind,
+                    ab["value"]["field"],
+                    weight_field=ab["weight"]["field"])
+            else:
+                out[name] = single_metric_facet(
+                    matched, documents, akind, ab["field"])
+        elif akind == "significant_terms":
+            from .analytics import significant_terms
+
+            out[name] = significant_terms(
+                index, documents, text or "",
+                k=int(ab.get("size", 20)),
+                min_fg_df=int(ab.get("min_doc_count", 2)),
+                synonyms=synonyms, fg=matched)
         else:
             raise DslError(f"unsupported agg kind {akind!r}")
+    return out
+
+
+def _ranges_with_keys(ranges, what: str, *, numeric: bool) -> list[tuple]:
+    """ES range/date_range ``ranges`` bodies → ``(label, lo, hi)``
+    triples. The label is the explicit ``key`` when given, else ES's
+    auto key ``"<from>-<to>"`` with ``*`` for an open side (numeric
+    ranges format the bound as a float, mirroring ES)."""
+    if not isinstance(ranges, list) or not ranges:
+        raise DslError(f"{what} agg needs a non-empty ranges list")
+    out = []
+    for r in ranges:
+        lo, hi = r.get("from"), r.get("to")
+        key = r.get("key")
+        if key is None:
+            def _side(v):
+                if v is None:
+                    return "*"
+                return str(float(v)) if numeric else str(v)
+            key = f"{_side(lo)}-{_side(hi)}"
+        out.append((str(key), lo, hi))
     return out
 
 

@@ -3181,24 +3181,25 @@ def range_facets(
     hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
     x = F.col(col).cast("double")
     aggs = []
-    for label, lo, hi in ranges:
+    for i, (_label, lo, hi) in enumerate(ranges):
         cond = x.isNotNull()
         if lo is not None:
             cond = cond & (x >= float(lo))
         if hi is not None:
             cond = cond & (x < float(hi))
-        aggs.append(
-            F.sum(F.when(cond, 1).otherwise(0)).alias(str(label))
-        )
+        # positional internal aliases: labels are user strings and may
+        # contain dots/backticks (ES auto keys like "*-200.0"), which
+        # F.col() would parse as nested-field paths
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c{i}"))
     wide = hits.agg(*aggs)
     # one wide row -> (label, n_docs) rows, preserving declaration order
     pairs = F.array(
         *[
             F.struct(
                 F.lit(str(label)).alias("range_label"),
-                F.col(str(label)).cast("long").alias("n_docs"),
+                F.col(f"_c{i}").cast("long").alias("n_docs"),
             )
-            for label, _lo, _hi in ranges
+            for i, (label, _lo, _hi) in enumerate(ranges)
         ]
     )
     return wide.select(F.explode(pairs).alias("r")).select(

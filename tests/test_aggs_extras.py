@@ -1,0 +1,333 @@
+"""Session-9 aggregation additions: rare_terms / date_range /
+multi_terms / single-value metrics / significant_terms / sampler agg
+kinds in the DSL, plus the range-agg key regression (the DSL used to
+pass 2-tuples into range_facets' 3-tuple unpack — any DSL range agg
+crashed). The DSL adds no aggregation code of its own, so identity
+with the direct operator calls (or a brute-force replay) is the
+contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.analytics import (
+    date_range_facet,
+    multi_terms_facet,
+    rare_terms_facet,
+    significant_terms,
+    single_metric_facet,
+)
+from hadoop_search_engine_spark.operators.dsl import DslError, search_dsl
+from hadoop_search_engine_spark.operators.query_exec import (
+    matched_docs,
+    scored_docs,
+)
+
+Q = "w00000 w00017"
+
+
+def _docs(tiny_corpus):
+    return tiny_corpus.withColumn("n_chars", F.length("text")).withColumn(
+        "bucket3", (F.col("doc_id") % 3).cast("string")
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") * 3600)
+    )
+
+
+def _hits(tiny_index, docs):
+    m = matched_docs(tiny_index, Q)
+    return docs.join(m.select("doc_id"), "doc_id", "left_semi").collect()
+
+
+# ------------------------------------------------------------ rare_terms
+
+
+def test_rare_terms_is_the_long_tail(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    hits = _hits(tiny_index, docs)
+    counts: dict[str, int] = {}
+    for r in hits:
+        k = str(r["n_chars"])
+        counts[k] = counts.get(k, 0) + 1
+    for mdc in (1, 2):
+        want = sorted(
+            ((n, k) for k, n in counts.items() if n <= mdc)
+        )
+        got = [
+            (r["n_docs"], r["key"])
+            for r in rare_terms_facet(m, docs, "n_chars",
+                                      max_doc_count=mdc).collect()
+        ]
+        assert got == want
+        assert len(got) > 0  # doc lengths vary: tail is non-empty
+
+
+def test_rare_terms_skips_nulls_and_validates(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus).withColumn(
+        "maybe", F.when(F.col("doc_id") % 2 == 0, F.col("lang"))
+    )
+    m = matched_docs(tiny_index, Q)
+    got = rare_terms_facet(m, docs, "maybe", max_doc_count=10**6).collect()
+    hits = _hits(tiny_index, docs)
+    n_nonnull_vals = len({r["maybe"] for r in hits if r["maybe"] is not None})
+    assert len(got) == n_nonnull_vals
+    with pytest.raises(ValueError, match="max_doc_count"):
+        rare_terms_facet(m, docs, "lang", max_doc_count=0)
+
+
+# ------------------------------------------------------------ date_range
+
+
+def test_date_range_counts_and_open_sides(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    hits = _hits(tiny_index, docs)
+    cut = "1970-01-03 00:00:00"  # doc_id*3600 s => doc 48 onward
+    got = {
+        r["range_label"]: r["n_docs"]
+        for r in date_range_facet(
+            m, docs, "ts",
+            [("early", None, cut), ("late", cut, None),
+             ("all", None, None), ("none", "2999-01-01", None)],
+        ).collect()
+    }
+    n_early = sum(1 for r in hits if r["doc_id"] * 3600 < 48 * 3600)
+    assert got["early"] == n_early
+    assert got["late"] == len(hits) - n_early
+    assert got["all"] == len(hits)
+    assert got["none"] == 0
+
+
+def test_date_range_overlap_and_order(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    rows = date_range_facet(
+        m, docs, "ts",
+        [("b", "1970-01-02", None), ("a", None, None)],
+    ).collect()
+    # declaration order preserved; overlapping ranges counted
+    # independently (sum exceeds the hit count)
+    assert [r["range_label"] for r in rows] == ["b", "a"]
+    assert rows[0]["n_docs"] + rows[1]["n_docs"] > rows[1]["n_docs"]
+    with pytest.raises(ValueError, match="ranges"):
+        date_range_facet(m, docs, "ts", [])
+
+
+# ------------------------------------------------------------ multi_terms
+
+
+def test_multi_terms_matches_manual_groupby(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    hits = _hits(tiny_index, docs)
+    counts: dict[tuple, int] = {}
+    for r in hits:
+        counts[(r["lang"], r["bucket3"])] = counts.get(
+            (r["lang"], r["bucket3"]), 0) + 1
+    want = sorted(
+        ((-n, k[0], k[1]) for k, n in counts.items())
+    )[:5]
+    got = [
+        (-r["n_docs"], r["lang"], r["bucket3"])
+        for r in multi_terms_facet(m, docs, ["lang", "bucket3"],
+                                   size=5).collect()
+    ]
+    assert got == want
+
+
+def test_multi_terms_skips_docs_missing_any_key(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus).withColumn(
+        "bucket3", F.when(F.col("doc_id") % 3 != 0, F.col("bucket3"))
+    )
+    m = matched_docs(tiny_index, Q)
+    total = sum(
+        r["n_docs"]
+        for r in multi_terms_facet(m, docs, ["lang", "bucket3"],
+                                   size=10**6).collect()
+    )
+    hits = _hits(tiny_index, docs)
+    assert total == sum(1 for r in hits if r["bucket3"] is not None)
+    with pytest.raises(ValueError, match="two fields"):
+        multi_terms_facet(m, docs, ["lang"])
+
+
+# ------------------------------------------------------- single metrics
+
+
+def test_single_metrics_match_python(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    vals = [r["n_chars"] for r in _hits(tiny_index, docs)]
+    for kind, want in [
+        ("avg", round(sum(vals) / len(vals), 6)),
+        ("sum", float(sum(vals))),
+        ("min", float(min(vals))),
+        ("max", float(max(vals))),
+        ("value_count", len(vals)),
+    ]:
+        got = single_metric_facet(m, docs, kind, "n_chars").collect()
+        assert len(got) == 1
+        g = got[0]["value"]
+        assert math.isclose(g, want, rel_tol=0, abs_tol=1e-9), (kind, g)
+
+
+def test_weighted_avg_skips_null_pairs(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus).withColumn(
+        "w", F.when(F.col("doc_id") % 4 != 0,
+                    (F.col("doc_id") % 7 + 1).cast("double"))
+    )
+    m = matched_docs(tiny_index, Q)
+    hits = _hits(tiny_index, docs.withColumn(
+        "w", F.when(F.col("doc_id") % 4 != 0,
+                    (F.col("doc_id") % 7 + 1).cast("double"))))
+    num = sum(r["n_chars"] * r["w"] for r in hits if r["w"] is not None)
+    den = sum(r["w"] for r in hits if r["w"] is not None)
+    got = single_metric_facet(
+        m, docs, "weighted_avg", "n_chars", weight_field="w"
+    ).collect()[0]["value"]
+    assert got == round(num / den, 6)
+    with pytest.raises(ValueError, match="weight_field"):
+        single_metric_facet(m, docs, "weighted_avg", "n_chars")
+    with pytest.raises(ValueError, match="kind"):
+        single_metric_facet(m, docs, "median", "n_chars")
+
+
+# ---------------------------------------------------------- DSL wiring
+
+
+def test_dsl_range_agg_no_longer_crashes_and_auto_keys(
+    tiny_index, tiny_corpus
+):
+    """Regression: the DSL used to hand (from, to) 2-tuples to
+    range_facets' (label, lo, hi) unpack — every DSL range agg raised
+    ValueError. ES auto keys + explicit keys both work now."""
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"len": {"range": {
+             "field": "n_chars",
+             "ranges": [{"to": 200}, {"from": 200, "to": 400},
+                        {"from": 400, "key": "big"}]}}}},
+        documents=docs,
+    )
+    rows = got.aggs["len"].collect()
+    assert [r["range_label"] for r in rows] == [
+        "*-200.0", "200.0-400.0", "big"
+    ]
+    assert sum(r["n_docs"] for r in rows) == matched_docs(
+        tiny_index, Q).count()
+
+
+def test_dsl_new_agg_kinds_identity(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {
+             "tail": {"rare_terms": {"field": "n_chars",
+                                     "max_doc_count": 2}},
+             "when": {"date_range": {"field": "ts", "ranges": [
+                 {"key": "early", "to": "1970-01-03 00:00:00"},
+                 {"from": "1970-01-03 00:00:00"}]}},
+             "pairs": {"multi_terms": {
+                 "terms": [{"field": "lang"}, {"field": "bucket3"}],
+                 "size": 4}},
+             "mean_len": {"avg": {"field": "n_chars"}},
+             "n_vals": {"value_count": {"field": "n_chars"}},
+             "wavg": {"weighted_avg": {"value": {"field": "n_chars"},
+                                       "weight": {"field": "n_chars"}}},
+         }},
+        documents=docs,
+    )
+    assert got.aggs["tail"].collect() == rare_terms_facet(
+        m, docs, "n_chars", max_doc_count=2).collect()
+    assert got.aggs["when"].collect() == date_range_facet(
+        m, docs, "ts",
+        [("early", None, "1970-01-03 00:00:00"),
+         ("1970-01-03 00:00:00-*", "1970-01-03 00:00:00", None)],
+    ).collect()
+    assert got.aggs["pairs"].collect() == multi_terms_facet(
+        m, docs, ["lang", "bucket3"], size=4).collect()
+    assert got.aggs["mean_len"].collect() == single_metric_facet(
+        m, docs, "avg", "n_chars").collect()
+    assert got.aggs["n_vals"].collect() == single_metric_facet(
+        m, docs, "value_count", "n_chars").collect()
+    assert got.aggs["wavg"].collect() == single_metric_facet(
+        m, docs, "weighted_avg", "n_chars",
+        weight_field="n_chars").collect()
+
+
+def test_dsl_significant_terms_matches_direct_call(
+    tiny_index, tiny_corpus
+):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"sig": {"significant_terms": {"size": 10}}}},
+        documents=docs,
+    )
+    want = significant_terms(tiny_index, docs, Q, k=10, fg=m)
+    assert got.aggs["sig"].collect() == want.collect()
+    # the fg= path must equal the classic path when fg IS the query's
+    # own matched set
+    classic = significant_terms(tiny_index, docs, Q, k=10)
+    assert want.collect() == classic.collect()
+
+
+def test_dsl_sampler_restricts_sub_aggs_to_top_hits(
+    tiny_index, tiny_corpus
+):
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"top": {"sampler": {"shard_size": 5},
+                          "aggs": {"langs": {"terms":
+                                             {"field": "lang"}}}}}},
+        documents=docs,
+    )
+    rows = got.aggs["top.langs"].collect()
+    assert sum(r["n_docs"] for r in rows) == 5
+    # replay: the sample is the 5 best (score desc, doc_id asc) hits
+    sc = scored_docs(tiny_index, Q)
+    top5 = [
+        r["doc_id"]
+        for r in sc.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(5).collect()
+    ]
+    want = (
+        docs.where(F.col("doc_id").isin(top5))
+        .groupBy("lang").count().collect()
+    )
+    assert {(r["lang"], r["n_docs"]) for r in rows} == {
+        (r["lang"], r["count"]) for r in want
+    }
+
+
+def test_dsl_sampler_needs_subaggs_and_scores(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    with pytest.raises(DslError, match="sub-aggs"):
+        search_dsl(
+            tiny_index,
+            {"query": {"match": {"text": Q}},
+             "aggs": {"s": {"sampler": {"shard_size": 5}}}},
+            documents=docs,
+        )
+    with pytest.raises(DslError, match="scoring"):
+        search_dsl(
+            tiny_index,
+            {"query": {"constant_score": {"filter":
+                                          {"match": {"text": Q}}}},
+             "aggs": {"s": {"sampler": {"shard_size": 5},
+                            "aggs": {"langs": {"terms":
+                                               {"field": "lang"}}}}}},
+            documents=docs,
+        )
