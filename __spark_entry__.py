@@ -947,6 +947,18 @@ def q_regexp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_pinned_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: docs 17 and 5 forced to the top IN THAT ORDER
+    (artificial descending scores, 1e9 base), a nonexistent id
+    skipped, then organic BM25 hits minus the pins."""
+    from hadoop_search_engine_spark.operators.query_exec import pinned_search
+
+    ix = _oracle_index(spark, sf_dir)
+    top = pinned_search(ix, [17, 5, 10**12], " ".join(FLAGSHIP_TERMS),
+                        k=20, serving="spark")
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_sorted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-sorted search (ES sort replacing _score): docs matching
     the flagship OR query ordered by n_chars desc — matching via the
@@ -3283,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search_indexed": q_prefix_search,
         "wildcard_search_indexed": q_wildcard_search,
         "regexp_search_indexed": q_regexp_search,
+        "pinned_search": q_pinned_search,
         "sorted_search": q_sorted_search,
         "paginated_search": q_paginated_search,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -6097,6 +6110,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, round(score, 4) AS score
         FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+    # ES pinned query: pins first (1e9-base artificial scores, listed
+    # order), nonexistent id dropped by the documents join, organic
+    # BM25 minus the pins fills the rest
+    out["pinned_search"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        s AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        pins AS (SELECT * FROM (VALUES (17, 0), (5, 1),
+                                (1000000000000, 2)) t(doc_id, r)),
+        live_pins AS (
+          SELECT p.doc_id, p.r FROM pins p
+          JOIN documents doc ON p.doc_id = doc.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score FROM (
+          SELECT doc_id, 1000000000.0 - r AS score FROM live_pins
+          UNION ALL
+          SELECT doc_id, score FROM s
+          WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+        )
+        ORDER BY score DESC, doc_id ASC LIMIT 20
     """
     # field-sorted search: distinct matched docs ordered by the field
     out["sorted_search"] = f"""

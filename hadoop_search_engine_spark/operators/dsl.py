@@ -326,6 +326,28 @@ def _compile(
         _require_text_field(fld, "wildcard")
         return wildcard_search(index, str(b.get("value", b.get("query"))),
                                k=k, after=after)
+    if kind == "regexp":
+        from .query_exec import regexp_search
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "regexp")
+        _require_text_field(fld, "regexp")
+        return regexp_search(
+            index, str(b.get("value", b.get("query"))), k=k,
+            max_expansions=int(b.get("max_expansions", 50)), after=after,
+        )
+    if kind == "pinned":
+        from .query_exec import pinned_search
+
+        _no_filter(kind)
+        if after is not None:
+            raise DslError("search_after does not compose with 'pinned'")
+        ids = body.get("ids")
+        if not isinstance(ids, list) or not ids:
+            raise DslError("pinned needs a non-empty ids list")
+        t, m = _match_family_text(body.get("organic"), "pinned.organic")
+        return pinned_search(index, [int(d) for d in ids], t, k=k,
+                             synonyms=synonyms, mode=m)
     if kind == "fuzzy":
         from .query_exec import fuzzy_search_topk
 

@@ -3800,6 +3800,68 @@ def sorted_matches(
     )
 
 
+PINNED_SCORE_BASE = 1.0e9
+
+
+def pinned_search(
+    index: Index,
+    pinned_ids: list[int],
+    query_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    mode: str = "or",
+    **search_kwargs,
+) -> DataFrame:
+    """ES ``pinned`` query: the listed doc ids come FIRST, in the
+    given order, then the organic hits (minus the pinned ones) in
+    their own rank order, k rows total. Pinned docs appear even when
+    they don't match the query; ids not present in the index (or
+    tombstoned) are skipped, duplicates keep their first position —
+    ES semantics throughout.
+
+    Pinned docs carry artificial scores ``PINNED_SCORE_BASE - rank``
+    (ES uses floatMax/2 the same way) so one (score desc, doc_id asc)
+    sort realizes "pins first, organic order preserved"; the base is
+    1e9 — far above any real BM25 score, yet small enough that
+    ``base - rank`` stays exact in a double (floatMax/2 - 1 would
+    collapse to floatMax/2 and lose the pin order).
+
+    Cost: the pin list is a k-sized driver literal (broadcast semi
+    joins against vocab-sized metadata), organic is the standard
+    indexed :func:`search_topk` over-fetched by ``len(pinned_ids)``
+    to keep k rows after exclusion. Reference analog: the serving
+    layer's hand-ordered result lists (server/src/services/
+    search.service.js) — here as one declarative plan."""
+    spark = index.spark
+    ordered = list(dict.fromkeys(int(d) for d in pinned_ids))
+    if not ordered:
+        return search_topk(index, query_text, k=k, synonyms=synonyms,
+                           mode=mode, **search_kwargs)
+    pin = spark.createDataFrame(
+        [(d, i) for i, d in enumerate(ordered)], "doc_id long, _rank int"
+    )
+    live = index.doc_stats.select("doc_id")
+    if index.tombstone_count():
+        live = live.join(index.tombstones.select("doc_id"),
+                         "doc_id", "left_anti")
+    pinned_scored = (
+        pin.join(live, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            (F.lit(PINNED_SCORE_BASE) - F.col("_rank")).alias("score"),
+        )
+    )
+    organic = search_topk(
+        index, query_text, k=k + len(ordered), synonyms=synonyms,
+        mode=mode, **search_kwargs,
+    ).join(F.broadcast(pin.select("doc_id")), "doc_id", "left_anti")
+    return (
+        pinned_scored.unionByName(organic)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def prefix_search(
     index: Index,
     prefix: str,

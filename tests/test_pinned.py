@@ -1,0 +1,112 @@
+"""ES pinned query (pins first, in order, then organic minus pins)
+and the regexp / pinned DSL wirings. The DSL adds no ranking code, so
+identity with the direct calls is the contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.dsl import DslError, search_dsl
+from hadoop_search_engine_spark.operators.query_exec import (
+    PINNED_SCORE_BASE,
+    pinned_search,
+    regexp_search,
+    search_topk,
+)
+
+Q = "w00000 w00017"
+
+
+def _ids(df):
+    return [r["doc_id"] for r in df.collect()]
+
+
+def test_pinned_docs_come_first_in_listed_order(tiny_index):
+    organic = _ids(search_topk(tiny_index, Q, k=30))
+    # pin two docs that are NOT the organic top-2, in reverse-id order
+    pins = [organic[-1], organic[2]]
+    got = pinned_search(tiny_index, pins, Q, k=10)
+    rows = got.collect()
+    assert [r["doc_id"] for r in rows[:2]] == pins
+    assert rows[0]["score"] == PINNED_SCORE_BASE
+    assert rows[1]["score"] == PINNED_SCORE_BASE - 1
+    # organic tail: the plain ranking minus the pins
+    want_tail = [d for d in organic if d not in pins][:8]
+    assert [r["doc_id"] for r in rows[2:]] == want_tail
+
+
+def test_pinned_includes_non_matching_docs(tiny_index, tiny_corpus):
+    # a doc that does NOT match the query still surfaces when pinned
+    # (rare tail term so non-matching docs exist in the 200-doc corpus)
+    q = "w00200"
+    matching = set(_ids(search_topk(tiny_index, q, k=10**6)))
+    non_match = (
+        tiny_corpus.where(~F.col("doc_id").isin(list(matching)))
+        .select("doc_id").first()
+    )
+    assert non_match is not None
+    got = _ids(pinned_search(tiny_index, [non_match["doc_id"]], q, k=5))
+    assert got[0] == non_match["doc_id"]
+
+
+def test_pinned_skips_unknown_and_dedupes(tiny_index):
+    organic = _ids(search_topk(tiny_index, Q, k=10))
+    p = organic[3]
+    got = _ids(pinned_search(tiny_index, [10**12, p, p], Q, k=10))
+    assert got[0] == p
+    assert 10**12 not in got
+    assert got.count(p) == 1
+    assert len(got) == 10
+
+
+def test_pinned_empty_ids_is_plain_search(tiny_index):
+    assert _ids(pinned_search(tiny_index, [], Q, k=10)) == _ids(
+        search_topk(tiny_index, Q, k=10)
+    )
+
+
+def test_pinned_respects_tombstones(spark, tiny_corpus, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    out = str(tmp_path / "pidx")
+    build_index(spark, tiny_corpus.select("doc_id", "text"), out,
+                num_shards=2, n_buckets=4)
+    ix = Index.load(spark, out)
+    victim = _ids(search_topk(ix, Q, k=1))[0]
+    delete_docs(ix, [victim])
+    ix = Index.load(spark, out)
+    got = _ids(pinned_search(ix, [victim], Q, k=10))
+    assert victim not in got
+
+
+def test_dsl_pinned_identity_and_validation(tiny_index):
+    organic = _ids(search_topk(tiny_index, Q, k=10))
+    pins = [organic[4], organic[1]]
+    got = search_dsl(
+        tiny_index,
+        {"query": {"pinned": {"ids": pins,
+                              "organic": {"match": {"text": Q}}}},
+         "size": 8},
+    )
+    want = pinned_search(tiny_index, pins, Q, k=8)
+    assert got.hits.collect() == want.collect()
+    with pytest.raises(DslError, match="ids"):
+        search_dsl(tiny_index,
+                   {"query": {"pinned": {"ids": [],
+                                         "organic": {"match":
+                                                     {"text": Q}}}}})
+
+
+def test_dsl_regexp_identity(tiny_index):
+    got = search_dsl(
+        tiny_index,
+        {"query": {"regexp": {"text": {"value": "w0000(0|7)",
+                                       "max_expansions": 5}}},
+         "size": 12},
+    )
+    want = regexp_search(tiny_index, "w0000(0|7)", k=12, max_expansions=5)
+    assert got.hits.collect() == want.collect()
+    assert got.hits.count() > 0
