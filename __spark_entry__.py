@@ -2321,6 +2321,30 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs_exact(emb, threshold=0.8)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (embedding near-dup removal): scaled copies of
+    vectors 3/7/11 planted under LOWER ids (same direction, cosine 1)
+    so the originals get dropped — runs the PRODUCTION LSH-bucketed
+    path; the DuckDB oracle replays the exact pairwise rule (they
+    agree because same-direction dups share every sign bucket and the
+    testdata has no natural pairs at 0.999)."""
+    from hadoop_search_engine_spark.operators.similarity import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    plant = emb.where(F.col("vec_id").isin([3, 7, 11])).select(
+        (F.col("vec_id") - 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    df = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(plant)
+    return (
+        semdedup(df, threshold=0.999, method="lsh")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k — oracle-checked: the deterministic
     hyperplane family inlines into the DuckDB SQL as literals, and the
@@ -3367,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
+        "semdedup": q_semdedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "exact_dup_pairs": q_exact_dup_pairs,
@@ -4040,6 +4065,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE x.vec_id < 200 AND y.vec_id < 200
               AND list_cosine_similarity(x.embedding::double[], y.embedding::double[]) >= 0.8
+        """,
+        "semdedup": """
+            WITH src AS (SELECT vec_id, embedding::double[] AS embedding
+                         FROM embeddings WHERE vec_id < 200),
+            plant AS (
+              SELECT vec_id - 1000 AS vec_id,
+                     list_transform(embedding, x -> x * 2.0) AS embedding
+              FROM src WHERE vec_id IN (3, 7, 11)
+            ),
+            e AS (SELECT * FROM src UNION ALL SELECT * FROM plant),
+            dropped AS (
+              SELECT DISTINCT y.vec_id
+              FROM e x JOIN e y ON x.vec_id < y.vec_id
+              WHERE round(list_cosine_similarity(x.embedding, y.embedding), 6)
+                    >= 0.999
+            )
+            SELECT vec_id FROM e
+            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+            ORDER BY vec_id
         """,
         "ann_lsh": f"""
             WITH b AS (

@@ -379,6 +379,45 @@ def cosine_dup_pairs_exact(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (SemDeDup,
+    Abbas et al. 2023, arXiv:2303.09540): drop every vector that has
+    a LOWER-id neighbor with cosine >= ``threshold``; return the kept
+    rows (full input columns). Deterministic keep-lowest-id in place
+    of the paper's keep-farthest-from-centroid — same dedup set size,
+    reproducible under repartitioning, and expressible in plain SQL
+    for the oracle.
+
+    ``method="lsh"`` (default, the scale path): candidate pairs from
+    :func:`cosine_dup_pairs`'s same-sign-bucket equi-join — the
+    cluster-scoped pairing the paper uses k-means for, never
+    all-pairs. ``method="exact"``: brute-force pairs
+    (:func:`cosine_dup_pairs_exact`), the small-scale oracle
+    baseline — O(n²), labeled as such.
+
+    The drop set is id-only (8 bytes/row) and near-dup-sized, so the
+    anti-join broadcasts; at 100 TB the cost is the bucketed
+    self-join, which is bounded by bucket occupancy exactly like
+    minhash-LSH dedup."""
+    if method == "lsh":
+        pairs = cosine_dup_pairs(embeddings, threshold, n_planes,
+                                 id_col, vec_col)
+    elif method == "exact":
+        pairs = cosine_dup_pairs_exact(embeddings, threshold,
+                                       id_col, vec_col)
+    else:
+        raise ValueError(f"method must be lsh|exact, got {method!r}")
+    drops = pairs.select(F.col("b").alias(id_col)).distinct()
+    return embeddings.join(drops, id_col, "left_anti")
+
+
 # -- int8 quantization ---------------------------------------------------------
 
 def quantize_embeddings(

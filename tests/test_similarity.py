@@ -123,3 +123,58 @@ def test_int8_quantization_recall_and_exactness(spark):
     # the quantized cosine of the self-match is ~1
     top = cosine_topk_int8(qt, qvec, k=1).collect()[0]
     assert abs(top["cosine"] - 1.0) < 5e-3
+
+
+# ------------------------------------------------------------ semdedup
+
+
+def test_semdedup_drops_higher_id_near_dups(spark):
+    base = np.array([1.0, 2.0, 3.0, 4.0])
+    rows = [
+        (1, (base / np.linalg.norm(base)).tolist()),
+        (2, (base * 2.0 / np.linalg.norm(base * 2)).tolist()),  # dup of 1
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (4, (base + np.array([0.01, 0, 0, 0])).tolist()),       # dup of 1
+        (5, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for method in ("exact", "lsh"):
+        kept = sorted(
+            r["vec_id"]
+            for r in similarity.semdedup(df, threshold=0.999,
+                                         method=method).collect()
+        )
+        # 2 and 4 both have the lower-id near-dup 1; unique vectors stay
+        assert kept == [1, 3, 5], (method, kept)
+    with pytest.raises(ValueError, match="method"):
+        similarity.semdedup(df, method="kmeans")
+
+
+def test_semdedup_lsh_equals_exact_on_real_vectors(spark, emb):
+    # the sf0.01 embeddings have no natural near-dups (verified in
+    # the oracle), so plant some: scaled copies of vectors 3/7/11
+    # under fresh ids — same direction, cosine exactly 1, and they
+    # share every LSH sign bucket with their originals
+    src = emb.where(F.col("vec_id") < 100)
+    dups = (
+        src.where(F.col("vec_id").isin([3, 7, 11]))
+        .select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        )
+    )
+    df = src.select("vec_id", "embedding").unionByName(dups)
+    a = {r["vec_id"]
+         for r in similarity.semdedup(df, threshold=0.999,
+                                      method="exact").collect()}
+    b = {r["vec_id"]
+         for r in similarity.semdedup(df, threshold=0.999,
+                                      method="lsh").collect()}
+    assert a == b
+    assert a == {r["vec_id"] for r in src.collect()}  # copies dropped
+
+
+def test_semdedup_keeps_all_when_no_dups(spark):
+    rows = [(i, [float(i == j) for j in range(6)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert similarity.semdedup(df, threshold=0.9).count() == 6
