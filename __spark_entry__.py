@@ -1821,6 +1821,39 @@ def q_cardinality_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cardinality_facet(m, docs, "source")
 
 
+def q_terms_order_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg ORDERED BY a metric sub-agg (order: {avg_len:
+    desc}, size 3) — buckets ranked by the sub-aggregation value,
+    key-asc tie-break."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        terms_metrics_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return terms_metrics_facet(
+        m, docs, "lang", {"avg_len": ("avg", "n_chars")},
+        order=("avg_len", False), size=3,
+    )
+
+
+def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics aggregation: (lang, source) read off the 3
+    longest matched docs — sort-field desc, doc_id-asc tie-break."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        top_metrics_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return top_metrics_facet(m, docs, ["lang", "source"], "n_chars",
+                             size=3)
+
+
 def q_rare_terms_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation: the LONG-TAIL buckets — n_chars
     values seen in at most 2 matched docs, count ASC (the mirror of
@@ -3347,6 +3380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_facets": q_histogram_facets,
         "range_facets": q_range_facets,
         "rare_terms": q_rare_terms_facet,
+        "terms_order_metric": q_terms_order_metric,
+        "top_metrics": q_top_metrics,
         "date_range_agg": q_date_range_agg,
         "multi_terms_agg": q_multi_terms_agg,
         "weighted_avg_metric": q_weighted_avg_metric,
@@ -4638,6 +4673,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT '400.0-1500.0', (count(*) FILTER (WHERE x >= 400 AND x < 1500))::bigint FROM hits
         UNION ALL
         SELECT 'long', (count(*) FILTER (WHERE x >= 1500))::bigint FROM hits
+    """
+    # ES terms agg ordered by a metric sub-agg, size 3
+    out["terms_order_metric"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT doc.lang, count(*)::bigint AS n_docs,
+                 round(avg(doc.n_chars::double), 6) AS avg_len
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          GROUP BY doc.lang
+        )
+        SELECT lang, n_docs, avg_len FROM h
+        ORDER BY avg_len DESC, lang ASC LIMIT 3
+    """
+    # ES top_metrics agg: fields read off the 3 longest matched docs
+    out["top_metrics"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+        SELECT doc.n_chars AS sort_value, doc.lang, doc.source
+        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        ORDER BY doc.n_chars DESC NULLS LAST, doc.doc_id ASC LIMIT 3
     """
     # ES rare_terms agg: the long tail (<= 2 matched docs per value)
     out["rare_terms"] = f"""

@@ -454,6 +454,8 @@ def terms_metrics_facet(
     documents: DataFrame,
     group_field: str,
     metrics: dict[str, tuple[str, str]],
+    order: tuple[str, bool] | None = None,
+    size: int | None = None,
 ) -> DataFrame:
     """ES ``terms`` aggregation with metric SUB-aggregations: per
     bucket of ``group_field``, the doc count plus every requested
@@ -463,14 +465,38 @@ def terms_metrics_facet(
     per-bucket re-query). Output is |buckets| rows × (1 + #metrics)
     columns regardless of corpus size. ``avg`` rounds to 6 dp
     (cross-engine float contract); ``cardinality`` is the exact
-    two-stage distinct count."""
+    two-stage distinct count.
+
+    ``order``: ES bucket ordering — ``("_count", False)`` (count
+    desc, the default when ``size`` is set), ``("_key", True)``, or
+    ``("<metric name>", asc)`` to sort buckets by a sub-agg value
+    (ES ``"order": {"avg_len": "desc"}``). Ties break by key asc, so
+    the cut at ``size`` is deterministic. The sort runs over
+    |buckets| rows — a TakeOrdered, never a corpus shuffle."""
     if not metrics:
         raise ValueError("metrics must name at least one (kind, field)")
     hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
     aggs = [F.count("*").alias("n_docs")]
     for name, (kind, field) in metrics.items():
         aggs.append(_metric_expr(kind, field).alias(name))
-    return hits.groupBy(group_field).agg(*aggs)
+    out = hits.groupBy(group_field).agg(*aggs)
+    if order is None and size is None:
+        return out
+    by, asc = order if order is not None else ("_count", False)
+    if by == "_count":
+        key = F.col("n_docs")
+    elif by == "_key":
+        key = F.col(group_field)
+    elif by in metrics:
+        key = F.col(by)
+    else:
+        raise ValueError(
+            f"order key {by!r} is neither _count, _key, nor a metric"
+        )
+    out = out.orderBy(
+        key.asc() if asc else key.desc(), F.asc(group_field)
+    )
+    return out if size is None else out.limit(int(size))
 
 
 def extended_stats_facet(
@@ -756,6 +782,35 @@ def multi_terms_facet(
     return out.orderBy(
         F.desc("n_docs"), *[F.asc(f) for f in fields]
     ).limit(int(size))
+
+
+def top_metrics_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    metric_fields: list[str],
+    sort_field: str,
+    ascending: bool = False,
+    size: int = 1,
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: the metric field values taken
+    from the ``size`` hit docs with the largest (or smallest)
+    ``sort_field`` — "what's the score/length/lang of the newest
+    matched doc". Output: ``(sort_value, <metric fields...>)`` rows in
+    sort order, doc_id asc tie-break (deterministic where ES leaves
+    ties undefined). Nulls sort last. One semi-join + a
+    TakeOrderedAndProject — k rows, never a global sort."""
+    if not metric_fields:
+        raise ValueError("metric_fields must name at least one field")
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    s = F.col(sort_field)
+    key = s.asc_nulls_last() if ascending else s.desc_nulls_last()
+    return (
+        hits.orderBy(key, F.asc("doc_id"))
+        .limit(int(size))
+        .select(s.alias("sort_value"), *[F.col(f) for f in metric_fields])
+    )
 
 
 SINGLE_METRICS = ("avg", "sum", "min", "max", "value_count",

@@ -959,8 +959,16 @@ def _dispatch_aggs(
                             "(avg/sum/min/max/cardinality)"
                         )
                     metrics[sname] = (skind, sb["field"])
+                # ES bucket order: {"_count"|"_key"|<metric>: dir}
+                o = None
+                if "order" in ab:
+                    okey, odir = _one_key(ab["order"],
+                                          f"aggs[{name}].order")
+                    o = (okey, str(odir).lower() == "asc")
                 out[name] = terms_metrics_facet(
-                    matched, documents, ab["field"], metrics
+                    matched, documents, ab["field"], metrics,
+                    order=o,
+                    size=(int(ab["size"]) if "size" in ab else None),
                 )
             else:
                 out[name] = facet_counts(
@@ -1084,7 +1092,22 @@ def _dispatch_aggs(
             else:
                 out[name] = single_metric_facet(
                     matched, documents, akind, ab["field"])
-        elif akind == "significant_terms":
+        elif akind == "top_metrics":
+            from .analytics import top_metrics_facet
+
+            ms = ab.get("metrics")
+            if isinstance(ms, dict):
+                ms = [ms]
+            if not isinstance(ms, list) or not ms:
+                raise DslError("top_metrics needs metrics: {field} "
+                               "(or a list of them)")
+            sfld, sdir = _one_key(ab.get("sort"),
+                                  f"aggs[{name}].sort")
+            out[name] = top_metrics_facet(
+                matched, documents, [m["field"] for m in ms], sfld,
+                ascending=(str(sdir).lower() == "asc"),
+                size=int(ab.get("size", 1)))
+        elif akind in ("significant_terms", "significant_text"):
             from .analytics import significant_terms
 
             out[name] = significant_terms(
@@ -1261,13 +1284,25 @@ def search_dsl(
                 f"query_vector has {len(vec)} dims but {vcol!r} has "
                 f"{int(row['d'])}"
             )
+        emb = embeddings
+        if knn.get("filter") is not None:
+            # ES filtered kNN: metadata predicates restrict the
+            # CANDIDATE set before scoring (post-filtering would
+            # starve k). The filter compiles against documents= and
+            # semi-joins the vector table on the id column.
+            flt = knn["filter"]
+            allowed = _metadata_filter(
+                flt if isinstance(flt, list) else [flt], documents)
+            emb = emb.join(
+                allowed.select(F.col("doc_id").alias(icol)),
+                icol, "left_semi")
         if "query" not in body:
             from .similarity import cosine_topk
 
             if "rank" in body:
                 raise DslError("rank applies to knn + query hybrids")
             return DslResult(hits=cosine_topk(
-                embeddings, vec, k=int(knn.get("k", k)),
+                emb, vec, k=int(knn.get("k", k)),
                 id_col=icol, vec_col=vcol,
             ), suggest=suggest)
         rank = body.get("rank")
@@ -1298,7 +1333,7 @@ def search_dsl(
         rrf = rank["rrf"]
         w = int(rrf.get("rank_window_size", 50))
         return DslResult(hits=hybrid_topk(
-            index, text, embeddings, vec, k=k, k_lex=w,
+            index, text, emb, vec, k=k, k_lex=w,
             k_vec=int(knn.get("k", w)),
             rrf_k=int(rrf.get("rank_constant", RRF_K_DEFAULT)),
             id_col=icol, vec_col=vcol,

@@ -331,3 +331,142 @@ def test_dsl_sampler_needs_subaggs_and_scores(tiny_index, tiny_corpus):
                                                {"field": "lang"}}}}}},
             documents=docs,
         )
+
+
+# ------------------------------------------- terms order / top_metrics
+
+
+def test_terms_order_by_metric_and_size(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        terms_metrics_facet,
+    )
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    full = terms_metrics_facet(
+        m, docs, "lang", {"avg_len": ("avg", "n_chars")}
+    ).collect()
+    want = sorted(full, key=lambda r: (r["avg_len"], r["lang"]))
+    got = terms_metrics_facet(
+        m, docs, "lang", {"avg_len": ("avg", "n_chars")},
+        order=("avg_len", True), size=2,
+    ).collect()
+    assert got == want[:2]
+    # _key ordering, no size
+    got_k = terms_metrics_facet(
+        m, docs, "lang", {"avg_len": ("avg", "n_chars")},
+        order=("_key", True),
+    ).collect()
+    assert got_k == sorted(full, key=lambda r: r["lang"])
+    with pytest.raises(ValueError, match="order key"):
+        terms_metrics_facet(
+            m, docs, "lang", {"avg_len": ("avg", "n_chars")},
+            order=("nope", True),
+        ).collect()
+
+
+def test_dsl_terms_order_identity(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        terms_metrics_facet,
+    )
+
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"langs": {
+             "terms": {"field": "lang", "size": 2,
+                       "order": {"avg_len": "desc"}},
+             "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}}}},
+        documents=docs,
+    )
+    m = matched_docs(tiny_index, Q)
+    want = terms_metrics_facet(
+        m, docs, "lang", {"avg_len": ("avg", "n_chars")},
+        order=("avg_len", False), size=2,
+    )
+    assert got.aggs["langs"].collect() == want.collect()
+
+
+def test_top_metrics_takes_from_best_sorted_doc(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        top_metrics_facet,
+    )
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    hits = _hits(tiny_index, docs)
+    best = sorted(hits, key=lambda r: (-r["n_chars"], r["doc_id"]))[:3]
+    got = top_metrics_facet(m, docs, ["lang", "doc_id"], "n_chars",
+                            size=3).collect()
+    assert [(r["sort_value"], r["lang"], r["doc_id"]) for r in got] == [
+        (r["n_chars"], r["lang"], r["doc_id"]) for r in best
+    ]
+    worst = min(r["n_chars"] for r in hits)
+    got_a = top_metrics_facet(m, docs, ["lang"], "n_chars",
+                              ascending=True).collect()
+    assert got_a[0]["sort_value"] == worst
+
+
+def test_dsl_top_metrics_and_significant_text(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        significant_terms,
+        top_metrics_facet,
+    )
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {
+             "newest": {"top_metrics": {
+                 "metrics": {"field": "lang"},
+                 "sort": {"n_chars": "desc"}, "size": 2}},
+             "sig": {"significant_text": {"size": 5}},
+         }},
+        documents=docs,
+    )
+    assert got.aggs["newest"].collect() == top_metrics_facet(
+        m, docs, ["lang"], "n_chars", size=2).collect()
+    assert got.aggs["sig"].collect() == significant_terms(
+        tiny_index, docs, Q, k=5, fg=m).collect()
+
+
+# ------------------------------------------------------- knn filter
+
+
+def test_dsl_knn_filter_restricts_candidates(spark, tiny_index,
+                                             tiny_corpus):
+    import numpy as np
+
+    from hadoop_search_engine_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)])
+         for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    docs = _docs(tiny_corpus)
+    qv = [1.0, 0.0, -1.0, 0.5, 0.0, 0.0, 2.0, -0.5]
+    got = search_dsl(
+        tiny_index,
+        {"knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                 "filter": {"term": {"lang": "en"}}}},
+        embeddings=emb, documents=docs,
+    )
+    allowed = {r["doc_id"]
+               for r in docs.where(F.col("lang") == "en").collect()}
+    restricted = emb.where(F.col("vec_id").isin(list(allowed)))
+    want = cosine_topk(restricted, qv, k=5)
+    assert [tuple(r) for r in got.hits.collect()] == [
+        tuple(r) for r in want.collect()]
+    assert all(r["vec_id"] in allowed for r in got.hits.collect())
+    with pytest.raises(DslError, match="documents"):
+        search_dsl(
+            tiny_index,
+            {"knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                     "filter": {"term": {"lang": "en"}}}},
+            embeddings=emb,
+        )
