@@ -278,6 +278,31 @@ CHECKS = {
     # multi-fragment highlight: expressions over the k-row broadcast
     # join — no Python, no extra exchange beyond the join
     "snippet_fragments": ["BroadcastHashJoin", "!EvalPython"],
+    # session-9 aggs: every facet is a doc_id semi-join + a partial-
+    # aggregated groupBy (bucket-sized output) — no window, no
+    # cartesian, and bucket ordering is a TakeOrdered, never a global
+    # corpus sort
+    "rare_terms": ["LeftSemi", "HashAggregate", "!CartesianProduct",
+                   "!Window"],
+    "multi_terms_agg": ["LeftSemi", "HashAggregate",
+                        "TakeOrderedAndProject", "!CartesianProduct"],
+    "terms_order_metric": ["LeftSemi", "HashAggregate",
+                           "TakeOrderedAndProject", "!CartesianProduct"],
+    "weighted_avg_metric": ["LeftSemi", "HashAggregate",
+                            "!CartesianProduct", "!Window"],
+    # date_range over events: ONE conditional-aggregation pass for
+    # every window — no per-range scans, no Python
+    "date_range_agg": ["HashAggregate", "!EvalPython", "!Window"],
+    # top_metrics: k rows off a TakeOrdered — never a global sort
+    "top_metrics": ["LeftSemi", "TakeOrderedAndProject",
+                    "!CartesianProduct"],
+    # pinned: k-row pin frame broadcasts; final ranking is a top-k
+    "pinned_search": ["TakeOrderedAndProject", "!CartesianProduct"],
+    # semdedup (production LSH path): sign-bucket EQUI-join candidates
+    # + an id-only anti-join — never all-pairs; the hyperplane
+    # projection is the Arrow matmul (vectorized), never row-at-a-time
+    "semdedup": ["Join", "!CartesianProduct", "ArrowEvalPython",
+                 "!BatchEvalPython"],
 }
 
 
