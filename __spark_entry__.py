@@ -1854,6 +1854,55 @@ def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                              size=3)
 
 
+def _daily_total_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared parent for the pipeline-agg entries: daily
+    date_histogram over the indexed hit set (ts derived
+    deterministically from doc_id; all metric values integer-valued so
+    window sums are float-exact) with a sum(n_chars) sub-agg."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        date_histogram_metrics_facet,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") * 3600)
+    )
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return date_histogram_metrics_facet(
+        m, docs, "ts", "day", {"total": ("sum", "n_chars")}
+    )
+
+
+def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent pipeline aggregations: cumulative_sum of the daily
+    total + derivative of the daily doc count, window passes over the
+    bucket-sized frame (first derivative bucket is null, ES
+    semantics)."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        cumulative_sum_col,
+        derivative_col,
+    )
+
+    f = _daily_total_frame(spark, sf_dir)
+    f = cumulative_sum_col(f, "total", out_col="cum")
+    f = derivative_col(f, "n_docs", out_col="growth")
+    # entry-level: null-vs-NaN is not comparable across engines, so
+    # present the first bucket's (ES-null) derivative as 0
+    return f.withColumn("growth", F.coalesce("growth", F.lit(0.0)))
+
+
+def q_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES max_bucket SIBLING pipeline agg: the day (keys) with the
+    largest total, value + tied bucket keys."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        sibling_bucket_stat,
+    )
+
+    return sibling_bucket_stat(_daily_total_frame(spark, sf_dir),
+                               "total", "max_bucket")
+
+
 def q_rare_terms_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation: the LONG-TAIL buckets — n_chars
     values seen in at most 2 matched docs, count ASC (the mirror of
@@ -3380,6 +3429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_facets": q_histogram_facets,
         "range_facets": q_range_facets,
         "rare_terms": q_rare_terms_facet,
+        "pipeline_aggs": q_pipeline_aggs,
+        "max_bucket": q_max_bucket,
         "terms_order_metric": q_terms_order_metric,
         "top_metrics": q_top_metrics,
         "date_range_agg": q_date_range_agg,
@@ -4694,6 +4745,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc.n_chars AS sort_value, doc.lang, doc.source
         FROM m JOIN documents doc ON m.doc_id = doc.doc_id
         ORDER BY doc.n_chars DESC NULLS LAST, doc.doc_id ASC LIMIT 3
+    """
+    # ES parent pipeline aggs: cumulative_sum + derivative as window
+    # functions over the daily-bucket frame
+    out["pipeline_aggs"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))
+                   AS bucket,
+                 count(*)::bigint AS n_docs,
+                 sum(doc.n_chars::double) AS total
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          GROUP BY 1
+        )
+        SELECT bucket, n_docs, total,
+               round(sum(total) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                 AS cum,
+               coalesce(round(n_docs::double - lag(n_docs::double)
+                 OVER (ORDER BY bucket), 6), 0.0) AS growth
+        FROM h ORDER BY bucket
+    """
+    # ES max_bucket sibling pipeline agg: extreme value + tied keys
+    out["max_bucket"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))
+                   AS bucket,
+                 sum(doc.n_chars::double) AS total
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          GROUP BY 1
+        ),
+        ext AS (SELECT max(total) AS value FROM h)
+        SELECT ext.value,
+               array_to_string(list_sort(list(
+                 strftime(h.bucket, '%Y-%m-%d %H:%M:%S'))), ',') AS keys
+        FROM h JOIN ext ON h.total = ext.value
+        GROUP BY ext.value
     """
     # ES rare_terms agg: the long tail (<= 2 matched docs per value)
     out["rare_terms"] = f"""

@@ -784,6 +784,159 @@ def multi_terms_facet(
     ).limit(int(size))
 
 
+# ------------------------------------------------- pipeline aggregations
+#
+# ES pipeline aggregations post-process a PARENT bucket agg's output.
+# Every input here is a bucket frame — |buckets| rows, already
+# aggregate-sized — so the single-partition Window each helper uses is
+# deliberate and cheap: the corpus was reduced by the parent groupBy,
+# and the pipeline pass touches only the reduced rows. (The usual
+# "window without partitionBy" scale rule targets corpus-sized inputs;
+# a bucket timeline is bounded by the calendar span.)
+
+
+def histogram_metrics_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    field: str,
+    interval: float,
+    metrics: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """ES ``histogram`` bucket agg WITH metric sub-aggregations:
+    floor-bucket ``field`` by ``interval``, count plus every
+    requested metric per bucket, in one partial-aggregated groupBy
+    (same contract as :func:`terms_metrics_facet`). Buckets ordered
+    ascending; no gap fill (gap-filled pipelines treat absent buckets
+    as absent, matching ES's default gap_policy=skip)."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    bucket = (
+        F.floor(F.col(field).cast("double") / float(interval))
+        * float(interval)
+    ).alias("bucket")
+    aggs = [F.count("*").alias("n_docs")]
+    for name, (kind, fld) in metrics.items():
+        aggs.append(_metric_expr(kind, fld).alias(name))
+    return (
+        hits.where(F.col(field).isNotNull())
+        .groupBy(bucket)
+        .agg(*aggs)
+        .orderBy("bucket")
+    )
+
+
+def date_histogram_metrics_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    field: str,
+    interval: str,
+    metrics: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """ES ``date_histogram`` WITH metric sub-aggregations: calendar
+    buckets (``date_trunc``) plus per-bucket metrics, one groupBy
+    pass, buckets ascending."""
+    if interval not in _CALENDAR_STEPS:
+        raise ValueError(
+            f"interval must be one of {sorted(_CALENDAR_STEPS)}, "
+            f"got {interval!r}"
+        )
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    key = F.date_trunc(interval, F.col(field)).alias("bucket")
+    aggs = [F.count("*").alias("n_docs")]
+    for name, (kind, fld) in metrics.items():
+        aggs.append(_metric_expr(kind, fld).alias(name))
+    return (
+        hits.where(F.col(field).isNotNull())
+        .groupBy(key)
+        .agg(*aggs)
+        .orderBy("bucket")
+    )
+
+
+def _bucket_window():
+    from pyspark.sql import Window
+
+    return Window.orderBy("bucket")
+
+
+def derivative_col(buckets: DataFrame, value_col: str,
+                   out_col: str | None = None) -> DataFrame:
+    """ES ``derivative`` pipeline agg: first difference of
+    ``value_col`` across consecutive buckets (bucket-key order); the
+    first bucket gets null, exactly ES. Appends ``<value>_deriv``."""
+    out = out_col or f"{value_col}_deriv"
+    w = _bucket_window()
+    return buckets.withColumn(
+        out,
+        F.round(F.col(value_col).cast("double")
+                - F.lag(F.col(value_col).cast("double")).over(w), 6),
+    )
+
+
+def cumulative_sum_col(buckets: DataFrame, value_col: str,
+                       out_col: str | None = None) -> DataFrame:
+    """ES ``cumulative_sum`` pipeline agg: running total of
+    ``value_col`` in bucket order. Appends ``<value>_cumsum``."""
+    from pyspark.sql import Window
+
+    out = out_col or f"{value_col}_cumsum"
+    w = _bucket_window().rowsBetween(Window.unboundedPreceding,
+                                     Window.currentRow)
+    return buckets.withColumn(
+        out, F.round(F.sum(F.col(value_col).cast("double")).over(w), 6)
+    )
+
+
+def moving_avg_col(buckets: DataFrame, value_col: str, window: int,
+                   out_col: str | None = None) -> DataFrame:
+    """ES ``moving_fn`` (unweightedAvg) pipeline agg: mean of the
+    PREVIOUS ``window`` buckets' values — shift 0, current bucket
+    excluded, exactly ES's default window placement; buckets with no
+    history yet get null. Appends ``<value>_mavg``."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    out = out_col or f"{value_col}_mavg"
+    w = _bucket_window().rowsBetween(-window, -1)
+    return buckets.withColumn(
+        out, F.round(F.avg(F.col(value_col).cast("double")).over(w), 6)
+    )
+
+
+SIBLING_STATS = ("max_bucket", "min_bucket", "avg_bucket", "sum_bucket")
+
+
+def sibling_bucket_stat(buckets: DataFrame, value_col: str,
+                        kind: str) -> DataFrame:
+    """ES sibling pipeline aggs (``max_bucket`` / ``min_bucket`` /
+    ``avg_bucket`` / ``sum_bucket``): one row summarizing a metric
+    ACROSS a sibling agg's buckets. ``max_bucket``/``min_bucket``
+    also report which bucket(s) — ES's ``keys`` list, here the tied
+    buckets' keys as a sorted comma-joined string (hashable for the
+    cross-engine contract). Null metric values are skipped
+    (gap_policy=skip). One aggregation over |buckets| rows."""
+    if kind not in SIBLING_STATS:
+        raise ValueError(
+            f"kind must be one of {SIBLING_STATS}, got {kind!r}"
+        )
+    x = F.col(value_col).cast("double")
+    if kind == "avg_bucket":
+        return buckets.agg(F.round(F.avg(x), 6).alias("value"))
+    if kind == "sum_bucket":
+        return buckets.agg(F.round(F.sum(x), 6).alias("value"))
+    extreme = F.max(x) if kind == "max_bucket" else F.min(x)
+    ext = buckets.agg(extreme.alias("value"))
+    return (
+        buckets.join(F.broadcast(ext), F.col(value_col).cast("double")
+                     == F.col("value"))
+        .groupBy("value")
+        .agg(F.array_join(
+            F.sort_array(F.collect_list(F.col("bucket").cast("string"))),
+            ",").alias("keys"))
+        .select("value", "keys")
+    )
+
+
 def top_metrics_facet(
     matched: DataFrame,
     documents: DataFrame,

@@ -939,9 +939,40 @@ def _dispatch_aggs(
             for sname, frame in sub.items():
                 out[f"{name}.{sname}"] = frame
             continue
+        if akind in ("date_histogram", "histogram") and subs:
+            out[name] = _histogram_with_subs(
+                akind, ab, subs, name, matched, documents)
+            continue
+        if akind in ("max_bucket", "min_bucket", "avg_bucket",
+                     "sum_bucket"):
+            # ES SIBLING pipeline aggs: summarize a metric across a
+            # previously-declared bucket agg ("parent>metric" path)
+            from .analytics import sibling_bucket_stat
+
+            path = str(ab.get("buckets_path", ""))
+            if ">" not in path:
+                raise DslError(
+                    f"{akind} needs buckets_path 'parent>metric', "
+                    f"got {path!r}"
+                )
+            parent, metric = path.split(">", 1)
+            if parent not in out:
+                raise DslError(
+                    f"buckets_path parent {parent!r} must be a bucket "
+                    "agg declared earlier in the aggs body"
+                )
+            col = "n_docs" if metric == "_count" else metric
+            if col not in out[parent].columns:
+                raise DslError(
+                    f"buckets_path metric {metric!r} not found in "
+                    f"{parent!r} (columns: {out[parent].columns})"
+                )
+            out[name] = sibling_bucket_stat(out[parent], col, akind)
+            continue
         if subs is not None and akind != "terms":
             raise DslError(
-                f"sub-aggs are supported under terms only, not {akind!r}"
+                "sub-aggs are supported under terms / sampler / "
+                f"histogram / date_histogram / global only, not {akind!r}"
             )
         if akind == "terms":
             if "top_hits" in ab:
@@ -1140,6 +1171,70 @@ def _ranges_with_keys(ranges, what: str, *, numeric: bool) -> list[tuple]:
         out.append((str(key), lo, hi))
     return out
 
+
+
+def _histogram_with_subs(akind, ab, subs, name, matched, documents):
+    """(date_)histogram bucket agg with metric AND pipeline sub-aggs:
+    metrics fold into the single groupBy pass; pipeline sub-aggs
+    (derivative / cumulative_sum / moving_fn) run as window passes
+    over the bucket-sized frame IN DECLARATION ORDER, each one
+    referencing an earlier metric (or ``_count``) via buckets_path —
+    ES's parent-pipeline shape."""
+    from .analytics import (
+        cumulative_sum_col,
+        date_histogram_metrics_facet,
+        derivative_col,
+        histogram_metrics_facet,
+        moving_avg_col,
+    )
+
+    metrics: dict[str, tuple[str, str]] = {}
+    pipes: list[tuple[str, str, dict]] = []
+    for sname, sspec in subs.items():
+        skind, sb = _one_key(sspec, f"aggs[{name}].aggs[{sname}]")
+        if skind in ("avg", "sum", "min", "max", "cardinality"):
+            metrics[sname] = (skind, sb["field"])
+        elif skind in ("derivative", "cumulative_sum", "moving_fn"):
+            pipes.append((sname, skind, sb))
+        else:
+            raise DslError(
+                f"unsupported {akind} sub-agg {skind!r} (metrics "
+                "avg/sum/min/max/cardinality or pipelines "
+                "derivative/cumulative_sum/moving_fn)"
+            )
+    if akind == "date_histogram":
+        frame = date_histogram_metrics_facet(
+            matched, documents, ab["field"],
+            ab.get("calendar_interval", "day"), metrics)
+    else:
+        frame = histogram_metrics_facet(
+            matched, documents, ab["field"], float(ab["interval"]),
+            metrics)
+    seen = {"_count"} | set(metrics)
+    for sname, skind, sb in pipes:
+        path = str(sb.get("buckets_path", ""))
+        if path not in seen:
+            raise DslError(
+                f"pipeline agg {sname!r} buckets_path {path!r} must "
+                f"name _count or an earlier sub-agg of {name!r}"
+            )
+        col = "n_docs" if path == "_count" else path
+        if skind == "derivative":
+            frame = derivative_col(frame, col, out_col=sname)
+        elif skind == "cumulative_sum":
+            frame = cumulative_sum_col(frame, col, out_col=sname)
+        else:
+            script = sb.get("script")
+            if script not in (None,
+                              "MovingFunctions.unweightedAvg(values)"):
+                raise DslError(
+                    "moving_fn supports "
+                    "MovingFunctions.unweightedAvg(values) only"
+                )
+            frame = moving_avg_col(frame, col, int(sb["window"]),
+                                   out_col=sname)
+        seen.add(sname)
+    return frame
 
 
 def _compile_agg_predicates(named, what: str) -> dict:

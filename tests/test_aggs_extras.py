@@ -470,3 +470,141 @@ def test_dsl_knn_filter_restricts_candidates(spark, tiny_index,
                      "filter": {"term": {"lang": "en"}}}},
             embeddings=emb,
         )
+
+
+# ------------------------------------------------------- pipeline aggs
+
+
+def test_histogram_metrics_matches_manual(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        histogram_metrics_facet,
+    )
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    hits = _hits(tiny_index, docs)
+    byb: dict[float, list] = {}
+    for r in hits:
+        b = (r["n_chars"] // 500) * 500.0
+        byb.setdefault(b, []).append(r["n_chars"])
+    got = histogram_metrics_facet(
+        m, docs, "n_chars", 500.0, {"avg_len": ("avg", "n_chars")}
+    ).collect()
+    assert [r["bucket"] for r in got] == sorted(byb)
+    for r in got:
+        vals = byb[r["bucket"]]
+        assert r["n_docs"] == len(vals)
+        assert r["avg_len"] == round(sum(vals) / len(vals), 6)
+
+
+def test_pipeline_cols_on_known_frame(spark):
+    from hadoop_search_engine_spark.operators.analytics import (
+        cumulative_sum_col,
+        derivative_col,
+        moving_avg_col,
+        sibling_bucket_stat,
+    )
+
+    rows = [(1.0, 10.0), (2.0, 30.0), (3.0, 20.0), (4.0, 30.0)]
+    b = spark.createDataFrame(rows, "bucket double, v double")
+    d = {r["bucket"]: r["v_deriv"]
+         for r in derivative_col(b, "v").collect()}
+    assert d == {1.0: None, 2.0: 20.0, 3.0: -10.0, 4.0: 10.0}
+    c = {r["bucket"]: r["v_cumsum"]
+         for r in cumulative_sum_col(b, "v").collect()}
+    assert c == {1.0: 10.0, 2.0: 40.0, 3.0: 60.0, 4.0: 90.0}
+    # moving avg over the PREVIOUS 2 buckets, current excluded
+    ma = {r["bucket"]: r["v_mavg"]
+          for r in moving_avg_col(b, "v", 2).collect()}
+    assert ma == {1.0: None, 2.0: 10.0, 3.0: 20.0, 4.0: 25.0}
+    # sibling stats; max has a TIE (30 at buckets 2 and 4)
+    mx = sibling_bucket_stat(b, "v", "max_bucket").collect()[0]
+    assert mx["value"] == 30.0 and mx["keys"] == "2.0,4.0"
+    mn = sibling_bucket_stat(b, "v", "min_bucket").collect()[0]
+    assert mn["value"] == 10.0 and mn["keys"] == "1.0"
+    assert sibling_bucket_stat(b, "v", "avg_bucket").collect()[0][
+        "value"] == 22.5
+    assert sibling_bucket_stat(b, "v", "sum_bucket").collect()[0][
+        "value"] == 90.0
+    with pytest.raises(ValueError, match="kind"):
+        sibling_bucket_stat(b, "v", "median_bucket")
+
+
+def test_dsl_histogram_pipeline_aggs(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        cumulative_sum_col,
+        derivative_col,
+        histogram_metrics_facet,
+        sibling_bucket_stat,
+    )
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {
+             "per_len": {
+                 "histogram": {"field": "n_chars", "interval": 500},
+                 "aggs": {
+                     "total": {"sum": {"field": "n_chars"}},
+                     "cum": {"cumulative_sum": {"buckets_path":
+                                                "total"}},
+                     "growth": {"derivative": {"buckets_path":
+                                               "_count"}},
+                 }},
+             "best": {"max_bucket": {"buckets_path":
+                                     "per_len>total"}},
+         }},
+        documents=docs,
+    )
+    want = histogram_metrics_facet(
+        m, docs, "n_chars", 500.0, {"total": ("sum", "n_chars")})
+    want = cumulative_sum_col(want, "total", out_col="cum")
+    want = derivative_col(want, "n_docs", out_col="growth")
+    assert got.aggs["per_len"].collect() == want.collect()
+    assert got.aggs["best"].collect() == sibling_bucket_stat(
+        want, "total", "max_bucket").collect()
+
+
+def test_dsl_date_histogram_subs_and_errors(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        date_histogram_metrics_facet,
+        moving_avg_col,
+    )
+
+    docs = _docs(tiny_corpus)   # ts = doc_id * 3600 s => hourly spread
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"daily": {
+             "date_histogram": {"field": "ts",
+                                "calendar_interval": "day"},
+             "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                      "trend": {"moving_fn": {
+                          "buckets_path": "avg_len", "window": 2}}}}}},
+        documents=docs,
+    )
+    want = date_histogram_metrics_facet(
+        m, docs, "ts", "day", {"avg_len": ("avg", "n_chars")})
+    want = moving_avg_col(want, "avg_len", 2, out_col="trend")
+    assert got.aggs["daily"].collect() == want.collect()
+    with pytest.raises(DslError, match="buckets_path"):
+        search_dsl(
+            tiny_index,
+            {"query": {"match": {"text": Q}},
+             "aggs": {"h": {
+                 "histogram": {"field": "n_chars", "interval": 500},
+                 "aggs": {"d": {"derivative":
+                                {"buckets_path": "nope"}}}}}},
+            documents=docs,
+        )
+    with pytest.raises(DslError, match="parent"):
+        search_dsl(
+            tiny_index,
+            {"query": {"match": {"text": Q}},
+             "aggs": {"best": {"max_bucket":
+                               {"buckets_path": "zzz>total"}}}},
+            documents=docs,
+        )

@@ -296,6 +296,13 @@ CHECKS = {
     # top_metrics: k rows off a TakeOrdered — never a global sort
     "top_metrics": ["LeftSemi", "TakeOrderedAndProject",
                     "!CartesianProduct"],
+    # pipeline aggs: ONE groupBy reduces the corpus to buckets; the
+    # window passes run over the bucket-sized frame only (the Sort
+    # they need is |buckets| rows) — no Python, no cartesian
+    "pipeline_aggs": ["HashAggregate", "Window", "!EvalPython",
+                      "!CartesianProduct"],
+    "max_bucket": ["HashAggregate", "BroadcastHashJoin",
+                   "!CartesianProduct", "!EvalPython"],
     # pinned: k-row pin frame broadcasts; final ranking is a top-k
     "pinned_search": ["TakeOrderedAndProject", "!CartesianProduct"],
     # semdedup (production LSH path): sign-bucket EQUI-join candidates
