@@ -903,6 +903,67 @@ def moving_avg_col(buckets: DataFrame, value_col: str, window: int,
     )
 
 
+def serial_diff_col(buckets: DataFrame, value_col: str, lag: int = 1,
+                    out_col: str | None = None) -> DataFrame:
+    """ES ``serial_diff`` pipeline agg: ``value - value[lag buckets
+    ago]`` (lag 1 == derivative; higher lags expose seasonality).
+    The first ``lag`` buckets get null. Appends ``<value>_sdiff``."""
+    if lag <= 0:
+        raise ValueError(f"lag must be positive, got {lag}")
+    out = out_col or f"{value_col}_sdiff"
+    w = _bucket_window()
+    x = F.col(value_col).cast("double")
+    return buckets.withColumn(
+        out, F.round(x - F.lag(x, lag).over(w), 6)
+    )
+
+
+def stats_bucket(buckets: DataFrame, value_col: str) -> DataFrame:
+    """ES ``stats_bucket`` sibling pipeline agg: count/min/max/avg/sum
+    of a metric ACROSS the sibling's buckets — one row over |buckets|
+    rows, nulls skipped (gap_policy=skip)."""
+    x = F.col(value_col).cast("double")
+    return buckets.agg(
+        F.count(x).alias("n_buckets"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        F.round(F.avg(x), 6).alias("avg"),
+        F.round(F.sum(x), 6).alias("sum"),
+    )
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    value_col: str,
+    percents: tuple = (25.0, 50.0, 75.0),
+) -> DataFrame:
+    """ES ``percentiles_bucket`` sibling pipeline agg: exact
+    linear-interpolation percentiles of a metric across the sibling's
+    buckets. Output ``(percent, value)`` rows in declaration order —
+    |percents| rows computed from |buckets| inputs."""
+    if not percents:
+        raise ValueError("percents must name at least one percentile")
+    x = F.col(value_col).cast("double")
+    wide = buckets.agg(
+        *[
+            F.round(F.percentile(x, F.lit(p / 100.0)), 6).alias(f"_p{i}")
+            for i, p in enumerate(percents)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("percent"),
+                F.col(f"_p{i}").alias("value"),
+            )
+            for i, p in enumerate(percents)
+        ]
+    )
+    return wide.select(F.explode(pairs).alias("r")).select(
+        "r.percent", "r.value"
+    )
+
+
 SIBLING_STATS = ("max_bucket", "min_bucket", "avg_bucket", "sum_bucket")
 
 

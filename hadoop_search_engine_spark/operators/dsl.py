@@ -944,10 +944,15 @@ def _dispatch_aggs(
                 akind, ab, subs, name, matched, documents)
             continue
         if akind in ("max_bucket", "min_bucket", "avg_bucket",
-                     "sum_bucket"):
+                     "sum_bucket", "stats_bucket",
+                     "percentiles_bucket"):
             # ES SIBLING pipeline aggs: summarize a metric across a
             # previously-declared bucket agg ("parent>metric" path)
-            from .analytics import sibling_bucket_stat
+            from .analytics import (
+                percentiles_bucket,
+                sibling_bucket_stat,
+                stats_bucket,
+            )
 
             path = str(ab.get("buckets_path", ""))
             if ">" not in path:
@@ -967,7 +972,15 @@ def _dispatch_aggs(
                     f"buckets_path metric {metric!r} not found in "
                     f"{parent!r} (columns: {out[parent].columns})"
                 )
-            out[name] = sibling_bucket_stat(out[parent], col, akind)
+            if akind == "stats_bucket":
+                out[name] = stats_bucket(out[parent], col)
+            elif akind == "percentiles_bucket":
+                out[name] = percentiles_bucket(
+                    out[parent], col,
+                    tuple(float(p) for p in
+                          ab.get("percents", (25.0, 50.0, 75.0))))
+            else:
+                out[name] = sibling_bucket_stat(out[parent], col, akind)
             continue
         if subs is not None and akind != "terms":
             raise DslError(
@@ -1194,13 +1207,14 @@ def _histogram_with_subs(akind, ab, subs, name, matched, documents):
         skind, sb = _one_key(sspec, f"aggs[{name}].aggs[{sname}]")
         if skind in ("avg", "sum", "min", "max", "cardinality"):
             metrics[sname] = (skind, sb["field"])
-        elif skind in ("derivative", "cumulative_sum", "moving_fn"):
+        elif skind in ("derivative", "cumulative_sum", "moving_fn",
+                       "serial_diff"):
             pipes.append((sname, skind, sb))
         else:
             raise DslError(
                 f"unsupported {akind} sub-agg {skind!r} (metrics "
                 "avg/sum/min/max/cardinality or pipelines "
-                "derivative/cumulative_sum/moving_fn)"
+                "derivative/cumulative_sum/moving_fn/serial_diff)"
             )
     if akind == "date_histogram":
         frame = date_histogram_metrics_facet(
@@ -1223,6 +1237,12 @@ def _histogram_with_subs(akind, ab, subs, name, matched, documents):
             frame = derivative_col(frame, col, out_col=sname)
         elif skind == "cumulative_sum":
             frame = cumulative_sum_col(frame, col, out_col=sname)
+        elif skind == "serial_diff":
+            from .analytics import serial_diff_col
+
+            frame = serial_diff_col(frame, col,
+                                    lag=int(sb.get("lag", 1)),
+                                    out_col=sname)
         else:
             script = sb.get("script")
             if script not in (None,

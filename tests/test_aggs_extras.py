@@ -608,3 +608,64 @@ def test_dsl_date_histogram_subs_and_errors(tiny_index, tiny_corpus):
                                {"buckets_path": "zzz>total"}}}},
             documents=docs,
         )
+
+
+def test_serial_diff_stats_percentiles_bucket(spark):
+    from hadoop_search_engine_spark.operators.analytics import (
+        percentiles_bucket,
+        serial_diff_col,
+        stats_bucket,
+    )
+
+    rows = [(float(i), float(v)) for i, v in
+            enumerate([10, 30, 20, 30, 50, 40])]
+    b = spark.createDataFrame(rows, "bucket double, v double")
+    s2 = {r["bucket"]: r["v_sdiff"]
+          for r in serial_diff_col(b, "v", lag=2).collect()}
+    assert s2 == {0.0: None, 1.0: None, 2.0: 10.0, 3.0: 0.0,
+                  4.0: 30.0, 5.0: 10.0}
+    with pytest.raises(ValueError, match="lag"):
+        serial_diff_col(b, "v", lag=0)
+    st = stats_bucket(b, "v").collect()[0]
+    assert (st["n_buckets"], st["min"], st["max"], st["sum"]) == (
+        6, 10.0, 50.0, 180.0)
+    assert st["avg"] == 30.0
+    ps = {r["percent"]: r["value"]
+          for r in percentiles_bucket(b, "v", (0.0, 50.0, 100.0)).collect()}
+    assert ps[0.0] == 10.0 and ps[100.0] == 50.0 and ps[50.0] == 30.0
+
+
+def test_dsl_serial_diff_and_sibling_stats(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        histogram_metrics_facet,
+        percentiles_bucket,
+        serial_diff_col,
+        stats_bucket,
+    )
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {
+             "per_len": {
+                 "histogram": {"field": "n_chars", "interval": 500},
+                 "aggs": {"sd": {"serial_diff":
+                                 {"buckets_path": "_count",
+                                  "lag": 2}}}},
+             "spread": {"stats_bucket":
+                        {"buckets_path": "per_len>_count"}},
+             "pct": {"percentiles_bucket":
+                     {"buckets_path": "per_len>_count",
+                      "percents": [50.0, 90.0]}},
+         }},
+        documents=docs,
+    )
+    want = histogram_metrics_facet(m, docs, "n_chars", 500.0, {})
+    want = serial_diff_col(want, "n_docs", lag=2, out_col="sd")
+    assert got.aggs["per_len"].collect() == want.collect()
+    assert got.aggs["spread"].collect() == stats_bucket(
+        want, "n_docs").collect()
+    assert got.aggs["pct"].collect() == percentiles_bucket(
+        want, "n_docs", (50.0, 90.0)).collect()
