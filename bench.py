@@ -838,6 +838,45 @@ def main() -> None:
         reps=3,
     )
 
+    # session-9 operators: pipeline aggs (bucket-frame window passes),
+    # pinned serving, embedding semdedup (LSH-bucketed pair join)
+    from hadoop_search_engine_spark.operators.analytics import (
+        cumulative_sum_col,
+        date_histogram_metrics_facet,
+        derivative_col,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import pinned_search
+    from hadoop_search_engine_spark.operators.similarity import semdedup
+
+    meta_ts = meta.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") * 3600)
+    )
+
+    def _pipeline_aggs_run():
+        f = date_histogram_metrics_facet(
+            m_flag, meta_ts, "ts", "day", {"total": ("sum", "n_chars")}
+        )
+        f = cumulative_sum_col(f, "total", out_col="cum")
+        derivative_col(f, "n_docs", out_col="growth").collect()
+
+    timed("pipeline_aggs_daily", _pipeline_aggs_run, reps=3)
+    timed(
+        "pinned_query",
+        lambda: pinned_search(
+            idx, [17, 5, 99], "spark query table", k=10
+        ).collect(),
+        reps=3,
+    )
+    emb_bench = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).persist()
+    emb_bench.count()
+    timed(
+        "semdedup_pass",
+        lambda: semdedup(emb_bench, threshold=0.95).count(),
+        reps=3,
+    )
+
     # snapshot/restore: point-in-time hardlink+manifest copy of the
     # bench index — the cost to compare against is segment_merge /
     # index_build; a snapshot should be ~metadata-only (CRC pass over

@@ -1567,3 +1567,29 @@ def _query_mode(kind: str, body) -> str:
         _, b = _field_body(body, "match")
         return "and" if b.get("operator", "or") == "and" else "or"
     return "or"
+
+
+def msearch_dsl(
+    index: Index,
+    bodies: list[dict],
+    **kwargs,
+) -> list[DslResult]:
+    """ES ``_msearch``: execute several request bodies against the
+    same index in one call, results in request order. Each body
+    compiles through :func:`search_dsl` unchanged (identical results
+    to issuing them singly — the multiplexing is purely a round-trip
+    saver, like the HTTP endpoint it mirrors). Compilation is lazy —
+    no Spark job runs until a result's frame is consumed, so a caller
+    collecting all of them lets the scheduler overlap the jobs.
+
+    For the high-throughput SAME-SHAPE case (many plain match
+    queries), prefer :func:`~.query_exec.search_topk_batch`, which
+    shares one union-pruned postings scan across the whole set; this
+    endpoint is for heterogeneous bodies (different query kinds,
+    aggs, knn) where per-body plans are inherent. Reference analog:
+    the serving layer issues one HTTP call per query
+    (server/src/services/search.service.js) — this is the batched
+    form."""
+    if not isinstance(bodies, list) or not bodies:
+        raise DslError("msearch needs a non-empty list of bodies")
+    return [search_dsl(index, b, **kwargs) for b in bodies]

@@ -110,3 +110,25 @@ def test_dsl_regexp_identity(tiny_index):
     want = regexp_search(tiny_index, "w0000(0|7)", k=12, max_expansions=5)
     assert got.hits.collect() == want.collect()
     assert got.hits.count() > 0
+
+
+def test_msearch_matches_single_searches(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.dsl import msearch_dsl
+    from pyspark.sql import functions as F
+
+    docs = tiny_corpus.withColumn("n_chars", F.length("text"))
+    bodies = [
+        {"query": {"match": {"text": Q}}, "size": 5},
+        {"query": {"term": {"text": "w00007"}}, "size": 3},
+        {"query": {"match": {"text": Q}},
+         "aggs": {"langs": {"terms": {"field": "lang"}}}},
+    ]
+    got = msearch_dsl(tiny_index, bodies, documents=docs)
+    assert len(got) == 3
+    for body, r in zip(bodies, got):
+        single = search_dsl(tiny_index, body, documents=docs)
+        assert r.hits.collect() == single.hits.collect()
+        for k in single.aggs:
+            assert r.aggs[k].collect() == single.aggs[k].collect()
+    with pytest.raises(DslError, match="non-empty"):
+        msearch_dsl(tiny_index, [])
