@@ -1821,6 +1821,22 @@ def q_cardinality_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cardinality_facet(m, docs, "source")
 
 
+def q_terms_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms agg with include/exclude key filters: whole-key
+    anchored regex include ('e.' matches en/es, never a substring),
+    value-list exclude, ES semantics."""
+    from hadoop_search_engine_spark.operators.query_exec import (
+        facet_counts,
+        matched_docs,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    return facet_counts(m, docs, ["lang"], include="e.|de|fr",
+                        exclude=["fr"])
+
+
 def q_terms_order_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms agg ORDERED BY a metric sub-agg (order: {avg_len:
     desc}, size 3) — buckets ranked by the sub-aggregation value,
@@ -3432,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_aggs": q_pipeline_aggs,
         "max_bucket": q_max_bucket,
         "terms_order_metric": q_terms_order_metric,
+        "terms_filtered": q_terms_filtered,
         "top_metrics": q_top_metrics,
         "date_range_agg": q_date_range_agg,
         "multi_terms_agg": q_multi_terms_agg,
@@ -4737,6 +4754,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT lang, n_docs, avg_len FROM h
         ORDER BY avg_len DESC, lang ASC LIMIT 3
+    """
+    # ES terms agg include/exclude: anchored regex + value list
+    out["terms_filtered"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
+        SELECT doc.lang, count(*)::bigint AS n_docs
+        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+        WHERE regexp_matches(doc.lang, '^(?:e.|de|fr)$')
+          AND doc.lang != 'fr'
+        GROUP BY doc.lang
     """
     # ES top_metrics agg: fields read off the 3 longest matched docs
     out["top_metrics"] = f"""

@@ -1019,6 +1019,9 @@ def _dispatch_aggs(
                     matched, documents, [ab["field"]],
                     size=(int(ab["size"]) if "size" in ab else None),
                     min_doc_count=int(ab.get("min_doc_count", 1)),
+                    include=ab.get("include"),
+                    exclude=ab.get("exclude"),
+                    missing=ab.get("missing"),
                 )
         elif akind == "histogram":
             out[name] = histogram_facets(matched, documents, ab["field"],

@@ -3083,11 +3083,23 @@ def facet_counts(
     facet_cols: list[str],
     size: int | None = None,
     min_doc_count: int = 1,
+    include=None,
+    exclude=None,
+    missing: str | None = None,
 ) -> DataFrame:
     """Search-result faceting: per-facet-value matched-document counts
     (the sidebar a search UI renders next to results). ``matched`` is
     any doc_id set — :func:`matched_docs` (indexed),
     :func:`matched_docs_dataframe`, or a filtered variant.
+
+    ES terms-agg key filters (single-facet only): ``include`` /
+    ``exclude`` take a value list or a whole-key-anchored regex
+    string (``"sp.*"`` matches ``spark``, not a substring — ES
+    semantics); exclude wins on overlap. ``missing`` replaces null
+    keys with the given value (ES ``missing`` param; by default null
+    keys are dropped by the groupBy as a null bucket). All three
+    compile to codegen'd predicates BESIDE the scan, before the
+    aggregation ever sees the row.
 
     Plan: left-semi join metadata to the matched set on doc_id, then
     partial-aggregated groupBy on the facet columns — the output is
@@ -3098,11 +3110,31 @@ def facet_counts(
     """
     if not facet_cols:
         raise ValueError("facet_cols must name at least one column")
-    out = (
-        documents.join(matched.select("doc_id"), "doc_id", "left_semi")
-        .groupBy(*facet_cols)
-        .agg(F.count("*").alias("n_docs"))
-    )
+    if (include is not None or exclude is not None or missing is not None) \
+            and len(facet_cols) != 1:
+        raise ValueError(
+            "include/exclude/missing apply to single-facet terms aggs"
+        )
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    if missing is not None:
+        c = facet_cols[0]
+        hits = hits.withColumn(
+            c, F.coalesce(F.col(c).cast("string"), F.lit(str(missing)))
+        )
+
+    def _key_pred(spec, col):
+        if isinstance(spec, (list, tuple, set)):
+            return col.isin([str(v) for v in spec])
+        # ES anchors include/exclude regexes to the whole key
+        return col.rlike(f"^(?:{spec})$")
+
+    if include is not None:
+        hits = hits.where(
+            _key_pred(include, F.col(facet_cols[0]).cast("string")))
+    if exclude is not None:
+        hits = hits.where(
+            ~_key_pred(exclude, F.col(facet_cols[0]).cast("string")))
+    out = hits.groupBy(*facet_cols).agg(F.count("*").alias("n_docs"))
     if min_doc_count > 1:
         out = out.where(F.col("n_docs") >= min_doc_count)
     if size is not None:

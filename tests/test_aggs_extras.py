@@ -669,3 +669,56 @@ def test_dsl_serial_diff_and_sibling_stats(tiny_index, tiny_corpus):
         want, "n_docs").collect()
     assert got.aggs["pct"].collect() == percentiles_bucket(
         want, "n_docs", (50.0, 90.0)).collect()
+
+
+# ------------------------------------------- terms include/exclude/missing
+
+
+def test_terms_include_exclude_missing(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import facet_counts
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    full = {r["lang"]: r["n_docs"]
+            for r in facet_counts(m, docs, ["lang"]).collect()}
+    langs = sorted(full)
+    # include list
+    got = {r["lang"]: r["n_docs"]
+           for r in facet_counts(m, docs, ["lang"],
+                                 include=langs[:2]).collect()}
+    assert got == {k: full[k] for k in langs[:2]}
+    # exclude regex is whole-key anchored (ES): 'e.' matches 'en'/'es'
+    got = {r["lang"]: r["n_docs"]
+           for r in facet_counts(m, docs, ["lang"],
+                                 exclude="e.").collect()}
+    assert got == {k: v for k, v in full.items()
+                   if not (len(k) == 2 and k.startswith("e"))}
+    # missing replaces nulls with the sentinel
+    docs_n = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 5 != 0, F.col("lang")))
+    got = {r["lang"]: r["n_docs"]
+           for r in facet_counts(m, docs_n, ["lang"],
+                                 missing="(none)").collect()}
+    assert "(none)" in got and None not in got
+    assert sum(got.values()) == sum(full.values())
+    with pytest.raises(ValueError, match="single-facet"):
+        facet_counts(m, docs, ["lang", "url"], include=["en"])
+
+
+def test_dsl_terms_include_exclude_identity(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import facet_counts
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"langs": {"terms": {"field": "lang",
+                                      "include": "e.|und",
+                                      "exclude": ["es"],
+                                      "size": 5}}}},
+        documents=docs,
+    )
+    want = facet_counts(m, docs, ["lang"], size=5,
+                        include="e.|und", exclude=["es"])
+    assert got.aggs["langs"].collect() == want.collect()
