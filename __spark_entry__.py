@@ -2168,6 +2168,27 @@ def q_collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES collapse inner_hits over the real index: top-5 collapsed
+    page on lang, each page group expanded to its top-3 docs from the
+    FULL scored match set ('3 more from this site')."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    r = search_dsl(
+        ix,
+        {"query": {"match": {"text": " ".join(FLAGSHIP_TERMS)}},
+         "collapse": {"field": "lang",
+                      "inner_hits": {"name": "x", "size": 3}},
+         "size": 5},
+        documents=docs,
+    )
+    return r.inner_hits["x"].select(
+        "lang", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-box autocomplete (operators/query_exec.py suggest_terms):
     terms with prefix 's' ranked by df — vocab-sized scan, never
@@ -3470,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
+        "collapse_inner_hits": q_collapse_inner_hits,
         "suggest_terms": q_suggest_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "or_union_docs": q_or_union_docs,
@@ -4940,6 +4962,53 @@ def oracle_sql() -> dict[str, str]:
     """
     out["snippets_indexed"] = out["snippets"]
     out["collapsed_search_indexed"] = out["collapsed_search"]
+    # collapse inner_hits: page keys from the collapsed top-5, each
+    # group expanded to its top-3 from the FULL scored set
+    out["collapse_inner_hits"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        d AS (SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({terms_in}) GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, sum({score}) AS score
+          FROM tf
+          JOIN d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tf.doc_id
+        ),
+        top AS (SELECT doc_id, score FROM scored
+                ORDER BY score DESC, doc_id ASC LIMIT 50),
+        keyed AS (
+          SELECT t.doc_id, dd.lang, t.score,
+                 row_number() OVER (
+                   PARTITION BY dd.lang
+                   ORDER BY t.score DESC, t.doc_id ASC
+                 ) AS rn
+          FROM top t JOIN documents dd ON t.doc_id = dd.doc_id
+        ),
+        page AS (
+          SELECT lang FROM (
+            SELECT lang, score, doc_id FROM keyed WHERE rn = 1
+            ORDER BY score DESC, doc_id ASC LIMIT 5)
+        ),
+        members AS (
+          SELECT dd.doc_id, dd.lang
+          FROM documents dd JOIN page USING (lang)
+        ),
+        expanded AS (
+          SELECT m.lang, s.doc_id, s.score,
+                 row_number() OVER (
+                   PARTITION BY m.lang
+                   ORDER BY s.score DESC, s.doc_id ASC
+                 ) AS rank
+          FROM scored s JOIN members m ON s.doc_id = m.doc_id
+        )
+        SELECT lang, rank::int AS rank, doc_id,
+               round(score, 4) AS score
+        FROM expanded WHERE rank <= 3 ORDER BY lang, rank
+    """
     out["suggest_terms_indexed"] = out["suggest_terms"]
     out["fuzzy_terms_indexed"] = out["fuzzy_terms"]
     # the reference's OR-union first-seen ranking (query-order term

@@ -89,6 +89,8 @@ class DslResult:
     hits: DataFrame | None
     aggs: dict[str, DataFrame] = field(default_factory=dict)
     suggest: dict[str, DataFrame] = field(default_factory=dict)
+    # collapse inner_hits: {name: (key, rank, doc_id, score) frame}
+    inner_hits: dict[str, DataFrame] = field(default_factory=dict)
 
 
 class DslError(ValueError):
@@ -1500,6 +1502,7 @@ def search_dsl(
     hits = _compile(body["query"], index, max(k, over), after,
                     body.get("similarity"), synonyms, documents,
                     multifield, None)
+    inner = {}
     if collapse:
         # ES field collapsing over a ranked window (the established
         # collapsed_search semantics): best doc per key within the
@@ -1510,6 +1513,24 @@ def search_dsl(
             hits, documents.select("doc_id", collapse["field"]),
             collapse["field"], k=k,
         )
+        ih = collapse.get("inner_hits")
+        if ih:
+            # ES inner_hits: per collapsed group, the top-size docs
+            # from the FULL scored match set ("N more from this site")
+            from .query_exec import collapse_inner_hits, scored_docs
+
+            qk0, qb0 = _one_key(body["query"], "query")
+            if qk0 == "bool":
+                raise DslError(
+                    "collapse.inner_hits composes with match/term "
+                    "queries"
+                )
+            sc = scored_docs(index, _query_text(qk0, qb0), synonyms,
+                             mode=_query_mode(qk0, qb0))
+            inner[str(ih.get("name", "inner"))] = collapse_inner_hits(
+                hits, sc, documents.select("doc_id", collapse["field"]),
+                collapse["field"], n=int(ih.get("size", 3)),
+            )
     if body.get("highlight"):
         from .query_exec import materialize_with_snippets, parse_query
 
@@ -1545,7 +1566,8 @@ def search_dsl(
     if body.get("aggs"):
         aggs = _run_aggs(body["aggs"], index, body["query"], documents,
                          synonyms)
-    return DslResult(hits=hits, aggs=aggs, suggest=suggest)
+    return DslResult(hits=hits, aggs=aggs, suggest=suggest,
+                     inner_hits=inner)
 
 
 def _query_text(kind: str, body) -> str:

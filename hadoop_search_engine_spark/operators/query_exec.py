@@ -4109,6 +4109,50 @@ def collapse_topk(
     return out.limit(k) if k is not None else out
 
 
+def collapse_inner_hits(
+    collapsed: DataFrame,
+    scored: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """ES collapse ``inner_hits``: for every collapse key on the
+    collapsed page, the group's top-``n`` docs from the FULL scored
+    match set (ES computes inner_hits against the whole hit set, not
+    the collapse window — "show 3 more from this site"). Output
+    ``(<key_col>, rank, doc_id, score)``, rank 1 = the group's best
+    (which is the doc the collapsed page shows).
+
+    Scale shape: the page's key set (≤ k rows) broadcasts into the
+    corpus-sized key table, pruning it to page groups before the
+    scored join; the rank window partitions by key over matched group
+    members only — df-proportional worst case, the same bound as
+    top_hits. Solo results (docs with no key row) have no group to
+    expand and are skipped."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    page_keys = (
+        collapsed.where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+    )
+    members = keys.select("doc_id", key_col).join(
+        F.broadcast(page_keys), key_col
+    )
+    sc = scored.select("doc_id", "score").join(members, "doc_id")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(n))
+        .select(key_col, "rank", "doc_id", "score")
+        .orderBy(key_col, "rank")
+    )
+
+
 def materialize(topk: DataFrame, documents: DataFrame) -> DataFrame:
     """Join top-k ids back to the corpus — the analog of the reference's
     sequential per-doc HDFS JSON fetch (search.service.js:66-83), as a

@@ -132,3 +132,47 @@ def test_msearch_matches_single_searches(tiny_index, tiny_corpus):
             assert r.aggs[k].collect() == single.aggs[k].collect()
     with pytest.raises(DslError, match="non-empty"):
         msearch_dsl(tiny_index, [])
+
+
+def test_collapse_inner_hits_expands_page_groups(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        collapse_inner_hits,
+        scored_docs,
+    )
+
+    docs = tiny_corpus
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "collapse": {"field": "lang",
+                      "inner_hits": {"name": "same_lang", "size": 2}},
+         "size": 3},
+        documents=docs,
+    )
+    page = got.hits.collect()
+    inner = got.inner_hits["same_lang"].collect()
+    page_keys = {r["lang"] for r in page if r["lang"] is not None}
+    assert {r["lang"] for r in inner} == page_keys
+    by_key = {}
+    for r in inner:
+        by_key.setdefault(r["lang"], []).append(r)
+    sc = {r["doc_id"]: r["score"]
+          for r in scored_docs(tiny_index, Q).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    for key, rows in by_key.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+        # rank-1 inner hit IS the collapsed page's doc for that key
+        page_doc = next(r for r in page if r["lang"] == key)
+        assert rows[0]["doc_id"] == page_doc["doc_id"]
+        # replay: the group's true top-2 from the full match set
+        members = sorted(
+            ((-(sc[d]), d) for d, l in langs.items()
+             if l == key and d in sc),
+        )[:2]
+        assert [(r["doc_id"]) for r in rows] == [d for _s, d in members]
+    # identity with the direct operator
+    direct = collapse_inner_hits(
+        got.hits, scored_docs(tiny_index, Q),
+        docs.select("doc_id", "lang"), "lang", n=2)
+    assert inner == direct.collect()
