@@ -1908,6 +1908,21 @@ def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.withColumn("growth", F.coalesce("growth", F.lit(0.0)))
 
 
+def q_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script + bucket_selector: a computed per-bucket
+    ratio (mean doc length = total / count) then a HAVING-style
+    bucket filter (count >= 5)."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        bucket_script_col,
+        bucket_selector,
+    )
+
+    f = _daily_total_frame(spark, sf_dir)
+    f = bucket_script_col(f, {"t": "total", "n": "_count"},
+                          "params.t / params.n", "mean_len")
+    return bucket_selector(f, {"n": "_count"}, "params.n >= 5")
+
+
 def q_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES max_bucket SIBLING pipeline agg: the day (keys) with the
     largest total, value + tied bucket keys."""
@@ -3467,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facets": q_range_facets,
         "rare_terms": q_rare_terms_facet,
         "pipeline_aggs": q_pipeline_aggs,
+        "bucket_script": q_bucket_script,
         "max_bucket": q_max_bucket,
         "terms_order_metric": q_terms_order_metric,
         "terms_filtered": q_terms_filtered,
@@ -4815,6 +4831,22 @@ def oracle_sql() -> dict[str, str]:
                coalesce(round(n_docs::double - lag(n_docs::double)
                  OVER (ORDER BY bucket), 6), 0.0) AS growth
         FROM h ORDER BY bucket
+    """
+    # ES bucket_script + bucket_selector: computed ratio + HAVING
+    out["bucket_script"] = f"""
+        WITH {_TF_CTE},
+        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
+        h AS (
+          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))
+                   AS bucket,
+                 count(*)::bigint AS n_docs,
+                 sum(doc.n_chars::double) AS total
+          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
+          GROUP BY 1
+        )
+        SELECT bucket, n_docs, total,
+               round(total / n_docs::double, 6) AS mean_len
+        FROM h WHERE n_docs::double >= 5 ORDER BY bucket
     """
     # ES max_bucket sibling pipeline agg: extreme value + tied keys
     out["max_bucket"] = f"""

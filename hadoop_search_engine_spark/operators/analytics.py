@@ -964,6 +964,117 @@ def percentiles_bucket(
     )
 
 
+def _compile_bucket_script(script: str, bindings: dict) -> "F.Column":
+    """Compile the painless-arithmetic SUBSET ES bucket_script /
+    bucket_selector actually get used with — ``params.x`` references,
+    numeric literals, ``+ - * /``, unary minus, comparisons, and
+    ``and``/``or`` — into a Spark Column via the Python ast (no eval,
+    no attribute access beyond ``params.<name>``, anything else is
+    rejected loudly). Division is float (painless semantics on
+    doubles)."""
+    import ast
+
+    def comp(node):
+        if isinstance(node, ast.Expression):
+            return comp(node.body)
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float)):
+            return F.lit(float(node.value))
+        if isinstance(node, ast.Attribute):
+            if (isinstance(node.value, ast.Name)
+                    and node.value.id == "params"
+                    and node.attr in bindings):
+                return bindings[node.attr].cast("double")
+            raise ValueError(
+                f"only params.<bound name> references are allowed, "
+                f"got {ast.dump(node)}"
+            )
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -comp(node.operand)
+        if isinstance(node, ast.BinOp):
+            l, r = comp(node.left), comp(node.right)
+            if isinstance(node.op, ast.Add):
+                return l + r
+            if isinstance(node.op, ast.Sub):
+                return l - r
+            if isinstance(node.op, ast.Mult):
+                return l * r
+            if isinstance(node.op, ast.Div):
+                return l / r
+            raise ValueError(f"operator {node.op!r} not allowed")
+        if isinstance(node, ast.Compare):
+            if len(node.ops) != 1:
+                raise ValueError("chained comparisons not allowed")
+            l, r = comp(node.left), comp(node.comparators[0])
+            op = node.ops[0]
+            if isinstance(op, ast.Gt):
+                return l > r
+            if isinstance(op, ast.GtE):
+                return l >= r
+            if isinstance(op, ast.Lt):
+                return l < r
+            if isinstance(op, ast.LtE):
+                return l <= r
+            if isinstance(op, ast.Eq):
+                return l == r
+            if isinstance(op, ast.NotEq):
+                return l != r
+            raise ValueError(f"comparison {op!r} not allowed")
+        if isinstance(node, ast.BoolOp):
+            parts = [comp(v) for v in node.values]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if isinstance(node.op, ast.And) \
+                    else (out | p)
+            return out
+        raise ValueError(
+            f"unsupported script construct {type(node).__name__}"
+        )
+
+    try:
+        tree = ast.parse(script, mode="eval")
+    except SyntaxError as exc:
+        raise ValueError(f"bad bucket script {script!r}: {exc}") from exc
+    return comp(tree)
+
+
+def bucket_script_col(
+    buckets: DataFrame,
+    bindings: dict[str, str],
+    script: str,
+    out_col: str,
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: a computed per-bucket metric
+    from sibling metrics — the CTR / ratio column (``params.clicks /
+    params.views``). ``bindings`` maps script names to bucket-frame
+    columns (``_count`` → ``n_docs``). Pure column arithmetic appended
+    to the bucket-sized frame; result rounds to 6 dp (cross-engine
+    float contract)."""
+    cols = {
+        k: F.col("n_docs" if v == "_count" else v)
+        for k, v in bindings.items()
+    }
+    return buckets.withColumn(
+        out_col, F.round(_compile_bucket_script(script, cols), 6)
+    )
+
+
+def bucket_selector(
+    buckets: DataFrame,
+    bindings: dict[str, str],
+    script: str,
+) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only buckets where
+    the boolean script holds (``params.total > 100`` — the HAVING
+    clause of the agg world). A codegen'd filter over the bucket
+    frame."""
+    cols = {
+        k: F.col("n_docs" if v == "_count" else v)
+        for k, v in bindings.items()
+    }
+    return buckets.where(_compile_bucket_script(script, cols))
+
+
 SIBLING_STATS = ("max_bucket", "min_bucket", "avg_bucket", "sum_bucket")
 
 

@@ -1213,13 +1213,15 @@ def _histogram_with_subs(akind, ab, subs, name, matched, documents):
         if skind in ("avg", "sum", "min", "max", "cardinality"):
             metrics[sname] = (skind, sb["field"])
         elif skind in ("derivative", "cumulative_sum", "moving_fn",
-                       "serial_diff"):
+                       "serial_diff", "bucket_script",
+                       "bucket_selector"):
             pipes.append((sname, skind, sb))
         else:
             raise DslError(
                 f"unsupported {akind} sub-agg {skind!r} (metrics "
-                "avg/sum/min/max/cardinality or pipelines "
-                "derivative/cumulative_sum/moving_fn/serial_diff)"
+                "avg/sum/min/max/cardinality or pipelines derivative/"
+                "cumulative_sum/moving_fn/serial_diff/bucket_script/"
+                "bucket_selector)"
             )
     if akind == "date_histogram":
         frame = date_histogram_metrics_facet(
@@ -1231,6 +1233,33 @@ def _histogram_with_subs(akind, ab, subs, name, matched, documents):
             metrics)
     seen = {"_count"} | set(metrics)
     for sname, skind, sb in pipes:
+        if skind in ("bucket_script", "bucket_selector"):
+            # map-valued buckets_path: {script name: metric}
+            from .analytics import bucket_script_col, bucket_selector
+
+            paths = sb.get("buckets_path")
+            if not isinstance(paths, dict) or not paths:
+                raise DslError(
+                    f"{skind} needs buckets_path as a "
+                    "{name: metric} map"
+                )
+            bad = [v for v in paths.values() if v not in seen]
+            if bad:
+                raise DslError(
+                    f"{skind} buckets_path values {bad} must name "
+                    f"_count or an earlier sub-agg of {name!r}"
+                )
+            try:
+                if skind == "bucket_script":
+                    frame = bucket_script_col(frame, paths,
+                                              str(sb["script"]), sname)
+                    seen.add(sname)
+                else:
+                    frame = bucket_selector(frame, paths,
+                                            str(sb["script"]))
+            except ValueError as exc:
+                raise DslError(str(exc)) from exc
+            continue
         path = str(sb.get("buckets_path", ""))
         if path not in seen:
             raise DslError(

@@ -722,3 +722,77 @@ def test_dsl_terms_include_exclude_identity(tiny_index, tiny_corpus):
     want = facet_counts(m, docs, ["lang"], size=5,
                         include="e.|und", exclude=["es"])
     assert got.aggs["langs"].collect() == want.collect()
+
+
+# -------------------------------------- bucket_script / bucket_selector
+
+
+def test_bucket_script_and_selector_on_known_frame(spark):
+    from hadoop_search_engine_spark.operators.analytics import (
+        bucket_script_col,
+        bucket_selector,
+    )
+
+    rows = [(1.0, 4, 100.0), (2.0, 2, 30.0), (3.0, 5, 0.0)]
+    b = spark.createDataFrame(rows, "bucket double, n_docs long, v double")
+    got = {r["bucket"]: r["ratio"]
+           for r in bucket_script_col(
+               b, {"t": "v", "n": "_count"},
+               "params.t / params.n", "ratio").collect()}
+    assert got == {1.0: 25.0, 2.0: 15.0, 3.0: 0.0}
+    kept = sorted(
+        r["bucket"]
+        for r in bucket_selector(
+            b, {"t": "v", "n": "_count"},
+            "params.t > 10 and params.n >= 2").collect()
+    )
+    assert kept == [1.0, 2.0]
+    # arithmetic beyond the subset is rejected loudly
+    for bad in ("__import__('os')", "params.t ** 2", "open('x')",
+                "params.nope + 1", "x + 1"):
+        with pytest.raises(ValueError):
+            bucket_script_col(b, {"t": "v"}, bad, "y").collect()
+
+
+def test_dsl_bucket_script_selector_chain(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        bucket_script_col,
+        bucket_selector,
+        histogram_metrics_facet,
+    )
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"h": {
+             "histogram": {"field": "n_chars", "interval": 500},
+             "aggs": {
+                 "total": {"sum": {"field": "n_chars"}},
+                 "mean": {"bucket_script": {
+                     "buckets_path": {"t": "total", "n": "_count"},
+                     "script": "params.t / params.n"}},
+                 "big": {"bucket_selector": {
+                     "buckets_path": {"n": "_count"},
+                     "script": "params.n >= 2"}},
+             }}}},
+        documents=docs,
+    )
+    want = histogram_metrics_facet(m, docs, "n_chars", 500.0,
+                                   {"total": ("sum", "n_chars")})
+    want = bucket_script_col(want, {"t": "total", "n": "_count"},
+                             "params.t / params.n", "mean")
+    want = bucket_selector(want, {"n": "_count"}, "params.n >= 2")
+    assert got.aggs["h"].collect() == want.collect()
+    with pytest.raises(DslError, match="map"):
+        search_dsl(
+            tiny_index,
+            {"query": {"match": {"text": Q}},
+             "aggs": {"h": {
+                 "histogram": {"field": "n_chars", "interval": 500},
+                 "aggs": {"s": {"bucket_script": {
+                     "buckets_path": "_count",
+                     "script": "params.n"}}}}}},
+            documents=docs,
+        )
