@@ -1647,3 +1647,56 @@ def msearch_dsl(
     if not isinstance(bodies, list) or not bodies:
         raise DslError("msearch needs a non-empty list of bodies")
     return [search_dsl(index, b, **kwargs) for b in bodies]
+
+
+_TMPL_VAR = re.compile(r"\{\{(\w+)\}\}")
+
+
+def render_search_template(source: dict, params: dict) -> dict:
+    """ES ``_search/template`` (the mustache subset real templates
+    use): substitute ``{{var}}`` placeholders in the request body.
+    A string that IS exactly one placeholder takes the param value
+    with its TYPE intact (numbers stay numbers, lists stay lists —
+    the ``{{#toJson}}`` cases that matter); placeholders embedded in
+    longer strings substitute as text. Unknown variables raise —
+    ES renders them empty, which silently breaks queries; failing
+    loudly is the engine's standing contract. Conditional sections
+    (``{{#var}}``) are not supported — keep templates declarative."""
+    if not isinstance(source, dict):
+        raise DslError("template source must be a request-body object")
+
+    def _lookup(name: str):
+        if name not in params:
+            raise DslError(f"template variable {name!r} has no value")
+        return params[name]
+
+    def walk(x):
+        if isinstance(x, dict):
+            return {k: walk(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [walk(v) for v in x]
+        if isinstance(x, str):
+            m = _TMPL_VAR.fullmatch(x)
+            if m:
+                return _lookup(m.group(1))
+            if "{{#" in x or "{{^" in x:
+                raise DslError(
+                    "mustache sections ({{#...}}/{{^...}}) are not "
+                    "supported"
+                )
+            return _TMPL_VAR.sub(lambda mm: str(_lookup(mm.group(1))), x)
+        return x
+
+    return walk(source)
+
+
+def search_template(
+    index: Index,
+    source: dict,
+    params: dict,
+    **kwargs,
+) -> DslResult:
+    """Render a search template and execute it — the ES
+    ``_search/template`` endpoint in one call."""
+    return search_dsl(index, render_search_template(source, params),
+                      **kwargs)

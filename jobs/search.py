@@ -127,6 +127,14 @@ def main(argv: list[str] | None = None) -> None:
                          '"size": 10}\'; hits (and any aggs) print as '
                          "JSON. --documents supplies the metadata "
                          "table for filters/function_score/aggs")
+    ap.add_argument("--params", metavar="JSON",
+                    help="search-template parameters: treat --dsl as "
+                         "an ES _search/template source and substitute "
+                         '{{var}} placeholders, e.g. \'{"q": "spark"}\'')
+    ap.add_argument("--msearch-file", metavar="FILE",
+                    help="ES _msearch: one JSON request body per line; "
+                         "prints one JSON result line per body "
+                         "(--params applies to each)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -139,25 +147,43 @@ def main(argv: list[str] | None = None) -> None:
     )
     from hadoop_search_engine_spark.session import get_spark
 
-    if args.dsl:
+    if args.dsl or args.msearch_file:
         if not args.index:
-            ap.error("--dsl requires --index")
+            ap.error("--dsl/--msearch-file require --index")
+        if args.dsl and args.msearch_file:
+            ap.error("--dsl and --msearch-file are exclusive")
         spark = get_spark(app_name="hse-search")
-        from hadoop_search_engine_spark.operators.dsl import search_dsl
+        from hadoop_search_engine_spark.operators.dsl import (
+            render_search_template,
+            search_dsl,
+        )
 
         docs = (spark.read.parquet(args.documents)
                 if args.documents else None)
         emb = (spark.read.parquet(args.embeddings)
                if args.embeddings else None)
-        res = search_dsl(Index.load(spark, args.index),
-                         json.loads(args.dsl), documents=docs,
-                         embeddings=emb)
-        out = {"hits": [r.asDict() for r in res.hits.collect()]}
-        for name, df in res.aggs.items():
-            out.setdefault("aggregations", {})[name] = [
-                r.asDict() for r in df.collect()
-            ]
-        print(json.dumps(out, default=str))
+        ix = Index.load(spark, args.index)
+        params = json.loads(args.params) if args.params else None
+        if args.msearch_file:
+            with open(args.msearch_file) as fh:
+                bodies = [json.loads(line) for line in fh
+                          if line.strip()]
+        else:
+            bodies = [json.loads(args.dsl)]
+        for body in bodies:
+            if params is not None:
+                body = render_search_template(body, params)
+            res = search_dsl(ix, body, documents=docs, embeddings=emb)
+            out = {"hits": [r.asDict() for r in res.hits.collect()]}
+            for name, df in res.aggs.items():
+                out.setdefault("aggregations", {})[name] = [
+                    r.asDict() for r in df.collect()
+                ]
+            for name, df in res.inner_hits.items():
+                out.setdefault("inner_hits", {})[name] = [
+                    r.asDict() for r in df.collect()
+                ]
+            print(json.dumps(out, default=str))
         if SparkSession.getActiveSession() is not None:
             spark.stop()
         return

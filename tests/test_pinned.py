@@ -176,3 +176,40 @@ def test_collapse_inner_hits_expands_page_groups(tiny_index, tiny_corpus):
         got.hits, scored_docs(tiny_index, Q),
         docs.select("doc_id", "lang"), "lang", n=2)
     assert inner == direct.collect()
+
+
+def test_search_template_renders_and_matches_direct(tiny_index):
+    from hadoop_search_engine_spark.operators.dsl import (
+        render_search_template,
+        search_template,
+    )
+
+    src = {"query": {"match": {"text": "{{q}}"}},
+           "size": "{{k}}",
+           "aggs": {"langs": {"terms": {"field": "{{facet}}",
+                                        "size": 2}}}}
+    body = render_search_template(
+        src, {"q": Q, "k": 4, "facet": "lang"})
+    assert body == {"query": {"match": {"text": Q}}, "size": 4,
+                    "aggs": {"langs": {"terms": {"field": "lang",
+                                                 "size": 2}}}}
+    # typed whole-string substitution: k stayed an int
+    assert isinstance(body["size"], int)
+    # embedded substitution stays text
+    got = render_search_template(
+        {"query": {"match": {"text": "{{a}} {{b}}"}}},
+        {"a": "w00000", "b": "w00017"})
+    assert got["query"]["match"]["text"] == Q
+    with pytest.raises(DslError, match="no value"):
+        render_search_template({"query": "{{missing}}"}, {})
+    with pytest.raises(DslError, match="sections"):
+        render_search_template(
+            {"q": "{{#cond}}yes{{/cond}}"}, {"cond": True})
+    # end-to-end identity
+    r = search_template(
+        tiny_index,
+        {"query": {"match": {"text": "{{q}}"}}, "size": "{{k}}"},
+        {"q": Q, "k": 5})
+    direct = search_dsl(tiny_index,
+                        {"query": {"match": {"text": Q}}, "size": 5})
+    assert r.hits.collect() == direct.hits.collect()
