@@ -109,6 +109,21 @@ def main(argv: list[str] | None = None) -> None:
                     help="Gumbel temperature (0 = hard top-k by weight)")
     ap.add_argument("--dsir-features", type=int, default=None,
                     help="hashed feature buckets (default 2^16)")
+    ap.add_argument("--classifier-weights", default=None,
+                    metavar="PARQUET",
+                    help="learned quality gate (GPT-3 style): keep "
+                         "docs the trained hashed-ngram logistic "
+                         "model (jobs/train classifier weights table) "
+                         "scores >= --classifier-min-prob; runs after "
+                         "the heuristic filter")
+    ap.add_argument("--classifier-min-prob", type=float, default=0.5)
+    ap.add_argument("--semdedup", default=None, metavar="EMB_PARQUET",
+                    help="SemDeDup embedding near-dup removal: drop "
+                         "curated docs whose vector (vec_id == "
+                         "doc_id) has a lower-id neighbor at cosine "
+                         ">= --semdedup-threshold (LSH-bucketed, "
+                         "never all-pairs)")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.95)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -176,6 +191,31 @@ def main(argv: list[str] | None = None) -> None:
         langs=tuple(s for s in args.langs.split(",") if s),
         near_threshold=args.near_threshold,
     ).persist()
+    if args.classifier_weights:
+        from hadoop_search_engine_spark.operators.classifier import (
+            classifier_filter,
+        )
+
+        weights = spark.read.parquet(args.classifier_weights)
+        curated = classifier_filter(
+            curated, weights, min_prob=args.classifier_min_prob
+        )
+    if args.semdedup:
+        from pyspark.sql import functions as F
+
+        from hadoop_search_engine_spark.operators.similarity import semdedup
+
+        emb = spark.read.parquet(args.semdedup)
+        kept_vecs = semdedup(
+            emb, threshold=args.semdedup_threshold
+        ).select(F.col("vec_id").alias("doc_id"))
+        # docs WITH a vector keep only semdedup survivors; docs
+        # without one pass through (no evidence to drop on)
+        has_vec = emb.select(F.col("vec_id").alias("doc_id"))
+        curated = curated.join(
+            has_vec.join(kept_vecs, "doc_id", "left_anti"),
+            "doc_id", "left_anti",
+        )
     if args.decontaminate:
         from hadoop_search_engine_spark.operators.curate import decontaminate
 

@@ -159,3 +159,74 @@ def test_param_validation(spark, two_vocab):
     empty = df.where("doc_id < 0")
     with pytest.raises(ValueError, match="empty"):
         train_text_classifier(empty, n_features=NF)
+
+
+def test_curate_cli_classifier_and_semdedup_stages(
+    spark, tiny_corpus, tmp_path
+):
+    """End-to-end: --classifier-weights gates on the learned model and
+    --semdedup drops embedding near-dups, both inside the curate CLI."""
+    import contextlib
+    import io
+    import json
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.classifier import (
+        classifier_filter,
+        train_text_classifier,
+    )
+    from jobs.curate import main as curate_main
+
+    inp = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    tiny_corpus.write.parquet(inp)
+
+    # train a tiny model: positives = docs containing w00000
+    labeled = tiny_corpus.select(
+        "doc_id", "text",
+        F.col("text").contains("w00000").cast("int").alias("label"),
+    )
+    weights = train_text_classifier(labeled, iters=3)
+    wdir = str(tmp_path / "weights")
+    weights.write.parquet(wdir)
+
+    # embeddings: vec_id == doc_id; plant one duplicate direction so
+    # semdedup drops the higher doc_id
+    rng = np.random.default_rng(11)
+    ids = [r["doc_id"] for r in tiny_corpus.select("doc_id").collect()]
+    vecs = {i: [float(x) for x in rng.standard_normal(8)] for i in ids}
+    lo, hi = sorted(ids)[0], sorted(ids)[-1]
+    vecs[hi] = [2.0 * x for x in vecs[lo]]
+    edir = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(edir)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        curate_main([
+            "--input", inp, "--output", out,
+            "--min-tokens", "1", "--min-quality", "0.0",
+            "--langs", "en,es,und",
+            "--classifier-weights", wdir,
+            "--classifier-min-prob", "0.5",
+            "--semdedup", edir,
+            "--semdedup-threshold", "0.999",
+        ])
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    assert got.count() == report["docs_out"] >= 1
+    kept = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # the planted near-dup (higher id of the pair) is gone
+    assert hi not in kept
+    # every kept doc passes the classifier gate (replay directly)
+    gate = {
+        r["doc_id"]
+        for r in classifier_filter(
+            tiny_corpus.select("doc_id", "text"), weights, 0.5
+        ).collect()
+    }
+    assert kept <= gate
