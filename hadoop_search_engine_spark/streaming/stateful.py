@@ -143,3 +143,42 @@ def dedup_stream(
         events_stream.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(list(id_cols))
     )
+
+
+def percolate_stream(
+    docs_stream: DataFrame,
+    queries: list[dict],
+    sink_fn,
+    synonyms: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming alerting (ES percolate on a document stream): each
+    micro-batch of arriving docs is matched against the registered
+    query set and the satisfied ``(doc_id, query_id, n_matched)``
+    rows go to ``sink_fn(matches_df, epoch_id)`` — the "saved search
+    fired" callback. Queries are compiled ONCE driver-side (not per
+    batch) and broadcast into every micro-batch's join, the same plan
+    the batch :func:`~..operators.percolate.percolate` audits.
+
+    Returns the ``DataStreamWriter`` — the caller picks the trigger
+    and checkpoint (``.option("checkpointLocation", ...)
+    .trigger(availableNow=True).start()``). foreachBatch rather than
+    a streaming aggregation: the match gate is per-batch complete
+    (a doc either satisfies a query or not — no cross-batch state),
+    so there is nothing for watermarks to hold."""
+    from ..operators.percolate import compile_queries, percolate
+
+    spark = docs_stream.sparkSession
+    rows = compile_queries(queries, synonyms)
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, n_required int"
+    )
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        sink_fn(
+            percolate(batch_df, qdf, id_col=id_col, text_col=text_col),
+            epoch_id,
+        )
+
+    return docs_stream.writeStream.foreachBatch(fb)

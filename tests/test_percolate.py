@@ -147,3 +147,41 @@ def test_percolate_stream_foreachbatch(spark, tmp_path):
     q.awaitTermination(120)
     assert (4, "all_ab") in hits and (3, "any_ab") not in hits
     assert {qid for _, qid in hits} == {"any_ab", "all_ab", "m2of3"}
+
+
+def test_percolate_stream_matches_batch(spark, tmp_path):
+    """Streaming percolation (availableNow over a parquet dir) emits
+    exactly the batch percolate rows."""
+    from hadoop_search_engine_spark.streaming.stateful import (
+        percolate_stream,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "stream_src")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    got: list[tuple] = []
+
+    def sink(matches, epoch_id):
+        got.extend(
+            (r["doc_id"], r["query_id"], r["n_matched"])
+            for r in matches.collect()
+        )
+
+    q = (
+        percolate_stream(stream, QUERIES, sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r["doc_id"], r["query_id"], r["n_matched"])
+        for r in percolate(docs, QUERIES).collect()
+    )
+    assert sorted(got) == want
+    assert len(want) > 0
