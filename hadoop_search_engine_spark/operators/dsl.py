@@ -91,6 +91,8 @@ class DslResult:
     suggest: dict[str, DataFrame] = field(default_factory=dict)
     # collapse inner_hits: {name: (key, rank, doc_id, score) frame}
     inner_hits: dict[str, DataFrame] = field(default_factory=dict)
+    # track_total_hits: 1-row (n_hits) frame, None unless requested
+    total: DataFrame | None = None
 
 
 class DslError(ValueError):
@@ -1399,7 +1401,8 @@ def search_dsl(
         raise DslError('body must carry "query", "knn", and/or "suggest"')
     unknown = set(body) - {"query", "size", "search_after", "similarity",
                            "aggs", "knn", "rank", "collapse", "highlight",
-                           "sort", "suggest"}
+                           "sort", "suggest", "fields",
+                           "track_total_hits"}
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
     suggest = {}
@@ -1591,12 +1594,41 @@ def search_dsl(
         else:
             hits = materialize_with_snippets(hits, documents, terms,
                                              width=frag, mark=mark)
+    if body.get("fields"):
+        # ES fields retrieval: metadata columns joined onto the hits
+        # (k-row broadcast into the corpus-sized table; missing docs
+        # keep null fields). Re-sorted afterwards — a join does not
+        # preserve order.
+        flds = [str(f_) for f_ in body["fields"]]
+        if documents is None:
+            raise DslError("fields needs documents= (the metadata table)")
+        dup = [f_ for f_ in flds if f_ in hits.columns]
+        if dup:
+            raise DslError(f"fields {dup} already present on the hits")
+        hits = F.broadcast(hits).join(
+            documents.select("doc_id", *flds), "doc_id", "left"
+        )
+        if "score" in hits.columns:
+            hits = hits.orderBy(F.desc("score"), F.asc("doc_id"))
+    total = None
+    if body.get("track_total_hits"):
+        # ES track_total_hits=true: the exact full hit count beside
+        # the page — one pruned postings decode + count, lazy
+        from .analytics import count_matches
+
+        qk0, qb0 = _one_key(body["query"], "query")
+        if qk0 not in ("match", "query_string", "term", "terms"):
+            raise DslError(
+                "track_total_hits composes with the match family"
+            )
+        total = count_matches(index, _query_text(qk0, qb0), synonyms,
+                              mode=_query_mode(qk0, qb0))
     aggs = {}
     if body.get("aggs"):
         aggs = _run_aggs(body["aggs"], index, body["query"], documents,
                          synonyms)
     return DslResult(hits=hits, aggs=aggs, suggest=suggest,
-                     inner_hits=inner)
+                     inner_hits=inner, total=total)
 
 
 def _query_text(kind: str, body) -> str:

@@ -213,3 +213,32 @@ def test_search_template_renders_and_matches_direct(tiny_index):
     direct = search_dsl(tiny_index,
                         {"query": {"match": {"text": Q}}, "size": 5})
     assert r.hits.collect() == direct.hits.collect()
+
+
+def test_dsl_fields_and_track_total_hits(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import count_matches
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    docs = tiny_corpus
+    r = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}}, "size": 5,
+         "fields": ["lang", "url"], "track_total_hits": True},
+        documents=docs,
+    )
+    rows = r.hits.collect()
+    assert [x["doc_id"] for x in rows] == [
+        x["doc_id"] for x in search_topk(tiny_index, Q, k=5).collect()
+    ]
+    meta = {x["doc_id"]: (x["lang"], x["url"]) for x in docs.collect()}
+    for x in rows:
+        assert (x["lang"], x["url"]) == meta[x["doc_id"]]
+    assert r.total.collect()[0]["n_hits"] == count_matches(
+        tiny_index, Q).collect()[0]["n_hits"]
+    with pytest.raises(DslError, match="documents"):
+        search_dsl(tiny_index,
+                   {"query": {"match": {"text": Q}}, "fields": ["lang"]})
+    with pytest.raises(DslError, match="already present"):
+        search_dsl(tiny_index,
+                   {"query": {"match": {"text": Q}},
+                    "fields": ["doc_id"]}, documents=docs)
