@@ -328,6 +328,58 @@ def date_histogram_facet(
     return date_histogram(hits, col, interval, min_doc_count)
 
 
+# approximate seconds per calendar unit, for the auto-interval pick
+# (the ladder mirrors _CALENDAR_STEPS — minute is the finest unit the
+# calendar histogram supports)
+_AUTO_STEPS = [
+    ("minute", 60.0),
+    ("hour", 3600.0),
+    ("day", 86400.0),
+    ("week", 604800.0),
+    ("month", 2629800.0),
+    ("quarter", 7889400.0),
+    ("year", 31557600.0),
+]
+
+
+def auto_date_histogram_facet(
+    matched: DataFrame,
+    documents: DataFrame,
+    field: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest calendar interval
+    that keeps the bucket count at or under ``buckets``, then run the
+    ordinary :func:`date_histogram` at it. Output ``(bucket, n_docs,
+    interval)`` — the chosen interval rides along as a column, like
+    ES reports it.
+
+    The interval pick needs the hit set's time span, which costs ONE
+    eager 1-row min/max aggregation before the lazy histogram plan is
+    built (ES pays the same pass shard-side). Everything after is the
+    standard one-groupBy bucket plan."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
+    x = F.col(field).cast("timestamp")
+    row = hits.agg(F.min(x).alias("lo"), F.max(x).alias("hi")).first()
+    schema = "bucket timestamp, n_docs long, interval string"
+    if row is None or row["lo"] is None:
+        return _empty_df(hits.sparkSession, schema)
+    span = (row["hi"] - row["lo"]).total_seconds()
+    interval = _AUTO_STEPS[-1][0]
+    for name, step in _AUTO_STEPS:
+        if span / step + 1.0 <= float(buckets):
+            interval = name
+            break
+    # min_doc_count=0: ES auto buckets are CONTIGUOUS over the span
+    # (the pick formula above counts grid slots, not occupied ones)
+    return date_histogram(hits, field, interval,
+                          min_doc_count=0).withColumn(
+        "interval", F.lit(interval)
+    )
+
+
 # ------------------------------------------------------------------ #
 # Composite aggregation (paginated bucket enumeration)                #
 # ------------------------------------------------------------------ #

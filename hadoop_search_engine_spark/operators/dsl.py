@@ -17,6 +17,11 @@ Supported top-level body keys:
                  (operators/ranking.py; match/query_string/term(s))
   aggs           {name: {kind: {...}}} over the query's FULL hit set
                  (match-family queries; see _AGG_KINDS)
+  fields         metadata columns joined onto the hit page
+  track_total_hits  exact full hit count -> DslResult.total
+  min_score      drop page hits scoring below the threshold
+  explain        per-hit per-term Explanation -> DslResult.explain
+                 (materializes the k-row page; the one eager key)
 
 Query clauses → engine paths:
 
@@ -93,6 +98,8 @@ class DslResult:
     inner_hits: dict[str, DataFrame] = field(default_factory=dict)
     # track_total_hits: 1-row (n_hits) frame, None unless requested
     total: DataFrame | None = None
+    # explain=true: (doc_id, term, tf, df, idf, contribution) rows
+    explain: DataFrame | None = None
 
 
 class DslError(ValueError):
@@ -918,6 +925,52 @@ def _dispatch_aggs(
             for sname, frame in sub.items():
                 out[f"{name}.{sname}"] = frame
             continue
+        if akind == "auto_date_histogram":
+            from .analytics import auto_date_histogram_facet
+
+            out[name] = auto_date_histogram_facet(
+                matched, documents, ab["field"],
+                buckets=int(ab.get("buckets", 10)))
+            continue
+        if akind == "diversified_sampler":
+            # ES diversified_sampler: like sampler, but at most
+            # max_docs_per_value per de-duplication field value in
+            # the sample — de-biases the follow-up sub-aggs
+            from pyspark.sql import Window
+
+            from .query_exec import scored_docs
+
+            if subs is None:
+                raise DslError(
+                    "diversified_sampler needs sub-aggs (an aggs body)"
+                )
+            if text is None:
+                raise DslError(
+                    "diversified_sampler needs a scoring match-family "
+                    "query"
+                )
+            fld = ab.get("field")
+            if not fld:
+                raise DslError("diversified_sampler needs field")
+            per = int(ab.get("max_docs_per_value", 1))
+            shard_size = int(ab.get("shard_size", 100))
+            sc = scored_docs(index, text, synonyms, mode=mode).join(
+                documents.select("doc_id", fld), "doc_id", "left"
+            )
+            w = Window.partitionBy(fld).orderBy(
+                F.desc("score"), F.asc("doc_id"))
+            sampled = (
+                sc.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= per)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(shard_size)
+                .select("doc_id")
+            )
+            sub = _dispatch_aggs(subs, index, documents, synonyms,
+                                 sampled, None, None)
+            for sname, frame in sub.items():
+                out[f"{name}.{sname}"] = frame
+            continue
         if akind == "sampler":
             # ES sampler agg: sub-aggs run over only the top
             # shard_size BEST-scoring hits (focus follow-up analysis
@@ -1402,7 +1455,7 @@ def search_dsl(
     unknown = set(body) - {"query", "size", "search_after", "similarity",
                            "aggs", "knn", "rank", "collapse", "highlight",
                            "sort", "suggest", "fields",
-                           "track_total_hits"}
+                           "track_total_hits", "min_score", "explain"}
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
     suggest = {}
@@ -1594,6 +1647,29 @@ def search_dsl(
         else:
             hits = materialize_with_snippets(hits, documents, terms,
                                              width=frag, mark=mark)
+    if body.get("min_score") is not None:
+        # ES min_score: drop page hits below the threshold (applies
+        # to the returned page, after ranking — ES semantics for the
+        # non-rescore case)
+        if "score" not in hits.columns:
+            raise DslError("min_score needs a scored result")
+        hits = hits.where(
+            F.col("score") >= float(body["min_score"]))
+    explain = None
+    if body.get("explain"):
+        # ES explain=true: a per-term Explanation for every page hit.
+        # Needs the page doc_ids, so the hits frame is materialized
+        # here (k rows) — the one eager step in the DSL, documented.
+        from .query_exec import explain_hits
+
+        qk0, qb0 = _one_key(body["query"], "query")
+        if qk0 not in ("match", "query_string", "term", "terms"):
+            raise DslError("explain composes with the match family")
+        if "doc_id" not in hits.columns:
+            raise DslError("explain needs doc_id on the hits")
+        page_ids = [r["doc_id"] for r in hits.select("doc_id").collect()]
+        explain = explain_hits(index, _query_text(qk0, qb0), page_ids,
+                               synonyms=synonyms)
     if body.get("fields"):
         # ES fields retrieval: metadata columns joined onto the hits
         # (k-row broadcast into the corpus-sized table; missing docs
@@ -1628,7 +1704,7 @@ def search_dsl(
         aggs = _run_aggs(body["aggs"], index, body["query"], documents,
                          synonyms)
     return DslResult(hits=hits, aggs=aggs, suggest=suggest,
-                     inner_hits=inner, total=total)
+                     inner_hits=inner, total=total, explain=explain)
 
 
 def _query_text(kind: str, body) -> str:

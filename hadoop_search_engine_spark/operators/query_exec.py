@@ -4291,6 +4291,31 @@ EXPLAIN_SCHEMA = (
 )
 
 
+def explain_hits(
+    index: Index,
+    query_text: str,
+    doc_ids: list[int],
+    **explain_kwargs,
+) -> DataFrame:
+    """Per-term score breakdown for a PAGE of docs (ES ``explain:
+    true`` — one Explanation per hit): :func:`explain_score` rows for
+    each id, prefixed with ``doc_id``. Driver-side loop over the
+    k-row page (each probe is a pinned-lexicon lookup + one
+    bucket-pruned postings read — no Spark job); the concatenated
+    k × |terms| rows come back as one small frame."""
+    spark = index.spark
+    rows = []
+    for d in doc_ids:
+        for r in explain_score(index, query_text, int(d),
+                               **explain_kwargs).collect():
+            rows.append((int(d), r["term"], r["tf"], r["df"],
+                         r["idf"], r["contribution"]))
+    schema = "doc_id long, " + EXPLAIN_SCHEMA
+    if not rows:
+        return _empty_df(spark, schema)
+    return spark.createDataFrame(rows, schema)
+
+
 def explain_score(
     index: Index,
     query_text: str,

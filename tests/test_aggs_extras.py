@@ -796,3 +796,89 @@ def test_dsl_bucket_script_selector_chain(tiny_index, tiny_corpus):
                      "script": "params.n"}}}}}},
             documents=docs,
         )
+
+
+# --------------------------- auto_date_histogram / diversified_sampler
+
+
+def test_auto_date_histogram_picks_interval(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.analytics import (
+        auto_date_histogram_facet,
+    )
+
+    docs = _docs(tiny_corpus)   # ts = doc_id hours over ~200 docs
+    m = matched_docs(tiny_index, Q)
+    hits = _hits(tiny_index, docs)
+    span_s = (max(r["doc_id"] for r in hits)
+              - min(r["doc_id"] for r in hits)) * 3600
+    rows = auto_date_histogram_facet(m, docs, "ts", buckets=10).collect()
+    assert rows
+    iv = rows[0]["interval"]
+    assert all(r["interval"] == iv for r in rows)
+    assert len(rows) <= 10
+    # ~200 hourly points => day-or-coarser at 10 buckets
+    assert iv in ("day", "week", "month")
+    assert sum(r["n_docs"] for r in rows) == len(hits)
+    # generous budget => finer interval, more buckets
+    fine = auto_date_histogram_facet(m, docs, "ts",
+                                     buckets=10**6).collect()
+    assert fine[0]["interval"] == "minute"
+    with pytest.raises(ValueError, match="buckets"):
+        auto_date_histogram_facet(m, docs, "ts", buckets=0)
+
+
+def test_dsl_diversified_sampler_caps_per_value(tiny_index, tiny_corpus):
+    docs = _docs(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"div": {
+             "diversified_sampler": {"shard_size": 6, "field": "lang",
+                                     "max_docs_per_value": 2},
+             "aggs": {"langs": {"terms": {"field": "lang"}}}}}},
+        documents=docs,
+    )
+    rows = got.aggs["div.langs"].collect()
+    assert sum(r["n_docs"] for r in rows) == 6
+    assert all(r["n_docs"] <= 2 for r in rows)  # the de-bias cap
+    # plain sampler at the same size is head-heavy by comparison
+    plain = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"top": {"sampler": {"shard_size": 6},
+                          "aggs": {"langs": {"terms":
+                                             {"field": "lang"}}}}}},
+        documents=docs,
+    ).aggs["top.langs"].collect()
+    assert max(r["n_docs"] for r in plain) >= max(
+        r["n_docs"] for r in rows)
+
+
+def test_dsl_min_score_and_explain(tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        explain_score,
+        search_topk,
+    )
+
+    full = search_topk(tiny_index, Q, k=10).collect()
+    cut = full[4]["score"]
+    r = search_dsl(tiny_index,
+                   {"query": {"match": {"text": Q}}, "size": 10,
+                    "min_score": cut})
+    got = r.hits.collect()
+    assert all(x["score"] >= cut for x in got)
+    assert [x["doc_id"] for x in got] == [
+        x["doc_id"] for x in full if x["score"] >= cut]
+    # explain: per-hit breakdown sums to the hit score
+    r2 = search_dsl(tiny_index,
+                    {"query": {"match": {"text": Q}}, "size": 3,
+                     "explain": True})
+    page = {x["doc_id"]: x["score"] for x in r2.hits.collect()}
+    exp = r2.explain.collect()
+    assert {x["doc_id"] for x in exp} == set(page)
+    for d, s in page.items():
+        parts = [x["contribution"] for x in exp if x["doc_id"] == d]
+        direct = explain_score(tiny_index, Q, d).collect()
+        assert sorted(parts) == sorted(
+            x["contribution"] for x in direct)
+        assert abs(sum(parts) - s) < 1e-6
