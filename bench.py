@@ -352,7 +352,7 @@ def main() -> None:
     )
     t0 = time.time()
     tpi = build_time_partitioned_index(spark, tpi_docs, tpi_dir,
-                                       interval="month")
+                                       interval="month", concurrency=4)
     timings["time_partitioned_build"] = round(time.time() - t0, 4)
     tpi_lo = (1767225600 + 14 * 86400) * 1_000_000
     tpi_hi = (1767225600 + 68 * 86400) * 1_000_000
