@@ -315,6 +315,7 @@ def main() -> None:
                 F.slice(F.split(F.col("text"), " "), 9, 1 << 20), " "
             ),
         },
+        concurrency=2,
     )
     timings["multifield_build"] = round(time.time() - t0, 4)
     mm_boosts = {"title": 3.0, "body": 1.0}
