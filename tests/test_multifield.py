@@ -356,3 +356,26 @@ def test_cross_fields_rejects_similarity(mf):
     with pytest.raises(ValueError, match="cross_fields"):
         multi_match(mf, QUERY, combine="cross_fields",
                     similarity="tfidf")
+
+
+def test_concurrent_field_builds_identical(spark, tiny_corpus, mf,
+                                           tmp_path):
+    """concurrency=2 (the bench config) builds the same indexes as
+    the sequential path: multi_match results identical."""
+    out = str(tmp_path / "mfc")
+    fields = {
+        "title": F.array_join(F.slice(F.split(F.col("text"), " "),
+                                      1, 8), " "),
+        "body": F.array_join(
+            F.slice(F.split(F.col("text"), " "), 9, 1 << 20), " "
+        ),
+    }
+    mfc = build_multifield_index(spark, tiny_corpus, out, fields,
+                                 concurrency=2, num_shards=4,
+                                 n_buckets=8, block_size=16)
+    a = _pairs(multi_match(mfc, QUERY, k=20,
+                           boosts={"title": 3.0, "body": 1.0}))
+    b = _pairs(multi_match(mf, QUERY, k=20,
+                           boosts={"title": 3.0, "body": 1.0}))
+    assert _close(a, b)
+    assert len(a) > 0
