@@ -1934,6 +1934,70 @@ def q_max_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "total", "max_bucket")
 
 
+def _rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # floor(value) keeps every stored sum integer-valued in double —
+    # float summation order can then never shift the result between
+    # engines or partitionings
+    return _read(spark, sf_dir, "events").withColumn(
+        "v", F.floor("value").cast("double")
+    )
+
+
+_ROLLUP_METRICS = {
+    "n_events": ("count", "*"),
+    "v_sum": ("sum", "v"),
+    "v_max": ("max", "v"),
+}
+
+
+def q_rollup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup (operators/rollup.py): hourly
+    (bucket, event_type) aggregates materialized partitioned-by-date,
+    then a 10-day range query answered FROM the rollup — identical to
+    aggregating the raw events (the oracle does exactly that)."""
+    import tempfile
+
+    from hadoop_search_engine_spark.operators.rollup import (
+        create_rollup,
+        rollup_range,
+    )
+
+    out = os.path.join(tempfile.gettempdir(),
+                       f"hse_rollup_{abs(hash(sf_dir)) % 10**8}")
+    create_rollup(_rollup_events(spark, sf_dir), out, period="hour",
+                  dims=("event_type",), metrics=_ROLLUP_METRICS)
+    return rollup_range(spark, out, "2024-01-10 00:00:00",
+                        "2024-01-20 00:00:00",
+                        ("bucket", "event_type"))
+
+
+def q_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup refresh: base built on events before
+    Jan 20, the remainder folded in WITHOUT re-scanning old raw data
+    (delta partials merged into the affected tail partitions); the
+    full-span range query must equal the raw one-shot aggregation."""
+    import tempfile
+
+    from hadoop_search_engine_spark.operators.rollup import (
+        create_rollup,
+        refresh_rollup,
+        rollup_range,
+    )
+
+    ev = _rollup_events(spark, sf_dir)
+    cut = "2024-01-20 00:00:00"
+    out = os.path.join(tempfile.gettempdir(),
+                       f"hse_rollup_inc_{abs(hash(sf_dir)) % 10**8}")
+    create_rollup(ev.where(F.col("ts") < F.to_timestamp(F.lit(cut))),
+                  out, period="hour", dims=("event_type",),
+                  metrics=_ROLLUP_METRICS)
+    refresh_rollup(spark,
+                   ev.where(F.col("ts") >= F.to_timestamp(F.lit(cut))),
+                   out)
+    return rollup_range(spark, out, None, None,
+                        ("bucket", "event_type"))
+
+
 def q_rare_terms_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation: the LONG-TAIL buckets — n_chars
     values seen in at most 2 matched docs, count ASC (the mirror of
@@ -3481,6 +3545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_facets": q_histogram_facets,
         "range_facets": q_range_facets,
         "rare_terms": q_rare_terms_facet,
+        "rollup_range": q_rollup_range,
+        "rollup_refresh": q_rollup_refresh,
         "pipeline_aggs": q_pipeline_aggs,
         "bucket_script": q_bucket_script,
         "max_bucket": q_max_bucket,
@@ -4810,6 +4876,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc.n_chars AS sort_value, doc.lang, doc.source
         FROM m JOIN documents doc ON m.doc_id = doc.doc_id
         ORDER BY doc.n_chars DESC NULLS LAST, doc.doc_id ASC LIMIT 3
+    """
+    # continuous-aggregate rollup: the range query answered from the
+    # materialized table must equal the raw one-shot aggregation
+    out["rollup_range"] = """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*)::bigint AS n_events,
+               sum(floor(value)) AS v_sum,
+               max(floor(value)) AS v_max
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    # incremental refresh path: full span, same raw-recompute oracle
+    out["rollup_refresh"] = """
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*)::bigint AS n_events,
+               sum(floor(value)) AS v_sum,
+               max(floor(value)) AS v_max
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
     # ES parent pipeline aggs: cumulative_sum + derivative as window
     # functions over the daily-bucket frame

@@ -303,6 +303,11 @@ CHECKS = {
                       "!CartesianProduct"],
     "max_bucket": ["HashAggregate", "BroadcastHashJoin",
                    "!CartesianProduct", "!EvalPython"],
+    # rollup range query: the p_date filter reaches the file listing
+    # (PartitionFilters) and the merge is one partial-aggregated
+    # groupBy over bucket-sized rows — raw events never touched
+    "rollup_range": ["PartitionFilters", "HashAggregate",
+                     "!EvalPython", "!CartesianProduct"],
     # pinned: k-row pin frame broadcasts; final ranking is a top-k
     "pinned_search": ["TakeOrderedAndProject", "!CartesianProduct"],
     # semdedup (production LSH path): sign-bucket EQUI-join candidates
