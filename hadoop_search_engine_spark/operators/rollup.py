@@ -268,3 +268,23 @@ def rollup_range(
         )
         return out.orderBy(*[F.asc(d) for d in group_dims])
     return t.agg(*_merge_aggs(metrics))
+
+
+def rollup_stream(
+    events_stream: DataFrame,
+    out_dir: str,
+):
+    """Maintain the rollup FROM A STREAM (the continuous in
+    continuous aggregate): each micro-batch folds in through
+    :func:`refresh_rollup` — delta-only aggregation, tail-partition
+    merge, watermark advance. The table must exist
+    (:func:`create_rollup` on the history, or on an empty frame with
+    the right schema). Returns the ``DataStreamWriter`` — caller
+    picks trigger/checkpoint. foreachBatch rather than a streaming
+    aggregation sink: the merge needs dynamic partition overwrite,
+    which only the batch writer speaks."""
+
+    def fb(batch_df: DataFrame, _epoch: int) -> None:
+        refresh_rollup(batch_df.sparkSession, batch_df, out_dir)
+
+    return events_stream.writeStream.foreachBatch(fb)

@@ -171,3 +171,38 @@ def test_create_rollup_validation(spark, events, tmp_path):
     with pytest.raises(ValueError, match="kind"):
         create_rollup(events, str(tmp_path / "x"),
                       metrics={"m": ("median", "value")})
+
+
+def test_rollup_stream_maintains_table(spark, events, tmp_path):
+    from hadoop_search_engine_spark.operators.rollup import rollup_stream
+
+    cut = "2024-03-15 00:00:00"
+    old = events.where(F.col("ts") < F.to_timestamp(F.lit(cut)))
+    new = events.where(F.col("ts") >= F.to_timestamp(F.lit(cut)))
+    out = str(tmp_path / "stream_ru")
+    create_rollup(old, out, period="hour", dims=("event_type",),
+                  metrics=METRICS)
+    src = str(tmp_path / "src")
+    new.write.parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        rollup_stream(stream, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, rollup_table(spark, out)
+                 .select("bucket", "event_type", "n_events",
+                         "value_sum", "value_max").collect()))
+    full = str(tmp_path / "full_ru")
+    create_rollup(events, full, period="hour", dims=("event_type",),
+                  metrics=METRICS)
+    want = sorted(map(tuple, rollup_table(spark, full)
+                  .select("bucket", "event_type", "n_events",
+                          "value_sum", "value_max").collect()))
+    assert got == want
