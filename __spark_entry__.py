@@ -2734,6 +2734,24 @@ def q_pack_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_spans(docs, 128, group_col="lang")
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin attention-boundary metadata (document-masking input):
+    which docs start where inside each packed 128-token bin. Arrays
+    ride as comma-joined strings for the cross-engine hash."""
+    from hadoop_search_engine_spark.operators.training import pack_manifest
+
+    docs = _read(spark, sf_dir, "documents")
+    m = pack_manifest(docs, 128, group_col="lang")
+    as_csv = lambda c: F.array_join(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("string")), ","
+    )
+    return m.select(
+        "lang", "bin_id", "n_tokens",
+        as_csv("doc_ids").alias("doc_ids_csv"),
+        as_csv("doc_starts").alias("doc_starts_csv"),
+    )
+
+
 def q_pack_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed training rows: every bin exactly 128 tokens
     except each lang group's final partial bin; text is the
@@ -3616,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-sequence assembly + phrase mining + diversification
         "chunk_docs": q_chunk_docs,
         "pack_spans": q_pack_spans,
+        "pack_manifest": q_pack_manifest,
         "pack_text": q_pack_text,
         "collocations": q_collocations,
         "mmr_rerank": q_mmr_rerank,
@@ -6725,6 +6744,22 @@ def oracle_sql() -> dict[str, str]:
                greatest(bin_id * 128 - g, 0) AS tok_start,
                least((bin_id + 1) * 128 - g, n) AS tok_end
         FROM sp
+    """
+    out["pack_manifest"] = f"""
+        WITH {_pack_st},
+        spans AS (
+          SELECT lang, doc_id, bin_id,
+                 greatest(g - bin_id * 128, 0) AS bin_pos,
+                 least((bin_id + 1) * 128 - g, n)
+                   - greatest(bin_id * 128 - g, 0) AS n_tok
+          FROM sp
+        )
+        SELECT lang, bin_id, sum(n_tok)::bigint AS n_tokens,
+               array_to_string(list(doc_id ORDER BY bin_pos), ',')
+                 AS doc_ids_csv,
+               array_to_string(list(bin_pos ORDER BY bin_pos), ',')
+                 AS doc_starts_csv
+        FROM spans GROUP BY lang, bin_id
     """
     out["pack_text"] = f"""
         WITH {_pack_st},

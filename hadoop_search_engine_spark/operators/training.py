@@ -280,3 +280,45 @@ def pack_text(
         F.size("_toks").alias("n_tokens"),
         F.array_join("_toks", " ").alias("text"),
     )
+
+
+def pack_manifest(
+    docs: DataFrame,
+    seq_len: int,
+    group_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cumsum_buckets: int | None = 1024,
+) -> DataFrame:
+    """Per-bin ATTENTION-BOUNDARY metadata for packed training rows:
+    ``(group?, bin_id, n_tokens, doc_ids, doc_starts)`` where
+    ``doc_starts[i]`` is the in-bin token position where
+    ``doc_ids[i]``'s slice begins (``doc_starts[0]`` is 0 except in
+    bins a doc spans into). This is exactly what a trainer needs to
+    build the block-diagonal ("document masking") attention mask over
+    :func:`pack_text` rows — tokens never attend across the doc
+    boundaries listed here — and the two frames join on
+    ``(group?, bin_id)`` by construction (same span arithmetic).
+
+    Arrays are sorted by in-bin position; output is |bins| rows with
+    per-row array length = docs-touching-that-bin (bounded by
+    ``seq_len`` since empty docs vanish). One partial-aggregated
+    groupBy over the span table — no token bytes move, unlike
+    pack_text."""
+    spans, keys = _spans(
+        docs, seq_len, group_col, text_col, id_col,
+        carry_tokens=False, cumsum_buckets=cumsum_buckets,
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("bin_pos", F.col(id_col).alias("_d")))
+    )
+    return (
+        spans.groupBy(*keys, "bin_id")
+        .agg(
+            F.sum(F.col("tok_end") - F.col("tok_start"))
+            .cast("long").alias("n_tokens"),
+            F.transform(ordered, lambda s: s._d).alias("doc_ids"),
+            F.transform(ordered, lambda s: s.bin_pos.cast("long"))
+            .alias("doc_starts"),
+        )
+    )

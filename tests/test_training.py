@@ -250,3 +250,30 @@ def test_token_budget_cut_validates(spark):
     with pytest.raises(ValueError):
         token_budget_cut(docs, 10, order_buckets=3)
     assert token_budget_cut(docs, 0).count() == 0
+
+
+def test_pack_manifest_boundaries_match_python(docs):
+    from hadoop_search_engine_spark.operators.training import pack_manifest
+
+    seq_len = 6
+    _bins, spans = _py_pack(ROWS, seq_len)
+    want: dict[int, list[tuple]] = {}
+    for doc_id, b, bin_pos, s, e in spans:
+        want.setdefault(b, []).append((bin_pos, doc_id, e - s))
+    got = {r["bin_id"]: r for r in pack_manifest(docs, seq_len).collect()}
+    assert set(got) == set(want)
+    for b, entries in want.items():
+        entries.sort()
+        r = got[b]
+        assert r["doc_ids"] == [d for _p, d, _n in entries]
+        assert r["doc_starts"] == [p for p, _d, _n in entries]
+        assert r["n_tokens"] == sum(n for _p, _d, n in entries)
+    # joins with pack_text on bin_id: same bins, same token counts
+    pt = {r["bin_id"]: r["n_tokens"]
+          for r in pack_text(docs, seq_len).collect()}
+    assert {b: got[b]["n_tokens"] for b in got} == pt
+    # a spanning doc starts at position 0 of its continuation bin
+    spanning = [r for r in got.values()
+                if r["doc_starts"] and r["doc_starts"][0] == 0
+                and len(r["doc_ids"]) >= 1]
+    assert spanning  # doc 4 (26 tokens) must span bins
