@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> None:
                        help="sliding token windows instead of packing")
     ap.add_argument("--pack-by", default=None,
                     help="group column: each group packs independently")
+    ap.add_argument("--manifest-out", default=None, metavar="PARQUET",
+                    help="with --pack: write the per-bin attention-"
+                         "boundary manifest (doc_ids/doc_starts per "
+                         "bin - the document-masking sidecar)")
     ap.add_argument("--spans-out", default=None,
                     help="with --pack: also write the (doc, bin) "
                          "token-range lineage table")
@@ -157,10 +161,16 @@ def main(argv: list[str] | None = None) -> None:
         tok_col = "n_tokens"
     else:
         from hadoop_search_engine_spark.operators.training import (
+            pack_manifest,
             pack_spans,
             pack_text,
         )
 
+        if args.manifest_out:
+            pack_manifest(
+                docs, args.pack, group_col=args.pack_by, id_col=id_col
+            ).write.mode("overwrite").parquet(args.manifest_out)
+            report["manifest_out"] = args.manifest_out
         if args.spans_out:
             pack_spans(
                 docs, args.pack, group_col=args.pack_by, id_col=id_col

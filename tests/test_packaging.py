@@ -86,6 +86,7 @@ def test_train_prep_job(spark, tmp_path):
 
     out = str(tmp_path / "packed")
     spans = str(tmp_path / "spans.parquet")
+    manifest = str(tmp_path / "manifest.parquet")
     merges = str(tmp_path / "merges.parquet")
     sys.path.insert(0, os.path.join(REPO, "jobs"))
     try:
@@ -95,7 +96,7 @@ def test_train_prep_job(spark, tmp_path):
             "--input", docs_path, "--output", out, "--pack", "256",
             "--mix", "en=1.5,*=1.0", "--mix-by", "lang",
             "--bpe-train", "40", "--bpe-merges-out", merges,
-            "--spans-out", spans,
+            "--spans-out", spans, "--manifest-out", manifest,
         ])
     finally:
         sys.path.remove(os.path.join(REPO, "jobs"))
@@ -107,6 +108,13 @@ def test_train_prep_job(spark, tmp_path):
     full = [r for r in rows if r["n_tokens"] == 256]
     assert len(rows) - len(full) <= 1
     assert os.path.exists(os.path.join(spans, "_SUCCESS"))
+    # the attention-boundary sidecar joins the packed rows on bin_id
+    # and carries the same token totals
+    man = spark.read.parquet(manifest)
+    mt = {r["bin_id"]: r["n_tokens"] for r in man.collect()}
+    assert mt == {r["bin_id"]: r["n_tokens"] for r in rows}
+    assert all(len(r["doc_ids"]) == len(r["doc_starts"]) >= 1
+               for r in man.collect())
     assert spark.read.parquet(merges).count() == 40
     # BPE segmentation happened: packed text contains subword merges
     # (END marker visible in the token stream)
