@@ -329,6 +329,31 @@ def _mf_oracle_index(spark: SparkSession, sf_dir: str):
 MF_BOOSTS = {"title": 3.0, "body": 1.0}
 
 
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields (term-centric BM25F): field boosts fold
+    into the TERM FREQUENCIES (tf_c = sum w_f * tf_f over one
+    combined length norm), so a term spread across fields saturates
+    once — vs multi_match's independently-saturating per-field
+    scores. Oracle replays the weighted-token union and the combined
+    df/dl/avgdl arithmetic exactly."""
+    from hadoop_search_engine_spark.operators.multifield import (
+        combined_fields_topk,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+        .alias("title"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 9, 1 << 20),
+                     " ").alias("body"),
+    )
+    top = combined_fields_topk(
+        docs, " ".join(FLAGSHIP_TERMS),
+        {"title": "title", "body": "body"}, boosts=MF_BOOSTS, k=20,
+    )
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES multi_match most_fields over a real two-field index (one
     complete sub-index per field, field-accurate df/dl/avgdl):
@@ -3495,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_collapsed": q_dsl_collapsed,
         "dsl_knn": q_dsl_knn,
         "multi_match_most_fields": q_multi_match_most_fields,
+        "combined_fields": q_combined_fields,
         "multi_match_best_fields": q_multi_match_best_fields,
         "function_score_gauss": q_function_score_gauss,
         "function_score_fvf": q_function_score_fvf,
@@ -4617,6 +4643,38 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT doc_id, {MF_BOOSTS['body']} * s AS s FROM b_scored
         )"""
+    _cf_score = sql_score("tfc.tfc", "dl.dlc", sql_idf("c.n", "d.df"),
+                          "c.avgdlc", BM25_K1, BM25_B)
+    out["combined_fields"] = f"""
+        WITH base AS (
+          SELECT doc_id, {_title_sql} AS title, {_body_sql} AS body
+          FROM documents
+        ),
+        long AS (
+          SELECT doc_id, unnest({sql_tokens_duckdb('title')}) AS term,
+                 {MF_BOOSTS['title']} AS w FROM base
+          UNION ALL
+          SELECT doc_id, unnest({sql_tokens_duckdb('body')}) AS term,
+                 {MF_BOOSTS['body']} AS w FROM base
+        ),
+        dl AS (SELECT doc_id, sum(w) AS dlc FROM long GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(dlc) AS avgdlc FROM dl),
+        ql AS (SELECT * FROM long WHERE term IN ({terms_in})),
+        tfc AS (SELECT doc_id, term, sum(w) AS tfc
+                FROM ql GROUP BY doc_id, term),
+        d AS (SELECT term, count(DISTINCT doc_id)::double AS df
+              FROM ql GROUP BY term),
+        s AS (
+          SELECT tfc.doc_id, sum({_cf_score}) AS score
+          FROM tfc
+          JOIN d ON tfc.term = d.term
+          JOIN dl ON tfc.doc_id = dl.doc_id
+          CROSS JOIN c
+          GROUP BY tfc.doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM s ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
     out["multi_match_most_fields"] = f"""
         WITH {_mf_ctes('t', _title_sql)}, {_mf_ctes('b', _body_sql)}, {_mf_union}
         SELECT doc_id, round(sum(s), 4) AS score

@@ -371,6 +371,31 @@ def _compile(
         )
     if kind in ("multi_match", "bool", "function_score") and after is not None:
         raise DslError(f"search_after does not compose with {kind!r} yet")
+    if kind == "combined_fields":
+        from .multifield import combined_fields_topk
+
+        _no_filter(kind)
+        if after is not None:
+            raise DslError(
+                "search_after does not compose with 'combined_fields'"
+            )
+        if documents is None:
+            raise DslError(
+                "combined_fields needs documents= (the table carrying "
+                "the listed field columns)"
+            )
+        bst = _parse_boosted_fields(body.get("fields", []))
+        if not bst:
+            raise DslError("combined_fields needs a fields list")
+        missing = [f_ for f_ in bst if f_ not in documents.columns]
+        if missing:
+            raise DslError(
+                f"combined_fields fields {missing} not on documents="
+            )
+        return combined_fields_topk(
+            documents, str(body["query"]),
+            {f_: f_ for f_ in bst}, boosts=bst, k=k, synonyms=synonyms,
+        )
     if kind == "multi_match":
         from .multifield import multi_match
 

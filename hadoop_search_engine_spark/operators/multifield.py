@@ -308,3 +308,102 @@ def cross_fields_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(k))
     )
+
+
+def combined_fields_topk(
+    docs: DataFrame,
+    query_text: str,
+    fields: dict[str, object],
+    boosts: dict[str, float] | None = None,
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+    synonyms: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``combined_fields`` query — term-centric BM25F: the listed
+    fields are scored AS ONE combined field with per-field weights
+    folded into the TERM FREQUENCIES, not the scores:
+
+        tf_c(t, d)  = Σ_f  w_f · tf_f(t, d)
+        dl_c(d)     = Σ_f  w_f · len_f(d)
+        df(t)       = |{d : t in ANY listed field of d}|
+        score(d)    = Σ_t idf(df) · BM25(tf_c, dl_c, avgdl_c)
+
+    This is what distinguishes it from ``multi_match``: a term
+    spread thinly across fields accumulates ONE saturating tf instead
+    of several independently-saturating per-field scores — the
+    principled fix for repeated-anchor/title boosting (Robertson's
+    BM25F argument). ES restricts the per-field boost to >= 1 and so
+    does this.
+
+    Exhaustive DataFrame path (one weighted-token explode, two
+    partial-aggregated groupBys, a broadcast 1-row stats join, top-k)
+    — the indexed analog would store per-field tf in the postings;
+    the per-field sub-indexes (:func:`build_multifield_index`) keep
+    per-field SCORES exact instead, so this path is the combined_
+    fields oracle-able reference. N/avgdl are over docs with >= 1
+    token in >= 1 listed field (the engine's stats convention)."""
+    from hadoop_search_engine_spark import BM25_B, BM25_K1
+    from hadoop_search_engine_spark.functions.bm25 import idf_col, score_col
+    from hadoop_search_engine_spark.functions.tokenizer import tokens_col
+
+    from .query_exec import TOPK_SCHEMA, _empty_df, parse_query
+
+    boosts = boosts or {f_: 1.0 for f_ in fields}
+    if set(boosts) - set(fields):
+        raise ValueError(
+            f"boosts name unknown fields {sorted(set(boosts) - set(fields))}"
+        )
+    if any(w < 1.0 for w in boosts.values()):
+        raise ValueError("combined_fields boosts must be >= 1 (ES rule)")
+    k1 = BM25_K1 if k1 is None else float(k1)
+    b = BM25_B if b is None else float(b)
+    terms = sorted(set(parse_query(query_text, synonyms)))
+    if not terms:
+        return _empty_df(docs.sparkSession, TOPK_SCHEMA)
+
+    parts = []
+    for name, expr in fields.items():
+        col = F.col(expr) if isinstance(expr, str) else expr
+        w = float(boosts.get(name, 1.0))
+        parts.append(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokens_col(col)).alias("term"),
+                F.lit(w).alias("w"),
+            )
+        )
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+
+    dl = long.groupBy("doc_id").agg(F.sum("w").alias("dlc"))
+    c = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dlc").alias("avgdlc"),
+    )
+    ql = long.where(F.col("term").isin(terms))
+    tfc = ql.groupBy("doc_id", "term").agg(F.sum("w").alias("tfc"))
+    dfreq = (
+        ql.select("doc_id", "term").distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    scored = (
+        tfc.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(c))
+        .withColumn(
+            "_s",
+            score_col(F.col("tfc"), F.col("dlc"),
+                      idf_col(F.col("n"), F.col("df")),
+                      F.col("avgdlc"), k1=k1, b=b),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )

@@ -379,3 +379,95 @@ def test_concurrent_field_builds_identical(spark, tiny_corpus, mf,
                            boosts={"title": 3.0, "body": 1.0}))
     assert _close(a, b)
     assert len(a) > 0
+
+
+# ---------------------------------------------------- combined_fields
+
+
+def _py_combined_fields(rows, query_terms, weights, k1=K1, b=B):
+    """rows: (doc_id, {field: text}); weights: {field: w}."""
+    toks = {
+        d: {f: tokenize(t) for f, t in by_field.items()}
+        for d, by_field in rows
+    }
+    dlc = {
+        d: sum(weights[f] * len(ts) for f, ts in by.items())
+        for d, by in toks.items() if any(by.values())
+    }
+    n = len(dlc)
+    avgdlc = sum(dlc.values()) / n
+    scores = {}
+    for t in query_terms:
+        df = sum(
+            1 for d, by in toks.items()
+            if any(t in ts for ts in by.values())
+        )
+        if df == 0:
+            continue
+        w_idf = _idf(n, df)
+        for d, by in toks.items():
+            tfc = sum(weights[f] * ts.count(t) for f, ts in by.items())
+            if tfc == 0:
+                continue
+            denom = tfc + k1 * (1 - b + b * dlc[d] / avgdlc)
+            scores[d] = scores.get(d, 0.0) + w_idf * tfc * (k1 + 1) / denom
+    return scores
+
+
+def test_combined_fields_matches_python(spark, tiny_corpus):
+    from hadoop_search_engine_spark.operators.multifield import (
+        combined_fields_topk,
+    )
+
+    docs = tiny_corpus.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+        .alias("title"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 9, 1 << 20),
+                     " ").alias("body"),
+    )
+    weights = {"title": 3.0, "body": 1.0}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in combined_fields_topk(
+            docs, QUERY, {"title": "title", "body": "body"},
+            boosts=weights, k=15,
+        ).collect()
+    ]
+    rows = [(r["doc_id"], {"title": r["title"], "body": r["body"]})
+            for r in docs.collect()]
+    ref = _py_combined_fields(rows, QUERY.split(), weights)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # thin spread saturates ONCE: combined tf differs from multi_match
+    with pytest.raises(ValueError, match=">= 1"):
+        combined_fields_topk(docs, QUERY, {"title": "title"},
+                             boosts={"title": 0.5})
+
+
+def test_dsl_combined_fields_identity(spark, tiny_index, tiny_corpus):
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+    from hadoop_search_engine_spark.operators.multifield import (
+        combined_fields_topk,
+    )
+
+    docs = tiny_corpus.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+        .alias("title"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 9, 1 << 20),
+                     " ").alias("body"),
+    )
+    got = search_dsl(
+        tiny_index,
+        {"query": {"combined_fields": {"query": QUERY,
+                                       "fields": ["title^3", "body"]}},
+         "size": 10},
+        documents=docs,
+    )
+    want = combined_fields_topk(
+        docs, QUERY, {"title": "title", "body": "body"},
+        boosts={"title": 3.0, "body": 1.0}, k=10)
+    assert got.hits.collect() == want.collect()
