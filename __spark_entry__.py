@@ -2272,6 +2272,28 @@ def q_collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interleave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slot-balanced interleaving of two live engine runs (default
+    BM25 vs tuned (k1=0.9, b=0.25)) over the batch query set — the
+    online-experiment merge, team attribution included; the oracle
+    replays both rankings AND the slot algebra."""
+    from hadoop_search_engine_spark.operators.evaluate import (
+        balanced_interleave,
+        run_from_batch,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_batch,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    ra = run_from_batch(
+        search_topk_batch(ix, BATCH_QUERIES, k=10, serving="spark"))
+    rb = run_from_batch(
+        search_topk_batch(ix, BATCH_QUERIES, k=10, serving="spark",
+                          k1=0.9, b=0.25))
+    return balanced_interleave(ra, rb, k=10)
+
+
 def q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES collapse inner_hits over the real index: top-5 collapsed
     page on lang, each page group expanded to its top-3 docs from the
@@ -3618,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "collapsed_search": q_collapsed_search,
         "collapse_inner_hits": q_collapse_inner_hits,
+        "interleave_runs": q_interleave_runs,
         "suggest_terms": q_suggest_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "or_union_docs": q_or_union_docs,
@@ -4841,6 +4864,72 @@ def oracle_sql() -> dict[str, str]:
         FROM ({" UNION ALL ".join(batch_parts)})
     """
     out["bm25_topk_batch_driver"] = out["bm25_topk_batch"]
+    # slot-balanced interleaving of the default vs tuned batch runs:
+    # replay both rankings, then the even/odd slot algebra
+    il_score_tuned = sql_score("tf.tf", "dl.doc_len", idf, "c.avgdl",
+                               0.9, 0.25)
+    il_ctes, ra_parts, rb_parts = [], [], []
+    for qid, qtext in sorted(BATCH_QUERIES.items()):
+        q_in = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
+        il_ctes.append(f"""
+            ild_{qid} AS (
+              SELECT term, count(*)::double AS df FROM tf
+              WHERE term IN ({q_in}) GROUP BY term
+            ),
+            ilsa_{qid} AS (
+              SELECT tf.doc_id, sum({score}) AS score
+              FROM tf JOIN ild_{qid} d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+              GROUP BY tf.doc_id
+            ),
+            ilsb_{qid} AS (
+              SELECT tf.doc_id, sum({il_score_tuned}) AS score
+              FROM tf JOIN ild_{qid} d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
+              GROUP BY tf.doc_id
+            ),
+            ilra_{qid} AS (
+              SELECT '{qid}' AS query_id, doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM ilsa_{qid} QUALIFY rank <= 10
+            ),
+            ilrb_{qid} AS (
+              SELECT '{qid}' AS query_id, doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM ilsb_{qid} QUALIFY rank <= 10
+            )""")
+        ra_parts.append(f"SELECT * FROM ilra_{qid}")
+        rb_parts.append(f"SELECT * FROM ilrb_{qid}")
+    out["interleave_runs"] = f"""
+        WITH {_TF_CTE},
+        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+        {", ".join(il_ctes)},
+        runa AS ({" UNION ALL ".join(ra_parts)}),
+        runb AS ({" UNION ALL ".join(rb_parts)}),
+        sa AS (SELECT query_id, doc_id,
+                      2 * (rank - 1)::bigint AS slot_a FROM runa),
+        sb AS (SELECT query_id, doc_id,
+                      (2 * (rank - 1) + 1)::bigint AS slot_b FROM runb),
+        merged AS (
+          SELECT coalesce(sa.query_id, sb.query_id) AS query_id,
+                 coalesce(sa.doc_id, sb.doc_id) AS doc_id,
+                 least(coalesce(slot_a, 4611686018427387904),
+                       coalesce(slot_b, 4611686018427387904)) AS slot,
+                 CASE WHEN coalesce(slot_a, 4611686018427387904)
+                        < coalesce(slot_b, 4611686018427387904)
+                      THEN 'a' ELSE 'b' END AS team
+          FROM sa FULL JOIN sb
+            ON sa.query_id = sb.query_id AND sa.doc_id = sb.doc_id
+        )
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY slot)::int AS rank,
+               doc_id, team
+        FROM merged QUALIFY rank <= 10
+    """
     # federation is invisible: global stats make the segmented result
     # equal the union-corpus query, so the same oracles apply
     out["federated_search"] = out["bm25_topk"]

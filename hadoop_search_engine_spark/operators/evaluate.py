@@ -144,3 +144,86 @@ def mean_metrics(per_query: DataFrame) -> DataFrame:
         F.round(F.avg("precision"), 6).alias("mean_precision"),
         F.round(F.avg("recall"), 6).alias("mean_recall"),
     )
+
+
+def balanced_interleave(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Slot-balanced interleaving of two ranked runs — the online A/B
+    ranking experiment (Joachims 2002's evaluation setup): users see
+    ONE merged list; clicks on docs contributed by A credit A, and
+    vice versa.
+
+    Deterministic slot-key formulation (the contract this operator
+    DEFINES, chosen to be declarative and SQL-replayable): run A's
+    docs occupy even slots ``2*(rank_a-1)``, run B's odd slots
+    ``2*(rank_b-1)+1``; a doc in both runs takes its EARLIEST slot,
+    the merged order is slot ascending, and ``team`` records which
+    run supplied that earliest slot (ties cannot occur — even vs
+    odd). For DISJOINT runs this is exactly Joachims' alternate
+    construction with A first; when runs share docs it differs from
+    the pointer-advancing variant (a doc freed by deduplication does
+    NOT pull later docs forward past their slots) — both preserve
+    the fairness property that matters: each team's i-th unique
+    contribution can never be displaced behind the other team's
+    (i+1)-th.
+
+    Inputs: ``(query_id, doc_id, rank)`` frames (:func:`run_from_batch`
+    shape). Output: ``(query_id, rank, doc_id, team)`` — merged rank
+    1-based, team 'a' | 'b', top ``k`` per query (default: all).
+    Per-query windows over <= |run_a|+|run_b| rows — k-bounded, never
+    corpus-sized."""
+    a = run_a.select(
+        "query_id", "doc_id",
+        (2 * (F.col("rank") - 1)).cast("long").alias("slot_a"),
+    )
+    b = run_b.select(
+        "query_id", "doc_id",
+        (2 * (F.col("rank") - 1) + 1).cast("long").alias("slot_b"),
+    )
+    j = a.join(b, ["query_id", "doc_id"], "full")
+    slot = F.least(
+        F.coalesce("slot_a", F.lit(1 << 62)),
+        F.coalesce("slot_b", F.lit(1 << 62)),
+    )
+    team = F.when(
+        F.coalesce("slot_a", F.lit(1 << 62)) < F.coalesce(
+            "slot_b", F.lit(1 << 62)), F.lit("a")
+    ).otherwise(F.lit("b"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_slot"))
+    out = (
+        j.select("query_id", "doc_id", slot.alias("_slot"),
+                 team.alias("team"))
+        .withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank", "doc_id", "team")
+    )
+    if k is not None:
+        out = out.where(F.col("rank") <= int(k))
+    return out
+
+
+def interleave_credit(
+    interleaved: DataFrame,
+    clicks: DataFrame,
+) -> DataFrame:
+    """Score the interleaving experiment: per query, how many clicked
+    docs each team contributed — ``(query_id, clicks_a, clicks_b,
+    winner)`` with winner 'a' | 'b' | 'tie' (Joachims' h test counts).
+    ``clicks`` is ``(query_id, doc_id)``; clicks on docs outside the
+    interleaved list are ignored."""
+    hit = interleaved.join(clicks.select("query_id", "doc_id").distinct(),
+                           ["query_id", "doc_id"], "left_semi")
+    counts = hit.groupBy("query_id").agg(
+        F.sum(F.when(F.col("team") == "a", 1).otherwise(0))
+        .cast("long").alias("clicks_a"),
+        F.sum(F.when(F.col("team") == "b", 1).otherwise(0))
+        .cast("long").alias("clicks_b"),
+    )
+    return counts.select(
+        "query_id", "clicks_a", "clicks_b",
+        F.when(F.col("clicks_a") > F.col("clicks_b"), "a")
+        .when(F.col("clicks_b") > F.col("clicks_a"), "b")
+        .otherwise("tie").alias("winner"),
+    )
