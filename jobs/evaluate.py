@@ -31,7 +31,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--run",
                     help="pre-computed run parquet (query_id, doc_id, "
                          "rank|score) — evaluate without serving")
-    ap.add_argument("--qrels", required=True,
+    ap.add_argument("--interleave", default=None, metavar="RUN_B",
+                    help="with --run: slot-balanced-interleave the two "
+                         "runs (online A/B merge) and print the merged "
+                         "list as JSON lines; with --clicks also print "
+                         "the per-query credit report")
+    ap.add_argument("--clicks", default=None, metavar="PARQUET",
+                    help="with --interleave: (query_id, doc_id) click "
+                         "log for the credit report")
+    ap.add_argument("--qrels", required=False,
                     help="qrels parquet (query_id, doc_id, rel)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["or", "and"], default="or")
@@ -41,6 +49,10 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("exactly one of --index / --run is required")
     if args.index and not args.queries_file:
         ap.error("--index needs --queries-file")
+    if args.interleave and not args.run:
+        ap.error("--interleave composes with --run (two offline runs)")
+    if not args.interleave and not args.qrels:
+        ap.error("--qrels is required (except with --interleave)")
 
     from pyspark.sql import SparkSession
 
@@ -70,6 +82,27 @@ def main(argv: list[str] | None = None) -> None:
         run = spark.read.parquet(args.run)
         if "rank" not in run.columns:
             run = run_from_batch(run)
+
+    if args.interleave:
+        from hadoop_search_engine_spark.operators.evaluate import (
+            balanced_interleave,
+            interleave_credit,
+        )
+
+        run_b = spark.read.parquet(args.interleave)
+        if "rank" not in run_b.columns:
+            run_b = run_from_batch(run_b)
+        merged = balanced_interleave(run, run_b, k=args.k).persist()
+        for r in merged.orderBy("query_id", "rank").collect():
+            print(json.dumps(r.asDict()))
+        if args.clicks:
+            clicks = spark.read.parquet(args.clicks)
+            for r in interleave_credit(merged, clicks).orderBy(
+                    "query_id").collect():
+                print(json.dumps(r.asDict()))
+        if owns_session:
+            spark.stop()
+        return
 
     qrels = spark.read.parquet(args.qrels)
     per_q = evaluate_ranking(run, qrels, k=args.k).persist()
