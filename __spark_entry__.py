@@ -2272,6 +2272,23 @@ def q_collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_significant_terms_bg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with ES background_filter: bg statistics from
+    the lang='en' subset instead of the whole corpus ("unusual
+    relative to English pages")."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        significant_terms,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import matched_docs
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    m = matched_docs(ix, " ".join(FLAGSHIP_TERMS))
+    bg = docs.where(F.col("lang") == "en").select("doc_id")
+    return significant_terms(ix, docs, " ".join(FLAGSHIP_TERMS), k=15,
+                             fg=m, background=bg)
+
+
 def q_interleave_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slot-balanced interleaving of two live engine runs (default
     BM25 vs tuned (k1=0.9, b=0.25)) over the batch query set — the
@@ -3641,6 +3658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapsed_search": q_collapsed_search,
         "collapse_inner_hits": q_collapse_inner_hits,
         "interleave_runs": q_interleave_runs,
+        "significant_terms_bg": q_significant_terms_bg,
         "suggest_terms": q_suggest_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "or_union_docs": q_or_union_docs,
@@ -5359,6 +5377,26 @@ def oracle_sql() -> dict[str, str]:
         FROM fgc f JOIN bgc b USING (term), nfg, nbg
         WHERE f.fg_df >= 2 AND f.term NOT IN ({terms_in})
         ORDER BY score DESC, term ASC LIMIT 20
+    """
+    # background_filter variant: bg df and n_bg from the lang='en'
+    # subset only; terms outside it drop out (inner join)
+    out["significant_terms_bg"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        dt AS (SELECT DISTINCT doc_id, term FROM toks),
+        fg AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({terms_in})),
+        bgd AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        nfg AS (SELECT count(*)::double AS n_fg FROM fg),
+        nbg AS (SELECT count(*)::double AS n_bg FROM bgd),
+        fgc AS (SELECT term, count(*)::bigint AS fg_df
+                FROM dt JOIN fg USING (doc_id) GROUP BY term),
+        bgc AS (SELECT term, count(*)::bigint AS bg_df
+                FROM dt JOIN bgd USING (doc_id) GROUP BY term)
+        SELECT f.term, f.fg_df, b.bg_df,
+               round(((f.fg_df / n_fg) - (b.bg_df / n_bg))
+                     * (f.fg_df / n_fg) / (b.bg_df / n_bg), 6) AS score
+        FROM fgc f JOIN bgc b USING (term), nfg, nbg
+        WHERE f.fg_df >= 2 AND f.term NOT IN ({terms_in})
+        ORDER BY score DESC, term ASC LIMIT 15
     """
     # exact-phrase BM25: the phrase is doc 0's first two tokens,
     # derived in-SQL (ph CTE) exactly as q_phrase_indexed derives it

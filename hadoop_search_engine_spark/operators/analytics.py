@@ -101,9 +101,20 @@ def significant_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     fg: DataFrame | None = None,
+    background: DataFrame | None = None,
 ) -> DataFrame:
     """Terms that are unusually frequent in the query's result set
     relative to the whole corpus (Elasticsearch ``significant_terms``).
+
+    ``background`` (optional, ES ``background_filter``): a
+    ``(doc_id)`` frame restricting the BACKGROUND to a subset —
+    "unusual relative to the same site / same month", not the whole
+    corpus. With it, bg document frequencies come from tokenizing the
+    background subset (one extra semi-joined tokenize pass; the
+    default path reads the prebuilt lexicon and never re-tokenizes)
+    and ``n_bg`` is the subset size. Terms outside the background
+    subset drop out (bg_df = 0 would divide the ratio scorers), ES
+    semantics.
 
     ``fg`` (optional): a pre-resolved foreground ``(doc_id)`` frame —
     the DSL layer passes its compiled hit set here (which may carry
@@ -159,14 +170,29 @@ def significant_terms(
         .groupBy("term")
         .agg(F.count("*").alias("fg_df"))
     )
-    lex = index.lexicon.select("term", F.col("df").alias("bg_df"))
-
     fg_pct = F.col("fg_df") / F.col("n_fg")
-    bg_pct = F.col("bg_df") / F.lit(float(index.stats.n_docs))
+    if background is not None:
+        bgids = background.select("doc_id")
+        bg_counts = (
+            docs.join(bgids, "doc_id", "left_semi")
+            .select(F.explode(F.array_distinct(
+                tokens_col(F.col("text")))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("bg_df"))
+        )
+        n_bg = bgids.agg(F.count("*").cast("double").alias("n_bg"))
+        scored = (
+            fg_counts.join(bg_counts, "term")
+            .crossJoin(F.broadcast(n_fg))
+            .crossJoin(F.broadcast(n_bg))
+        )
+        bg_pct = F.col("bg_df") / F.col("n_bg")
+    else:
+        lex = index.lexicon.select("term", F.col("df").alias("bg_df"))
+        scored = fg_counts.join(lex, "term").crossJoin(F.broadcast(n_fg))
+        bg_pct = F.col("bg_df") / F.lit(float(index.stats.n_docs))
     return (
-        fg_counts.join(lex, "term")
-        .crossJoin(F.broadcast(n_fg))
-        .where(
+        scored.where(
             (F.col("fg_df") >= min_fg_df) & ~F.col("term").isin(query_terms)
         )
         .select(

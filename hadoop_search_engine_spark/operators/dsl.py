@@ -1239,11 +1239,16 @@ def _dispatch_aggs(
         elif akind in ("significant_terms", "significant_text"):
             from .analytics import significant_terms
 
+            bgf = ab.get("background_filter")
+            bg = None
+            if bgf is not None:
+                bg = _metadata_filter(
+                    bgf if isinstance(bgf, list) else [bgf], documents)
             out[name] = significant_terms(
                 index, documents, text or "",
                 k=int(ab.get("size", 20)),
                 min_fg_df=int(ab.get("min_doc_count", 2)),
-                synonyms=synonyms, fg=matched)
+                synonyms=synonyms, fg=matched, background=bg)
         else:
             raise DslError(f"unsupported agg kind {akind!r}")
     return out

@@ -882,3 +882,55 @@ def test_dsl_min_score_and_explain(tiny_index, tiny_corpus):
         assert sorted(parts) == sorted(
             x["contribution"] for x in direct)
         assert abs(sum(parts) - s) < 1e-6
+
+
+# ---------------------------------- significant_terms background_filter
+
+
+def test_significant_terms_background_filter(tiny_index, tiny_corpus):
+    import math as _m
+
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    bg = docs.where(F.col("lang") == "en").select("doc_id")
+    got = significant_terms(tiny_index, docs, Q, k=10, fg=m,
+                            background=bg).collect()
+    assert got
+    # replay one row's JLH arithmetic against python counts
+    from hadoop_search_engine_spark.functions.tokenizer import tokenize
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    fg_ids = {r["doc_id"] for r in m.collect()}
+    bg_ids = {r["doc_id"] for r in bg.collect()}
+    for row in got[:3]:
+        t = row["term"]
+        fg_df = sum(1 for d in fg_ids if t in tokenize(texts[d]))
+        bg_df = sum(1 for d in bg_ids if t in tokenize(texts[d]))
+        assert (row["fg_df"], row["bg_df"]) == (fg_df, bg_df)
+        fp, bp = fg_df / len(fg_ids), bg_df / len(bg_ids)
+        want = round((fp - bp) * (fp / bp), 6)
+        assert _m.isclose(row["score"], want, abs_tol=1e-6)
+    # terms absent from the background subset drop out
+    all_bg_terms = {
+        t for d in bg_ids for t in tokenize(texts[d])
+    }
+    assert all(r["term"] in all_bg_terms for r in got)
+
+
+def test_dsl_significant_terms_background_filter_identity(
+    tiny_index, tiny_corpus
+):
+    docs = _docs(tiny_corpus)
+    m = matched_docs(tiny_index, Q)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match": {"text": Q}},
+         "aggs": {"sig": {"significant_terms": {
+             "size": 8,
+             "background_filter": {"term": {"lang": "en"}}}}}},
+        documents=docs,
+    )
+    bg = docs.where(F.col("lang") == "en").select("doc_id")
+    want = significant_terms(tiny_index, docs, Q, k=8, fg=m,
+                             background=bg)
+    assert got.aggs["sig"].collect() == want.collect()
