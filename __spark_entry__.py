@@ -5088,7 +5088,7 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TF_CTE},
         m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
         h AS (
-          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))
+          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))::timestamp
                    AS bucket,
                  count(*)::bigint AS n_docs,
                  sum(doc.n_chars::double) AS total
@@ -5108,7 +5108,7 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TF_CTE},
         m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
         h AS (
-          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))
+          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))::timestamp
                    AS bucket,
                  count(*)::bigint AS n_docs,
                  sum(doc.n_chars::double) AS total
@@ -5124,7 +5124,7 @@ def oracle_sql() -> dict[str, str]:
         WITH {_TF_CTE},
         m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
         h AS (
-          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))
+          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))::timestamp
                    AS bucket,
                  sum(doc.n_chars::double) AS total
           FROM m JOIN documents doc ON m.doc_id = doc.doc_id
