@@ -2272,6 +2272,44 @@ def q_collapsed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events table: users bucketed
+    by first-event week, per (cohort, week-offset) active counts and
+    retention shares."""
+    from hadoop_search_engine_spark.operators.sessions import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_read(spark, sf_dir, "events"), "week")
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel (first-touch
+    ordering): per step, users who reached it in sequence."""
+    from hadoop_search_engine_spark.operators.sessions import funnel_counts
+
+    return funnel_counts(_read(spark, sf_dir, "events"),
+                         ["view", "click", "purchase"])
+
+
+def q_bucket_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-z-score anomaly flags over the daily click timeline
+    (window 7, z 2) — the ops alert a rollup feeds."""
+    from hadoop_search_engine_spark.operators.analytics import (
+        bucket_anomalies,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("day", "ts").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return bucket_anomalies(daily, "n", window=7, z=2.0).orderBy(
+        "bucket"
+    )
+
+
 def q_significant_terms_bg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms with ES background_filter: bg statistics from
     the lang='en' subset instead of the whole corpus ("unusual
@@ -3659,6 +3697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_inner_hits": q_collapse_inner_hits,
         "interleave_runs": q_interleave_runs,
         "significant_terms_bg": q_significant_terms_bg,
+        "cohort_retention": q_cohort_retention,
+        "funnel_counts": q_funnel_counts,
+        "bucket_anomalies": q_bucket_anomalies,
         "suggest_terms": q_suggest_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "or_union_docs": q_or_union_docs,
@@ -5377,6 +5418,81 @@ def oracle_sql() -> dict[str, str]:
         FROM fgc f JOIN bgc b USING (term), nfg, nbg
         WHERE f.fg_df >= 2 AND f.term NOT IN ({terms_in})
         ORDER BY score DESC, term ASC LIMIT 20
+    """
+    # weekly cohort retention: epoch-week offsets, exact integers
+    out["cohort_retention"] = """
+        WITH f AS (
+          SELECT user_id,
+                 date_trunc('week', min(ts))::timestamp AS cohort
+          FROM events GROUP BY user_id
+        ),
+        a AS (
+          SELECT DISTINCT e.user_id, f.cohort,
+                 (date_diff('day', f.cohort::date,
+                            date_trunc('week', e.ts)::date) // 7)::int
+                   AS period_n
+          FROM events e JOIN f USING (user_id)
+        ),
+        act AS (SELECT cohort, period_n,
+                       count(DISTINCT user_id)::bigint AS n_active
+                FROM a GROUP BY cohort, period_n),
+        sz AS (SELECT cohort, count(*)::bigint AS s FROM f
+               GROUP BY cohort)
+        SELECT act.cohort, act.period_n, act.n_active,
+               round(act.n_active / sz.s::double, 6) AS retention
+        FROM act JOIN sz USING (cohort)
+        ORDER BY cohort, period_n
+    """
+    # ordered funnel, first-touch: step i needs first(i) at/after
+    # every earlier step's first time
+    out["funnel_counts"] = """
+        WITH fs AS (
+          SELECT user_id, event_type, min(ts) AS ft FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')
+          GROUP BY user_id, event_type
+        ),
+        w AS (
+          SELECT user_id,
+                 min(ft) FILTER (WHERE event_type = 'view') AS s0,
+                 min(ft) FILTER (WHERE event_type = 'click') AS s1,
+                 min(ft) FILTER (WHERE event_type = 'purchase') AS s2
+          FROM fs GROUP BY user_id
+        )
+        SELECT 0 AS step_idx, 'view' AS step,
+               (count(*) FILTER (WHERE s0 IS NOT NULL))::bigint
+                 AS n_users FROM w
+        UNION ALL
+        SELECT 1, 'click',
+               (count(*) FILTER (WHERE s0 IS NOT NULL
+                 AND s1 IS NOT NULL AND s1 >= s0))::bigint FROM w
+        UNION ALL
+        SELECT 2, 'purchase',
+               (count(*) FILTER (WHERE s0 IS NOT NULL
+                 AND s1 IS NOT NULL AND s1 >= s0
+                 AND s2 IS NOT NULL
+                 AND s2 >= greatest(s0, s1)))::bigint FROM w
+    """
+    # trailing z-score anomaly flags over the daily click timeline
+    out["bucket_anomalies"] = """
+        WITH h AS (
+          SELECT date_trunc('day', ts)::timestamp AS bucket,
+                 count(*)::bigint AS n
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        )
+        SELECT bucket, n,
+               round(coalesce(avg(n::double) OVER trail, 0.0), 6)
+                 AS trail_mean,
+               round(coalesce(stddev_pop(n::double) OVER trail, 0.0), 6)
+                 AS trail_std,
+               (count(*) OVER trail >= 2
+                AND coalesce(stddev_pop(n::double) OVER trail, 0.0) > 0
+                AND abs(n::double - avg(n::double) OVER trail)
+                    > 2.0 * stddev_pop(n::double) OVER trail)
+                 AS is_anomaly
+        FROM h
+        WINDOW trail AS (ORDER BY bucket
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        ORDER BY bucket
     """
     # background_filter variant: bg df and n_bg from the lang='en'
     # subset only; terms outside it drop out (inner join)

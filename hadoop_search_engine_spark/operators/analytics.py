@@ -1153,6 +1153,43 @@ def bucket_selector(
     return buckets.where(_compile_bucket_script(script, cols))
 
 
+def bucket_anomalies(
+    buckets: DataFrame,
+    value_col: str,
+    window: int = 7,
+    z: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags over a bucket frame (the
+    ops alert on a rollup/date_histogram timeline): for each bucket,
+    the mean and population-stddev of the PREVIOUS ``window`` buckets'
+    values (current excluded — an anomaly must not mask itself), and
+    ``is_anomaly`` when ``|value - mean| > z * stddev``. Buckets with
+    fewer than 2 trailing values, or zero trailing variance, are
+    never flagged (no basis). Appends ``trail_mean`` / ``trail_std``
+    (6 dp) / ``is_anomaly``; window passes over the bucket-sized
+    frame only."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if z <= 0:
+        raise ValueError(f"z must be positive, got {z}")
+    w = _bucket_window().rowsBetween(-window, -1)
+    x = F.col(value_col).cast("double")
+    # both stats 0.0 when undefined (no history): the flag guards on
+    # n >= 2 anyway, and non-null columns compare across engines
+    mean = F.coalesce(F.avg(x).over(w), F.lit(0.0))
+    std = F.coalesce(F.stddev_pop(x).over(w), F.lit(0.0))
+    n = F.count(x).over(w)
+    flag = (
+        (n >= 2) & (std > 0.0)
+        & (F.abs(x - mean) > F.lit(float(z)) * std)
+    )
+    return (
+        buckets.withColumn("trail_mean", F.round(mean, 6))
+        .withColumn("trail_std", F.round(std, 6))
+        .withColumn("is_anomaly", flag)
+    )
+
+
 SIBLING_STATS = ("max_bucket", "min_bucket", "avg_bucket", "sum_bucket")
 
 

@@ -121,3 +121,126 @@ def event_transitions(
         .groupBy("prev_type", F.col(type_col).alias("next_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the calendar period
+    of their FIRST event (the cohort), then per (cohort, period_n)
+    how many of them were active n periods later — the product-
+    analytics staple. Output ``(cohort, period_n, n_active,
+    retention)`` with retention = n_active / cohort size (rounded
+    6 dp); period_n 0 is the cohort itself (retention 1.0 by
+    construction).
+
+    ``period_n`` counts CALENDAR-period boundaries via epoch-day
+    arithmetic (day: date diff; week: 7-day blocks anchored on the
+    cohort's Monday-truncated start; month: month index difference)
+    — exact integers, engine-replayable. Plan: one min-per-user
+    aggregate (the cohort assignment), a join back keyed on the user
+    (broadcast when the user dimension is small, shuffle otherwise),
+    and one distinct-count groupBy — output is |cohorts × periods|
+    rows, never event-volume."""
+    if period not in ("day", "week", "month"):
+        raise ValueError("period must be day|week|month")
+    ts = F.col(ts_col).cast("timestamp")
+    first = (
+        events.groupBy(F.col(user_col).alias("_u"))
+        .agg(F.min(ts).alias("_first"))
+        .select(
+            "_u", F.date_trunc(period, F.col("_first")).alias("_cohort")
+        )
+    )
+    joined = events.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(period, ts).alias("_p"),
+    ).join(first, "_u")
+    if period == "day":
+        pn = F.datediff(F.col("_p"), F.col("_cohort"))
+    elif period == "week":
+        pn = (F.datediff(F.col("_p"), F.col("_cohort")) / 7).cast("int")
+    else:
+        pn = (
+            (F.year("_p") - F.year("_cohort")) * 12
+            + (F.month("_p") - F.month("_cohort"))
+        )
+    active = (
+        joined.select("_u", "_cohort", pn.cast("int").alias("period_n"))
+        .distinct()
+        .groupBy("_cohort", "period_n")
+        .agg(F.countDistinct("_u").alias("n_active"))
+    )
+    size = first.groupBy("_cohort").agg(
+        F.countDistinct("_u").alias("_size")
+    )
+    return (
+        active.join(size, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            "period_n",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") / F.col("_size"), 6)
+            .alias("retention"),
+        )
+        .orderBy("cohort", "period_n")
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: per step, how many users reached it IN ORDER —
+    a user counts for step i if their earliest qualifying time for
+    step i comes at or after their earliest qualifying time for every
+    prior step (first-touch ordering, the standard strict funnel).
+    Output ``(step_idx, step, n_users)``, step_idx 0-based, counts
+    non-increasing by construction.
+
+    Plan: one filtered min-per-(user, step) aggregate (|users| ×
+    |steps| rows max), a per-user cummax comparison via a |steps|-wide
+    pivot — no window over event volume, no self-join per step pair."""
+    if not steps:
+        raise ValueError("steps must name at least one event type")
+    ts = F.col(ts_col).cast("timestamp")
+    firsts = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .groupBy(F.col(user_col).alias("_u"),
+                 F.col(type_col).alias("_t"))
+        .agg(F.min(ts).alias("_first"))
+    )
+    wide = firsts.groupBy("_u").pivot("_t", list(steps)).agg(
+        F.first("_first")
+    )
+    # reached(i): every step 0..i present and times non-decreasing
+    reached = []
+    cond = None
+    prev = None
+    for s in steps:
+        c = F.col(s).isNotNull() if cond is None else (
+            cond & F.col(s).isNotNull() & (F.col(s) >= prev)
+        )
+        cond = c
+        prev = F.col(s) if prev is None else F.greatest(prev, F.col(s))
+        reached.append(F.sum(c.cast("int")).cast("long"))
+    row = wide.agg(*[r.alias(f"_s{i}") for i, r in enumerate(reached)])
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.coalesce(F.col(f"_s{i}"), F.lit(0)).alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("r")).select(
+        "r.step_idx", "r.step", "r.n_users"
+    )
