@@ -3569,6 +3569,55 @@ def q_dsl_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hits
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) container round-trip on the oracle board:
+    documents → deterministic member-per-record ``.warc.gz`` export →
+    distributed ``read_warc`` parse → per-url md5 of the recovered
+    payload, vs DuckDB reconstructing the identical html string. Green
+    means the from-scratch container writer+parser preserves every
+    payload byte — the Common-Crawl-style ingest path of the north
+    star. Reference analog: raw-input staging onto HDFS
+    (processVideo/upload_videos_to_hive.py:16-36)."""
+    import hashlib
+
+    from hadoop_search_engine_spark.sources.warc import export_warc, read_warc
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    d = f"/tmp/hse_entry_warc_{tag}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        docs = _read(spark, sf_dir, "documents").select(
+            F.concat(
+                F.lit("https://site.example/page/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.expr(
+                "timestamp'2025-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"
+            ).alias("warc_ts"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        export_warc(docs, d, n_files=4)
+        open(marker, "w").close()
+    return (
+        read_warc(spark, d, glob="*.warc.gz")
+        .select(
+            "url",
+            F.md5("html").alias("html_md5"),
+            F.col("http_status").cast("long").alias("http_status"),
+            "mime",
+        )
+        .orderBy("url")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -3736,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": q_multimodal_metadata,
         "media_features": q_media_features,
         "blob_range": q_blob_range,
+        "warc_ingest": q_warc_ingest,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
@@ -4500,6 +4550,14 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
                    octet_length(text::blob)::int AS total_len
             FROM documents
+        """,
+        "warc_ingest": """
+            SELECT 'https://site.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5('<html><body><p>' || text || '</p></body></html>') AS html_md5,
+                   CAST(200 AS BIGINT) AS http_status,
+                   'text/html' AS mime
+            FROM documents
+            ORDER BY url
         """,
         "event_window_agg": """
             SELECT epoch(date_trunc('hour', ts))::bigint AS win_start, event_type,
