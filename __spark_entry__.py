@@ -3618,6 +3618,52 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fold_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASCII-folding analyzer on the oracle board: accent the corpus
+    deterministically (translate aeiou→áéíöü), tokenize + fold, and
+    DuckDB replays the identical fixed fold table (Lucene
+    ASCIIFoldingFilter semantics, functions/analyzer.py). Folding is
+    translate()+replace() in all three engines — JVM-side,
+    whole-stage-codegen, no Python on the hot path."""
+    from hadoop_search_engine_spark.functions.analyzer import (
+        analyze_tokens_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    accented = F.translate(F.col("text"), "aeiou", "áéíöü")
+    toks = analyze_tokens_col(tokens_col(accented), fold=True)
+    return docs.select("doc_id", F.explode(toks).alias("term"))
+
+
+def q_cjk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK bigram analyzer (Lucene CJKAnalyzer semantics) on the
+    oracle board: map the corpus digits onto Han characters
+    deterministically, run the REAL analyzer chain
+    (analyzed_text_col(cjk=True) — the same Arrow pandas UDF the index
+    build uses), and DuckDB enumerates the overlapping bigrams with
+    substr arithmetic."""
+    from hadoop_search_engine_spark.functions.analyzer import (
+        analyzed_text_col,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    han = F.translate(
+        F.regexp_replace(F.col("text"), "[^a-z]", ""),
+        "abcdefghijklmnopqrstuvwxyz",
+        "一二三四五六七八九十百千万億兆京垓春夏秋冬山川田月",
+    )
+    s = F.substring(han, 1, 12)
+    analyzed = analyzed_text_col(s, cjk=True)
+    return (
+        docs.select("doc_id", s.alias("s"), analyzed.alias("a"))
+        .where(F.length("s") >= 2)
+        .select(
+            "doc_id", F.posexplode(F.split(F.col("a"), " ")).alias("pos", "bigram")
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "bigram")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -3786,6 +3832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "blob_range": q_blob_range,
         "warc_ingest": q_warc_ingest,
+        "fold_tokens": q_fold_tokens,
+        "cjk_bigrams": q_cjk_bigrams,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
@@ -4106,6 +4154,13 @@ def oracle_sql() -> dict[str, str]:
         ES_STOPWORDS,
     )
 
+    from hadoop_search_engine_spark.functions.analyzer import (
+        sql_analyze_duckdb as _sql_analyze,
+    )
+
+    fold_toks = _sql_analyze(
+        sql_tokens_duckdb("translate(text, 'aeiou', 'áéíöü')"), fold=True
+    )
     terms_in = ", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)
     snip_least = ", ".join(
         f"nullif(position('{t}' IN lo), 0)" for t in FLAGSHIP_TERMS
@@ -4550,6 +4605,27 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
                    octet_length(text::blob)::int AS total_len
             FROM documents
+        """,
+        "fold_tokens": f"""
+            SELECT doc_id,
+                   unnest({fold_toks}) AS term
+            FROM documents
+        """,
+        "cjk_bigrams": """
+            WITH h AS (
+              SELECT doc_id,
+                     substr(translate(regexp_replace(text, '[^a-z]', '', 'g'),
+                                      'abcdefghijklmnopqrstuvwxyz',
+                                      '一二三四五六七八九十百千万億兆京垓春夏秋冬山川田月'),
+                            1, 12) AS s
+              FROM documents
+            ),
+            e AS (
+              SELECT doc_id, s, unnest(range(1, length(s))) AS i
+              FROM h WHERE length(s) >= 2
+            )
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, substr(s, i, 2) AS bigram
+            FROM e
         """,
         "warc_ingest": """
             SELECT 'https://site.example/page/' || CAST(doc_id AS VARCHAR) AS url,

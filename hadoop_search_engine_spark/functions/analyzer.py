@@ -72,6 +72,139 @@ STEM_MODES = ("none", "s", "porter")
 
 
 # ---------------------------------------------------------------------------
+# ASCII folding (Lucene ASCIIFoldingFilter, Latin-1 Supplement +
+# Latin Extended-A scope) — a FIXED character map, deliberately not a
+# library Unicode normalize: a fixed table is replayable byte-identically
+# as Python str.translate, a Spark JVM translate()+replace() chain, and
+# a DuckDB translate()+replace() chain (PostgreSQL translate semantics:
+# surplus source characters with no target are DELETED — which is how
+# the combining-mark strip rides the same call).
+# ---------------------------------------------------------------------------
+
+# single-char folds (lowercase forms only: the tokenizer has already
+# lowercased, and JVM/Python/utf8proc lower() agree on this range)
+FOLD_SINGLE: dict[str, str] = {
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a",
+    "ā": "a", "ă": "a", "ą": "a",
+    "ç": "c", "ć": "c", "ĉ": "c", "ċ": "c", "č": "c",
+    "ď": "d", "đ": "d", "ð": "d",
+    "è": "e", "é": "e", "ê": "e", "ë": "e", "ē": "e", "ĕ": "e",
+    "ė": "e", "ę": "e", "ě": "e",
+    "ĝ": "g", "ğ": "g", "ġ": "g", "ģ": "g",
+    "ĥ": "h", "ħ": "h",
+    "ì": "i", "í": "i", "î": "i", "ï": "i", "ĩ": "i", "ī": "i",
+    "ĭ": "i", "į": "i", "ı": "i",
+    "ĵ": "j",
+    "ķ": "k",
+    "ĺ": "l", "ļ": "l", "ľ": "l", "ŀ": "l", "ł": "l",
+    "ñ": "n", "ń": "n", "ņ": "n", "ň": "n", "ŋ": "n",
+    "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o", "ø": "o",
+    "ō": "o", "ŏ": "o", "ő": "o",
+    "ŕ": "r", "ŗ": "r", "ř": "r",
+    "ś": "s", "ŝ": "s", "ş": "s", "š": "s",
+    "ţ": "t", "ť": "t", "ŧ": "t",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u", "ũ": "u", "ū": "u",
+    "ŭ": "u", "ů": "u", "ű": "u", "ų": "u",
+    "ŵ": "w",
+    "ý": "y", "ÿ": "y", "ŷ": "y",
+    "ź": "z", "ż": "z", "ž": "z",
+}
+
+# multi-char folds — translate() is 1:1, so these run as replace()s first
+FOLD_MULTI: tuple[tuple[str, str], ...] = (
+    ("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("þ", "th"), ("ĳ", "ij"),
+)
+
+# combining marks U+0300..U+036F: deleted (Python lower() of e.g. 'İ'
+# emits "i" + U+0307; NFD input text carries them directly)
+_COMBINING = "".join(chr(c) for c in range(0x0300, 0x0370))
+
+_FOLD_FROM = "".join(FOLD_SINGLE) + _COMBINING
+_FOLD_TO = "".join(FOLD_SINGLE.values())
+_FOLD_TABLE = str.maketrans(
+    {**{ord(k): v for k, v in FOLD_SINGLE.items()},
+     **{c: None for c in range(0x0300, 0x0370)},
+     **{ord(k): v for k, v in FOLD_MULTI}}
+)
+
+
+def fold_token(tok: str) -> str | None:
+    """Fold one token to its ASCII form; ``None`` if it folds away
+    entirely (e.g. a bare combining mark)."""
+    return tok.translate(_FOLD_TABLE) or None
+
+
+def _fold_col(t: Column) -> Column:
+    """The same fold as JVM expressions (whole-stage-codegen-able)."""
+    for src, dst in FOLD_MULTI:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    return F.translate(t, _FOLD_FROM, _FOLD_TO)
+
+
+def sql_fold_duckdb(t: str) -> str:
+    """DuckDB fragment replaying :func:`fold_token` on expression ``t``."""
+    out = t
+    for src, dst in FOLD_MULTI:
+        out = f"replace({out}, '{src}', '{dst}')"
+    frm = _FOLD_FROM.replace("'", "''")
+    return f"translate({out}, '{frm}', '{_FOLD_TO}')"
+
+
+# ---------------------------------------------------------------------------
+# CJK bigrams (Lucene CJKAnalyzer semantics): runs of CJK characters
+# emit overlapping character bigrams (a length-1 run emits its single
+# char); non-CJK segments of a token stay whole tokens. Space-free
+# scripts get usable recall without a segmentation model, at ~2 terms
+# per character — the classic Lucene trade.
+# ---------------------------------------------------------------------------
+
+# Han (+ Ext A), Hiragana, Katakana, Hangul syllables — the ranges
+# Lucene's CJKBigramFilter bigrams by default.
+_CJK_CLASS = (
+    "㐀-䶿"  # CJK Ext A
+    "一-鿿"  # CJK Unified
+    "぀-ゟ"  # Hiragana
+    "゠-ヿ"  # Katakana
+    "가-힯"  # Hangul syllables
+)
+_CJK_ANY = re.compile(f"[{_CJK_CLASS}]")
+_CJK_SEG = re.compile(f"([{_CJK_CLASS}]+)")
+
+
+def cjk_expand(tok: str) -> list[str]:
+    """Token -> token list with CJK runs bigrammed; identity list for
+    pure non-CJK tokens (callers fast-path those without calling)."""
+    out: list[str] = []
+    for seg in _CJK_SEG.split(tok):
+        if not seg:
+            continue
+        if _CJK_ANY.match(seg):
+            if len(seg) == 1:
+                out.append(seg)
+            else:
+                out.extend(seg[i : i + 2] for i in range(len(seg) - 1))
+        else:
+            out.append(seg)
+    return out
+
+
+def apply_token_fn(tokens: Iterable[str], fn) -> list[str]:
+    """Apply a per-token analysis fn across a stream, splicing list
+    returns (CJK expansion) and dropping ``None`` (stopwords / folded-
+    away tokens). Multiplicity and order preserved."""
+    out: list[str] = []
+    for t in tokens:
+        a = fn(t)
+        if a is None:
+            continue
+        if isinstance(a, str):
+            out.append(a)
+        else:
+            out.extend(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # S-stemmer (Harman 1991) — the SQL-expressible stemmer
 # ---------------------------------------------------------------------------
 
@@ -314,62 +447,102 @@ def porter_stem_series(s: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 
 def make_token_fn(
-    stopwords: Sequence[str] = (), stem: str = "none"
-) -> Callable[[str], str | None] | None:
-    """Per-token analysis function (None = drop the token), or None
-    when the analyzer is the identity — callers skip the loop entirely
-    on unanalyzed indexes, keeping the default path zero-cost."""
+    stopwords: Sequence[str] = (),
+    stem: str = "none",
+    fold: bool = False,
+    cjk: bool = False,
+) -> Callable[[str], str | list[str] | None] | None:
+    """Per-token analysis function, or None when the analyzer is the
+    identity — callers skip the loop entirely on unanalyzed indexes,
+    keeping the default path zero-cost.
+
+    Return contract: ``None`` drops the token, a ``str`` replaces it,
+    a ``list[str]`` splices (CJK bigram expansion — consume through
+    :func:`apply_token_fn`). Chain order per non-CJK token/segment:
+    fold → stopword filter → stem (folding first so accented surface
+    forms hit the ASCII stopword list); CJK bigrams bypass stop+stem
+    (a 2-char gram is not an English word)."""
     if stem not in STEM_MODES:
         raise ValueError(f"stem must be one of {STEM_MODES}, got {stem!r}")
     stop = frozenset(stopwords)
-    if not stop and stem == "none":
+    if not stop and stem == "none" and not fold and not cjk:
         return None
     stemmer = {"none": None, "s": s_stem, "porter": porter_stem}[stem]
 
-    def fn(tok: str) -> str | None:
+    def one(tok: str) -> str | None:
+        if fold:
+            folded = fold_token(tok)
+            if folded is None:
+                return None
+            tok = folded
         if tok in stop:
             return None
         return stemmer(tok) if stemmer else tok
+
+    if not cjk:
+        return one
+
+    def fn(tok: str) -> str | list[str] | None:
+        if not _CJK_ANY.search(tok):
+            return one(tok)  # pure-latin fast path: zero extra work
+        out: list[str] = []
+        for piece in cjk_expand(tok):
+            if _CJK_ANY.match(piece):
+                out.append(piece)
+            else:
+                a = one(piece)
+                if a is not None:
+                    out.append(a)
+        return out or None
 
     return fn
 
 
 def analyze_tokens(
-    tokens: Iterable[str], stopwords: Sequence[str] = (), stem: str = "none"
+    tokens: Iterable[str],
+    stopwords: Sequence[str] = (),
+    stem: str = "none",
+    fold: bool = False,
+    cjk: bool = False,
 ) -> list[str]:
     """Token stream -> analyzed token stream (multiplicity preserved —
     the INDEX side; query-side dedup happens in parse_query)."""
-    fn = make_token_fn(stopwords, stem)
+    fn = make_token_fn(stopwords, stem, fold, cjk)
     if fn is None:
         return list(tokens)
-    out = []
-    for t in tokens:
-        a = fn(t)
-        if a is not None:
-            out.append(a)
-    return out
+    return apply_token_fn(tokens, fn)
 
 
 def analyze(
-    text: str | None, stopwords: Sequence[str] = (), stem: str = "none"
+    text: str | None,
+    stopwords: Sequence[str] = (),
+    stem: str = "none",
+    fold: bool = False,
+    cjk: bool = False,
 ) -> list[str]:
     """text -> analyzed tokens (the pure-Python oracle/query path)."""
-    return analyze_tokens(tokenize(text), stopwords, stem)
+    return analyze_tokens(tokenize(text), stopwords, stem, fold, cjk)
 
 
 def analyze_tokens_col(
-    arr: Column, stopwords: Sequence[str] = (), stem: str = "none"
+    arr: Column,
+    stopwords: Sequence[str] = (),
+    stem: str = "none",
+    fold: bool = False,
 ) -> Column:
     """array<string> tokens -> analyzed array<string>, JVM-side for
-    stem in ("none", "s"). ``stem="porter"`` is not expressible as a
-    Column — use :func:`analyzed_text_col`, which routes it through
-    the Arrow pandas UDF."""
+    stem in ("none", "s") + optional fold. ``stem="porter"`` and CJK
+    bigrams are not expressible as a Column — use
+    :func:`analyzed_text_col`, which routes them through the Arrow
+    pandas UDF."""
     if stem not in ("none", "s"):
         raise ValueError(
             f"analyze_tokens_col handles stem none|s; {stem!r} needs the "
             "pandas-UDF path (analyzed_text_col)"
         )
     out = arr
+    if fold:
+        out = F.filter(F.transform(out, _fold_col), lambda t: t != "")
     if stopwords:
         stop_arr = F.array(*[F.lit(s) for s in sorted(set(stopwords))])
         out = F.filter(out, lambda t: ~F.array_contains(stop_arr, t))
@@ -379,45 +552,71 @@ def analyze_tokens_col(
 
 
 def analyzed_text_col(
-    text: Column, stopwords: Sequence[str] = (), stem: str = "none"
+    text: Column,
+    stopwords: Sequence[str] = (),
+    stem: str = "none",
+    fold: bool = False,
+    cjk: bool = False,
 ) -> Column:
     """text column -> analyzed text column (tokens re-joined by one
     space). The index build's pre-pass: the rewritten text tokenizes
     back to exactly the analyzed token stream (round-trip property —
-    see module docstring), so every downstream tokenize pass (JVM or
-    Arrow) indexes analyzed terms without modification.
+    see module docstring; folds/bigrams contain no whitespace or
+    ``[.,!?]``), so every downstream tokenize pass (JVM or Arrow)
+    indexes analyzed terms without modification.
 
-    ``stem in ("none", "s")``: pure JVM expressions, fused into the
-    scan. ``stem="porter"``: an Arrow-batched pandas UDF with
-    unique-token memoization (the one genuinely rule-procedural step).
+    ``stem in ("none", "s")`` (+ fold): pure JVM expressions, fused
+    into the scan. ``stem="porter"`` or ``cjk=True``: an Arrow-batched
+    pandas UDF with unique-token memoization (the genuinely
+    rule-procedural steps; Zipf makes distinct << total per batch).
     """
-    if stem == "porter":
-        stop = frozenset(stopwords)
+    if stem == "porter" or cjk:
+        fn = make_token_fn(stopwords, stem, fold, cjk)
 
         @F.pandas_udf("string")
-        def _porter_text(s: pd.Series) -> pd.Series:
+        def _analyzed_text(s: pd.Series) -> pd.Series:
+            table: dict[str, str | list[str] | None] = {}
+
             def one(txt):
-                toks = [t for t in tokenize(txt) if t not in stop]
-                return " ".join(porter_stem_series(pd.Series(toks, dtype=object))) if toks else ""
+                out: list[str] = []
+                for t in tokenize(txt):
+                    if t not in table:
+                        table[t] = fn(t)
+                    a = table[t]
+                    if a is None:
+                        continue
+                    if isinstance(a, str):
+                        out.append(a)
+                    else:
+                        out.extend(a)
+                return " ".join(out)
 
             return s.map(one, na_action=None).fillna("")
 
-        return _porter_text(text)
+        return _analyzed_text(text)
     return F.array_join(
-        analyze_tokens_col(tokens_col(text), stopwords, stem), " "
+        analyze_tokens_col(tokens_col(text), stopwords, stem, fold), " "
     )
 
 
 def sql_analyze_duckdb(
-    toks_expr: str, stopwords: Sequence[str] = (), stem: str = "none"
+    toks_expr: str,
+    stopwords: Sequence[str] = (),
+    stem: str = "none",
+    fold: bool = False,
 ) -> str:
     """DuckDB fragment: list expression ``toks_expr`` (tokens) ->
-    analyzed list, replaying stopword filter + S-stem byte-identically
-    (the oracle side of the parity contract; porter has no offline
-    DuckDB replay)."""
+    analyzed list, replaying fold + stopword filter + S-stem
+    byte-identically (the oracle side of the parity contract; porter
+    and CJK have no offline DuckDB replay)."""
     if stem not in ("none", "s"):
         raise ValueError(f"no DuckDB replay for stem={stem!r}")
     out = toks_expr
+    if fold:
+        out = (
+            f"list_filter(list_transform({out}, "
+            f"t -> ({sql_fold_duckdb('t')})), t -> t <> '')"
+        )
     if stopwords:
         lits = ", ".join(f"'{s}'" for s in sorted(set(stopwords)))
         out = f"list_filter({out}, t -> t NOT IN ({lits}))"

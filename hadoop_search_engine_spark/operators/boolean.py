@@ -145,8 +145,9 @@ def parse_boolean_query(
                 f"term {word!r} tokenizes to nothing"
             )
         if token_fn is not None:
-            terms = [a for a in (token_fn(t) for t in terms)
-                     if a is not None]
+            from ..functions.analyzer import apply_token_fn
+
+            terms = apply_token_fn(terms, token_fn)
             if not terms:
                 return None  # all-stopword clause: drop, Lucene-style
         nodes = tuple(("term", t) for t in dict.fromkeys(terms))

@@ -135,6 +135,8 @@ class IndexStats:
     # (stopword filter + stemmer); identity by default.
     stopwords: tuple = ()
     stem: str = "none"
+    fold: bool = False
+    cjk: bool = False
 
 
 def _stats_path(out_dir: str) -> str:
@@ -448,6 +450,8 @@ def build_index(
     arrow_tokenize: bool | None = None,
     stopwords: tuple = (),
     stem: str = "none",
+    fold: bool = False,
+    cjk: bool = False,
 ) -> IndexStats:
     """Build the full index at ``out_dir`` from documents(doc_id, text).
 
@@ -484,7 +488,8 @@ def build_index(
     stopwords = tuple(sorted(set(stopwords)))
     if stem not in ("none", "s", "porter"):
         raise ValueError(f"stem must be none|s|porter, got {stem!r}")
-    if stopwords or stem != "none":
+    fold, cjk = bool(fold), bool(cjk)
+    if stopwords or stem != "none" or fold or cjk:
         # Analysis chain (functions/analyzer.py): rewrite the text
         # column through stopword filter + stemmer BEFORE the tokenize
         # passes — the rewritten text round-trips through the canonical
@@ -500,7 +505,8 @@ def build_index(
             from ..functions.analyzer import analyzed_text_col
 
             docs = docs.withColumn(
-                "text", analyzed_text_col(F.col("text"), stopwords, stem)
+                "text",
+                analyzed_text_col(F.col("text"), stopwords, stem, fold, cjk),
             )
     if positions and docs_are_events and "pos" not in docs.columns:
         raise ValueError(
@@ -545,6 +551,8 @@ def build_index(
                 ("positions", prior.positions, positions),
                 ("stopwords", tuple(prior.stopwords), stopwords),
                 ("stem", prior.stem, stem),
+                ("fold", bool(prior.fold), fold),
+                ("cjk", bool(prior.cjk), cjk),
             ]
             if got != want
         } | (
@@ -616,7 +624,7 @@ def build_index(
             n_docs=0, avgdl=0.0, shard_span=shard_span,
             num_shards=num_shards, n_buckets=n_buckets,
             block_size=block_size, k1=k1, b=b, positions=positions,
-            stopwords=stopwords, stem=stem,
+            stopwords=stopwords, stem=stem, fold=fold, cjk=cjk,
         )
         write_stats(out_dir, stats)
 

@@ -414,7 +414,7 @@ def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
             name: (getattr(s0, name), getattr(s, name))
             for name in (
                 "shard_span", "n_buckets", "block_size", "k1", "b",
-                "positions", "stopwords", "stem",
+                "positions", "stopwords", "stem", "fold", "cjk",
             )
             if getattr(s0, name) != getattr(s, name)
         }
@@ -522,6 +522,8 @@ def merge_indexes(spark, index_dirs: list[str], out_dir: str) -> Index:
         positions=bool(s0.positions),
         stopwords=tuple(s0.stopwords),
         stem=str(s0.stem),
+        fold=bool(s0.fold),
+        cjk=bool(s0.cjk),
     )
     write_stats(out_dir, new_stats)
 
@@ -578,7 +580,8 @@ def _segment_profile(d: str) -> dict:
         "n_docs": int(s.n_docs),
         "tombstones": tomb,
         "key": (s.shard_span, s.n_buckets, s.block_size, s.k1, s.b,
-                bool(s.positions), tuple(s.stopwords), s.stem),
+                bool(s.positions), tuple(s.stopwords), s.stem,
+                bool(s.fold), bool(s.cjk)),
     }
 
 
@@ -760,6 +763,8 @@ def reshard_index(
         b=float(b if b is not None else src.stats.b),
         stopwords=tuple(src.stats.stopwords),
         stem=str(src.stats.stem),
+        fold=bool(src.stats.fold),
+        cjk=bool(src.stats.cjk),
     )
 
 
@@ -829,6 +834,8 @@ def prune_index(
         b=float(src.stats.b),
         stopwords=tuple(src.stats.stopwords),
         stem=str(src.stats.stem),
+        fold=bool(src.stats.fold),
+        cjk=bool(src.stats.cjk),
     )
 
 

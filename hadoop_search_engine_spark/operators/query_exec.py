@@ -216,6 +216,8 @@ class Index:
             self._token_fn = make_token_fn(
                 tuple(getattr(self.stats, "stopwords", ()) or ()),
                 getattr(self.stats, "stem", "none") or "none",
+                fold=bool(getattr(self.stats, "fold", False)),
+                cjk=bool(getattr(self.stats, "cjk", False)),
             )
             self._token_fn_set = True
         return self._token_fn
@@ -579,10 +581,11 @@ def parse_query(
     terms = rewrite_terms(tokenize(query_text), synonyms or {})
     if token_fn is None:
         return terms
+    from ..functions.analyzer import apply_token_fn
+
     out, seen = [], set()
-    for t in terms:
-        a = token_fn(t)
-        if a is not None and a not in seen:
+    for a in apply_token_fn(terms, token_fn):
+        if a not in seen:
             seen.add(a)
             out.append(a)
     return out
@@ -627,12 +630,13 @@ def parse_query_boosted(
                 mapped = token_fn(mapped)
                 if mapped is None:  # stopword chunk — boost and all
                     continue
-            if mapped in seen:
-                continue
-            seen.add(mapped)
-            out.append(mapped)
-            if boost != 1.0:
-                boosts[mapped] = boost
+            for m in ([mapped] if isinstance(mapped, str) else mapped):
+                if m in seen:
+                    continue
+                seen.add(m)
+                out.append(m)
+                if boost != 1.0:
+                    boosts[m] = boost
     return out, boosts
 
 
@@ -2659,7 +2663,9 @@ def phrase_search(
             # (positions were renumbered contiguously at build, so the
             # remaining terms ARE adjacent), stems match the indexed
             # surface forms
-            seq = [a for a in (tfn(t) for t in seq) if a is not None]
+            from ..functions.analyzer import apply_token_fn
+
+            seq = apply_token_fn(seq, tfn)
     spark = index.spark
     if _expansions is not None and _window is not None:
         raise ValueError("phrase-prefix expansion and unordered window "
@@ -4048,7 +4054,9 @@ def phrase_prefix_search(
     tfn = index.token_fn()
     raw = [syn.get(t, t) for t in tokenize(phrase_text)]
     if tfn is not None:
-        raw = [a for a in (tfn(t) for t in raw) if a is not None]
+        from ..functions.analyzer import apply_token_fn
+
+        raw = apply_token_fn(raw, tfn)
     if not raw:
         return _empty_df(index.spark, TOPK_SCHEMA)
     fixed, prefix = raw[:-1], raw[-1]
@@ -4243,7 +4251,9 @@ def more_like_this_terms(
     tfn = index.token_fn()
     toks = (syn.get(t, t) for t in tokenize(text))
     if tfn is not None:
-        toks = (a for a in (tfn(t) for t in toks) if a is not None)
+        from ..functions.analyzer import apply_token_fn
+
+        toks = apply_token_fn(toks, tfn)
     tf = Counter(toks)
     meta = _lookup_terms(index, sorted(tf))
     ranked = sorted(

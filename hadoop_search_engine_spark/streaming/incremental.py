@@ -41,6 +41,8 @@ def incremental_tf_sink(
     positions: bool = False,
     stopwords: tuple = (),
     stem: str = "none",
+    fold: bool = False,
+    cjk: bool = False,
 ):
     """documents stream -> append-only delta tables under ``delta_dir``:
     ``tf/`` holds (term, doc_id, tf, epoch), ``docs/`` holds
@@ -67,9 +69,10 @@ def incremental_tf_sink(
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         docs = batch_df.select(F.xxhash64("url").alias("doc_id"), "url", "text")
-        if stopwords or stem != "none":
+        if stopwords or stem != "none" or fold or cjk:
             docs = docs.withColumn(
-                "text", analyzed_text_col(F.col("text"), stopwords, stem)
+                "text",
+                analyzed_text_col(F.col("text"), stopwords, stem, fold, cjk),
             )
         if positions:
             occ = (

@@ -1,0 +1,249 @@
+"""ASCII folding + CJK bigram analyzer: golden vectors, three-way
+parity (Python / Spark Column / DuckDB), round-trip property, and
+index-level behavior (accent-insensitive search, CJK term + phrase)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.functions.analyzer import (
+    FOLD_MULTI,
+    FOLD_SINGLE,
+    analyze,
+    analyzed_text_col,
+    apply_token_fn,
+    cjk_expand,
+    fold_token,
+    make_token_fn,
+    sql_analyze_duckdb,
+    sql_fold_duckdb,
+    _fold_col,
+)
+from hadoop_search_engine_spark.functions.tokenizer import tokenize
+
+GOLDEN = [
+    ("café", "cafe"),
+    ("naïve", "naive"),
+    ("straße", "strasse"),
+    ("œuf", "oeuf"),
+    ("żółć", "zolc"),
+    ("señor", "senor"),
+    ("über", "uber"),
+    ("þing", "thing"),
+    ("ĳs", "ijs"),
+    ("i̇stanbul", "istanbul"),  # combining dot (lower('İ...'))
+    ("plain", "plain"),
+    ("mañana", "manana"),
+]
+
+
+def test_fold_golden_vectors():
+    for src, want in GOLDEN:
+        assert fold_token(src) == want, src
+    assert fold_token("́") is None  # bare combining mark folds away
+
+
+def test_fold_three_way_parity(spark):
+    toks = (
+        [s for s, _ in GOLDEN]
+        + list(FOLD_SINGLE)
+        + [m for m, _ in FOLD_MULTI]
+        + ["x̀y", "mixedéł"]
+    )
+    py = [fold_token(t) or "" for t in toks]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got_spark = [
+        r["f"] for r in df.select(_fold_col(F.col("tok")).alias("f")).collect()
+    ]
+    assert got_spark == py
+
+    import duckdb
+
+    sql = ", ".join("(" + sql_fold_duckdb(f"'{t}'") + ")" for t in toks)
+    got_duck = list(duckdb.sql("SELECT " + sql).fetchone())
+    assert got_duck == py
+
+
+def test_cjk_expand_vectors():
+    assert cjk_expand("春は曙") == ["春は", "は曙"]
+    assert cjk_expand("漢") == ["漢"]
+    assert cjk_expand("abc漢字def") == ["abc", "漢字", "def"]
+    assert cjk_expand("한국어") == ["한국", "국어"]
+    assert cjk_expand("カタカナ") == ["カタ", "タカ", "カナ"]
+    # 4-char run -> 3 overlapping bigrams
+    assert cjk_expand("春夏秋冬") == ["春夏", "夏秋", "秋冬"]
+
+
+def test_analyze_chain_and_roundtrip():
+    text = "Café ŒUF the 春は曙やうやう, Straße!"
+    out = analyze(text, stopwords=("the",), fold=True, cjk=True)
+    assert out == [
+        "cafe", "oeuf", "春は", "は曙", "曙や", "やう", "うや", "やう",
+        "strasse",
+    ]
+    # round-trip: rewritten text re-tokenizes to exactly the stream
+    assert tokenize(" ".join(out)) == out
+
+
+def test_make_token_fn_contract():
+    fn = make_token_fn(stopwords=("the",), fold=True, cjk=True)
+    assert fn("café") == "cafe"
+    assert fn("thé") is None  # folds to stopword
+    assert fn("春は曙") == ["春は", "は曙"]
+    assert fn("abc漢字") == ["abc", "漢字"]
+    assert apply_token_fn(["café", "the", "春は曙"], fn) == [
+        "cafe", "春は", "は曙",
+    ]
+    # identity config stays None (zero-cost default path)
+    assert make_token_fn() is None
+
+
+def test_analyzed_text_col_parity_jvm_vs_pandas(spark):
+    """fold-only goes JVM; fold+cjk goes pandas UDF — same analyzed
+    text for latin rows on both paths, and DuckDB replays the JVM one."""
+    rows = [("Café straße œuf!",), ("naïve señor the plain",), (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    jvm = [
+        r["a"]
+        for r in df.select(
+            analyzed_text_col(F.col("text"), ("the",), "s", fold=True).alias("a")
+        ).collect()
+    ]
+    pud = [
+        r["a"]
+        for r in df.select(
+            analyzed_text_col(
+                F.col("text"), ("the",), "s", fold=True, cjk=True
+            ).alias("a")
+        ).collect()
+    ]
+    assert jvm[:2] == pud[:2]
+    assert jvm[0] == "cafe strasse oeuf"
+    # JVM null text -> null; pandas path -> ""; both tokenize to []
+    assert (jvm[2] or "") == (pud[2] or "") == ""
+
+    import duckdb
+
+    frag = sql_analyze_duckdb(
+        "regexp_split_to_array(lower(regexp_replace(t, '[.,!?]', '', 'g')), '\\s+')",
+        ("the",),
+        "s",
+        fold=True,
+    )
+    got = [
+        duckdb.sql(
+            f"SELECT list_aggregate(list_filter({frag}, x -> x <> ''), "
+            f"'string_agg', ' ') FROM (SELECT '{txt}' AS t)"
+        ).fetchone()[0]
+        for (txt,) in rows[:2]
+    ]
+    assert got == jvm[:2]
+
+
+@pytest.fixture(scope="module")
+def accent_idx(spark, tmp_path_factory):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the café on the corner serves œufs"),
+            (1, "cafe culture without accents"),
+            (2, "straße and strasse are the same street"),
+            (3, "nothing to see here w00001 w00002"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path_factory.mktemp("fidx") / "idx")
+    build_index(spark, docs, d, n_buckets=4, fold=True, positions=True)
+    return Index.load(spark, d), docs
+
+
+def test_fold_index_accent_insensitive_search(accent_idx):
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+
+    idx, docs = accent_idx
+    assert bool(idx.stats.fold) is True
+    for q in ("café", "cafe", "CAFÉ!"):
+        hits = {r["doc_id"] for r in search_topk(idx, q, k=10).collect()}
+        assert hits == {0, 1}, q
+    hits = {r["doc_id"] for r in search_topk(idx, "straße", k=10).collect()}
+    assert hits == {2}
+    # folded query term + folded index agree on scores with a manual
+    # pre-folded corpus build (byte-identical analyzed text)
+    assert {r["doc_id"] for r in search_topk(idx, "œufs", k=10).collect()} == {0}
+
+
+def test_fold_index_phrase_and_resume_mismatch(accent_idx, spark, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import phrase_search
+
+    idx, docs = accent_idx
+    hits = {r["doc_id"] for r in phrase_search(idx, "café culture").collect()}
+    assert hits == {1}
+    with pytest.raises(ValueError, match="fold"):
+        build_index(
+            spark, docs, idx.out_dir, n_buckets=4, fold=False, positions=True,
+            resume=True,
+        )
+
+
+@pytest.fixture(scope="module")
+def cjk_idx(spark, tmp_path_factory):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "春は曙 やうやう白くなりゆく山際"),
+            (1, "夏は夜 月のころはさらなり"),
+            (2, "mixed latin and 漢字 text"),
+            (3, "pure latin document w00009"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path_factory.mktemp("cidx") / "idx")
+    build_index(spark, docs, d, n_buckets=4, cjk=True, positions=True)
+    return Index.load(spark, d), docs
+
+
+def test_cjk_index_term_and_phrase(cjk_idx):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        phrase_search,
+        search_topk,
+    )
+
+    idx, docs = cjk_idx
+    assert bool(idx.stats.cjk) is True
+    # a CJK query becomes its bigrams; AND mode pins the right doc
+    hits = {r["doc_id"] for r in search_topk(idx, "春は曙", k=10, mode="and").collect()}
+    assert hits == {0}
+    hits = {r["doc_id"] for r in search_topk(idx, "漢字", k=10).collect()}
+    assert hits == {2}
+    # latin terms in a cjk index are untouched
+    hits = {r["doc_id"] for r in search_topk(idx, "w00009", k=10).collect()}
+    assert hits == {3}
+    # phrase: consecutive bigrams must be adjacent — reordered chars miss
+    assert {r["doc_id"] for r in phrase_search(idx, "月のころ").collect()} == {1}
+    assert phrase_search(idx, "ころの月").count() == 0
+
+
+def test_cjk_boolean_and_boosted_parse(cjk_idx):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        parse_query,
+        parse_query_boosted,
+    )
+    from hadoop_search_engine_spark.operators.boolean import search_topk_boolean
+
+    idx, _ = cjk_idx
+    tfn = idx.token_fn()
+    assert parse_query("春は曙 text", token_fn=tfn) == ["春は", "は曙", "text"]
+    terms, boosts = parse_query_boosted("春は曙^2 text", token_fn=tfn)
+    assert terms == ["春は", "は曙", "text"]
+    assert boosts == {"春は": 2.0, "は曙": 2.0}
+    hits = {
+        r["doc_id"]
+        for r in search_topk_boolean(idx, "漢字 OR w00009").collect()
+    }
+    assert hits == {2, 3}
