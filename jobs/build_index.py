@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> None:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet path of the documents table")
     src.add_argument("--table", help="catalog table name (e.g. Iceberg) instead of a path")
+    src.add_argument("--warc", help="directory of WARC archives (.warc/.warc.gz) "
+                                    "to ingest as the corpus (sources/warc.py)")
     ap.add_argument("--output", required=True, help="index output directory")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--num-shards", type=int, default=None)
@@ -37,6 +39,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--block-size", type=int, default=None)
     ap.add_argument("--positions", action="store_true",
                     help="build a positional index (enables phrase search)")
+    ap.add_argument("--stopwords", default=None,
+                    help="'english' (Lucene classic list) or a comma-joined "
+                         "custom list; default none")
+    ap.add_argument("--stem", default="none", choices=("none", "s", "porter"))
+    ap.add_argument("--fold", action="store_true",
+                    help="ASCII-fold accented latin (ASCIIFoldingFilter)")
+    ap.add_argument("--cjk", action="store_true",
+                    help="bigram CJK runs (CJKAnalyzer semantics)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,10 +58,28 @@ def main(argv: list[str] | None = None) -> None:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="hse-build-index")
-    docs = spark.table(args.table) if args.table else spark.read.parquet(args.input)
+    if args.warc:
+        from hadoop_search_engine_spark.sources.warc import warc_to_documents
+
+        docs = warc_to_documents(spark, args.warc)
+    elif args.table:
+        docs = spark.table(args.table)
+    else:
+        docs = spark.read.parquet(args.input)
     if "doc_id" not in docs.columns:
         docs = assign_doc_ids(docs)
     docs = docs.select("doc_id", "text")
+
+    if args.stopwords is None:
+        stopwords: tuple = ()
+    elif args.stopwords == "english":
+        from hadoop_search_engine_spark.functions.analyzer import (
+            ENGLISH_STOPWORDS,
+        )
+
+        stopwords = ENGLISH_STOPWORDS
+    else:
+        stopwords = tuple(w for w in args.stopwords.split(",") if w)
 
     t0 = time.time()
     stats = build_index(
@@ -64,6 +92,10 @@ def main(argv: list[str] | None = None) -> None:
         n_waves=args.waves,
         resume=args.resume,
         positions=args.positions,
+        stopwords=stopwords,
+        stem=args.stem,
+        fold=args.fold,
+        cjk=args.cjk,
     )
     wall = time.time() - t0
     print(json.dumps({

@@ -152,3 +152,30 @@ def test_gunzip_members_truncated_final_member():
     cut = full[:-20]  # torn second member
     data = W.gunzip_members(cut)
     assert len(list(W.iter_warc_records(data))) >= 1
+
+
+def test_build_index_cli_from_warc(tmp_path, spark, capsys):
+    """jobs/build_index.py --warc: WARC dir -> analyzed index -> the
+    planted needles are searchable (the full CLI ingest path)."""
+    import json
+
+    from jobs.build_index import main as build_main
+
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        search_topk,
+    )
+
+    docs = gen_documents(spark, 200, n_partitions=4)
+    warc_dir = str(tmp_path / "warc")
+    W.export_warc(docs, warc_dir, n_files=2)
+    out = str(tmp_path / "idx")
+    build_main([
+        "--warc", warc_dir, "--output", out, "--n-buckets", "4",
+        "--stopwords", "english", "--fold",
+    ])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 200
+    idx = Index.load(spark, out)
+    assert tuple(idx.stats.stopwords) and bool(idx.stats.fold)
+    assert search_topk(idx, "needle7", k=10).count() == 3
