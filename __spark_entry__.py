@@ -3664,6 +3664,22 @@ def q_cjk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 bigrams (Wimbd headline analysis): one scan,
+    map-side partial agg, TakeOrderedAndProject."""
+    from hadoop_search_engine_spark.operators.text_analysis import top_ngrams
+
+    return top_ngrams(_read(spark, sf_dir, "documents"), n=2, k=50)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln(freq)~ln(rank) least-squares over the vocabulary (Zipf
+    health probe): regr_* aggregates both engines."""
+    from hadoop_search_engine_spark.operators.text_analysis import zipf_fit
+
+    return zipf_fit(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # search-engine surface
@@ -3834,6 +3850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "fold_tokens": q_fold_tokens,
         "cjk_bigrams": q_cjk_bigrams,
+        "top_ngrams": q_top_ngrams,
+        "zipf_fit": q_zipf_fit,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
@@ -4605,6 +4623,34 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
                    octet_length(text::blob)::int AS total_len
             FROM documents
+        """,
+        "top_ngrams": f"""
+            WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+            g AS (
+              SELECT array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+              FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+            )
+            SELECT gram, count(*) AS n_occurrences
+            FROM g GROUP BY gram
+            ORDER BY n_occurrences DESC, gram
+            LIMIT 50
+        """,
+        "zipf_fit": f"""
+            WITH c AS (
+              SELECT term, count(*) AS cnt
+              FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+              GROUP BY term
+            ),
+            r AS (
+              SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS lx,
+                     ln(CAST(cnt AS DOUBLE)) AS ly
+              FROM c
+            )
+            SELECT round(regr_slope(ly, lx), 6) AS slope,
+                   round(regr_intercept(ly, lx), 6) AS intercept,
+                   round(regr_r2(ly, lx), 6) AS r2,
+                   count(*) AS n_terms
+            FROM r
         """,
         "fold_tokens": f"""
             SELECT doc_id,

@@ -400,3 +400,62 @@ def collocations(
         "term_a", "term_b", "pair_count", "count_a", "count_b",
         F.round(F.log(p_ab / (p_a * p_b)), 6).alias("pmi"),
     )
+
+
+# -- corpus-level n-gram statistics (Wimbd-shape analyses) --------------------
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams -> (gram, n_occurrences),
+    count desc / gram asc (deterministic ties) — the headline "what's
+    actually in this corpus" analysis of Wimbd (Elazar et al. 2023,
+    "What's In My Big Data?"). One scan: grams built JVM-side from
+    shifted array slices (:func:`_ngrams_col`), partial-aggregated
+    map-side before the one shuffle, then TakeOrderedAndProject for
+    the k rows — no driver-side corpus materialization at any scale."""
+    grams = _ngrams_col(F.col(text_col), n)
+    gram_str = F.array_join(
+        F.array(*[F.col("_g").getField(str(i)) for i in range(n)]), " "
+    )
+    return (
+        docs.select(F.explode(grams).alias("_g"))
+        .select(gram_str.alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(int(k))
+    )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Least-squares fit of ln(term frequency) against ln(frequency
+    rank) over the whole corpus -> one row (slope, intercept, r2,
+    n_terms). A natural-language corpus reads slope ~ -1 (Zipf's law);
+    a templated / machine-generated one bends away — a cheap whole-
+    corpus health probe. Rank is ``row_number`` over (count desc, term
+    asc): total but deterministic, and identical in the DuckDB oracle.
+    The window runs over the VOCABULARY (term, count) aggregate —
+    lexicon-sized, not corpus-sized — then regr_* aggregates fold it
+    to one row; the corpus itself is touched once by the count."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.round(F.expr("regr_slope(ly, lx)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ly, lx)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
+        F.count("*").alias("n_terms"),
+    )

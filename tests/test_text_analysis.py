@@ -359,3 +359,33 @@ def test_collocations_matches_python(spark):
     assert len(loose) > len(got)
     for k in got:
         assert abs(loose[k] - got[k][3]) < 1e-9
+
+
+def test_top_ngrams_hand_checked(spark):
+    from hadoop_search_engine_spark.operators.text_analysis import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x"), (2, "z")],
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(docs, n=2, k=3).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in rows] == [
+        ("a b", 3), ("b a", 1), ("b c", 1),
+    ]
+    # trigrams, and a doc shorter than n contributes nothing
+    rows3 = top_ngrams(docs, n=3, k=2).collect()
+    assert [(r["gram"], r["n_occurrences"]) for r in rows3] == [
+        ("a b a", 1), ("a b c", 1),
+    ]
+
+
+def test_zipf_fit_shape_and_partition_invariance(spark):
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.text_analysis import zipf_fit
+
+    r2 = zipf_fit(gen_documents(spark, 150, n_partitions=2)).collect()[0]
+    r8 = zipf_fit(gen_documents(spark, 150, n_partitions=8)).collect()[0]
+    assert r2 == r8  # partitioning-invariant
+    assert r2["slope"] < -0.5  # Zipfian corpus: steep negative slope
+    assert 0.5 < r2["r2"] <= 1.0
+    assert r2["n_terms"] > 100
