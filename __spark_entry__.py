@@ -3664,6 +3664,35 @@ def q_cjk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsl_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime_mappings on the oracle board: a script-defined field
+    (kchars = n_chars/1000, ast-compiled painless subset) used as a
+    bool.filter range over the indexed search — same SQL shape as
+    filtered_search with the equivalent integer predicate."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    res = search_dsl(
+        ix,
+        {
+            "runtime_mappings": {
+                "kchars": {
+                    "type": "double",
+                    "script": {"source": "emit(doc['n_chars'].value / 100)"},
+                }
+            },
+            "query": {"bool": {
+                "must": [{"match": {"text": " ".join(FLAGSHIP_TERMS)}}],
+                "filter": [{"range": {"kchars": {"gte": 3.0}}}],
+            }},
+            "size": 20,
+        },
+        documents=docs,
+    )
+    return res.hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 bigrams (Wimbd headline analysis): one scan,
     map-side partial agg, TakeOrderedAndProject."""
@@ -3852,6 +3881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_bigrams": q_cjk_bigrams,
         "top_ngrams": q_top_ngrams,
         "zipf_fit": q_zipf_fit,
+        "dsl_runtime_filter": q_dsl_runtime_filter,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
@@ -4623,6 +4653,25 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
                    octet_length(text::blob)::int AS total_len
             FROM documents
+        """,
+        "dsl_runtime_filter": f"""
+            WITH {_TF_CTE},
+            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, sum({score}) AS score
+              FROM tf
+              JOIN d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN c
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 4) AS score
+            FROM scored
+            WHERE doc_id IN (SELECT doc_id FROM documents
+                             WHERE n_chars / 100.0 >= 3.0)
+            ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         "top_ngrams": f"""
             WITH t AS (SELECT {_TOKS} AS toks FROM documents),

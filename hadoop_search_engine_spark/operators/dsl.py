@@ -199,6 +199,129 @@ def _bool_expr(body: dict) -> str:
     return expr
 
 
+# ----------------------------------------------------- runtime mappings
+
+
+def _compile_runtime_script(source: str, columns: list[str]) -> "F.Column":
+    """Compile the ES runtime-field painless subset —
+    ``emit(<arithmetic over doc['field'].value>)`` — into a Spark
+    Column via the Python ast (the same no-eval discipline as
+    analytics._compile_bucket_script). Allowed inside ``emit``:
+    ``doc['name'].value`` references (name must be a document or
+    earlier runtime column), numeric literals, ``+ - * /``, unary
+    minus, comparisons, ``and``/``or`` and parentheses. Anything else
+    is rejected loudly — scripts are user input."""
+    import ast
+
+    def comp(node):
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float)) and not isinstance(node.value, bool):
+            return F.lit(float(node.value))
+        if isinstance(node, ast.Attribute) and node.attr == "value":
+            sub = node.value
+            if (
+                isinstance(sub, ast.Subscript)
+                and isinstance(sub.value, ast.Name)
+                and sub.value.id == "doc"
+                and isinstance(sub.slice, ast.Constant)
+                and isinstance(sub.slice.value, str)
+            ):
+                name = sub.slice.value
+                if name not in columns:
+                    raise DslError(
+                        f"runtime script references doc[{name!r}] which is "
+                        f"not a document column"
+                    )
+                return F.col(name).cast("double")
+            raise DslError(
+                "only doc['<column>'].value references are allowed in "
+                "runtime scripts"
+            )
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            return -comp(node.operand)
+        if isinstance(node, ast.BinOp):
+            lhs, rhs = comp(node.left), comp(node.right)
+            if isinstance(node.op, ast.Add):
+                return lhs + rhs
+            if isinstance(node.op, ast.Sub):
+                return lhs - rhs
+            if isinstance(node.op, ast.Mult):
+                return lhs * rhs
+            if isinstance(node.op, ast.Div):
+                return lhs / rhs
+            raise DslError(f"runtime script operator {node.op!r} not allowed")
+        if isinstance(node, ast.Compare):
+            if len(node.ops) != 1:
+                raise DslError("chained comparisons not allowed")
+            lhs, rhs = comp(node.left), comp(node.comparators[0])
+            op = node.ops[0]
+            table = {
+                ast.Gt: lambda: lhs > rhs, ast.GtE: lambda: lhs >= rhs,
+                ast.Lt: lambda: lhs < rhs, ast.LtE: lambda: lhs <= rhs,
+                ast.Eq: lambda: lhs == rhs, ast.NotEq: lambda: lhs != rhs,
+            }
+            for kind, make in table.items():
+                if isinstance(op, kind):
+                    return make()
+            raise DslError(f"comparison {op!r} not allowed")
+        if isinstance(node, ast.BoolOp):
+            parts = [comp(v) for v in node.values]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if isinstance(node.op, ast.And) else (out | p)
+            return out
+        raise DslError(
+            f"unsupported runtime script construct {type(node).__name__}"
+        )
+
+    try:
+        tree = ast.parse(source.strip(), mode="eval")
+    except SyntaxError as exc:
+        raise DslError(f"bad runtime script {source!r}: {exc}") from exc
+    call = tree.body
+    if not (
+        isinstance(call, ast.Call)
+        and isinstance(call.func, ast.Name)
+        and call.func.id == "emit"
+        and len(call.args) == 1
+        and not call.keywords
+    ):
+        raise DslError("runtime script must be emit(<expression>)")
+    return comp(call.args[0])
+
+
+_RUNTIME_TYPES = {"double": "double", "long": "long", "boolean": "boolean"}
+
+
+def _apply_runtime_mappings(
+    mappings: dict, documents: DataFrame | None
+) -> DataFrame:
+    """ES ``runtime_mappings``: derive script-defined columns on the
+    metadata table BEFORE any filter/agg/sort runs, so runtime fields
+    are usable everywhere a mapped field is. Pure Column arithmetic —
+    Catalyst folds it into the scan; nothing is materialized. Later
+    mappings may reference earlier ones (ES allows runtime-on-runtime
+    lookups), hence the sequential withColumn fold."""
+    if documents is None:
+        raise DslError("runtime_mappings needs documents= (the metadata table)")
+    out = documents
+    for name, spec in mappings.items():
+        if not isinstance(spec, dict) or "type" not in spec:
+            raise DslError(f"runtime_mappings.{name} needs a type")
+        typ = _RUNTIME_TYPES.get(spec["type"])
+        if typ is None:
+            raise DslError(
+                f"runtime_mappings.{name}: type must be one of "
+                f"{sorted(_RUNTIME_TYPES)}, got {spec['type']!r}"
+            )
+        source = (spec.get("script") or {}).get("source")
+        if not source:
+            raise DslError(f"runtime_mappings.{name} needs script.source")
+        col = _compile_runtime_script(source, out.columns)
+        out = out.withColumn(name, col.cast(typ))
+    return out
+
+
 # ----------------------------------------------------- metadata filter
 
 
@@ -1485,9 +1608,12 @@ def search_dsl(
     unknown = set(body) - {"query", "size", "search_after", "similarity",
                            "aggs", "knn", "rank", "collapse", "highlight",
                            "sort", "suggest", "fields",
-                           "track_total_hits", "min_score", "explain"}
+                           "track_total_hits", "min_score", "explain",
+                           "runtime_mappings"}
     if unknown:
         raise DslError(f"unsupported body keys {sorted(unknown)}")
+    if body.get("runtime_mappings"):
+        documents = _apply_runtime_mappings(body["runtime_mappings"], documents)
     suggest = {}
     if body.get("suggest"):
         suggest = _run_suggest(body["suggest"], index, lm_tables)

@@ -747,3 +747,104 @@ def test_dsl_highlight_multi_fragment(tiny_index, tiny_corpus):
                           "fields": {"text":
                                      {"number_of_fragments": 2}}},
         }, documents=tiny_corpus)
+
+
+# ----------------------------------------------------- runtime_mappings
+
+
+def _docs_meta(tiny_corpus):
+    return tiny_corpus.withColumn("n_chars", F.length("text"))
+
+
+def test_runtime_mapping_in_filter_matches_manual(tiny_index, tiny_corpus):
+    docs = _docs_meta(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {
+            "runtime_mappings": {
+                "kchars": {
+                    "type": "double",
+                    "script": {"source": "emit(doc['n_chars'].value / 1000)"},
+                }
+            },
+            "query": {"bool": {
+                "must": [{"match": {"text": Q}}],
+                "filter": [{"range": {"kchars": {"gte": 1.0}}}],
+            }},
+            "size": 50,
+        },
+        documents=docs,
+    )
+    allowed = {
+        r["doc_id"]
+        for r in docs.where(F.length("text") >= 1000).collect()
+    }
+    base = search_dsl(
+        tiny_index, {"query": {"match": {"text": Q}}, "size": 10_000},
+        documents=docs,
+    )
+    want = [(d, s) for d, s in _pairs(base.hits) if d in allowed][:50]
+    assert _pairs(got.hits) == want
+
+
+def test_runtime_mapping_in_aggs_and_chaining(tiny_index, tiny_corpus):
+    docs = _docs_meta(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {
+            "runtime_mappings": {
+                "kchars": {
+                    "type": "double",
+                    "script": {"source": "emit(doc['n_chars'].value / 1000)"},
+                },
+                "big": {  # runtime-on-runtime reference
+                    "type": "boolean",
+                    "script": {"source": "emit(doc['kchars'].value >= 1.0)"},
+                },
+            },
+            "query": {"match": {"text": Q}},
+            "size": 0,
+            "aggs": {"mean_k": {"avg": {"field": "kchars"}},
+                     "bigs": {"terms": {"field": "big"}}},
+        },
+        documents=docs,
+    )
+    hit_ids = {
+        r["doc_id"]
+        for r in search_dsl(
+            tiny_index, {"query": {"match": {"text": Q}}, "size": 10_000}
+        ).hits.collect()
+    }
+    sub = docs.where(F.col("doc_id").isin(hit_ids))
+    want_avg = sub.agg(F.avg(F.length("text") / 1000.0)).collect()[0][0]
+    got_avg = got.aggs["mean_k"].collect()[0]["value"]
+    assert math.isclose(got_avg, round(want_avg, 6), rel_tol=1e-9)
+    bigs = {r["big"]: r["n_docs"] for r in got.aggs["bigs"].collect()}
+    want_big = sub.where(F.length("text") >= 1000).count()
+    assert bigs.get(True, 0) == want_big
+
+
+def test_runtime_mapping_rejections(tiny_index, tiny_corpus):
+    docs = _docs_meta(tiny_corpus)
+
+    def body(source, typ="double"):
+        return {
+            "runtime_mappings": {
+                "x": {"type": typ, "script": {"source": source}}},
+            "query": {"match": {"text": Q}},
+        }
+
+    with pytest.raises(DslError, match="needs documents"):
+        search_dsl(tiny_index, body("emit(doc['n_chars'].value)"))
+    with pytest.raises(DslError, match="must be emit"):
+        search_dsl(tiny_index, body("doc['n_chars'].value"), documents=docs)
+    with pytest.raises(DslError, match="not a document column"):
+        search_dsl(tiny_index, body("emit(doc['nope'].value)"),
+                   documents=docs)
+    with pytest.raises(DslError, match="unsupported runtime script"):
+        search_dsl(tiny_index, body("emit(__import__('os').getpid())"),
+                   documents=docs)
+    with pytest.raises(DslError, match="type must be one of"):
+        search_dsl(tiny_index,
+                   body("emit(doc['n_chars'].value)", typ="keyword"),
+                   documents=docs)
