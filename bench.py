@@ -521,7 +521,56 @@ def main() -> None:
         ana_secs.append(time.time() - t0)
     timings["index_build_analyzed"] = round(min(ana_secs), 4)
     shutil.rmtree(ana_dir, ignore_errors=True)
+
+    # folded build (ASCII folding, functions/analyzer.py): pure JVM
+    # translate/replace fused into the tokenize passes — the delta vs
+    # index_build is the fold cost (should be ~noise)
+    fold_dir = "/tmp/hse_bench_index_fold"
+    fold_secs = []
+    for _ in range(2):
+        shutil.rmtree(fold_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, docs, fold_dir, n_buckets=16, fold=True)
+        fold_secs.append(time.time() - t0)
+    timings["index_build_folded"] = round(min(fold_secs), 4)
+    shutil.rmtree(fold_dir, ignore_errors=True)
     shutil.rmtree(pos_dir, ignore_errors=True)
+
+    # WARC container source/sink (sources/warc.py): deterministic
+    # bucketed export of the whole sf corpus, then the distributed
+    # parse back (binaryFile -> mapInPandas, one task per archive)
+    from hadoop_search_engine_spark.sources.warc import export_warc, read_warc
+
+    warc_docs = docs.select(
+        F.concat(F.lit("https://site.example/page/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.expr("timestamp'2025-01-01 00:00:00'"
+               " + make_interval(0, 0, 0, 0, 0, 0, doc_id)").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), F.col("text"),
+                          F.lit("</p></body></html>")), "UTF-8").alias("html"),
+    )
+    warc_dir = "/tmp/hse_bench_warc"
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    t0 = time.time()
+    export_warc(warc_docs, warc_dir, n_files=8)
+    timings["warc_export"] = round(time.time() - t0, 4)
+    timed(
+        "warc_read",
+        lambda: read_warc(spark, warc_dir, glob="*.warc.gz").count(),
+        reps=2,
+    )
+    shutil.rmtree(warc_dir, ignore_errors=True)
+
+    # corpus n-gram analytics (Wimbd shape): one-scan partial-agg
+    # top-k and the vocabulary-window zipf fit
+    from hadoop_search_engine_spark.operators.text_analysis import (
+        top_ngrams,
+        zipf_fit,
+    )
+
+    timed("top_ngrams", lambda: top_ngrams(docs, n=2, k=100).collect(),
+          reps=3)
+    timed("zipf_fit", lambda: zipf_fit(docs).collect(), reps=3)
 
     # two-phase rescore: BM25 top-100 window re-ranked by cosine to a
     # query vector (phase-2 cost bounded by the window)

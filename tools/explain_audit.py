@@ -315,6 +315,20 @@ CHECKS = {
     # projection is the Arrow matmul (vectorized), never row-at-a-time
     "semdedup": ["Join", "!CartesianProduct", "ArrowEvalPython",
                  "!BatchEvalPython"],
+    # WARC ingest: one binaryFile scan fanned through MapInPandas
+    # (file-granular tasks; the only Exchange is the oracle entry's
+    # ORDER BY url for the deterministic compare, not the read)
+    "warc_ingest": ["MapInPandas", "!CartesianProduct"],
+    # ASCII fold is JVM translate/replace inside the tokenize
+    # projection — no Python evaluation in the plan at all
+    "fold_tokens": ["Generate", "!EvalPython"],
+    # corpus top-ngrams: map-side partial agg then top-k, never a
+    # global sort of the gram space
+    "top_ngrams": ["HashAggregate", "TakeOrderedAndProject",
+                   "!EvalPython"],
+    # zipf fit: vocabulary-sized window + regr_* fold, corpus touched
+    # once by the count aggregate; no Python
+    "zipf_fit": ["HashAggregate", "Window", "!EvalPython"],
 }
 
 
