@@ -135,7 +135,24 @@ def main(argv: list[str] | None = None) -> None:
                     help="ES _msearch: one JSON request body per line; "
                          "prints one JSON result line per body "
                          "(--params applies to each)")
+    ap.add_argument("--alias", metavar="REGISTRY_DIR:NAME",
+                    help="resolve the index through an alias registry "
+                         "(operators/aliases.py) instead of --index/"
+                         "--segments; a multi-dir alias serves federated")
     args = ap.parse_args(argv)
+    if args.alias:
+        if args.index or args.segments:
+            ap.error("--alias replaces --index/--segments")
+        reg, _, name = args.alias.rpartition(":")
+        if not reg or not name:
+            ap.error("--alias needs REGISTRY_DIR:NAME")
+        from hadoop_search_engine_spark.operators.aliases import resolve_alias
+
+        dirs = resolve_alias(reg, name)
+        if len(dirs) == 1:
+            args.index = dirs[0]
+        else:
+            args.segments = ",".join(dirs)
 
     from pyspark.sql import SparkSession
 
