@@ -117,6 +117,36 @@ def delete_docs(index: Index, doc_ids: DataFrame | Iterable[int]) -> int:
     return total
 
 
+def delete_by_query(
+    index: Index,
+    query_text: str,
+    mode: str = "or",
+    synonyms: dict[str, str] | None = None,
+) -> dict:
+    """ES ``_delete_by_query``: tombstone every doc the query matches.
+
+    The match set is the FULL scored set (:func:`~.query_exec.
+    scored_docs` — no top-k cut), which already excludes previously
+    tombstoned docs, so ``deleted`` is exactly this request's count
+    (ES response semantics) and a repeated call deletes 0. Cost =
+    one pruned postings probe + an O(|matched|) tombstone merge — the
+    corpus and the posting blobs are untouched until vacuum.
+
+    Returns ``{"deleted": n, "total_tombstones": m}``.
+    """
+    from .query_exec import scored_docs
+
+    d = _tomb_dir(index.out_dir)
+    prior = (
+        int(index.spark.read.parquet(d).count()) if os.path.exists(d) else 0
+    )
+    matched = scored_docs(
+        index, query_text, mode=mode, synonyms=synonyms
+    ).select("doc_id")
+    total = delete_docs(index, matched)
+    return {"deleted": total - prior, "total_tombstones": total}
+
+
 def _make_vacuum_rewriter(positions: bool, tomb_bc):
     """mapInPandas rewriter: drop tombstoned doc_ids from every posting
     block. Per Arrow batch, ALL blocks decode in one batched varint

@@ -30,6 +30,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="index dir (required except --plan-compaction)")
     ap.add_argument("--delete", help="comma-separated doc_ids to tombstone")
     ap.add_argument("--delete-file", help="parquet with a doc_id column")
+    ap.add_argument("--delete-query",
+                    help="ES _delete_by_query: tombstone every doc the "
+                         "query matches (full match set, no top-k cut)")
+    ap.add_argument("--delete-mode", choices=("or", "and"), default="or",
+                    help="with --delete-query: disjunctive or conjunctive "
+                         "match")
     ap.add_argument("--vacuum", action="store_true")
     ap.add_argument("--report", action="store_true")
     ap.add_argument(
@@ -161,11 +167,12 @@ def main(argv: list[str] | None = None) -> None:
         ]
         print(_json.dumps(plan, indent=2))
         return
-    if not (args.delete or args.delete_file or args.vacuum or args.report
+    if not (args.delete or args.delete_file or args.delete_query
+            or args.vacuum or args.report
             or args.merge or args.reshard or args.prune):
         ap.error(
-            "nothing to do: pass --delete/--delete-file/--vacuum/"
-            "--merge/--reshard/--prune/--plan-compaction/--report"
+            "nothing to do: pass --delete/--delete-file/--delete-query/"
+            "--vacuum/--merge/--reshard/--prune/--plan-compaction/--report"
         )
     if not args.index:
         ap.error("--index is required for this action")
@@ -218,6 +225,13 @@ def main(argv: list[str] | None = None) -> None:
     if args.delete_file:
         total = delete_docs(idx, spark.read.parquet(args.delete_file))
         print(f"tombstones: {total}")
+    if args.delete_query:
+        from hadoop_search_engine_spark.operators.index_maint import (
+            delete_by_query,
+        )
+
+        out = delete_by_query(idx, args.delete_query, mode=args.delete_mode)
+        print(json.dumps(out))
     if args.vacuum:
         idx = vacuum_index(idx)
         print("vacuum: done")

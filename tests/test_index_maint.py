@@ -175,3 +175,39 @@ def test_vacuum_positional_phrase(spark, tiny_corpus, tmp_path):
     assert _pairs(phrase_search(vac, phrase, k=10)) == _pairs(
         phrase_search(fresh, phrase, k=10)
     )
+
+
+def test_delete_by_query_semantics(spark, tiny_corpus, tmp_path):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.index_maint import (
+        delete_by_query,
+        vacuum_index,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        search_topk,
+    )
+
+    d = str(tmp_path / "dbq")
+    build_index(spark, tiny_corpus.select("doc_id", "text"), d, n_buckets=4)
+    idx = Index.load(spark, d)
+    assert search_topk(idx, "needle7", k=10).count() == 3
+
+    out = delete_by_query(idx, "needle7")
+    assert out["deleted"] == 3
+    assert search_topk(idx, "needle7", k=10).count() == 0
+    # other queries unaffected beyond the removed docs
+    assert search_topk(idx, "w00000", k=5).count() == 5
+
+    # idempotent: the match set already excludes tombstones
+    again = delete_by_query(idx, "needle7")
+    assert again["deleted"] == 0
+    assert again["total_tombstones"] == out["total_tombstones"]
+
+    # conjunctive mode: matches nothing when one term is absent
+    none = delete_by_query(idx, "w00000 zzzz", mode="and")
+    assert none["deleted"] == 0
+
+    # vacuum keeps the deletion physical
+    idx2 = vacuum_index(idx)
+    assert search_topk(idx2, "needle7", k=10).count() == 0
