@@ -2672,6 +2672,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, list(qvec), centroids, k=ANN_K, n_probe=4)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — oracle-checked END TO END, per-
+    subspace k-means training included (operators/similarity.py
+    pq_train/pq_encode/pq_topk). Same cross-engine trainer contract
+    as IVF: murmur3 seeding, 6-dp score quantization before every
+    argmax, 6-dp centroid means per iteration — the DuckDB replay
+    (_dd_pq_sql) runs the identical iterations in relational form
+    ((sub, code, dim) centroid rows, no per-subspace unrolling) and
+    lands on identical codebooks, codes, and ADC top-k."""
+    from hadoop_search_engine_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, nbits=3, n_iters=2)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    enc = pq_encode(emb, cb)
+    return pq_topk(enc, cb, list(qvec), k=ANN_K)
+
+
 def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_engine_spark.operators.dedup import exact_dup_pairs
 
@@ -3867,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "exact_dup_pairs": q_exact_dup_pairs,
         "bpe_token_count": q_bpe_token_count,
         "token_count": q_token_count,
@@ -4193,6 +4216,89 @@ def _dd_ivf_sql(n_centroids: int, n_iters: int, n_probe: int, k: int) -> str:
         FROM final_assign a, q
         WHERE a.cluster IN (SELECT cluster FROM probe)
         ORDER BY cosine DESC, a.vec_id ASC LIMIT {k}
+    """
+
+
+def _dd_pq_sql(m: int, nbits: int, n_iters: int, k: int, dim: int) -> str:
+    """DuckDB replay of the WHOLE PQ pipeline (similarity.py pq_train /
+    pq_encode / pq_topk): per-subspace Lloyd iterations in relational
+    form — centroids live as (sub, code, dim, val) rows with GLOBAL
+    dim indexes, so one CTE chain covers all m subspaces — then the
+    final encode and the ADC dot-product top-k. Exactness rests on
+    the trainer's 6-dp quantization of assignment scores and centroid
+    means (see pq_train's docstring)."""
+    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
+
+    mm = sql_murmur3_u32_duckdb("(vec_id::varchar)")
+    codes = 1 << nbits
+    dsub = dim // m
+    ctes = [
+        f"""hashed AS (
+          SELECT vec_id, embedding::double[] AS v, {mm} AS h
+          FROM embeddings
+        )""",
+        f"""seeds AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, v
+          FROM (SELECT * FROM hashed ORDER BY h, vec_id LIMIT {codes})
+        )""",
+        f"""x AS (
+          SELECT vec_id, (dim // {dsub})::int AS sub, dim, val
+          FROM (SELECT vec_id, unnest(range(len(v))) AS dim,
+                       unnest(v) AS val FROM hashed)
+        )""",
+        f"""cent0 AS (
+          SELECT (dim // {dsub})::int AS sub, code, dim, val
+          FROM (SELECT code, unnest(range(len(v))) AS dim,
+                       unnest(v) AS val FROM seeds)
+        )""",
+    ]
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, s.code,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.sub
+                     ORDER BY s.s DESC, s.code ASC
+                   ) AS rn
+            FROM (
+              SELECT x.vec_id, c.sub, c.code,
+                     round(2 * sum(x.val * c.val)
+                           - sum(c.val * c.val), 6) AS s
+              FROM x JOIN {cent} c ON x.sub = c.sub AND x.dim = c.dim
+              GROUP BY x.vec_id, c.sub, c.code
+            ) s
+          ) WHERE rn = 1
+        )"""
+
+    for i in range(1, n_iters + 1):
+        ctes.append(assign(f"assign{i}", f"cent{i - 1}"))
+        ctes.append(f"""mean{i} AS (
+          SELECT a.sub, a.code, x.dim, round(avg(x.val), 6) AS mval
+          FROM assign{i} a
+          JOIN x ON x.vec_id = a.vec_id AND x.sub = a.sub
+          GROUP BY a.sub, a.code, x.dim
+        )""")
+        ctes.append(f"""cent{i} AS (
+          SELECT c.sub, c.code, c.dim, coalesce(m.mval, c.val) AS val
+          FROM cent{i - 1} c
+          LEFT JOIN mean{i} m
+            ON m.sub = c.sub AND m.code = c.code AND m.dim = c.dim
+        )""")
+    ctes.append(assign("enc", f"cent{n_iters}"))
+    ctes.append(f"""q AS (
+          SELECT (dim // {dsub})::int AS sub, dim, val
+          FROM (SELECT unnest(range(len(v))) AS dim, unnest(v) AS val
+                FROM hashed WHERE vec_id = 0)
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT vec_id, round(sum(q.val * c.val), 6) AS score
+        FROM enc e
+        JOIN cent{n_iters} c ON c.sub = e.sub AND c.code = e.code
+        JOIN q ON q.sub = c.sub AND q.dim = c.dim
+        GROUP BY vec_id
+        ORDER BY score DESC, vec_id ASC LIMIT {k}
     """
 
 
@@ -4750,6 +4856,7 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN b USING (bucket)
         """,
         "ann_ivf": _dd_ivf_sql(n_centroids=8, n_iters=2, n_probe=4, k=ANN_K),
+        "ann_pq": _dd_pq_sql(m=8, nbits=3, n_iters=2, k=ANN_K, dim=64),
         # rows-only (non-SQL-expressible): media_features (stubbed
         # decode) — plumbing shape is pytest-verified instead
     }

@@ -241,6 +241,26 @@ def main() -> None:
     )
     timed("ann_bruteforce", lambda: entry_mod.q_ann_cosine_topk(spark, sf_dir).collect())
     timed("ann_int8", lambda: entry_mod.q_ann_int8(spark, sf_dir).collect())
+
+    # PQ: train+encode once (the offline artifact), time the ADC query
+    from hadoop_search_engine_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb_full = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.time()
+    pq_cb = pq_train(emb_full, m=8, nbits=3, n_iters=2)
+    pq_codes = pq_encode(emb_full, pq_cb).persist()
+    pq_codes.count()
+    timings["ann_pq_train_encode"] = round(time.time() - t0, 4)
+    pq_q = list(
+        emb_full.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    timed("ann_pq_query",
+          lambda: pq_topk(pq_codes, pq_cb, pq_q, k=10).collect(), reps=3)
+    pq_codes.unpersist()
     timed("date_histogram", lambda: entry_mod.q_date_histogram(spark, sf_dir).collect())
     timed("tpch_q1", lambda: entry_mod.q_tpch_q1(spark, sf_dir).collect())
 

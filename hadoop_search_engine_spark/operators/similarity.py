@@ -500,3 +500,215 @@ def cosine_topk_int8(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the classic memory-scale ANN path
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011): split the vector into m subspaces, k-means
+# each subspace to 2^nbits codewords, store m small codes per vector
+# (m bytes at nbits=8 vs 4·dim float bytes), and answer queries with
+# asymmetric distance computation (ADC) — a driver-computed m×k table
+# of query-subvector · codeword dot products, summed per vector by
+# code lookup. At 100 TB of embeddings the codes table is ~dim/2·m×
+# smaller than the raw vectors, and scoring never touches a float
+# vector again.
+# ---------------------------------------------------------------------------
+
+
+def _pq_shapes(dim: int, m: int) -> int:
+    if dim % m:
+        raise ValueError(f"dim {dim} is not divisible by m={m} subspaces")
+    return dim // m
+
+
+def _pq_assign_scores(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) vectors × (m, k, dsub) codebooks -> (n, m) int32 codes.
+
+    Per subspace j: argmax over codes of ``round(2·x_j·c − c·c, 6)``
+    (the L2-argmin rewritten without the per-vector constant), first
+    max wins. The 6-dp quantization is the cross-engine contract: the
+    DuckDB replay computes the same score with SQL sums, and rounding
+    kills last-ulp summation-order drift before the argmax."""
+    n, dim = x.shape
+    m, k, dsub = codebooks.shape
+    xs = x.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype=np.int32)
+    for j in range(m):
+        cb = codebooks[j]  # (k, dsub)
+        s = np.round(2.0 * (xs[:, j, :] @ cb.T) - np.sum(cb * cb, axis=1), 6)
+        codes[:, j] = s.argmax(axis=1)
+    return codes
+
+
+def _pq_encode_udf(codebooks: np.ndarray, vec_col: str):
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = _pq_assign_scores(x, codebooks)
+        return pd.Series(list(codes))
+
+    return enc(F.col(vec_col))
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    nbits: int = 3,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic per-subspace Lloyd iterations -> codebooks
+    ``(m, 2^nbits, dim/m)`` float64.
+
+    Same cross-engine-reproducible discipline as :func:`ivf_train`:
+    seeds are the ``k`` vectors with smallest ``murmur3(vec_id)``
+    (each seed sliced into its m subvectors — no per-subspace RNG),
+    assignment quantizes its score to 6 dp before the argmax (ties to
+    the lowest code), and centroid means are rounded to 6 dp per
+    iteration, so an independent SQL replay lands on bit-identical
+    codebooks. ALL m subspaces update in ONE distributed pass per
+    iteration: explode to (dim, value), derive (sub = dim ÷ dsub,
+    code = codes[sub]), groupBy (sub, code, dim) avg — m·k·dsub rows
+    to the driver per iteration. Empty clusters keep their previous
+    codeword (the coalesce rule)."""
+    k = 1 << int(nbits)
+    from ..functions.hashes import murmur3_u32
+
+    first = embeddings.select(vec_col).first()
+    dim = len(first[0])
+    dsub = _pq_shapes(dim, m)
+    seeds = (
+        embeddings.select(
+            vec_col,
+            murmur3_u32(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("h", "_id")
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least {k} vectors to seed {k} codes")
+    seedmat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
+    codebooks = np.stack(
+        [seedmat[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, k, dsub)
+
+    for _ in range(n_iters):
+        enc = embeddings.withColumn("_codes", _pq_encode_udf(codebooks, vec_col))
+        means = (
+            enc.select("_codes", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .withColumn("sub", (F.col("dim") / dsub).cast("int"))
+            .withColumn("code", F.element_at("_codes", F.col("sub") + 1))
+            .groupBy("sub", "code", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("mval"))
+            .collect()
+        )
+        new = codebooks.copy()
+        for r in means:
+            new[r["sub"], r["code"], r["dim"] - r["sub"] * dsub] = r["mval"]
+        codebooks = new
+    return codebooks
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, codes array<int> length m): the stored form. m·nbits
+    bits of payload per vector replace 32·dim — the table a 100 TB
+    deployment persists (partition/bucket by id range; codebooks ride
+    beside it as a tiny sidecar)."""
+    return embeddings.select(
+        F.col(id_col), _pq_encode_udf(codebooks, vec_col).alias("codes")
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k over PQ codes -> (id, score): score is the
+    reconstructed dot product ``Σ_j q_j · codeword_j`` rounded to 6 dp
+    (descending, ties to lowest id). The m×k lookup table is computed
+    once on the driver; per-row work is m integer lookups + a sum —
+    vectorized NumPy fancy-indexing per Arrow batch, then one
+    TakeOrderedAndProject. No float vectors are read."""
+    from pyspark.sql import types as T
+
+    m, kk, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != {m * dsub}")
+    table = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, k)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series) -> pd.Series:
+        c = np.stack([np.asarray(v, dtype=np.int64) for v in codes])
+        return pd.Series(
+            np.round(table[np.arange(m), c].sum(axis=1), 6)
+        )
+
+    return (
+        encoded.select(F.col(id_col), adc(F.col(codes_col)).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )
+
+
+def write_pq_table(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ deployment artifact: ``codes/`` parquet (id +
+    m-byte codes — the only thing queries scan) beside a
+    ``codebooks.json`` sidecar (m·k·dsub floats — driver-sized).
+    Write order: codes first, sidecar last — its presence is the
+    completion marker, mirroring the index build's stats.json."""
+    import json
+    import os
+
+    codes_dir = os.path.join(out_dir, "codes")
+    pq_encode(embeddings, codebooks, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(codes_dir)
+    tmp = os.path.join(out_dir, "codebooks.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"shape": list(codebooks.shape),
+             "values": codebooks.ravel().tolist()}, f
+        )
+    os.replace(tmp, os.path.join(out_dir, "codebooks.json"))
+
+
+def pq_topk_table(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ table (write_pq_table)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "codebooks.json")) as f:
+        d = json.load(f)
+    codebooks = np.asarray(d["values"], dtype=np.float64).reshape(d["shape"])
+    codes = spark.read.parquet(os.path.join(out_dir, "codes"))
+    return pq_topk(codes, codebooks, query_vec, k=k, id_col=id_col)
