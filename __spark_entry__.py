@@ -2694,6 +2694,25 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(enc, cb, list(qvec), k=ANN_K)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — oracle-checked END TO END: coarse Lloyd training,
+    residual product-quantization training, encoding, probe prune,
+    and base+ADC scoring all replay as one DuckDB CTE chain
+    (_dd_ivfpq_sql). The FAISS IndexIVFPQ shape on Spark."""
+    from hadoop_search_engine_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cents, cbs = ivfpq_train(emb, n_centroids=8, ivf_iters=2, m=8,
+                             nbits=3, pq_iters=2)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    enc = ivfpq_encode(emb, cents, cbs)
+    return ivfpq_topk(enc, cents, cbs, list(qvec), k=ANN_K, n_probe=4)
+
+
 def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_engine_spark.operators.dedup import exact_dup_pairs
 
@@ -3890,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "exact_dup_pairs": q_exact_dup_pairs,
         "bpe_token_count": q_bpe_token_count,
         "token_count": q_token_count,
@@ -4299,6 +4319,160 @@ def _dd_pq_sql(m: int, nbits: int, n_iters: int, k: int, dim: int) -> str:
         JOIN q ON q.sub = c.sub AND q.dim = c.dim
         GROUP BY vec_id
         ORDER BY score DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _dd_ivfpq_sql(
+    n_centroids: int,
+    ivf_iters: int,
+    m: int,
+    nbits: int,
+    pq_iters: int,
+    n_probe: int,
+    k: int,
+    dim: int,
+) -> str:
+    """DuckDB replay of the WHOLE IVF-PQ pipeline
+    (similarity.py ivfpq_train / ivfpq_encode / ivfpq_topk): the IVF
+    Lloyd chain (as in _dd_ivf_sql), residual rows against the final
+    coarse centroids, the per-subspace PQ chain over the residuals
+    (as in _dd_pq_sql), then the probe prune and the
+    base-plus-ADC score."""
+    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
+
+    mm = sql_murmur3_u32_duckdb("(vec_id::varchar)")
+    codes = 1 << nbits
+    dsub = dim // m
+
+    def ivf_assign(name: str, cent: str) -> str:
+        # round(·,6) matches similarity._assign_raw_q — IVF-PQ needs
+        # bit-reproducible assignment (see that docstring)
+        return f"""{name} AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT h.vec_id, h.v, c.cluster,
+                   row_number() OVER (
+                     PARTITION BY h.vec_id
+                     ORDER BY round(list_dot_product(h.v, c.cv), 6) DESC,
+                              c.cluster
+                   ) AS rn
+            FROM hashed h CROSS JOIN {cent} c
+          ) WHERE rn = 1
+        )"""
+
+    def pq_assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, s.code,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.sub
+                     ORDER BY s.s DESC, s.code ASC
+                   ) AS rn
+            FROM (
+              SELECT rx.vec_id, c.sub, c.code,
+                     round(2 * sum(rx.val * c.val)
+                           - sum(c.val * c.val), 6) AS s
+              FROM rx JOIN {cent} c ON rx.sub = c.sub AND rx.dim = c.dim
+              GROUP BY rx.vec_id, c.sub, c.code
+            ) s
+          ) WHERE rn = 1
+        )"""
+
+    ctes = [
+        f"""hashed AS (
+          SELECT vec_id, embedding::double[] AS v, {mm} AS h
+          FROM embeddings
+        )""",
+        f"""seeds AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster, v
+          FROM (SELECT * FROM hashed ORDER BY h, vec_id LIMIT {n_centroids})
+        )""",
+        """cent0 AS (
+          SELECT cluster, unnest(range(len(v))) AS dim, unnest(v) AS val
+          FROM seeds
+        )""",
+        """centv0 AS (
+          SELECT cluster, list(val ORDER BY dim) AS cv FROM cent0 GROUP BY cluster
+        )""",
+    ]
+    for i in range(1, ivf_iters + 1):
+        ctes.append(ivf_assign(f"assign{i}", f"centv{i - 1}"))
+        ctes.append(f"""mean{i} AS (
+          SELECT cluster, dim, round(avg(val), 6) AS mval
+          FROM (SELECT cluster, unnest(range(len(v))) AS dim, unnest(v) AS val
+                FROM assign{i})
+          GROUP BY cluster, dim
+        )""")
+        ctes.append(f"""cent{i} AS (
+          SELECT c.cluster, c.dim, coalesce(m.mval, c.val) AS val
+          FROM cent{i - 1} c LEFT JOIN mean{i} m USING (cluster, dim)
+        )""")
+        ctes.append(f"""centv{i} AS (
+          SELECT cluster, list(val ORDER BY dim) AS cv FROM cent{i} GROUP BY cluster
+        )""")
+    ctes.append(ivf_assign("final_assign", f"centv{ivf_iters}"))
+    ctes.append(f"""rx AS (
+          SELECT e.vec_id, e.cluster, (e.dim // {dsub})::int AS sub,
+                 e.dim, e.val - c.val AS val
+          FROM (SELECT vec_id, cluster, unnest(range(len(v))) AS dim,
+                       unnest(v) AS val FROM final_assign) e
+          JOIN cent{ivf_iters} c ON c.cluster = e.cluster AND c.dim = e.dim
+        )""")
+    ctes.append(f"""pseeds AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, vec_id
+          FROM (SELECT vec_id, h FROM hashed ORDER BY h, vec_id LIMIT {codes})
+        )""")
+    ctes.append("""pcent0 AS (
+          SELECT rx.sub, s.code, rx.dim, rx.val AS val
+          FROM rx JOIN pseeds s USING (vec_id)
+        )""")
+    for i in range(1, pq_iters + 1):
+        ctes.append(pq_assign(f"passign{i}", f"pcent{i - 1}"))
+        ctes.append(f"""pmean{i} AS (
+          SELECT a.sub, a.code, rx.dim, round(avg(rx.val), 6) AS mval
+          FROM passign{i} a
+          JOIN rx ON rx.vec_id = a.vec_id AND rx.sub = a.sub
+          GROUP BY a.sub, a.code, rx.dim
+        )""")
+        ctes.append(f"""pcent{i} AS (
+          SELECT c.sub, c.code, c.dim, coalesce(m.mval, c.val) AS val
+          FROM pcent{i - 1} c
+          LEFT JOIN pmean{i} m
+            ON m.sub = c.sub AND m.code = c.code AND m.dim = c.dim
+        )""")
+    ctes.append(pq_assign("penc", f"pcent{pq_iters}"))
+    ctes.append("qv AS (SELECT v AS qv FROM hashed WHERE vec_id = 0)")
+    ctes.append(f"""q AS (
+          SELECT (dim // {dsub})::int AS sub, dim, val
+          FROM (SELECT unnest(range(len(qv))) AS dim, unnest(qv) AS val
+                FROM qv)
+        )""")
+    ctes.append(f"""probe AS (
+          SELECT cluster FROM (
+            SELECT c.cluster,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cluster
+                   ) AS rn
+            FROM centv{ivf_iters} c, qv q
+          ) WHERE rn <= {n_probe}
+        )""")
+    ctes.append(f"""qbase AS (
+          SELECT cluster, list_dot_product(cv, q.qv) AS b
+          FROM centv{ivf_iters}, qv q
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT a.vec_id, round(b.b + adc.s, 6) AS score
+        FROM final_assign a
+        JOIN (
+          SELECT e.vec_id, sum(q.val * c.val) AS s
+          FROM penc e
+          JOIN pcent{pq_iters} c ON c.sub = e.sub AND c.code = e.code
+          JOIN q ON q.sub = c.sub AND q.dim = c.dim
+          GROUP BY e.vec_id
+        ) adc ON adc.vec_id = a.vec_id
+        JOIN qbase b ON b.cluster = a.cluster
+        WHERE a.cluster IN (SELECT cluster FROM probe)
+        ORDER BY score DESC, a.vec_id ASC LIMIT {k}
     """
 
 
@@ -4857,6 +5031,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf": _dd_ivf_sql(n_centroids=8, n_iters=2, n_probe=4, k=ANN_K),
         "ann_pq": _dd_pq_sql(m=8, nbits=3, n_iters=2, k=ANN_K, dim=64),
+        "ann_ivfpq": _dd_ivfpq_sql(n_centroids=8, ivf_iters=2, m=8, nbits=3,
+                                   pq_iters=2, n_probe=4, k=ANN_K, dim=64),
         # rows-only (non-SQL-expressible): media_features (stubbed
         # decode) — plumbing shape is pytest-verified instead
     }

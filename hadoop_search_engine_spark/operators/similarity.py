@@ -712,3 +712,198 @@ def pq_topk_table(
     codebooks = np.asarray(d["values"], dtype=np.float64).reshape(d["shape"])
     codes = spark.read.parquet(os.path.join(out_dir, "codes"))
     return pq_topk(codes, codebooks, query_vec, k=k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + product-quantized residuals — the
+# composition every billion-scale ANN deployment actually runs
+# (FAISS's IndexIVFPQ; Jégou et al. 2011 §IV). The coarse centroid
+# prunes the scan (n_probe/n_centroids of the codes table), the PQ
+# codes of the RESIDUAL (v − centroid) carry the fine geometry, and
+# the query reconstructs ``q·v ≈ q·centroid + q·codeword`` from a
+# per-cluster constant plus m table lookups.
+# ---------------------------------------------------------------------------
+
+
+def _residual_frame(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cluster, vec − centroid[cluster]) in one Arrow batch pass.
+
+    Assignment is :func:`_assign_raw_q` (raw dot, 6-dp-quantized,
+    ties to the lowest cluster) — bit-reproducible in the SQL replay,
+    which every downstream IVF-PQ byte depends on."""
+    from pyspark.sql import types as T
+
+    c = centroids
+
+    @F.pandas_udf(
+        T.StructType([
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("r", T.ArrayType(T.DoubleType())),
+        ])
+    )
+    def resid(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        cl = _assign_raw_q(x, c)
+        r = x - c[cl]
+        return pd.DataFrame(
+            {"cluster": cl.astype(np.int32), "r": list(r)}
+        )
+
+    out = embeddings.select(
+        F.col(id_col), resid(F.col(vec_col)).alias("_rc")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_rc.cluster").alias("cluster"),
+        F.col("_rc.r").alias(vec_col),
+    )
+
+
+def _assign_raw_q(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """argmax over clusters of ``round(v·c, 6)`` (first max wins — the
+    SQL replay's ORDER BY score DESC, cluster ASC). The quantization
+    makes assignment bit-reproducible across engines, which the IVF-PQ
+    pipeline NEEDS: unlike plain IVF (whose final cosine never touches
+    a centroid), every IVF-PQ score is built FROM centroids and
+    codebooks, so one flipped assignment anywhere in training shows up
+    in the output."""
+    return np.round(x @ centroids.T, 6).argmax(axis=1)
+
+
+def _ivf_train_raw(
+    embeddings: DataFrame,
+    n_centroids: int,
+    n_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Lloyd iterations with the raw-quantized assignment rule
+    (:func:`_assign_raw_q`) — the IVF-PQ coarse trainer. Seeding and
+    the 6-dp mean quantization are exactly :func:`ivf_train`'s."""
+    from pyspark.sql import types as T
+
+    from ..functions.hashes import murmur3_u32
+
+    seeds = (
+        embeddings.select(
+            vec_col,
+            murmur3_u32(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("h", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
+    )
+    for _ in range(n_iters):
+        c = centroids
+
+        @F.pandas_udf(T.IntegerType())
+        def assign_udf(vecs: pd.Series) -> pd.Series:
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            return pd.Series(_assign_raw_q(x, c).astype(np.int32))
+
+        assigned = embeddings.withColumn("cluster", assign_udf(F.col(vec_col)))
+        means = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[r["cluster"], r["dim"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    ivf_iters: int = 2,
+    m: int = 8,
+    nbits: int = 3,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """-> (centroids (C, dim), codebooks (m, 2^nbits, dim/m)): the IVF
+    coarse quantizer trained first, then PQ trained on the residuals —
+    both with the deterministic cross-engine contracts of their
+    standalone trainers (murmur3 seeds, 6-dp quantization)."""
+    centroids = _ivf_train_raw(
+        embeddings, n_centroids, ivf_iters, id_col, vec_col
+    )
+    resid = _residual_frame(embeddings, centroids, id_col, vec_col)
+    codebooks = pq_train(resid, m, nbits, pq_iters, id_col, vec_col)
+    return centroids, codebooks
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, cluster, codes): cluster for the probe prune, m codes
+    for the residual — 4 + m bytes a row at nbits<=8. Persist
+    partitioned by cluster and the probe becomes file pruning, exactly
+    like :func:`write_ivf_clustered`."""
+    resid = _residual_frame(embeddings, centroids, id_col, vec_col)
+    return resid.select(
+        F.col(id_col),
+        F.col("cluster"),
+        _pq_encode_udf(codebooks, vec_col).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC over probed clusters: score = round(q·centroid[cluster] +
+    Σ_j q_j·codeword_j, 6) desc, ties to lowest id. Driver-side work
+    is one (C,) base vector and one (m, k) table; per row: one base
+    lookup + m table lookups, vectorized per Arrow batch."""
+    from pyspark.sql import types as T
+
+    m, kk, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != {m * dsub}")
+    probe = _probe_clusters(query_vec, centroids, n_probe)
+    base = centroids @ q  # (C,)
+    table = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(clusters: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.stack([np.asarray(v, dtype=np.int64) for v in codes])
+        s = base[clusters.to_numpy()] + table[np.arange(m), c].sum(axis=1)
+        return pd.Series(np.round(s, 6))
+
+    return (
+        encoded.where(F.col("cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            adc(F.col("cluster"), F.col("codes")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(k))
+    )

@@ -98,3 +98,67 @@ def test_pq_table_roundtrip(spark, tmp_path):
     want = pq_topk(pq_encode(emb, cb), cb, vecs[3], k=5).collect()
     got = pq_topk_table(spark, d, vecs[3], k=5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def test_ivfpq_recall_and_prune(spark):
+    from hadoop_search_engine_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    vecs = _rng_vecs(200, 32, n_clusters=8, spread=0.05)
+    emb = _emb_df(spark, vecs).persist()
+    cents, cbs = ivfpq_train(emb, n_centroids=8, m=8, nbits=3)
+    enc = ivfpq_encode(emb, cents, cbs).persist()
+    assert enc.columns == ["vec_id", "cluster", "codes"]
+    q = vecs[0]
+    # within a tight cluster (spread 0.05) the exact top-10 margins sit
+    # BELOW the PQ reconstruction resolution (~0.03 with 3-bit codes),
+    # so the honest recall contract is cluster-level: every returned
+    # neighbor must come from the query's true cluster (ids = 0 mod 8),
+    # at every n_probe, and the probe prune must not starve k.
+    true_cluster = {i for i in range(200) if i % 8 == 0}
+    for n_probe in (2, 8):
+        approx = [r["vec_id"] for r in
+                  ivfpq_topk(enc, cents, cbs, q, k=10, n_probe=n_probe)
+                  .collect()]
+        assert len(approx) == 10
+        assert sum(1 for i in approx if i in true_cluster) >= 9
+    # and the ADC score approximates the true cosine to recon error
+    top = ivfpq_topk(enc, cents, cbs, q, k=1, n_probe=8).collect()[0]
+    import numpy as _np
+
+    true_cos = float(_np.dot(q, vecs[top["vec_id"]]))
+    assert abs(top["score"] - true_cos) < 0.1
+
+
+def test_ivfpq_exact_on_centroid_coincident_data(spark):
+    from hadoop_search_engine_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    # vectors == the 8 coarse centroids -> residuals are all zero,
+    # reconstruction is exact, each vector's own query wins
+    vecs = _rng_vecs(8, 16, n_clusters=8, spread=0.0)
+    emb = _emb_df(spark, vecs, n_partitions=2)
+    cents, cbs = ivfpq_train(emb, n_centroids=8, m=4, nbits=3)
+    enc = ivfpq_encode(emb, cents, cbs)
+    for i in (0, 5):
+        top = ivfpq_topk(enc, cents, cbs, vecs[i], k=1, n_probe=8).collect()
+        assert top[0]["vec_id"] == i
+        assert top[0]["score"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_ivfpq_train_partition_invariant(spark):
+    from hadoop_search_engine_spark.operators.similarity import ivfpq_train
+
+    vecs = _rng_vecs(60, 16)
+    c2, b2 = ivfpq_train(_emb_df(spark, vecs, 2), n_centroids=4, m=4, nbits=2)
+    c8, b8 = ivfpq_train(_emb_df(spark, vecs, 8), n_centroids=4, m=4, nbits=2)
+    assert np.array_equal(c2, c8) and np.array_equal(b2, b8)
