@@ -329,6 +329,12 @@ CHECKS = {
     # zipf fit: vocabulary-sized window + regr_* fold, corpus touched
     # once by the count aggregate; no Python
     "zipf_fit": ["HashAggregate", "Window", "!EvalPython"],
+    # PQ ADC: Arrow-batched table lookups + one top-k; codes scan only
+    "ann_pq": ["ArrowEvalPython", "TakeOrderedAndProject",
+               "!CartesianProduct"],
+    # IVF-PQ: probe prune is a codegen'd filter before the ADC pass
+    "ann_ivfpq": ["ArrowEvalPython", "TakeOrderedAndProject",
+                  "!CartesianProduct"],
 }
 
 
