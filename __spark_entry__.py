@@ -3734,6 +3734,26 @@ def q_dsl_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score on the oracle board: BM25 match rescored by the
+    ast-compiled painless subset (`_score * doc['n_chars'].value /
+    1000`) — DuckDB recomputes the same arithmetic over the scored
+    CTE."""
+    from hadoop_search_engine_spark.operators.dsl import search_dsl
+
+    ix = _oracle_index(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    res = search_dsl(
+        ix,
+        {"query": {"script_score": {
+            "query": {"match": {"text": " ".join(FLAGSHIP_TERMS)}},
+            "script": {"source": "_score * doc['n_chars'].value / 1000"},
+        }}, "size": 20},
+        documents=docs,
+    )
+    return res.hits.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 bigrams (Wimbd headline analysis): one scan,
     map-side partial agg, TakeOrderedAndProject."""
@@ -3925,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "zipf_fit": q_zipf_fit,
         "dsl_runtime_filter": q_dsl_runtime_filter,
+        "dsl_script_score": q_dsl_script_score,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
@@ -4933,6 +4954,25 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
                    octet_length(text::blob)::int AS total_len
             FROM documents
+        """,
+        "dsl_script_score": f"""
+            WITH {_TF_CTE},
+            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, sum({score}) AS score
+              FROM tf
+              JOIN d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN c
+              GROUP BY tf.doc_id
+            )
+            SELECT s.doc_id,
+                   round(s.score * doc.n_chars / 1000.0, 4) AS score
+            FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id
+            ORDER BY s.score * doc.n_chars / 1000.0 DESC, s.doc_id ASC
+            LIMIT 20
         """,
         "dsl_runtime_filter": f"""
             WITH {_TF_CTE},

@@ -202,21 +202,33 @@ def _bool_expr(body: dict) -> str:
 # ----------------------------------------------------- runtime mappings
 
 
-def _compile_runtime_script(source: str, columns: list[str]) -> "F.Column":
+def _compile_runtime_script(
+    source: str,
+    columns: list[str],
+    extra: dict | None = None,
+    wrap_emit: bool = True,
+) -> "F.Column":
     """Compile the ES runtime-field painless subset —
     ``emit(<arithmetic over doc['field'].value>)`` — into a Spark
     Column via the Python ast (the same no-eval discipline as
     analytics._compile_bucket_script). Allowed inside ``emit``:
     ``doc['name'].value`` references (name must be a document or
     earlier runtime column), numeric literals, ``+ - * /``, unary
-    minus, comparisons, ``and``/``or`` and parentheses. Anything else
-    is rejected loudly — scripts are user input."""
+    minus, comparisons, ``and``/``or`` and parentheses; ``extra``
+    binds bare names (``_score`` in script_score). Anything else is
+    rejected loudly — scripts are user input. ``wrap_emit=False``
+    accepts a bare expression (ES script_score style) instead of the
+    runtime-field ``emit(...)`` wrapper."""
     import ast
+
+    extra = extra or {}
 
     def comp(node):
         if isinstance(node, ast.Constant) and isinstance(
                 node.value, (int, float)) and not isinstance(node.value, bool):
             return F.lit(float(node.value))
+        if isinstance(node, ast.Name) and node.id in extra:
+            return extra[node.id]
         if isinstance(node, ast.Attribute) and node.attr == "value":
             sub = node.value
             if (
@@ -278,6 +290,8 @@ def _compile_runtime_script(source: str, columns: list[str]) -> "F.Column":
         tree = ast.parse(source.strip(), mode="eval")
     except SyntaxError as exc:
         raise DslError(f"bad runtime script {source!r}: {exc}") from exc
+    if not wrap_emit:
+        return comp(tree.body)
     call = tree.body
     if not (
         isinstance(call, ast.Call)
@@ -443,6 +457,115 @@ def _compile(
             index, str(b["query"]), k=k, synonyms=synonyms,
             max_expansions=int(b.get("max_expansions", 50)),
             slop=int(b.get("slop", 0)), after=after,
+        )
+    if kind == "terms_set":
+        from .query_exec import search_topk
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "terms_set")
+        _require_text_field(fld, "terms_set")
+        terms = b.get("terms")
+        if not isinstance(terms, list) or not terms:
+            raise DslError("terms_set needs a non-empty terms list")
+        msm = b.get("minimum_should_match")
+        if msm is None:
+            raise DslError(
+                "terms_set needs minimum_should_match (the field/script "
+                "variants are not supported)"
+            )
+        return search_topk(
+            index, " ".join(str(t) for t in terms), k=k, synonyms=synonyms,
+            min_should_match=int(msm), after=after,
+        )
+    if kind == "intervals":
+        # the Lucene intervals `match` rule mapped onto the exact
+        # positional engines: ordered -> phrase slop, unordered ->
+        # the within-window span (near_search); other interval rules
+        # (all_of/any_of/fuzzy/prefix) are not supported
+        from .query_exec import near_search, parse_query, phrase_search
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "intervals")
+        _require_text_field(fld, "intervals")
+        if set(b) != {"match"}:
+            raise DslError("intervals supports the match rule only")
+        mb = b["match"]
+        text = str(mb["query"])
+        gaps = int(mb.get("max_gaps", -1))
+        if gaps < 0:
+            raise DslError("intervals.match needs max_gaps >= 0")
+        if after is not None:
+            raise DslError("search_after does not compose with intervals")
+        if bool(mb.get("ordered", False)):
+            return phrase_search(index, text, k=k, synonyms=synonyms,
+                                 slop=gaps)
+        n_terms = len(parse_query(text, synonyms, index.token_fn()))
+        return near_search(index, text, window=n_terms + gaps, k=k,
+                           synonyms=synonyms)
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: bool-should over the fixed terms plus
+        # every lexicon expansion of the LAST term as its own scored
+        # term (non-positional — contrast match_phrase_prefix)
+        from .query_exec import parse_query, search_topk, suggest_terms
+
+        _no_filter(kind)
+        fld, b = _field_body(body, "match_bool_prefix")
+        _require_text_field(fld, "match_bool_prefix")
+        toks = parse_query(str(b["query"]), synonyms, index.token_fn())
+        if not toks:
+            return search_topk(index, "", k=k)
+        exp = [
+            r["term"]
+            for r in suggest_terms(
+                index, toks[-1], k=int(b.get("max_expansions", 50))
+            ).collect()
+        ]
+        allt = toks[:-1] + (exp or [toks[-1]])
+        return search_topk(index, " ".join(allt), k=k, after=after)
+    if kind == "script_score":
+        from .query_exec import scored_docs
+
+        _no_filter(kind)
+        if documents is None:
+            raise DslError("script_score needs documents= "
+                           "(the metadata table)")
+        if after is not None:
+            raise DslError("search_after does not compose with "
+                           "script_score")
+        inner = body.get("query")
+        ik, ib = _one_key(inner, "script_score.query")
+        if ik not in ("match", "query_string", "term", "terms"):
+            raise DslError(
+                "script_score.query must be match/query_string/term/"
+                f"terms, got {ik!r}"
+            )
+        if ik == "match":
+            f2, b2 = _field_body(ib, "match")
+            _require_text_field(f2, "match")
+            text = str(b2["query"])
+            mode = "and" if b2.get("operator", "or") == "and" else "or"
+        elif ik == "query_string":
+            text, mode = str(ib["query"]), "or"
+        elif ik == "term":
+            f2, b2 = _field_body(ib, "term")
+            text, mode = str(b2["value"]), "or"
+        else:
+            f2, vals = _one_key(ib, "terms")
+            text, mode = " ".join(str(v) for v in vals), "or"
+        source = (body.get("script") or {}).get("source")
+        if not source:
+            raise DslError("script_score needs script.source")
+        expr = _compile_runtime_script(
+            source, documents.columns,
+            extra={"_score": F.col("score").cast("double")},
+            wrap_emit=False,
+        )
+        full = scored_docs(index, text, mode=mode, synonyms=synonyms)
+        return (
+            documents.join(full, "doc_id")
+            .select("doc_id", expr.cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(int(k))
         )
     if kind == "prefix":
         from .query_exec import prefix_search

@@ -848,3 +848,110 @@ def test_runtime_mapping_rejections(tiny_index, tiny_corpus):
         search_dsl(tiny_index,
                    body("emit(doc['n_chars'].value)", typ="keyword"),
                    documents=docs)
+
+
+# ------------------------ terms_set / intervals / bool_prefix / script_score
+
+
+def test_terms_set_equals_min_should_match(tiny_index):
+    got = search_dsl(
+        tiny_index,
+        {"query": {"terms_set": {"text": {
+            "terms": ["w00000", "w00017", "w00123"],
+            "minimum_should_match": 2}}}, "size": 15},
+    )
+    want = search_topk(tiny_index, "w00000 w00017 w00123", k=15,
+                       min_should_match=2)
+    assert _pairs(got.hits) == _pairs(want)
+    with pytest.raises(DslError, match="minimum_should_match"):
+        search_dsl(tiny_index, {"query": {"terms_set": {"text": {
+            "terms": ["w00000"]}}}})
+
+
+@pytest.fixture(scope="module")
+def tiny_index_pos(spark, tiny_corpus, tmp_path_factory):
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    out = str(tmp_path_factory.mktemp("posidx") / "tiny_pos")
+    build_index(spark, tiny_corpus.select("doc_id", "text"), out,
+                n_buckets=8, positions=True)
+    return Index.load(spark, out)
+
+
+def test_intervals_maps_to_positional_engines(tiny_index_pos):
+    from hadoop_search_engine_spark.operators.query_exec import (
+        near_search,
+        phrase_search,
+    )
+
+    idx = tiny_index_pos
+    phrase = "w00000 w00001"
+    got_o = search_dsl(
+        idx,
+        {"query": {"intervals": {"text": {"match": {
+            "query": phrase, "max_gaps": 2, "ordered": True}}}},
+         "size": 10},
+    )
+    assert _pairs(got_o.hits) == _pairs(
+        phrase_search(idx, phrase, k=10, slop=2))
+    got_u = search_dsl(
+        idx,
+        {"query": {"intervals": {"text": {"match": {
+            "query": phrase, "max_gaps": 3, "ordered": False}}}},
+         "size": 10},
+    )
+    assert _pairs(got_u.hits) == _pairs(
+        near_search(idx, phrase, window=5, k=10))
+    with pytest.raises(DslError, match="max_gaps"):
+        search_dsl(idx, {"query": {"intervals": {"text": {"match": {
+            "query": phrase}}}}})
+
+
+def test_match_bool_prefix_equals_manual_expansion(tiny_index):
+    from hadoop_search_engine_spark.operators.query_exec import suggest_terms
+
+    exp = [r["term"] for r in suggest_terms(tiny_index, "w0001", k=20).collect()]
+    assert exp  # prefix matches several vocab terms
+    got = search_dsl(
+        tiny_index,
+        {"query": {"match_bool_prefix": {"text": {
+            "query": "w00000 w0001", "max_expansions": 20}}}, "size": 12},
+    )
+    want = search_topk(tiny_index, " ".join(["w00000"] + exp), k=12)
+    assert _pairs(got.hits) == _pairs(want)
+
+
+def test_script_score_matches_manual(tiny_index, tiny_corpus):
+    docs = _docs_meta(tiny_corpus)
+    got = search_dsl(
+        tiny_index,
+        {"query": {"script_score": {
+            "query": {"match": {"text": Q}},
+            "script": {"source":
+                       "_score * doc['n_chars'].value / 1000"}}},
+         "size": 10},
+        documents=docs,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import scored_docs
+
+    full = scored_docs(tiny_index, Q)
+    want = (
+        docs.join(full, "doc_id")
+        .select("doc_id",
+                (F.col("score") * F.length("text") / 1000.0).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got.hits.collect()] \
+        == [(r["doc_id"], round(r["s"], 9)) for r in want]
+    with pytest.raises(DslError, match="needs documents"):
+        search_dsl(tiny_index, {"query": {"script_score": {
+            "query": {"match": {"text": Q}},
+            "script": {"source": "_score * 2"}}}})
+    with pytest.raises(DslError, match="unsupported runtime script"):
+        search_dsl(tiny_index, {"query": {"script_score": {
+            "query": {"match": {"text": Q}},
+            "script": {"source": "__import__('os')"}}}},
+            documents=docs)
