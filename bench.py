@@ -249,6 +249,8 @@ def main() -> None:
         pq_train,
     )
 
+    from pyspark.sql import functions as F
+
     emb_full = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.time()
     pq_cb = pq_train(emb_full, m=8, nbits=3, n_iters=2)
