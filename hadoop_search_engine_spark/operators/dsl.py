@@ -459,8 +459,6 @@ def _compile(
             slop=int(b.get("slop", 0)), after=after,
         )
     if kind == "terms_set":
-        from .query_exec import search_topk
-
         _no_filter(kind)
         fld, b = _field_body(body, "terms_set")
         _require_text_field(fld, "terms_set")
@@ -506,7 +504,7 @@ def _compile(
         # ES match_bool_prefix: bool-should over the fixed terms plus
         # every lexicon expansion of the LAST term as its own scored
         # term (non-positional — contrast match_phrase_prefix)
-        from .query_exec import parse_query, search_topk, suggest_terms
+        from .query_exec import parse_query, suggest_terms
 
         _no_filter(kind)
         fld, b = _field_body(body, "match_bool_prefix")
@@ -1913,16 +1911,28 @@ def search_dsl(
         nfrags = int(fields["text"].get("number_of_fragments", 1))
         if nfrags > 1:
             # ES number_of_fragments > 1: one window per matching
-            # query term (snippet_fragments), no marking pass
-            from .query_exec import snippet_fragments
+            # query term (snippet_fragments), no marking pass. On an
+            # ANALYZED index the stored text no longer literally
+            # contains the indexed terms (stem/fold/CJK) — route
+            # through the analyzer-aware highlighter, which re-analyzes
+            # the k hit rows with the index's own token_fn.
+            from .query_exec import (
+                snippet_fragments,
+                snippet_fragments_analyzed,
+            )
 
             if mark is not None:
                 raise DslError(
                     "pre/post tags compose with single-fragment "
                     "highlighting only"
                 )
-            hits = snippet_fragments(hits, documents, terms,
-                                     width=frag, n_fragments=nfrags)
+            if index.token_fn() is not None:
+                hits = snippet_fragments_analyzed(
+                    hits, documents, index, terms,
+                    width=frag, n_fragments=nfrags)
+            else:
+                hits = snippet_fragments(hits, documents, terms,
+                                         width=frag, n_fragments=nfrags)
         else:
             hits = materialize_with_snippets(hits, documents, terms,
                                              width=frag, mark=mark)

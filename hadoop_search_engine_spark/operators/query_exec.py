@@ -4476,3 +4476,82 @@ def snippet_fragments(
         ).alias("n_matched_terms"),
         F.array_join(frags, sep).alias("fragments"),
     )
+
+
+def snippet_fragments_analyzed(
+    topk: DataFrame,
+    documents: DataFrame,
+    index: "Index",
+    query_terms: list[str],
+    width: int = 40,
+    n_fragments: int = 3,
+    text_col: str = "text",
+    sep: str = " | ",
+) -> DataFrame:
+    """Analyzer-aware multi-fragment highlighting (the ES "unified
+    highlighter" problem): on an analyzed index the stored surface
+    form no longer literally contains the indexed term — "studies"
+    indexes as "study" (S-stem), "café" folds to "cafe", a CJK run
+    indexes as bigrams — so :func:`snippet_fragments`'s ``instr``
+    probe misses. This variant re-analyzes each HIT's text with the
+    index's own ``token_fn``, keeping character offsets (whitespace
+    spans, the canonical tokenizer's split), matches the ANALYZED
+    output of every token against the query terms, and windows the
+    RAW text around the first occurrence per matched term.
+
+    Python runs over the k-row hit page only (broadcast topk join —
+    the same rows a user renders), never the corpus; the schema and
+    window arithmetic mirror :func:`snippet_fragments`, to which this
+    degrades exactly when the index is unanalyzed."""
+    import re as _re
+
+    from ..functions.tokenizer import _PUNCT_RE
+
+    if n_fragments < 1:
+        raise ValueError("n_fragments must be >= 1")
+    qset = {t for t in dict.fromkeys(query_terms) if t}
+    if not qset:
+        raise ValueError("query_terms must name at least one term")
+    tfn = index.token_fn()
+    ws = _re.compile(r"\S+")
+    w = int(width)
+    nf = int(n_fragments)
+
+    @F.pandas_udf("struct<n_matched_terms:int,fragments:string>")
+    def _frags(texts: pd.Series) -> pd.DataFrame:
+        out = []
+        for text in texts:
+            text = text or ""
+            first: dict[str, int] = {}
+            for mt in ws.finditer(text):
+                tok = _PUNCT_RE.sub("", mt.group().lower())
+                if not tok:
+                    continue
+                a = tfn(tok) if tfn is not None else tok
+                if a is None:
+                    continue
+                outs = [a] if isinstance(a, str) else a
+                for o in outs:
+                    if o in qset and o not in first:
+                        first[o] = mt.start() + 1  # 1-based like instr
+            starts = sorted(set(first.values()))[:nf]
+            frags = sep.join(
+                text[max(p - w, 1) - 1 : max(p - w, 1) - 1 + 2 * w]
+                for p in starts
+            )
+            out.append((len(first), frags))
+        return pd.DataFrame(out, columns=["n_matched_terms", "fragments"])
+
+    hits = documents.select("doc_id", text_col).join(
+        F.broadcast(topk), "doc_id"
+    )
+    return hits.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        _frags(F.col(text_col)).alias("_h"),
+    ).select(
+        "doc_id",
+        "score",
+        F.col("_h.n_matched_terms").alias("n_matched_terms"),
+        F.col("_h.fragments").alias("fragments"),
+    )
