@@ -382,3 +382,78 @@ def warc_to_documents(spark: SparkSession, path: str, glob: str | None = None) -
         )
         .withColumn("lang", lang_id(F.col("text")))
     )
+
+
+def stream_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc.gz", max_files: int = 4
+) -> DataFrame:
+    """Structured-Streaming WARC source: watch ``path`` for new crawl
+    archives (`binaryFile` file stream, ``max_files`` per micro-batch
+    — one ~1 GB archive is one task's worth of parse work), parse each
+    with the same ``mapInPandas`` record walk as :func:`read_warc`,
+    and emit input_hint-shaped document rows. Feed straight into
+    ``streaming.incremental.incremental_tf_sink`` and the crawl→index
+    loop is: archives land in a directory, deltas accumulate,
+    compaction folds them into the serving index."""
+    from ..corpus import _TAG_RE, _WS_RE
+    from ..operators.text_analysis import lang_id
+
+    bf_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(bf_schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", int(max_files))
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for headers, payload in iter_warc_records(bytes(content)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    status, _http, body = split_http_response(payload)
+                    if status != 200:
+                        continue
+                    rows.append(
+                        (
+                            headers.get("warc-target-uri"),
+                            parse_warc_date(headers.get("warc-date")),
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+    parsed = bf.mapInPandas(
+        _parse,
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+            ]
+        ),
+    )
+
+    @F.pandas_udf(T.StringType())
+    def _extract(payloads: pd.Series) -> pd.Series:
+        s = payloads.map(lambda b: bytes(b).decode("utf-8", "replace"))
+        return (
+            s.str.replace(_TAG_RE, " ", regex=True)
+            .str.replace(_WS_RE, " ", regex=True)
+            .str.strip()
+        )
+
+    return parsed.select(
+        "url", "warc_ts", "html", _extract(F.col("html")).alias("text")
+    ).withColumn("lang", lang_id(F.col("text")))

@@ -179,3 +179,37 @@ def test_build_index_cli_from_warc(tmp_path, spark, capsys):
     idx = Index.load(spark, out)
     assert tuple(idx.stats.stopwords) and bool(idx.stats.fold)
     assert search_topk(idx, "needle7", k=10).count() == 3
+
+
+def test_stream_warc_to_incremental_index(tmp_path, spark):
+    """The crawl→index loop: WARC archives land in a dir, stream_warc
+    parses them incrementally, the delta sink + compaction yield a
+    searchable index with the planted needles."""
+    from hadoop_search_engine_spark.operators.query_exec import search_topk
+    from hadoop_search_engine_spark.streaming.incremental import (
+        compact_deltas,
+        incremental_tf_sink,
+    )
+    from hadoop_search_engine_spark.sources.warc import stream_warc
+
+    docs = gen_documents(spark, 150, n_partitions=4)
+    warc_dir = str(tmp_path / "crawl")
+    W.export_warc(docs, warc_dir, n_files=3)
+
+    stream = stream_warc(spark, warc_dir, max_files=1)
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        incremental_tf_sink(stream, delta, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = str(tmp_path / "idx")
+    compact_deltas(spark, delta, out, n_buckets=4)
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    idx = Index.load(spark, out)
+    hits = search_topk(idx, "needle7", k=10)
+    assert hits.count() == 3
