@@ -178,3 +178,45 @@ def test_semdedup_keeps_all_when_no_dups(spark):
     rows = [(i, [float(i == j) for j in range(6)]) for i in range(6)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     assert similarity.semdedup(df, threshold=0.9).count() == 6
+
+
+def test_ann_cli_build_and_query_all_methods(spark, tmp_path, capsys):
+    """jobs/ann.py: build + query every persisted method; the planted
+    same-direction duplicate of vec 0 must surface for each."""
+    import json
+
+    import numpy as np
+
+    from jobs.ann import main as ann_main
+
+    rng = np.random.RandomState(3)
+    vecs = [
+        (rng.randn(16) / np.linalg.norm(rng.randn(16))).tolist()
+        for _ in range(64)
+    ]
+    vecs = [list(np.asarray(v) / np.linalg.norm(v)) for v in vecs]
+    vecs[7] = vecs[0]  # exact duplicate direction
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb_path)
+
+    def run(argv):
+        ann_main(argv)
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    exact = run(["--embeddings", emb_path, "--method", "exact",
+                 "--query-id", "0", "--k", "3"])
+    assert {h[0] for h in exact["hits"][:2]} == {0, 7}
+
+    for method in ("lsh", "ivf", "pq", "ivfpq"):
+        d = str(tmp_path / f"t_{method}")
+        built = run(["--embeddings", emb_path, "--build", method,
+                     "--output", d, "--n-centroids", "4", "--m", "4",
+                     "--nbits", "3"])
+        assert built == {"built": method, "output": d}
+        got = run(["--table", d, "--embeddings", emb_path,
+                   "--query-id", "0", "--k", "3", "--n-probe", "2"])
+        assert got["method"] == method
+        assert {h[0] for h in got["hits"][:2]} == {0, 7}, method
