@@ -590,3 +590,38 @@ def token_budget_cut(
         .where(F.col("_g") + F.col("n_tokens") <= budget_tokens)
         .drop("_h", "_b", "_off", "_g")
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    total_epochs: float = 1.0,
+) -> dict[str, float]:
+    """Temperature-based mixing weights (the multilingual-LM recipe:
+    sample stratum i with probability ∝ n_i^alpha — alpha=1 is
+    proportional/no-op, alpha→0 approaches uniform across strata):
+    returns per-stratum epoch weights for :func:`mix_corpus`, scaled
+    so the EXPECTED total row count equals ``total_epochs`` × the
+    corpus size. One count aggregate (stratum-cardinality rows to the
+    driver); the returned dict feeds the existing deterministic mixer,
+    so the sampled mix inherits its reproducibility and nesting."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in docs.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    if not n_total:
+        return {}
+    powered = {s: float(n) ** float(alpha) for s, n in counts.items()}
+    z = sum(powered.values())
+    # target rows for stratum i: total_epochs * n_total * p_i, so the
+    # per-doc epoch weight is that divided by the stratum's own count
+    return {
+        s: round(
+            float(total_epochs) * n_total * (powered[s] / z) / counts[s], 6
+        )
+        for s in counts
+    }

@@ -370,3 +370,28 @@ def test_mix_corpus_validation(spark):
         mix_corpus(docs, {"en": 1.0})
     with _pytest.raises(ValueError, match="weight"):
         mix_corpus(docs, -0.5)
+
+
+def test_temperature_weights_shape(spark):
+    from hadoop_search_engine_spark.operators.curate import (
+        mix_corpus,
+        temperature_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 90 else "es") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    # alpha=1: proportional -> every weight 1.0 (identity mix)
+    w1 = temperature_weights(docs, "lang", alpha=1.0)
+    assert w1 == {"en": 1.0, "es": 1.0}
+    # alpha=0: uniform across strata -> small stratum upsampled 5x,
+    # large downsampled, expected total preserved
+    w0 = temperature_weights(docs, "lang", alpha=0.0)
+    assert w0["es"] == 5.0 and abs(w0["en"] - 50 / 90) < 1e-6
+    exp_rows = 90 * w0["en"] + 10 * w0["es"]
+    assert abs(exp_rows - 100) < 1e-3
+    # feeds the deterministic mixer: es docs now appear 5x each
+    mixed = mix_corpus(docs, w0, strata_col="lang")
+    es_rows = mixed.where("lang = 'es'").count()
+    assert es_rows == 50  # exactly floor(5.0) epochs per doc

@@ -332,3 +332,14 @@ def test_dsl_highlight_routes_analyzed(spark, tmp_path):
     rows = {r["doc_id"]: r for r in res.hits.collect()}
     assert rows[0]["n_matched_terms"] == 1
     assert "café" in rows[0]["fragments"]
+
+
+def test_analyze_cli(capsys):
+    import json
+
+    from jobs.analyze import main as analyze_main
+
+    analyze_main(["--text", "The Café studies!", "--fold", "--stem", "s",
+                  "--stopwords", "english"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["tokens"] == ["cafe", "study"]
