@@ -3754,6 +3754,27 @@ def q_dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.hits.select("doc_id", F.round("score", 4).alias("score"))
 
 
+_INGEST_PIPE = [
+    {"gsub": {"field": "text", "pattern": "[0-9]+", "replacement": "#"}},
+    {"substring": {"field": "text", "start": 1, "length": 60}},
+    {"uppercase": {"field": "lang"}},
+    {"set": {"field": "source", "value": "pipeline"}},
+    {"convert": {"field": "n_chars", "type": "double"}},
+    {"copy": {"from": "lang", "to": "lang2"}},
+]
+
+
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style ingest pipeline (operators/ingest.py): the SAME JSON
+    processor list compiles to the Spark Column chain AND the DuckDB
+    SELECT — declarative pre-index ETL, Catalyst-fused, no Python."""
+    from hadoop_search_engine_spark.operators.ingest import apply_pipeline
+
+    return apply_pipeline(
+        _read(spark, sf_dir, "documents"), _INGEST_PIPE
+    ).orderBy("doc_id")
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 bigrams (Wimbd headline analysis): one scan,
     map-side partial agg, TakeOrderedAndProject."""
@@ -3946,6 +3967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "dsl_runtime_filter": q_dsl_runtime_filter,
         "dsl_script_score": q_dsl_script_score,
+        "ingest_pipeline": q_ingest_pipeline,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
@@ -4506,6 +4528,9 @@ def oracle_sql() -> dict[str, str]:
     from hadoop_search_engine_spark.functions.analyzer import (
         sql_analyze_duckdb as _sql_analyze,
     )
+    from hadoop_search_engine_spark.operators.ingest import (
+        sql_pipeline_duckdb as _sql_pipeline,
+    )
 
     fold_toks = _sql_analyze(
         sql_tokens_duckdb("translate(text, 'aeiou', 'áéíöü')"), fold=True
@@ -4955,6 +4980,12 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(text::blob)::int AS total_len
             FROM documents
         """,
+        "ingest_pipeline": (
+            _sql_pipeline(
+                _INGEST_PIPE, ["doc_id", "text", "lang", "source", "n_chars"]
+            )
+            + " ORDER BY doc_id"
+        ),
         "dsl_script_score": f"""
             WITH {_TF_CTE},
             dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
