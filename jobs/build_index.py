@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="ASCII-fold accented latin (ASCIIFoldingFilter)")
     ap.add_argument("--cjk", action="store_true",
                     help="bigram CJK runs (CJKAnalyzer semantics)")
+    ap.add_argument("--ingest-pipeline",
+                    help="JSON file with an ES-style processor list "
+                         "(operators/ingest.py) applied to the documents "
+                         "BEFORE doc_id assignment and indexing")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -66,6 +70,11 @@ def main(argv: list[str] | None = None) -> None:
         docs = spark.table(args.table)
     else:
         docs = spark.read.parquet(args.input)
+    if args.ingest_pipeline:
+        from hadoop_search_engine_spark.operators.ingest import apply_pipeline
+
+        with open(args.ingest_pipeline) as f:
+            docs = apply_pipeline(docs, json.load(f))
     if "doc_id" not in docs.columns:
         docs = assign_doc_ids(docs)
     docs = docs.select("doc_id", "text")
