@@ -3775,6 +3775,35 @@ def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction on the oracle board: deterministic hrefs
+    injected into reconstructed html (each page links to the next two
+    doc_ids mod N, plus a mailto and a fragment dup that must drop),
+    extracted by the JVM regexp path (operators/urltools.py
+    extract_links) — DuckDB replays with regexp_extract_all."""
+    from hadoop_search_engine_spark.operators.urltools import extract_links
+
+    docs = _read(spark, sf_dir, "documents")
+    n = docs.count()
+    u = F.concat(F.lit("https://site.example/page/"),
+                 F.col("doc_id").cast("string"))
+    nxt = F.concat(F.lit("https://site.example/page/"),
+                   ((F.col("doc_id") + 1) % n).cast("string"))
+    nxt2 = F.concat(F.lit("https://site.example/page/"),
+                    ((F.col("doc_id") + 2) % n).cast("string"))
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><a href="'), nxt, F.lit('">n</a>'),
+            F.lit('<a href="'), nxt2, F.lit('#frag">n2</a>'),
+            F.lit('<a href="mailto:x@y">m</a>'),
+            F.lit('<a href="/rel">r</a></body></html>'),
+        ),
+        "UTF-8",
+    )
+    pages = docs.select(u.alias("url"), html.alias("html"))
+    return extract_links(pages).orderBy("src", "dst")
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 bigrams (Wimbd headline analysis): one scan,
     map-side partial agg, TakeOrderedAndProject."""
@@ -3968,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_runtime_filter": q_dsl_runtime_filter,
         "dsl_script_score": q_dsl_script_score,
         "ingest_pipeline": q_ingest_pipeline,
+        "extract_links": q_extract_links,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
         "date_histogram": q_date_histogram,
@@ -5023,6 +5053,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (SELECT doc_id FROM documents
                              WHERE n_chars / 100.0 >= 3.0)
             ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "extract_links": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            pages AS (
+              SELECT 'https://site.example/page/' || CAST(doc_id AS VARCHAR) AS src,
+                     '<html><body><a href="https://site.example/page/'
+                       || CAST((doc_id + 1) % n.n AS VARCHAR) || '">n</a>'
+                       || '<a href="https://site.example/page/'
+                       || CAST((doc_id + 2) % n.n AS VARCHAR) || '#frag">n2</a>'
+                       || '<a href="mailto:x@y">m</a>'
+                       || '<a href="/rel">r</a></body></html>' AS html
+              FROM documents, n
+            ),
+            links AS (
+              SELECT src, unnest(regexp_extract_all(html, 'href="([^"#]+)', 1)) AS dst
+              FROM pages
+            )
+            SELECT DISTINCT src, dst
+            FROM links
+            WHERE (dst LIKE 'http://%' OR dst LIKE 'https://%') AND dst <> src
+            ORDER BY src, dst
         """,
         "top_ngrams": f"""
             WITH t AS (SELECT {_TOKS} AS toks FROM documents),

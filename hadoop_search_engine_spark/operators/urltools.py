@@ -452,3 +452,75 @@ def sql_url_pattern_predicate_duckdb(
         f"NOT regexp_matches(lower({url_expr}), '{p}')" for p in patterns
     ]
     return " AND ".join(parts)
+
+
+# -- link extraction (html -> web graph) --------------------------------------
+
+_HREF_PATTERN = r'href="([^"#]+)'
+
+
+def extract_links(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    normalize: bool = True,
+) -> DataFrame:
+    """html → the outlink edge list ``(src, dst)``: every absolute
+    ``href="..."`` target (http/https only — fragments cut by the
+    capture, relative/js/mailto links filtered), distinct per page.
+    Everything is JVM expressions (``regexp_extract_all`` + explode +
+    filter — fused with the scan, no Python), so extracting the link
+    graph from 100 TB of html is one map-only pass. ``normalize=True``
+    canonicalizes both endpoints with :func:`normalize_url` so the
+    edge list joins cleanly against a url-keyed corpus.
+
+    Feed the result to :func:`~.graph.pagerank` and the corpus ranks
+    by its own link structure; feed THAT to :func:`~.ltr.ltr_features`
+    as a doc feature and the learned ranker uses it.
+    """
+    html_str = F.col(html_col).cast("string")
+    raw = F.explode(
+        F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), 1)
+    ).alias("dst_raw")
+    edges = (
+        docs.select(F.col(url_col).alias("src"), raw)
+        .where(
+            F.col("dst_raw").startswith("http://")
+            | F.col("dst_raw").startswith("https://")
+        )
+    )
+    src = F.col("src")
+    dst = F.col("dst_raw")
+    if normalize:
+        src = normalize_url(src)
+        dst = normalize_url(dst)
+    return (
+        edges.select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))  # self-links carry no rank
+        .distinct()
+    )
+
+
+def link_graph_ids(
+    edges: DataFrame, docs: DataFrame, url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(src, dst) url edges → (src, dst) ``doc_id`` edges, keeping only
+    targets that exist in the corpus (the pagerank input shape). Two
+    broadcast-or-shuffle equi-joins on the normalized url key."""
+    ids = docs.select(
+        normalize_url(F.col(url_col)).alias("_u"), F.col(id_col)
+    )
+    return (
+        edges.join(ids.withColumnRenamed(id_col, "src_id"),
+                   edges["src"] == ids["_u"])
+        .drop("_u")
+        .join(
+            ids.withColumnRenamed(id_col, "dst_id").withColumnRenamed(
+                "_u", "_u2"
+            ),
+            F.col("dst") == F.col("_u2"),
+        )
+        .select(F.col("src_id").alias("src"), F.col("dst_id").alias("dst"))
+        .distinct()
+    )

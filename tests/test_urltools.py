@@ -311,3 +311,41 @@ def test_url_pattern_filter_defaults_and_parity(spark):
         ).fetchall()
     )
     assert duck == kept
+
+
+def test_extract_links_and_pagerank_loop(spark):
+    from hadoop_search_engine_spark.operators.graph import pagerank
+    from hadoop_search_engine_spark.operators.urltools import (
+        extract_links,
+        link_graph_ids,
+    )
+
+    def page(url, links):
+        body = " ".join(f'<a href="{u}">x</a>' for u in links)
+        return f"<html><body>{body}</body></html>".encode()
+
+    a, b, c = ("https://a.ex/p", "https://b.ex/p", "https://c.ex/p")
+    docs = spark.createDataFrame(
+        [
+            (0, a, page(a, [b, c, "mailto:x@y", "/relative",
+                            b + "#frag", "https://a.ex/p"])),
+            (1, b, page(b, [c])),
+            (2, c, page(c, [])),
+        ],
+        "doc_id long, url string, html binary",
+    )
+    edges = extract_links(docs)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(a, b), (a, c), (b, c)}  # frag cut -> dup of (a,b);
+    # self-link, mailto, relative all dropped
+
+    id_edges = link_graph_ids(edges, docs)
+    assert {(r["src"], r["dst"]) for r in id_edges.collect()} == {
+        (0, 1), (0, 2), (1, 2),
+    }
+    ranks = pagerank(id_edges, n_iters=5)
+    r = {row["node"] if "node" in row.__fields__ else row[0]: row[-1]
+         for row in ranks.collect()}
+    # c is linked by both others: highest rank; a by nobody: lowest
+    vals = sorted(r.items(), key=lambda kv: -kv[1])
+    assert vals[0][0] == 2 and vals[-1][0] == 0
