@@ -349,3 +349,37 @@ def test_extract_links_and_pagerank_loop(spark):
     # c is linked by both others: highest rank; a by nobody: lowest
     vals = sorted(r.items(), key=lambda kv: -kv[1])
     assert vals[0][0] == 2 and vals[-1][0] == 0
+
+
+def test_graph_cli(spark, tmp_path, capsys):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from jobs.graph import main as graph_main
+
+    n = 20
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://g.ex/p/"), F.col("id").cast("string"))
+        .alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<a href="https://g.ex/p/0">hub</a>'
+                      '<a href="https://g.ex/p/'),
+                ((F.col("id") + 1) % n).cast("string"),
+                F.lit('">n</a>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "ranks.parquet")
+    graph_main(["--documents", src, "--output", out, "--iters", "4"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_docs"] == n
+    assert res["top10"][0][0] == 0  # the hub everyone links
+    ranks = spark.read.parquet(out)
+    assert ranks.columns == ["doc_id", "rank_units"]
+    assert ranks.count() == n
