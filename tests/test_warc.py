@@ -213,3 +213,42 @@ def test_stream_warc_to_incremental_index(tmp_path, spark):
     idx = Index.load(spark, out)
     hits = search_topk(idx, "needle7", k=10)
     assert hits.count() == 3
+
+
+def test_pipeline_cli_end_to_end(tmp_path, spark, capsys):
+    """jobs/pipeline.py: WARC -> curated analyzed index -> alias flip;
+    a second run builds gen-1 and retires gen-0."""
+    import json
+
+    from jobs.pipeline import main as pipeline_main
+
+    from hadoop_search_engine_spark.operators.aliases import resolve_alias
+    from hadoop_search_engine_spark.operators.query_exec import (
+        Index,
+        search_topk,
+    )
+
+    docs = gen_documents(spark, 150, n_partitions=4)
+    warc_dir = str(tmp_path / "crawl")
+    W.export_warc(docs, warc_dir, n_files=2)
+    work = str(tmp_path / "work")
+
+    def run(argv):
+        pipeline_main(argv)
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out = run(["--warc", warc_dir, "--workdir", work,
+               "--url-dedup", "--stopwords", "english", "--fold",
+               "--n-buckets", "4", "--alias", "live"])
+    assert out["generation"] == 0 and out["retired_generation"] == []
+    assert out["n_docs"] == 150
+    assert resolve_alias(work, "live") == [out["index"]]
+    idx = Index.load(spark, out["index"])
+    assert tuple(idx.stats.stopwords) and bool(idx.stats.fold)
+    assert search_topk(idx, "needle7", k=10).count() == 3
+
+    out2 = run(["--warc", warc_dir, "--workdir", work,
+                "--n-buckets", "4", "--alias", "live"])
+    assert out2["generation"] == 1
+    assert out2["retired_generation"] == [out["index"]]
+    assert resolve_alias(work, "live") == [out2["index"]]
