@@ -4,6 +4,7 @@ metadata feature."""
 
 from __future__ import annotations
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -108,3 +109,33 @@ def test_ltr_score_col_is_pure_expression(ltr_setup, spark):
     model = train_ltr(feats, qrels, ("bm25", "quality"), n_iters=10)
     plan = feats.select(ltr_score_col(model).alias("s"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # scoring is JVM-only
+
+
+def test_ltr_cli_train_and_rerank(ltr_setup, spark, tmp_path, capsys):
+    import json
+
+    from jobs.ltr import main as ltr_main
+
+    idx, docs, queries, qrels = ltr_setup
+    qfile = str(tmp_path / "q.json")
+    with open(qfile, "w") as f:
+        json.dump(queries, f)
+    docs_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(docs_path)
+    qrels_path = str(tmp_path / "qrels.parquet")
+    qrels.write.parquet(qrels_path)
+    model_path = str(tmp_path / "model.json")
+    run_path = str(tmp_path / "run.parquet")
+
+    ltr_main([
+        "--index", idx.out_dir, "--queries", qfile,
+        "--documents", docs_path, "--doc-features", "quality",
+        "--qrels", qrels_path, "--train-out", model_path,
+        "--rerank-out", run_path, "--k", "10",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ndcg_ltr"] > out["ndcg_bm25"]
+    assert os.path.exists(model_path)
+    run = spark.read.parquet(run_path)
+    assert set(run.columns) == {"query_id", "doc_id", "ltr_score", "rank"}
+    assert run.where("rank <= 10").count() == run.count()
