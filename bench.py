@@ -594,6 +594,38 @@ def main() -> None:
           reps=3)
     timed("zipf_fit", lambda: zipf_fit(docs).collect(), reps=3)
 
+    # link extraction over reconstructed html (JVM regex, map-only) and
+    # a 6-processor ingest pipeline (pure Column chain)
+    from hadoop_search_engine_spark.operators.ingest import apply_pipeline
+    from hadoop_search_engine_spark.operators.urltools import extract_links
+
+    link_docs = docs.select(
+        F.concat(F.lit("https://site.example/page/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit('<html><a href="https://site.example/page/'),
+                ((F.col("doc_id") + 1) % n_docs).cast("string"),
+                F.lit('">n</a><a href="https://site.example/page/'),
+                ((F.col("doc_id") + 7) % n_docs).cast("string"),
+                F.lit('">m</a></html>'),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    timed("extract_links", lambda: extract_links(link_docs).count(), reps=3)
+    _pipe = [
+        {"gsub": {"field": "text", "pattern": "[0-9]+",
+                  "replacement": "#"}},
+        {"lowercase": {"field": "text"}},
+        {"trim": {"field": "text"}},
+        {"substring": {"field": "text", "start": 1, "length": 200}},
+        {"set": {"field": "source", "value": "bench"}},
+        {"copy": {"from": "text", "to": "text2"}},
+    ]
+    timed("ingest_pipeline",
+          lambda: apply_pipeline(docs, _pipe).count(), reps=3)
+
     # two-phase rescore: BM25 top-100 window re-ranked by cosine to a
     # query vector (phase-2 cost bounded by the window)
     from hadoop_search_engine_spark.operators.hybrid import rescore_topk

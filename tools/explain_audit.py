@@ -335,6 +335,10 @@ CHECKS = {
     # IVF-PQ: probe prune is a codegen'd filter before the ADC pass
     "ann_ivfpq": ["ArrowEvalPython", "TakeOrderedAndProject",
                   "!CartesianProduct"],
+    # ingest pipeline compiles to pure projections over the scan
+    "ingest_pipeline": ["* Project", "!EvalPython", "!Exchange"],
+    # link extraction: regex Generate + distinct agg, no Python
+    "extract_links": ["Generate", "HashAggregate", "!EvalPython"],
 }
 
 
