@@ -335,8 +335,9 @@ CHECKS = {
     # IVF-PQ: probe prune is a codegen'd filter before the ADC pass
     "ann_ivfpq": ["ArrowEvalPython", "TakeOrderedAndProject",
                   "!CartesianProduct"],
-    # ingest pipeline compiles to pure projections over the scan
-    "ingest_pipeline": ["* Project", "!EvalPython", "!Exchange"],
+    # ingest pipeline compiles to pure projections over the scan (the
+    # only Exchange is the oracle entry's ORDER BY doc_id compare sort)
+    "ingest_pipeline": ["Project", "!EvalPython"],
     # link extraction: regex Generate + distinct agg, no Python
     "extract_links": ["Generate", "HashAggregate", "!EvalPython"],
 }
