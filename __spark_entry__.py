@@ -3804,6 +3804,53 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages).orderBy("src", "dst")
 
 
+_LTR_MODEL = {
+    # a FIXED literal model (training is driver-side and pytest-gated;
+    # what the oracle certifies is the SCORING path: standardization +
+    # sigmoid + per-query window rank, operators/ltr.py)
+    "feature_cols": ["bm25", "n_chars"],
+    "weights": [1.2, -0.4],
+    "bias": 0.1,
+    "means": [2.0, 300.0],
+    "stds": [1.5, 120.0],
+}
+
+
+def q_ltr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR reranking on the oracle board: BM25 features from the REAL
+    indexed full-match-set scorer + a metadata feature, scored by a fixed
+    pointwise model (sigmoid over standardized features — one JVM
+    Column) and cut per query by a rank window; DuckDB recomputes the
+    identical arithmetic."""
+    from pyspark.sql import Window
+
+    from hadoop_search_engine_spark.operators.ltr import ltr_score_col
+    from hadoop_search_engine_spark.operators.query_exec import scored_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    ix = _oracle_index(spark, sf_dir)
+    full = scored_docs(ix, " ".join(FLAGSHIP_TERMS))
+    feats = (
+        # bm25 quantized to 6 dp BEFORE the model: makes the feature
+        # bit-identical cross-engine (raw distributed sums agree only
+        # to ~1e-10), so the sigmoid and the rank replay exactly
+        full.select("doc_id", F.round("score", 6).alias("bm25"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("query_id", F.lit("q1"))
+    )
+    scored = feats.select(
+        "query_id", "doc_id",
+        F.round(ltr_score_col(_LTR_MODEL), 6).alias("ltr_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ltr_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+    )
+
+
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-50 bigrams (Wimbd headline analysis): one scan,
     map-side partial agg, TakeOrderedAndProject."""
@@ -3997,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_runtime_filter": q_dsl_runtime_filter,
         "dsl_script_score": q_dsl_script_score,
         "ingest_pipeline": q_ingest_pipeline,
+        "ltr_rerank": q_ltr_rerank,
         "extract_links": q_extract_links,
         "curated_docs": q_curated_docs,
         "event_window_agg": q_event_window_agg,
@@ -5009,6 +5057,34 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
                    octet_length(text::blob)::int AS total_len
             FROM documents
+        """,
+        "ltr_rerank": f"""
+            WITH {_TF_CTE},
+            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
+            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
+            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id, round(sum({score}), 6) AS bm25
+              FROM tf
+              JOIN d ON tf.term = d.term
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN c
+              GROUP BY tf.doc_id
+            ),
+            feats AS (
+              SELECT 'q1' AS query_id, s.doc_id,
+                     round(1.0 / (1.0 + exp(-(0.1
+                       + 1.2 * ((s.bm25 - 2.0) / 1.5)
+                       + (-0.4) * ((doc.n_chars - 300.0) / 120.0)))), 6)
+                       AS ltr_score
+              FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id
+            )
+            SELECT query_id, doc_id, ltr_score,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY ltr_score DESC, doc_id ASC) AS INTEGER) AS rank
+            FROM feats
+            QUALIFY rank <= 20
         """,
         "ingest_pipeline": (
             _sql_pipeline(
