@@ -3623,7 +3623,24 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_search_engine_spark.sources.warc import export_warc, read_warc
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache tag = path + CONTENT fingerprint of the documents table
+    # (file names/sizes/mtimes): regenerating the corpus at the same
+    # path invalidates the cached archives, so the Spark side never
+    # replays stale WARCs against a fresh-corpus oracle
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    src = os.path.join(sf_dir, "documents.parquet")
+    paths = (
+        sorted(
+            os.path.join(r, fn)
+            for r, _, fns in os.walk(src) for fn in fns
+        )
+        if os.path.isdir(src) else [src]
+    )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}"
+                 .encode())
+    tag = h.hexdigest()[:12]
     d = f"/tmp/hse_entry_warc_{tag}"
     marker = os.path.join(d, "_DONE")
     if not os.path.exists(marker):
@@ -6589,12 +6606,16 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {sql_redact_duckdb(_pii_text)} AS text "
         "FROM documents"
     )
-    _pii_aggs = ["count(*) AS n_docs"]
+    # ::bigint on every sum: DuckDB sums render as HUGEINT/DECIMAL and the
+    # driver's value normalization hash-mismatches vs Spark BIGINT otherwise
+    # (same bug class as the round-1 doc_stats red row).
+    _pii_aggs = ["count(*)::bigint AS n_docs"]
     for _kind, (_pat, _r) in PII_PATTERNS.items():
         _c = f"len(regexp_extract_all({_pii_text}, '{_pat}'))"
-        _pii_aggs.append(f"sum({_c}) AS {_kind}_matches")
+        _pii_aggs.append(f"sum({_c})::bigint AS {_kind}_matches")
         _pii_aggs.append(
-            f"sum(CASE WHEN {_c} > 0 THEN 1 ELSE 0 END) AS {_kind}_docs"
+            f"sum(CASE WHEN {_c} > 0 THEN 1 ELSE 0 END)::bigint"
+            f" AS {_kind}_docs"
         )
     out["pii_census"] = (
         "SELECT " + ", ".join(_pii_aggs) + " FROM documents"

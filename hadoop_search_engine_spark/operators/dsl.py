@@ -518,8 +518,13 @@ def _compile(
                 index, toks[-1], k=int(b.get("max_expansions", 50))
             ).collect()
         ]
+        # pass the PRE-ANALYZED term list (parse_query list form):
+        # toks and exp are already in lexicon surface form; re-joining
+        # into text would re-apply the index analyzer, and porter
+        # stemming is not idempotent ('degre' -> 'degr'), silently
+        # matching nothing on stemmed indexes
         allt = toks[:-1] + (exp or [toks[-1]])
-        return search_topk(index, " ".join(allt), k=k, after=after)
+        return search_topk(index, allt, k=k, after=after)
     if kind == "script_score":
         from .query_exec import scored_docs
 

@@ -95,6 +95,16 @@ def apply_pipeline(docs: DataFrame, processors: list[dict]) -> DataFrame:
         if kind == "rename":
             a, b = _need(body, kind, "field", "target_field")
             _check(out, a, kind)
+            if b in out.columns:
+                # ES rename-processor semantics: existing target is an
+                # error. withColumnRenamed would otherwise mint a
+                # DUPLICATE column name (later refs ambiguous) while
+                # the DuckDB replay overwrites — a silent cross-engine
+                # divergence. Both compilers now raise.
+                raise ValueError(
+                    f"rename target_field {b!r} already exists "
+                    f"(have {out.columns}); remove it first"
+                )
             out = out.withColumnRenamed(a, b)
             continue
         if kind == "remove":
@@ -148,6 +158,20 @@ def _check(df: DataFrame, field: str, kind: str) -> None:
         )
 
 
+def _sql_lit(v) -> str:
+    """Render a processor value as a safe DuckDB literal: quotes
+    doubled for strings (an apostrophe in a `set` value must not break
+    the oracle), None -> NULL, bools -> TRUE/FALSE (repr would emit
+    'None'/'True', invalid or mistyped SQL), numbers via repr."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
 def sql_pipeline_duckdb(processors: list[dict], base_cols: list[str]) -> str:
     """DuckDB replay: the same processor list as a chain of SELECT
     rewrites over ``documents`` (oracle side of the parity contract).
@@ -167,8 +191,7 @@ def sql_pipeline_duckdb(processors: list[dict], base_cols: list[str]) -> str:
         kind, body = _one(proc)
         if kind == "set":
             f, v = _need(body, kind, "field", "value")
-            lit = f"'{v}'" if isinstance(v, str) else repr(v)
-            set_col(f, lit)
+            set_col(f, _sql_lit(v))
         elif kind == "drop":
             (f,) = _need(body, kind, "if_missing")
             filters.append(f"({cols[f]}) IS NOT NULL")
@@ -177,6 +200,13 @@ def sql_pipeline_duckdb(processors: list[dict], base_cols: list[str]) -> str:
             set_col(b, cols[a])
         elif kind == "rename":
             a, b = _need(body, kind, "field", "target_field")
+            if b in cols:
+                # parity with apply_pipeline: existing target is an
+                # error in both compilers (ES rename semantics)
+                raise ValueError(
+                    f"rename target_field {b!r} already exists "
+                    f"(have {order}); remove it first"
+                )
             set_col(b, cols[a])
             order.remove(a)
             del cols[a]
@@ -213,8 +243,7 @@ def sql_pipeline_duckdb(processors: list[dict], base_cols: list[str]) -> str:
             set_col(f, f"substr({cols[f]}, {int(i)}, {int(n)})")
         elif kind == "default":
             f, v = _need(body, kind, "field", "value")
-            lit = f"'{v}'" if isinstance(v, str) else repr(v)
-            set_col(f, f"coalesce({cols[f]}, {lit})")
+            set_col(f, f"coalesce({cols[f]}, {_sql_lit(v)})")
         else:
             raise ValueError(f"unknown ingest processor {kind!r}")
     select = ", ".join(f"({cols[c]}) AS {c}" for c in order)

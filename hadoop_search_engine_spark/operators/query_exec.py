@@ -577,7 +577,17 @@ def parse_query(
     make_token_fn — stopword filter + stemmer), applied after the
     synonym rewrite and before dedup so query terms hit the SAME
     surface forms the build indexed; None (unanalyzed index) keeps the
-    historical pipeline byte-identical."""
+    historical pipeline byte-identical.
+
+    ``query_text`` may instead be a list/tuple of PRE-ANALYZED terms
+    (already in lexicon surface form, e.g. lexicon expansions from
+    suggest_terms): those skip tokenize/synonyms/token_fn entirely —
+    re-applying a stemmer to an already-stemmed term is not a no-op
+    (porter('degrees')='degre' but porter('degre')='degr'), so a
+    re-analyzed expansion can fall outside the lexicon and silently
+    match nothing. Only first-seen dedup applies."""
+    if isinstance(query_text, (list, tuple)):
+        return list(dict.fromkeys(query_text))
     terms = rewrite_terms(tokenize(query_text), synonyms or {})
     if token_fn is None:
         return terms
@@ -614,6 +624,9 @@ def parse_query_boosted(
     semantics bit-identically.
     """
     syn = synonyms or {}
+    if isinstance(query_text, (list, tuple)):
+        # pre-analyzed term list (see parse_query) — no boost syntax
+        return parse_query(query_text, syn, token_fn), {}
     if "^" not in (query_text or ""):
         return parse_query(query_text, syn, token_fn), {}
     out: list[str] = []

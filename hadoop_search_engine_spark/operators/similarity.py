@@ -799,6 +799,13 @@ def _ivf_train_raw(
         .limit(n_centroids)
         .collect()
     )
+    if len(seeds) < n_centroids:
+        # mirror pq_train's guard: np.stack would otherwise silently
+        # yield fewer centroids than requested
+        raise ValueError(
+            f"need at least n_centroids={n_centroids} vectors to seed "
+            f"IVF-PQ coarse training, got {len(seeds)}"
+        )
     centroids = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
     )

@@ -955,3 +955,53 @@ def test_script_score_matches_manual(tiny_index, tiny_corpus):
             "query": {"match": {"text": Q}},
             "script": {"source": "__import__('os')"}}}},
             documents=docs)
+
+
+def test_match_bool_prefix_on_stemmed_index(spark, tmp_path):
+    """Porter stemming is not idempotent (porter('degrees')='degre',
+    porter('degre')='degr'): match_bool_prefix must search its lexicon
+    expansions as PRE-ANALYZED terms, never re-join them into text for
+    the index analyzer to re-stem — regression for the silent
+    no-match on stemmed indexes."""
+    from hadoop_search_engine_spark.functions.analyzer import porter_stem
+    from hadoop_search_engine_spark.operators.index_build import build_index
+    from hadoop_search_engine_spark.operators.query_exec import Index
+
+    assert porter_stem("degrees") == "degre"
+    assert porter_stem("degre") == "degr"  # the non-idempotent pair
+    docs = spark.createDataFrame(
+        [
+            (0, "temperature degrees celsius rising"),
+            (1, "a degree in physics"),
+            (2, "nothing related here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "mbp_ix")
+    build_index(spark, docs, out, num_shards=1, n_buckets=2,
+                stem="porter")
+    ix = Index.load(spark, out)
+    got = search_dsl(
+        ix,
+        {"query": {"match_bool_prefix": {"text": {"query": "degrees"}}},
+         "size": 10},
+    )
+    hits = {r["doc_id"] for r in got.hits.collect()}
+    assert hits == {0, 1}  # 'degre' lexicon expansion matched as-is
+
+
+def test_parse_query_list_form_skips_analyzer():
+    """parse_query / parse_query_boosted accept a pre-analyzed term
+    list: no tokenize, no synonyms, no token_fn — first-seen dedup
+    only."""
+    from hadoop_search_engine_spark.functions.analyzer import porter_stem
+    from hadoop_search_engine_spark.operators.query_exec import (
+        parse_query,
+        parse_query_boosted,
+    )
+
+    assert parse_query(["degre", "run", "degre"],
+                       {"degre": "x"}, porter_stem) == ["degre", "run"]
+    terms, boosts = parse_query_boosted(["degre", "degre", "b"],
+                                        None, porter_stem)
+    assert terms == ["degre", "b"] and boosts == {}

@@ -79,3 +79,50 @@ def test_pipeline_duckdb_parity(spark):
     sql = sql_pipeline_duckdb(pipe, ["doc_id", "text", "lang"])
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_rename_existing_target_raises(spark):
+    """Round-4 ADVICE: withColumnRenamed onto an existing name mints a
+    DUPLICATE column while the DuckDB replay overwrites — both
+    compilers now reject the collision (ES rename semantics)."""
+    import pytest
+
+    from hadoop_search_engine_spark.operators.ingest import (
+        apply_pipeline,
+        sql_pipeline_duckdb,
+    )
+
+    df = spark.createDataFrame([(1, "a", "b")], "doc_id long, x string, y string")
+    procs = [{"rename": {"field": "x", "target_field": "y"}}]
+    with pytest.raises(ValueError, match="already exists"):
+        apply_pipeline(df, procs)
+    with pytest.raises(ValueError, match="already exists"):
+        sql_pipeline_duckdb(procs, ["doc_id", "x", "y"])
+
+
+def test_sql_lit_escaping_and_null():
+    """set/default values with apostrophes, None, and bools must render
+    as valid DuckDB literals in the oracle replay."""
+    import duckdb
+
+    from hadoop_search_engine_spark.operators.ingest import (
+        _sql_lit,
+        sql_pipeline_duckdb,
+    )
+
+    assert _sql_lit("o'brien") == "'o''brien'"
+    assert _sql_lit(None) == "NULL"
+    assert _sql_lit(True) == "TRUE"
+    assert _sql_lit(False) == "FALSE"
+    assert _sql_lit(3) == "3"
+    sql = sql_pipeline_duckdb(
+        [{"set": {"field": "who", "value": "o'brien"}},
+         {"default": {"field": "maybe", "value": None}},
+         {"set": {"field": "flag", "value": True}}],
+        ["doc_id", "maybe"],
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, "
+                "NULL::VARCHAR AS maybe")
+    row = con.execute(sql).fetchone()
+    assert row == (1, None, "o'brien", True)

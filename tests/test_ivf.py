@@ -47,3 +47,18 @@ def test_ivf_full_probe_equals_bruteforce(spark, emb):
     assert [(r["vec_id"], r["cosine"]) for r in exact] == [
         (r["vec_id"], r["cosine"]) for r in full
     ]
+
+
+def test_ivfpq_coarse_trainer_seed_guard(spark):
+    """_ivf_train_raw raises (like pq_train) when the corpus has fewer
+    vectors than n_centroids instead of silently under-seeding."""
+    import pytest
+
+    from hadoop_search_engine_spark.operators.similarity import _ivf_train_raw
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_centroids"):
+        _ivf_train_raw(emb, 8, 1, "vec_id", "embedding")
