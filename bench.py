@@ -729,6 +729,20 @@ def main() -> None:
         .agg(F.sum("n_bpe_tokens")).collect(),
         reps=3,
     )
+    # the distributed scale path (round 4): greedy batch-BPE runs the
+    # vocabulary DISTRIBUTED and merges whole non-interacting batches
+    # per pair-count job — jobs-per-merge is the scale metric, so the
+    # round count is recorded alongside wall time
+    # (the 31-word synthetic vocab saturates at ~96 merges; the
+    # jobs-per-merge story at production vocab size is measured in
+    # tests/test_bpe_batched.py::test_greedy_rounds_are_tiny — 2000
+    # merges in 3 rounds on a 20k-word Zipf vocabulary)
+    timed(
+        "bpe_train_spark_greedy",
+        lambda: bpe_train(docs, n_merges=300, mode="spark",
+                          batching="greedy", min_pair_count=1).count(),
+        reps=1,
+    )
 
     # epoch mixing (map-only explode) and PMI collocations (two
     # vocab-sized joins)
