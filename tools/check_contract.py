@@ -6,17 +6,140 @@ same parquet tables, and compares row count, sorted column names, and
 a value hash over column-name-sorted, row-sorted output — the same
 shape of compare the round driver performs for CORRECTNESS_r{N}.json.
 
-Usage: python tools/check_contract.py [sf_dir] [only_query ...]
+Usage: python tools/check_contract.py [--iceberg] [sf_dir] [only_query ...]
+
+``--iceberg`` (VERDICT r03 #6, skipped-or-green-never-silent): probe
+for an Iceberg Spark runtime jar (well-known local paths, ivy/maven
+caches, then one bounded network attempt); when found, start the
+session with a hadoop-type Iceberg catalog, copy the sf tables INTO
+Iceberg tables, and run the board's indexed entries against a corpus
+read back FROM Iceberg — certifying the input_hint's named substrate.
+When no jar can be had (this container is jarless and offline) the
+run prints an explicit SKIP with the reason and exits 0.
 """
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def find_iceberg_jar() -> str | None:
+    """Search the usual suspects for an iceberg-spark-runtime jar."""
+    patterns = [
+        "/opt/spark/jars/iceberg-spark-runtime*.jar",
+        "/usr/local/lib/*/pyspark/jars/iceberg-spark-runtime*.jar",
+        os.path.expanduser("~/.ivy2/jars/*iceberg-spark-runtime*.jar"),
+        os.path.expanduser(
+            "~/.m2/repository/org/apache/iceberg/**/iceberg-spark-runtime*.jar"
+        ),
+        "/root/jars/iceberg-spark-runtime*.jar",
+    ]
+    try:
+        import pyspark
+
+        patterns.append(
+            os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                         "iceberg-spark-runtime*.jar")
+        )
+    except Exception:  # noqa: BLE001
+        pass
+    for pat in patterns:
+        hits = glob.glob(pat, recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+def try_fetch_iceberg_jar(dest_dir: str = "/tmp/hse_jars") -> str | None:
+    """One bounded download attempt per round (Maven Central); returns
+    the jar path or None. Offline containers fail fast (5 s)."""
+    import urllib.request
+
+    url = (
+        "https://repo1.maven.org/maven2/org/apache/iceberg/"
+        "iceberg-spark-runtime-4.0_2.13/1.10.0/"
+        "iceberg-spark-runtime-4.0_2.13-1.10.0.jar"
+    )
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, os.path.basename(url))
+    if os.path.exists(dest):
+        return dest
+    try:
+        with urllib.request.urlopen(url, timeout=5) as r, open(
+            dest + ".part", "wb"
+        ) as f:
+            while chunk := r.read(1 << 20):
+                f.write(chunk)
+        os.rename(dest + ".part", dest)
+        return dest
+    except Exception as e:  # noqa: BLE001
+        print(f"iceberg jar fetch failed: {e}")
+        return None
+
+
+def run_iceberg_board(sf_dir: str, only: set[str]) -> None:
+    """Run the indexed board entries with the corpus round-tripped
+    through real Iceberg tables (or SKIP loudly)."""
+    jar = find_iceberg_jar() or try_fetch_iceberg_jar()
+    if jar is None:
+        print(
+            "ICEBERG SKIP: no iceberg-spark-runtime jar on disk and the "
+            "container is offline — catalog stays parquet-backed "
+            "(sources/catalog.py degradation path); re-run when the "
+            "environment provides jars."
+        )
+        sys.exit(0)
+    print(f"using iceberg jar: {jar}")
+    from hadoop_search_engine_spark.session import get_spark
+
+    wh = "/tmp/hse_iceberg_wh"
+    spark = get_spark(
+        app_name="contract-check-iceberg",
+        master="local[8]",
+        extra_conf={
+            "spark.jars": jar,
+            "spark.sql.catalog.hse": "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.hse.type": "hadoop",
+            "spark.sql.catalog.hse.warehouse": wh,
+        },
+    )
+    import __spark_entry__ as entry
+
+    # corpus -> Iceberg -> read back -> a temp sf_dir-shaped parquet
+    # copy is NOT used: entries read via a view layer, so point the
+    # documents reads at the Iceberg table by materializing it back
+    # to a scratch dir consumed by the entries (the board entries take
+    # an sf_dir path; the Iceberg round trip is upstream of them).
+    scratch = "/tmp/hse_iceberg_sfdir"
+    os.makedirs(scratch, exist_ok=True)
+    import shutil
+
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        df.writeTo(f"hse.{t}").createOrReplace()
+        back = spark.read.table(f"hse.{t}")
+        dst = os.path.join(scratch, f"{t}.parquet")
+        shutil.rmtree(dst, ignore_errors=True)
+        back.write.mode("overwrite").parquet(dst)
+        assert back.count() == df.count()
+    print(f"iceberg round trip complete -> {scratch}; running entries")
+    spark.stop()
+    indexed = [
+        n for n in entry.queries()
+        if ("indexed" in n or n in ("inverted_index", "lexicon"))
+        and (not only or n in only)
+    ]
+    os.execv(sys.executable,
+             [sys.executable, os.path.abspath(__file__), scratch] + indexed)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -39,8 +162,14 @@ def value_hash(rows: list[tuple]) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0] == "--iceberg":
+        rest = args[1:]
+        sf = rest[0] if rest else "/root/testdata/sf0.01"
+        run_iceberg_board(sf, set(rest[1:]))
+        return
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
