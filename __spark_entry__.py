@@ -4810,3684 +4810,10 @@ def _dd_ivfpq_sql(
 
 
 def oracle_sql() -> dict[str, str]:
-    from hadoop_search_engine_spark.operators.text_analysis import (
-        EN_STOPWORDS,
-        ES_STOPWORDS,
-    )
+    """DuckDB oracle for every queries() entry — definitions live in
+    the oracle_sql/ package (split for navigability; each part module
+    docstring lists its board entries). The parts close over this
+    module's globals exactly as the former inline body did."""
+    from oracle_sql import build
 
-    from hadoop_search_engine_spark.functions.analyzer import (
-        sql_analyze_duckdb as _sql_analyze,
-    )
-    from hadoop_search_engine_spark.operators.ingest import (
-        sql_pipeline_duckdb as _sql_pipeline,
-    )
-
-    fold_toks = _sql_analyze(
-        sql_tokens_duckdb("translate(text, 'aeiou', 'áéíöü')"), fold=True
-    )
-    terms_in = ", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)
-    snip_least = ", ".join(
-        f"nullif(position('{t}' IN lo), 0)" for t in FLAGSHIP_TERMS
-    )
-    snip_alt = "|".join(FLAGSHIP_TERMS)
-    idf = sql_idf("c.n", "d.df")
-    score = sql_score("tf.tf", "dl.doc_len", idf, "c.avgdl", BM25_K1, BM25_B)
-
-    en_cnt = _dd_count_in("toks", EN_STOPWORDS)
-    es_cnt = _dd_count_in("toks", ES_STOPWORDS)
-    stop_cnt = _dd_count_in("toks", EN_STOPWORDS + ES_STOPWORDS)
-
-    out = {
-        "explode_tokens": f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents",
-        "term_frequencies": f"WITH {_TF_CTE} SELECT term, doc_id, tf FROM tf",
-        "doc_stats": f"WITH {_TF_CTE} SELECT doc_id, sum(tf)::bigint AS doc_len FROM tf GROUP BY doc_id",
-        "corpus_stats": f"""
-            WITH {_TF_CTE}, dl AS (SELECT doc_id, sum(tf) AS doc_len FROM tf GROUP BY doc_id)
-            SELECT count(*) AS n_docs, round(avg(doc_len), 6) AS avgdl FROM dl
-        """,
-        "inverted_index": f"""
-            WITH {_TF_CTE}
-            SELECT term, count(*) AS df,
-                   string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS postings
-            FROM tf GROUP BY term
-        """,
-        "lexicon": f"""
-            WITH {_TF_CTE}, n AS (SELECT count(*) AS n FROM documents)
-            SELECT term, count(*) AS df,
-                   round(ln(1.0 + ((SELECT n FROM n) - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
-            FROM tf GROUP BY term
-        """,
-        "bm25_topk": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-            scored AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-            )
-            SELECT doc_id, round(score, 4) AS score
-            FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-        """,
-        # boolean flagship: spark AND (query OR merge) NOT vector —
-        # eligibility via per-leaf presence flags, score over the
-        # positive terms only (same BM25 sum as bm25_topk)
-        "boolean_search": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf
-                  WHERE term IN ('merge', 'query', 'spark') GROUP BY term),
-            pres AS (
-              SELECT doc_id,
-                     bool_or(term = 'spark')  AS has_spark,
-                     bool_or(term = 'query')  AS has_query,
-                     bool_or(term = 'merge')  AS has_merge,
-                     bool_or(term = 'vector') AS has_vector
-              FROM tf GROUP BY doc_id
-            ),
-            scored AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-            )
-            SELECT s.doc_id, round(s.score, 4) AS score
-            FROM scored s JOIN pres p ON s.doc_id = p.doc_id
-            WHERE p.has_spark AND (p.has_query OR p.has_merge)
-              AND NOT p.has_vector
-            ORDER BY score DESC, s.doc_id ASC LIMIT 20
-        """,
-        "collapsed_search": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-            scored AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-            ),
-            top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50),
-            keyed AS (
-              SELECT t.doc_id, dd.lang, t.score,
-                     row_number() OVER (
-                       PARTITION BY dd.lang
-                       ORDER BY t.score DESC, t.doc_id ASC
-                     ) AS rn
-              FROM top t JOIN documents dd ON t.doc_id = dd.doc_id
-            )
-            SELECT doc_id, lang, round(score, 4) AS score
-            FROM keyed WHERE rn = 1
-            ORDER BY score DESC, doc_id ASC LIMIT 20
-        """,
-        "filtered_search": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-            scored AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-            )
-            SELECT doc_id, round(score, 4) AS score
-            FROM scored
-            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
-            ORDER BY score DESC, doc_id ASC LIMIT 20
-        """,
-        "bm25_topk_and": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-            scored AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-              HAVING count(DISTINCT tf.term) = {len(FLAGSHIP_TERMS)}
-            )
-            SELECT doc_id, round(score, 4) AS score
-            FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-        """,
-        "or_union_docs": f"""
-            WITH {_TF_CTE}
-            SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})
-        """,
-        "suggest_terms": f"""
-            WITH {_TF_CTE}
-            SELECT term, count(*)::bigint AS df FROM tf
-            WHERE term LIKE 's%'
-            GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
-        """,
-        "fuzzy_terms": f"""
-            WITH {_TF_CTE},
-            v AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term)
-            SELECT term, levenshtein(term, 'scann')::int AS dist, df
-            FROM v WHERE levenshtein(term, 'scann') <= 1
-            ORDER BY dist ASC, df DESC, term ASC LIMIT 5
-        """,
-        "facet_counts": f"""
-            WITH {_TF_CTE},
-            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-            SELECT d.lang, count(*)::bigint AS n_docs
-            FROM documents d JOIN m ON d.doc_id = m.doc_id
-            GROUP BY d.lang
-        """,
-        "snippets": f"""
-            WITH {_TF_CTE},
-            m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-            d AS (SELECT dd.doc_id, dd.text, lower(dd.text) AS lo
-                  FROM documents dd JOIN m ON dd.doc_id = m.doc_id),
-            p AS (SELECT doc_id, text, least({snip_least}) AS fp FROM d)
-            SELECT doc_id,
-                   coalesce(fp, 0) AS match_pos,
-                   regexp_replace(
-                       substr(text, greatest(coalesce(fp, 1) - 40, 1), 80),
-                       '\\b({snip_alt})\\b', '[\\1]', 'gi'
-                   ) AS snippet
-            FROM p
-        """,
-        "case_insensitive_lookup": f"""
-            WITH {_TF_CTE}
-            SELECT term, count(*) AS df, sum(tf)::bigint AS total_tf
-            FROM tf WHERE term = lower('SPARK') GROUP BY term
-        """,
-        "scan_project_filter": """
-            SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
-            WHERE l_shipdate < '1996-01-01' AND l_quantity > 45
-        """,
-        "null_empty_guard": """
-            SELECT lang, count(*) AS n FROM documents
-            WHERE text IS NOT NULL AND text != '' GROUP BY lang
-        """,
-        "type_cast": """
-            SELECT c_custkey, c_custkey::varchar || '-' || c_mktsegment AS entity
-            FROM customer
-        """,
-        "distinct_pairs": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-        "union_by_name": """
-            WITH u AS (
-              SELECT c_name AS entity, 'customer' AS kind FROM customer
-              UNION ALL
-              SELECT s_name, 'supplier' FROM supplier
-              UNION ALL
-              SELECT n_name, 'nation' FROM nation
-            )
-            SELECT kind, count(*) AS n FROM u GROUP BY kind
-        """,
-        "semi_join_orderby": """
-            SELECT o_orderkey, o_orderdate::varchar AS o_date, o_totalprice
-            FROM orders
-            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
-            ORDER BY o_date DESC, o_orderkey ASC LIMIT 50
-        """,
-        "broadcast_join_agg": """
-            SELECT p_brand, count(*) AS n,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            GROUP BY p_brand
-        """,
-        "tpch_q1": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   count(*) AS count_order
-            FROM lineitem WHERE l_shipdate <= '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "orderby_limit": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-        """,
-        "window_topk_per_group": """
-            SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
-              SELECT c_nationkey, c_custkey, c_acctbal,
-                     row_number() OVER (PARTITION BY c_nationkey
-                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
-              FROM customer
-            ) WHERE rn <= 3
-        """,
-        "exact_dedup": """
-            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
-            FROM (SELECT doc_id, md5(text) AS digest FROM documents)
-            GROUP BY digest
-        """,
-        "ngram_jaccard": f"""
-            WITH tok AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     array_to_string(toks[i : i + 2], ' ') AS shingle
-              FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
-              WHERE len(toks) >= 3
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              GROUP BY x.doc_id, y.doc_id
-            )
-            SELECT a, b,
-                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE inter / (sa.sz + sb.sz - inter) >= 0.12
-        """,
-        "ngram_jaccard_capped": f"""
-            WITH tok AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ),
-            sh0 AS (
-              SELECT DISTINCT doc_id,
-                     array_to_string(toks[i : i + 2], ' ') AS shingle
-              FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
-              WHERE len(toks) >= 3
-            ),
-            shdf AS (
-              SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20
-            ),
-            sh AS (SELECT sh0.* FROM sh0 JOIN shdf USING (shingle)),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              GROUP BY x.doc_id, y.doc_id
-            )
-            SELECT a, b,
-                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE inter / (sa.sz + sb.sz - inter) >= 0.1
-        """,
-        "dup_clusters": f"""
-            WITH RECURSIVE tok AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     array_to_string(toks[i : i + 2], ' ') AS shingle
-              FROM tok, unnest(range(1, len(toks) - 1)) AS t(i)
-              WHERE len(toks) >= 3
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              GROUP BY x.doc_id, y.doc_id
-            ),
-            pairs AS (
-              SELECT a, b FROM inter
-              JOIN sizes sa ON sa.doc_id = a
-              JOIN sizes sb ON sb.doc_id = b
-              WHERE inter / (sa.sz + sb.sz - inter) >= 0.12
-            ),
-            edges AS (
-              SELECT a AS u, b AS v FROM pairs
-              UNION
-              SELECT b AS u, a AS v FROM pairs
-            ),
-            reach(u, v) AS (
-              SELECT u, v FROM edges
-              UNION
-              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-            )
-            SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-            FROM reach GROUP BY u
-        """,
-        "ann_cosine_topk": f"""
-            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(list_cosine_similarity(embedding::double[], qv::double[]), 6) AS cosine
-            FROM embeddings, q
-            ORDER BY cosine DESC, vec_id ASC LIMIT {ANN_K}
-        """,
-        "cosine_dup_pairs": """
-            SELECT x.vec_id AS a, y.vec_id AS b,
-                   round(list_cosine_similarity(x.embedding::double[], y.embedding::double[]), 6) AS cosine
-            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-            WHERE x.vec_id < 200 AND y.vec_id < 200
-              AND list_cosine_similarity(x.embedding::double[], y.embedding::double[]) >= 0.8
-        """,
-        "semdedup": """
-            WITH src AS (SELECT vec_id, embedding::double[] AS embedding
-                         FROM embeddings WHERE vec_id < 200),
-            plant AS (
-              SELECT vec_id - 1000 AS vec_id,
-                     list_transform(embedding, x -> x * 2.0) AS embedding
-              FROM src WHERE vec_id IN (3, 7, 11)
-            ),
-            e AS (SELECT * FROM src UNION ALL SELECT * FROM plant),
-            dropped AS (
-              SELECT DISTINCT y.vec_id
-              FROM e x JOIN e y ON x.vec_id < y.vec_id
-              WHERE round(list_cosine_similarity(x.embedding, y.embedding), 6)
-                    >= 0.999
-            )
-            SELECT vec_id FROM e
-            WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-            ORDER BY vec_id
-        """,
-        "ann_lsh": f"""
-            WITH b AS (
-              SELECT vec_id, embedding,
-                     {_dd_lsh_bucket("embedding")} AS bucket
-              FROM embeddings
-            ),
-            qb AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
-            SELECT b.vec_id,
-                   round(list_cosine_similarity(b.embedding::double[], qb.qv::double[]), 6) AS cosine
-            FROM b, qb
-            WHERE bit_count(xor(b.bucket::bigint, qb.qbucket::bigint)) <= 2
-            ORDER BY cosine DESC, b.vec_id ASC LIMIT {ANN_K}
-        """,
-        "exact_dup_pairs": """
-            WITH keyed AS (SELECT doc_id, md5(text) AS digest FROM documents),
-            winners AS (SELECT digest, min(doc_id) AS keep_id FROM keyed GROUP BY digest)
-            SELECT w.keep_id, k.doc_id AS dup_id
-            FROM keyed k JOIN winners w ON k.digest = w.digest
-            WHERE k.doc_id != w.keep_id
-        """,
-        "bpe_token_count": f"""
-            SELECT doc_id,
-                   coalesce(list_sum(list_transform({_TOKS},
-                       t -> greatest(cast(ceil(length(t) / 4.0) AS int), 1))), 0)::bigint
-                   AS n_subwords
-            FROM documents
-        """,
-        "token_count": f"SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents",
-        "lang_id": f"""
-            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
-            SELECT doc_id,
-                   CASE WHEN {en_cnt} = 0 AND {es_cnt} = 0 THEN 'und'
-                        WHEN {en_cnt} >= {es_cnt} THEN 'en'
-                        ELSE 'es' END AS lang_pred
-            FROM t
-        """,
-        "quality_score": f"""
-            WITH t AS (
-              SELECT doc_id, text, {_TOKS} AS toks,
-                     length(text) AS n_chars,
-                     length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
-              FROM documents
-            )
-            SELECT doc_id,
-                   round((
-                     least(len(toks) / 100.0, 1.0)
-                     + CASE WHEN n_chars > 0
-                            THEN 1.0 - least(n_punct * 5.0 / n_chars, 1.0)
-                            ELSE 0.0 END
-                     + CASE WHEN len(toks) > 0
-                            THEN least({stop_cnt} * 10.0 / len(toks), 1.0)
-                            ELSE 0.0 END
-                     + CASE WHEN len(toks) > 0
-                            THEN len(list_distinct(toks)) / len(toks)
-                            ELSE 0.0 END
-                   ) / 4.0, 6) AS quality
-            FROM t
-        """,
-        "minhash_lsh": _dd_minhash_sql(_TOKS),
-        "fingerprint": _fingerprint_sql(),
-        "simhash": f"""
-            WITH {_dd_simhash_cte(_TOKS)}
-            SELECT x.doc_id AS a, y.doc_id AS b,
-                   bit_count(xor(x.simhash, y.simhash))::int AS hamming
-            FROM simsig x JOIN simsig y ON x.doc_id < y.doc_id
-            WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
-        """,
-        "multimodal_metadata": """
-            SELECT doc_id, octet_length(text::blob) AS n_bytes,
-                   'application/octet-stream' AS media_type
-            FROM documents
-        """,
-        # replay of the deterministic pixel/sample formulas; matching
-        # the Spark side certifies the real PNG/WAV encode->decode
-        # round trip (exact for integer-valued means: 256 values sum
-        # exactly in both engines)
-        "media_features_decoded": """
-            WITH vals AS (
-              SELECT d.doc_id,
-                     CASE WHEN d.doc_id % 2 = 0
-                          THEN (d.doc_id * 31 + 7 * g.i) % 256
-                          ELSE ((d.doc_id * 131 + 17 * g.i) % 65536)
-                               - 32768 END AS v
-              FROM documents d
-              CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i) g
-            )
-            SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image/png'
-                        ELSE 'audio/wav' END AS media_type,
-                   count(*)::bigint AS n_vals,
-                   round(avg(v), 6) AS v_mean,
-                   round(stddev_pop(v), 6) AS v_std,
-                   min(v)::bigint AS v_min,
-                   max(v)::bigint AS v_max
-            FROM vals GROUP BY doc_id
-        """,
-        "blob_range": """
-            -- this DuckDB build has no BLOB substring; the testdata
-            -- text is ASCII-only (verified octet_length == length), so
-            -- character substring == byte substring here
-            SELECT doc_id,
-                   md5(substring(text, 11, 100)) AS chunk_md5,
-                   octet_length(substring(text, 11, 100)::blob)::int AS chunk_len,
-                   octet_length(text::blob)::int AS total_len
-            FROM documents
-        """,
-        "ltr_rerank": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-            scored AS (
-              SELECT tf.doc_id, round(sum({score}), 6) AS bm25
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-            ),
-            feats AS (
-              SELECT 'q1' AS query_id, s.doc_id,
-                     round(1.0 / (1.0 + exp(-(0.1
-                       + 1.2 * ((s.bm25 - 2.0) / 1.5)
-                       + (-0.4) * ((doc.n_chars - 300.0) / 120.0)))), 6)
-                       AS ltr_score
-              FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id
-            )
-            SELECT query_id, doc_id, ltr_score,
-                   CAST(row_number() OVER (
-                     PARTITION BY query_id
-                     ORDER BY ltr_score DESC, doc_id ASC) AS INTEGER) AS rank
-            FROM feats
-            QUALIFY rank <= 20
-        """,
-        "ingest_pipeline": (
-            _sql_pipeline(
-                _INGEST_PIPE, ["doc_id", "text", "lang", "source", "n_chars"]
-            )
-            + " ORDER BY doc_id"
-        ),
-        "dsl_script_score": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-            scored AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-            )
-            SELECT s.doc_id,
-                   round(s.score * doc.n_chars / 1000.0, 4) AS score
-            FROM scored s JOIN documents doc ON doc.doc_id = s.doc_id
-            ORDER BY s.score * doc.n_chars / 1000.0 DESC, s.doc_id ASC
-            LIMIT 20
-        """,
-        "dsl_runtime_filter": f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-            scored AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf
-              JOIN d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id
-              CROSS JOIN c
-              GROUP BY tf.doc_id
-            )
-            SELECT doc_id, round(score, 4) AS score
-            FROM scored
-            WHERE doc_id IN (SELECT doc_id FROM documents
-                             WHERE n_chars / 100.0 >= 3.0)
-            ORDER BY score DESC, doc_id ASC LIMIT 20
-        """,
-        "extract_links": """
-            WITH n AS (SELECT count(*) AS n FROM documents),
-            pages AS (
-              SELECT 'https://site.example/page/' || CAST(doc_id AS VARCHAR) AS src,
-                     '<html><body><a href="https://site.example/page/'
-                       || CAST((doc_id + 1) % n.n AS VARCHAR) || '">n</a>'
-                       || '<a href="https://site.example/page/'
-                       || CAST((doc_id + 2) % n.n AS VARCHAR) || '#frag">n2</a>'
-                       || '<a href="mailto:x@y">m</a>'
-                       || '<a href="/rel">r</a></body></html>' AS html
-              FROM documents, n
-            ),
-            links AS (
-              SELECT src, unnest(regexp_extract_all(html, 'href="([^"#]+)', 1)) AS dst
-              FROM pages
-            )
-            SELECT DISTINCT src, dst
-            FROM links
-            WHERE (dst LIKE 'http://%' OR dst LIKE 'https://%') AND dst <> src
-            ORDER BY src, dst
-        """,
-        "top_ngrams": f"""
-            WITH t AS (SELECT {_TOKS} AS toks FROM documents),
-            g AS (
-              SELECT array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
-              FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
-            )
-            SELECT gram, count(*) AS n_occurrences
-            FROM g GROUP BY gram
-            ORDER BY n_occurrences DESC, gram
-            LIMIT 50
-        """,
-        "zipf_fit": f"""
-            WITH c AS (
-              SELECT term, count(*) AS cnt
-              FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
-              GROUP BY term
-            ),
-            r AS (
-              SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS lx,
-                     ln(CAST(cnt AS DOUBLE)) AS ly
-              FROM c
-            )
-            SELECT round(regr_slope(ly, lx), 6) AS slope,
-                   round(regr_intercept(ly, lx), 6) AS intercept,
-                   round(regr_r2(ly, lx), 6) AS r2,
-                   count(*) AS n_terms
-            FROM r
-        """,
-        "fold_tokens": f"""
-            SELECT doc_id,
-                   unnest({fold_toks}) AS term
-            FROM documents
-        """,
-        "cjk_bigrams": """
-            WITH h AS (
-              SELECT doc_id,
-                     substr(translate(regexp_replace(text, '[^a-z]', '', 'g'),
-                                      'abcdefghijklmnopqrstuvwxyz',
-                                      '一二三四五六七八九十百千万億兆京垓春夏秋冬山川田月'),
-                            1, 12) AS s
-              FROM documents
-            ),
-            e AS (
-              SELECT doc_id, s, unnest(range(1, length(s))) AS i
-              FROM h WHERE length(s) >= 2
-            )
-            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, substr(s, i, 2) AS bigram
-            FROM e
-        """,
-        "warc_ingest": """
-            SELECT 'https://site.example/page/' || CAST(doc_id AS VARCHAR) AS url,
-                   md5('<html><body><p>' || text || '</p></body></html>') AS html_md5,
-                   CAST(200 AS BIGINT) AS http_status,
-                   'text/html' AS mime
-            FROM documents
-            ORDER BY url
-        """,
-        "event_window_agg": """
-            SELECT epoch(date_trunc('hour', ts))::bigint AS win_start, event_type,
-                   count(*) AS n, round(sum(value), 2) AS total_value
-            FROM events GROUP BY 1, 2
-        """,
-        "date_histogram": """
-            WITH b AS (
-              SELECT date_trunc('week', ts) AS bucket, count(*) AS n_docs
-              FROM events WHERE ts IS NOT NULL GROUP BY 1
-            ),
-            span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
-            grid AS (
-              SELECT unnest(generate_series(lo, hi, INTERVAL 7 DAY)) AS bucket
-              FROM span WHERE lo IS NOT NULL
-            )
-            SELECT epoch(g.bucket)::bigint AS bucket_ts,
-                   coalesce(b.n_docs, 0)::bigint AS n_docs
-            FROM grid g LEFT JOIN b USING (bucket)
-        """,
-        "ann_ivf": _dd_ivf_sql(n_centroids=8, n_iters=2, n_probe=4, k=ANN_K),
-        "ann_pq": _dd_pq_sql(m=8, nbits=3, n_iters=2, k=ANN_K, dim=64),
-        "ann_ivfpq": _dd_ivfpq_sql(n_centroids=8, ivf_iters=2, m=8, nbits=3,
-                                   pq_iters=2, n_probe=4, k=ANN_K, dim=64),
-        # rows-only (non-SQL-expressible): media_features (stubbed
-        # decode) — plumbing shape is pytest-verified instead
-    }
-    # the composed curation pipeline (annotate -> filter -> exact dedup
-    # -> minhash near-dedup, operators/curate.py): every stage already
-    # has an exact SQL replay, so the end-to-end result does too
-    from hadoop_search_engine_spark.functions.hashes import sql_murmur3_u32_duckdb
-
-    mm_w = sql_murmur3_u32_duckdb("_w")
-    fp_core = (
-        f"coalesce(list_reduce(list_prepend(0::bigint, "
-        f"list_transform(toks, _w -> {mm_w})), "
-        f"(_acc, _h) -> (_acc * 31 + _h) % {(1 << 56) - 5}), 0)::bigint"
-    )
-    lang_core = (
-        f"CASE WHEN {en_cnt} = 0 AND {es_cnt} = 0 THEN 'und' "
-        f"WHEN {en_cnt} >= {es_cnt} THEN 'en' ELSE 'es' END"
-    )
-    quality_core = f"""round((
-        least(len(toks) / 100.0, 1.0)
-        + CASE WHEN length(text) > 0
-               THEN 1.0 - least((length(text)
-                    - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                    * 5.0 / length(text), 1.0)
-               ELSE 0.0 END
-        + CASE WHEN len(toks) > 0
-               THEN least({stop_cnt} * 10.0 / len(toks), 1.0)
-               ELSE 0.0 END
-        + CASE WHEN len(toks) > 0
-               THEN len(list_distinct(toks)) / len(toks)
-               ELSE 0.0 END
-      ) / 4.0, 6)"""
-    out["curated_docs"] = f"""
-        WITH toks0 AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
-        ann AS (
-          SELECT doc_id, text, toks,
-                 len(toks) AS n_tokens,
-                 {lang_core} AS lang_pred,
-                 {quality_core} AS quality,
-                 {fp_core} AS fingerprint
-          FROM toks0
-        ),
-        s1 AS (
-          SELECT * FROM ann
-          WHERE n_tokens >= 5 AND n_tokens <= 100000
-            AND quality >= 0.3 AND lang_pred IN ('en', 'es')
-        ),
-        w AS (
-          SELECT min(doc_id) AS doc_id
-          FROM (SELECT doc_id, md5(text) AS dg FROM s1) GROUP BY dg
-        ),
-        s2 AS (SELECT s1.* FROM s1 JOIN w USING (doc_id)),
-        drops AS (
-          SELECT DISTINCT b AS doc_id
-          FROM {_dd_minhash_pairs_subquery("s2", 0.5)} p
-        )
-        SELECT doc_id, n_tokens, lang_pred, quality, fingerprint
-        FROM s2 ANTI JOIN drops USING (doc_id)
-    """
-    # the indexed serving paths answer the SAME queries as the
-    # exhaustive scorers — the oracle certifies the production engine
-    # (compressed postings + WAND/dense/driver serving), not just the
-    # DataFrame baseline
-    out["bm25_topk_indexed"] = out["bm25_topk"]
-    # pluggable similarities (operators/ranking.py) — each formula
-    # replayed from raw tokens; round(,4) absorbs summation-order ulps
-    out["lm_dirichlet_topk"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        tot AS (SELECT sum(doc_len) AS t FROM dl),
-        d AS (SELECT term, sum(tf)::double AS ctf FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id,
-                 sum(greatest(0.0,
-                     ln(1.0 + tf.tf / (2000.0 * (d.ctf / tot.t)))
-                     + ln(2000.0 / (dl.doc_len + 2000.0)))) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN tot
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["lm_dirichlet_topk_driver"] = out["lm_dirichlet_topk"]
-    out["tfidf_classic_topk"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id,
-                 sum(pow(1.0 + ln(c.n / (d.df + 1.0)), 2)
-                     * sqrt(tf.tf) / sqrt(dl.doc_len)) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["boolean_sim_topk"] = f"""
-        WITH {_TF_CTE},
-        scored AS (
-          SELECT doc_id, count(*)::double AS score
-          FROM tf WHERE term IN ({terms_in}) GROUP BY doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # time-routed search: replay the month routing (periods with any
-    # doc in range), global stats over the selected periods, per-doc
-    # range eligibility — naive TIMESTAMP arithmetic, tz-free
-    _tpi_toks = sql_tokens_duckdb("sel.text")
-    _tpi_idf = sql_idf("c.n", "d.df")
-    _tpi_score = sql_score("tf.tf", "dl.doc_len", _tpi_idf, "c.avgdl",
-                           BM25_K1, BM25_B)
-    out["time_range_search"] = f"""
-        WITH base AS (
-          SELECT doc_id, text,
-                 TIMESTAMP '2026-01-01 00:00:00'
-                   + ((doc_id % 120) * INTERVAL 1 DAY) AS ts
-          FROM documents
-        ),
-        inr AS (
-          SELECT doc_id, strftime(date_trunc('month', ts), '%Y-%m') AS period
-          FROM base
-          WHERE epoch_us(ts) >= {TPI_LO_US} AND epoch_us(ts) < {TPI_HI_US}
-        ),
-        sel AS (
-          SELECT b.doc_id, b.text FROM base b
-          WHERE strftime(date_trunc('month', b.ts), '%Y-%m')
-                IN (SELECT DISTINCT period FROM inr)
-        ),
-        toks AS (SELECT doc_id, unnest({_tpi_toks}) AS term FROM sel),
-        tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({_tpi_score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT i.period, s.doc_id, round(s.score, 4) AS score
-        FROM scored s JOIN inr i ON s.doc_id = i.doc_id
-        ORDER BY score DESC, period ASC, s.doc_id ASC LIMIT 20
-    """
-    # full scored match set: the bm25 SQL without its LIMIT
-    out["match_scores_all"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term)
-        SELECT tf.doc_id, round(sum({score}), 4) AS score
-        FROM tf
-        JOIN d ON tf.term = d.term
-        JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN c
-        GROUP BY tf.doc_id
-    """
-
-    # multi_match: per-field BM25 from the field's OWN statistics
-    # (df/dl/avgdl over the field corpus), then the ES combine
-    def _mf_ctes(p: str, field_sql: str) -> str:
-        ftoks = sql_tokens_duckdb(field_sql)
-        fidf = sql_idf("c.n", "d.df")
-        fscore = sql_score("tf.tf", "dl.doc_len", fidf, "c.avgdl",
-                           BM25_K1, BM25_B)
-        return f"""
-        {p}_toks AS (SELECT doc_id, unnest({ftoks}) AS term FROM documents),
-        {p}_tf AS (SELECT term, doc_id, count(*) AS tf FROM {p}_toks GROUP BY term, doc_id),
-        {p}_dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM {p}_tf GROUP BY doc_id),
-        {p}_c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM {p}_dl),
-        {p}_d AS (SELECT term, count(*)::double AS df FROM {p}_tf
-                  WHERE term IN ({terms_in}) GROUP BY term),
-        {p}_scored AS (
-          SELECT tf.doc_id, sum({fscore}) AS s
-          FROM {p}_tf tf
-          JOIN {p}_d d ON tf.term = d.term
-          JOIN {p}_dl dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN {p}_c c
-          GROUP BY tf.doc_id
-        )"""
-
-    _title_sql = "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')"
-    _body_sql = (
-        "array_to_string(list_slice(string_split(text, ' '), 9, 100000000), ' ')"
-    )
-    _mf_union = f"""
-        u AS (
-          SELECT doc_id, {MF_BOOSTS['title']} * s AS s FROM t_scored
-          UNION ALL
-          SELECT doc_id, {MF_BOOSTS['body']} * s AS s FROM b_scored
-        )"""
-    _cf_score = sql_score("tfc.tfc", "dl.dlc", sql_idf("c.n", "d.df"),
-                          "c.avgdlc", BM25_K1, BM25_B)
-    out["combined_fields"] = f"""
-        WITH base AS (
-          SELECT doc_id, {_title_sql} AS title, {_body_sql} AS body
-          FROM documents
-        ),
-        long AS (
-          SELECT doc_id, unnest({sql_tokens_duckdb('title')}) AS term,
-                 {MF_BOOSTS['title']} AS w FROM base
-          UNION ALL
-          SELECT doc_id, unnest({sql_tokens_duckdb('body')}) AS term,
-                 {MF_BOOSTS['body']} AS w FROM base
-        ),
-        dl AS (SELECT doc_id, sum(w) AS dlc FROM long GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(dlc) AS avgdlc FROM dl),
-        ql AS (SELECT * FROM long WHERE term IN ({terms_in})),
-        tfc AS (SELECT doc_id, term, sum(w) AS tfc
-                FROM ql GROUP BY doc_id, term),
-        d AS (SELECT term, count(DISTINCT doc_id)::double AS df
-              FROM ql GROUP BY term),
-        s AS (
-          SELECT tfc.doc_id, sum({_cf_score}) AS score
-          FROM tfc
-          JOIN d ON tfc.term = d.term
-          JOIN dl ON tfc.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tfc.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM s ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["multi_match_most_fields"] = f"""
-        WITH {_mf_ctes('t', _title_sql)}, {_mf_ctes('b', _body_sql)}, {_mf_union}
-        SELECT doc_id, round(sum(s), 4) AS score
-        FROM u GROUP BY doc_id
-        ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["multi_match_best_fields"] = f"""
-        WITH {_mf_ctes('t', _title_sql)}, {_mf_ctes('b', _body_sql)}, {_mf_union}
-        SELECT doc_id,
-               round(max(s) + 0.3 * (sum(s) - max(s)), 4) AS score
-        FROM u GROUP BY doc_id
-        ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-
-    # function_score: relevance rounded at 4 dp, factor at 6 dp, then
-    # the combine — the engine's exact determinism contract
-    import math as _math
-
-    _two_sigma_sq = -(150.0 * 150.0) / _math.log(0.5)
-    _fs_rel = f"""
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        rel AS (
-          SELECT tf.doc_id, round(sum({score}), 4) AS r
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )"""
-    out["function_score_gauss"] = f"""
-        WITH {_TF_CTE}, {_fs_rel},
-        fac AS (
-          SELECT doc_id,
-                 round(exp(-(pow(greatest(abs(n_chars::double - 300.0), 0.0), 2))
-                           / {_two_sigma_sq!r}), 6) AS f
-          FROM documents
-        )
-        SELECT rel.doc_id, round(rel.r * fac.f, 6) AS score
-        FROM rel JOIN fac ON rel.doc_id = fac.doc_id
-        ORDER BY score DESC, rel.doc_id ASC LIMIT 20
-    """
-    out["function_score_fvf"] = f"""
-        WITH {_TF_CTE}, {_fs_rel},
-        fac AS (
-          SELECT doc_id, round(ln(1.0 + n_chars::double * 0.01), 6) AS f
-          FROM documents
-        )
-        SELECT rel.doc_id, round(rel.r + fac.f, 6) AS score
-        FROM rel JOIN fac ON rel.doc_id = fac.doc_id
-        ORDER BY score DESC, rel.doc_id ASC LIMIT 20
-    """
-    # DSL layer: each entry runs the SAME oracle as the path it
-    # compiles to — the layer adds no scoring code
-    out["dsl_match"] = out["bm25_topk"]
-    out["dsl_bool"] = out["boolean_search"]
-    out["dsl_filtered"] = out["filtered_search"]
-    out["dsl_function_score"] = out["function_score_gauss"]
-    out["dsl_collapsed"] = out["collapsed_search"]
-    out["dsl_knn"] = out["ann_cosine_topk"]
-    out["bm25_topk_resharded"] = out["bm25_topk"]
-    out["bm25_topk_indexed_driver"] = out["bm25_topk"]
-    out["boolean_search_indexed"] = out["boolean_search"]
-    out["boolean_search_indexed_driver"] = out["boolean_search"]
-    out["bm25_topk_rows"] = out["bm25_topk"]
-    out["bm25_topk_indexed_and"] = out["bm25_topk_and"]
-    out["filtered_search_indexed"] = out["filtered_search"]
-    # query-time (k1, b) tuning: same pipeline, tuned score constants
-    score_tuned = sql_score("tf.tf", "dl.doc_len", idf, "c.avgdl", 0.9, 0.25)
-    out["bm25_topk_tuned"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score_tuned}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # per-term query boosts: the boost multiplies the term's idf (the
-    # same fold the Spark front end applies), everything else is the
-    # standard BM25 replay
-    boosted_idf = (
-        f"({idf}) * (CASE d.term WHEN 'spark' THEN 2.0 "
-        f"WHEN 'table' THEN 0.5 ELSE 1.0 END)"
-    )
-    score_term_boosted = sql_score(
-        "tf.tf", "dl.doc_len", boosted_idf, "c.avgdl", BM25_K1, BM25_B
-    )
-    # minimum_should_match: the standard disjunctive replay, scoring
-    # group gated on >= 2 distinct matched query terms
-    out["msm_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-          HAVING count(DISTINCT tf.term) >= 2
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["term_boosted_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score_term_boosted}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # batch serving: per-query BM25 replay unioned under query_id; the
-    # tf/dl/corpus-stats CTEs are shared, each query gets its own df
-    # CTE (aliased d so the shared score fragment binds) and top-20
-    def _batch_sql(queries: dict, k: int) -> str:
-        parts, ctes = [], []
-        for qid, qtext in sorted(queries.items()):
-            q_terms = sorted(set(qtext.split()))
-            q_in = ", ".join(f"'{t}'" for t in q_terms)
-            ctes.append(f"""
-                d_{qid} AS (
-                  SELECT term, count(*)::double AS df FROM tf
-                  WHERE term IN ({q_in}) GROUP BY term
-                ),
-                s_{qid} AS (
-                  SELECT tf.doc_id, sum({score}) AS score
-                  FROM tf
-                  JOIN d_{qid} d ON tf.term = d.term
-                  JOIN dl ON tf.doc_id = dl.doc_id
-                  CROSS JOIN c
-                  GROUP BY tf.doc_id
-                ),
-                t_{qid} AS (
-                  SELECT '{qid}' AS query_id, doc_id, score
-                  FROM s_{qid} ORDER BY score DESC, doc_id ASC LIMIT {k}
-                )""")
-            parts.append(f"SELECT * FROM t_{qid}")
-        return f"""
-            WITH {_TF_CTE},
-            dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-            c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-            {", ".join(ctes)}
-            SELECT query_id, doc_id, round(score, 4) AS score
-            FROM ({" UNION ALL ".join(parts)})
-        """
-
-    out["bm25_topk_batch"] = _batch_sql(BATCH_QUERIES, 20)
-    out["bm25_topk_batch_driver"] = out["bm25_topk_batch"]
-    out["bm25_topk_batch_50"] = _batch_sql(BATCH_QUERIES_50, 10)
-    # slot-balanced interleaving of the default vs tuned batch runs:
-    # replay both rankings, then the even/odd slot algebra
-    il_score_tuned = sql_score("tf.tf", "dl.doc_len", idf, "c.avgdl",
-                               0.9, 0.25)
-    il_ctes, ra_parts, rb_parts = [], [], []
-    for qid, qtext in sorted(BATCH_QUERIES.items()):
-        q_in = ", ".join(f"'{t}'" for t in sorted(set(qtext.split())))
-        il_ctes.append(f"""
-            ild_{qid} AS (
-              SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({q_in}) GROUP BY term
-            ),
-            ilsa_{qid} AS (
-              SELECT tf.doc_id, sum({score}) AS score
-              FROM tf JOIN ild_{qid} d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
-              GROUP BY tf.doc_id
-            ),
-            ilsb_{qid} AS (
-              SELECT tf.doc_id, sum({il_score_tuned}) AS score
-              FROM tf JOIN ild_{qid} d ON tf.term = d.term
-              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
-              GROUP BY tf.doc_id
-            ),
-            ilra_{qid} AS (
-              SELECT '{qid}' AS query_id, doc_id,
-                     row_number() OVER (ORDER BY score DESC, doc_id)
-                       AS rank
-              FROM ilsa_{qid} QUALIFY rank <= 10
-            ),
-            ilrb_{qid} AS (
-              SELECT '{qid}' AS query_id, doc_id,
-                     row_number() OVER (ORDER BY score DESC, doc_id)
-                       AS rank
-              FROM ilsb_{qid} QUALIFY rank <= 10
-            )""")
-        ra_parts.append(f"SELECT * FROM ilra_{qid}")
-        rb_parts.append(f"SELECT * FROM ilrb_{qid}")
-    out["interleave_runs"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        {", ".join(il_ctes)},
-        runa AS ({" UNION ALL ".join(ra_parts)}),
-        runb AS ({" UNION ALL ".join(rb_parts)}),
-        sa AS (SELECT query_id, doc_id,
-                      2 * (rank - 1)::bigint AS slot_a FROM runa),
-        sb AS (SELECT query_id, doc_id,
-                      (2 * (rank - 1) + 1)::bigint AS slot_b FROM runb),
-        merged AS (
-          SELECT coalesce(sa.query_id, sb.query_id) AS query_id,
-                 coalesce(sa.doc_id, sb.doc_id) AS doc_id,
-                 least(coalesce(slot_a, 4611686018427387904),
-                       coalesce(slot_b, 4611686018427387904)) AS slot,
-                 CASE WHEN coalesce(slot_a, 4611686018427387904)
-                        < coalesce(slot_b, 4611686018427387904)
-                      THEN 'a' ELSE 'b' END AS team
-          FROM sa FULL JOIN sb
-            ON sa.query_id = sb.query_id AND sa.doc_id = sb.doc_id
-        )
-        SELECT query_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY slot)::int AS rank,
-               doc_id, team
-        FROM merged QUALIFY rank <= 10
-    """
-    # federation is invisible: global stats make the segmented result
-    # equal the union-corpus query, so the same oracles apply
-    out["federated_search"] = out["bm25_topk"]
-    out["federated_batch"] = out["bm25_topk_batch"]
-    out["facet_counts_indexed"] = out["facet_counts"]
-    # semi-structured props: JSON field extraction + per-type rollup
-    out["json_props_agg"] = """
-        WITH e AS (
-          SELECT event_type,
-                 json_extract_string(props, '$.k')::bigint AS k
-          FROM events
-        )
-        SELECT event_type, count(*)::bigint AS n_events,
-               sum(k)::bigint AS sum_k, min(k) AS min_k, max(k) AS max_k
-        FROM e WHERE k IS NOT NULL AND k >= 10
-        GROUP BY event_type
-    """
-    # ES terms-agg page: top-3 buckets by (count desc, key asc)
-    out["terms_agg_sized"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-        SELECT doc.lang, count(*)::bigint AS n_docs
-        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        GROUP BY doc.lang
-        ORDER BY n_docs DESC, lang ASC LIMIT 3
-    """
-    # ES histogram agg: floor bucketing + interior gap fill
-    out["histogram_facets"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT floor(doc.n_chars::double / 200.0) * 200.0 AS bucket,
-                 count(*) AS n_docs
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          WHERE doc.n_chars IS NOT NULL
-          GROUP BY 1
-        ),
-        span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM h),
-        grid AS (
-          SELECT (step * 200.0) AS bucket
-          FROM span,
-               unnest(range((lo / 200.0)::bigint, (hi / 200.0)::bigint + 1))
-                 AS t(step)
-          WHERE lo IS NOT NULL
-        )
-        SELECT g.bucket, coalesce(h.n_docs, 0)::bigint AS n_docs
-        FROM grid g LEFT JOIN h ON g.bucket = h.bucket
-    """
-    # ES range agg: independent (possibly overlapping) [from, to) counts
-    out["range_facets"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        hits AS (
-          SELECT doc.n_chars::double AS x
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT 'short' AS range_label,
-               (count(*) FILTER (WHERE x IS NOT NULL AND x < 500))::bigint AS n_docs
-        FROM hits
-        UNION ALL
-        SELECT 'mid', (count(*) FILTER (WHERE x >= 400 AND x < 1500))::bigint FROM hits
-        UNION ALL
-        SELECT 'long', (count(*) FILTER (WHERE x >= 1500))::bigint FROM hits
-        UNION ALL
-        SELECT 'none', (count(*) FILTER (WHERE x >= 1000000000))::bigint FROM hits
-    """
-    # ES range agg via the DSL: same counts, ES auto-key labels
-    out["dsl_range_agg"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        hits AS (
-          SELECT doc.n_chars::double AS x
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT '*-500.0' AS range_label,
-               (count(*) FILTER (WHERE x IS NOT NULL AND x < 500))::bigint AS n_docs
-        FROM hits
-        UNION ALL
-        SELECT '400.0-1500.0', (count(*) FILTER (WHERE x >= 400 AND x < 1500))::bigint FROM hits
-        UNION ALL
-        SELECT 'long', (count(*) FILTER (WHERE x >= 1500))::bigint FROM hits
-    """
-    # ES terms agg ordered by a metric sub-agg, size 3
-    out["terms_order_metric"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT doc.lang, count(*)::bigint AS n_docs,
-                 round(avg(doc.n_chars::double), 6) AS avg_len
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          GROUP BY doc.lang
-        )
-        SELECT lang, n_docs, avg_len FROM h
-        ORDER BY avg_len DESC, lang ASC LIMIT 3
-    """
-    # ES terms agg include/exclude: anchored regex + value list
-    out["terms_filtered"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-        SELECT doc.lang, count(*)::bigint AS n_docs
-        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        WHERE regexp_matches(doc.lang, '^(?:e.|de|fr)$')
-          AND doc.lang != 'fr'
-        GROUP BY doc.lang
-    """
-    # ES top_metrics agg: fields read off the 3 longest matched docs
-    out["top_metrics"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-        SELECT doc.n_chars AS sort_value, doc.lang, doc.source
-        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        ORDER BY doc.n_chars DESC NULLS LAST, doc.doc_id ASC LIMIT 3
-    """
-    # continuous-aggregate rollup: the range query answered from the
-    # materialized table must equal the raw one-shot aggregation
-    out["rollup_range"] = """
-        SELECT date_trunc('hour', ts) AS bucket, event_type,
-               count(*)::bigint AS n_events,
-               sum(floor(value)) AS v_sum,
-               max(floor(value)) AS v_max
-        FROM events
-        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-          AND ts < TIMESTAMP '2024-01-20 00:00:00'
-        GROUP BY 1, 2 ORDER BY 1, 2
-    """
-    # incremental refresh path: full span, same raw-recompute oracle
-    out["rollup_refresh"] = """
-        SELECT date_trunc('hour', ts) AS bucket, event_type,
-               count(*)::bigint AS n_events,
-               sum(floor(value)) AS v_sum,
-               max(floor(value)) AS v_max
-        FROM events WHERE ts IS NOT NULL
-        GROUP BY 1, 2 ORDER BY 1, 2
-    """
-    # ES parent pipeline aggs: cumulative_sum + derivative as window
-    # functions over the daily-bucket frame
-    out["pipeline_aggs"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))::timestamp
-                   AS bucket,
-                 count(*)::bigint AS n_docs,
-                 sum(doc.n_chars::double) AS total
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          GROUP BY 1
-        )
-        SELECT bucket, n_docs, total,
-               round(sum(total) OVER (ORDER BY bucket
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-                 AS cum,
-               coalesce(round(n_docs::double - lag(n_docs::double)
-                 OVER (ORDER BY bucket), 6), 0.0) AS growth
-        FROM h ORDER BY bucket
-    """
-    # ES bucket_script + bucket_selector: computed ratio + HAVING
-    out["bucket_script"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))::timestamp
-                   AS bucket,
-                 count(*)::bigint AS n_docs,
-                 sum(doc.n_chars::double) AS total
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          GROUP BY 1
-        )
-        SELECT bucket, n_docs, total,
-               round(total / n_docs::double, 6) AS mean_len
-        FROM h WHERE n_docs::double >= 5 ORDER BY bucket
-    """
-    # ES max_bucket sibling pipeline agg: extreme value + tied keys
-    out["max_bucket"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT date_trunc('day', make_timestamp(doc.doc_id * 3600 * 1000000))::timestamp
-                   AS bucket,
-                 sum(doc.n_chars::double) AS total
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          GROUP BY 1
-        ),
-        ext AS (SELECT max(total) AS value FROM h)
-        SELECT ext.value,
-               array_to_string(list_sort(list(
-                 strftime(h.bucket, '%Y-%m-%d %H:%M:%S'))), ',') AS keys
-        FROM h JOIN ext ON h.total = ext.value
-        GROUP BY ext.value
-    """
-    # ES rare_terms agg: the long tail (<= 2 matched docs per value)
-    out["rare_terms"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT doc.n_chars::varchar AS key, count(*)::bigint AS n_docs
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          WHERE doc.n_chars IS NOT NULL
-          GROUP BY 1
-        )
-        SELECT key, n_docs FROM h WHERE n_docs <= 2
-        ORDER BY n_docs ASC, key ASC
-    """
-    # ES date_range agg over click events ([from, to), open sides,
-    # overlapping 'all' window counted independently)
-    out["date_range_agg"] = """
-        WITH hits AS (SELECT ts FROM events WHERE event_type = 'click')
-        SELECT 'w1' AS range_label,
-               (count(*) FILTER (WHERE ts IS NOT NULL
-                 AND ts < TIMESTAMP '2024-01-08 00:00:00'))::bigint AS n_docs
-        FROM hits
-        UNION ALL
-        SELECT 'w2', (count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
-                 AND ts < TIMESTAMP '2024-01-15 00:00:00'))::bigint FROM hits
-        UNION ALL
-        SELECT 'rest', (count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'))::bigint FROM hits
-        UNION ALL
-        SELECT 'all', (count(*) FILTER (WHERE ts IS NOT NULL))::bigint FROM hits
-    """
-    # ES multi_terms agg: composite (lang, source) buckets, top-8
-    out["multi_terms_agg"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT doc.lang, doc.source, count(*)::bigint AS n_docs
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          WHERE doc.lang IS NOT NULL AND doc.source IS NOT NULL
-          GROUP BY 1, 2
-        )
-        SELECT lang, source, n_docs FROM h
-        ORDER BY n_docs DESC, lang ASC, source ASC LIMIT 8
-    """
-    # ES weighted_avg metric: sum(v*w)/sum(w), null pairs skipped
-    out["weighted_avg_metric"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        h AS (
-          SELECT doc.n_chars::double AS x,
-                 ((doc.doc_id % 7) + 1)::double AS w
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT round(sum(x * w) / sum(w), 6) AS value
-        FROM h WHERE x IS NOT NULL AND w IS NOT NULL
-    """
-    # ES stats agg over the hit set
-    out["stats_facet"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        hits AS (
-          SELECT doc.n_chars::double AS x
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT count(x) AS n_docs, min(x) AS min, max(x) AS max,
-               round(avg(x), 6) AS avg, sum(x) AS sum
-        FROM hits
-    """
-    # term stats: df from the token CTE, the engine's idf formula
-    out["term_stats"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term)
-        SELECT term, df::bigint AS df,
-               round({sql_idf("c.n", "d.df")}, 6) AS idf
-        FROM d, c
-    """
-    # ES percentiles agg: quantile_cont = Spark percentile (both
-    # linear interpolation over the sorted hit values)
-    out["percentiles_facet"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        hits AS (
-          SELECT doc.n_chars::double AS x
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-    """ + "\nUNION ALL\n".join(
-        f"SELECT {p} AS percent,"
-        f" round(quantile_cont(x, {p / 100.0}), 6) AS value FROM hits"
-        for p in (25.0, 50.0, 75.0, 95.0, 99.0)
-    )
-    out["cardinality_facet"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-        SELECT count(DISTINCT doc.source)::bigint AS cardinality
-        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-    """
-    # ES terms + top_hits: 2 best hits per source over the full
-    # scored match set
-    out["top_hits_facet"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        h AS (
-          SELECT doc.source, s.doc_id, round(s.score, 4) AS score
-          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
-        ),
-        r AS (
-          SELECT source, doc_id, score,
-                 row_number() OVER (PARTITION BY source
-                                    ORDER BY score DESC, doc_id ASC)
-                   AS hit_rank
-          FROM h
-        )
-        SELECT source, hit_rank::int AS hit_rank, doc_id, score
-        FROM r WHERE hit_rank <= 2
-    """
-    out["snippets_indexed"] = out["snippets"]
-    out["collapsed_search_indexed"] = out["collapsed_search"]
-    # collapse inner_hits: page keys from the collapsed top-5, each
-    # group expanded to its top-3 from the FULL scored set
-    out["collapse_inner_hits"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        top AS (SELECT doc_id, score FROM scored
-                ORDER BY score DESC, doc_id ASC LIMIT 50),
-        keyed AS (
-          SELECT t.doc_id, dd.lang, t.score,
-                 row_number() OVER (
-                   PARTITION BY dd.lang
-                   ORDER BY t.score DESC, t.doc_id ASC
-                 ) AS rn
-          FROM top t JOIN documents dd ON t.doc_id = dd.doc_id
-        ),
-        page AS (
-          SELECT lang FROM (
-            SELECT lang, score, doc_id FROM keyed WHERE rn = 1
-            ORDER BY score DESC, doc_id ASC LIMIT 5)
-        ),
-        members AS (
-          SELECT dd.doc_id, dd.lang
-          FROM documents dd JOIN page USING (lang)
-        ),
-        expanded AS (
-          SELECT m.lang, s.doc_id, s.score,
-                 row_number() OVER (
-                   PARTITION BY m.lang
-                   ORDER BY s.score DESC, s.doc_id ASC
-                 ) AS rank
-          FROM scored s JOIN members m ON s.doc_id = m.doc_id
-        )
-        SELECT lang, rank::int AS rank, doc_id,
-               round(score, 4) AS score
-        FROM expanded WHERE rank <= 3 ORDER BY lang, rank
-    """
-    out["suggest_terms_indexed"] = out["suggest_terms"]
-    out["fuzzy_terms_indexed"] = out["fuzzy_terms"]
-    # the reference's OR-union first-seen ranking (query-order term
-    # position, then doc_id) replayed as a window function
-    pos_case = " ".join(
-        f"WHEN '{t}' THEN {i}" for i, t in enumerate(FLAGSHIP_TERMS)
-    )
-    term_case = " ".join(
-        f"WHEN {i} THEN '{t}'" for i, t in enumerate(FLAGSHIP_TERMS)
-    )
-    out["or_union_indexed"] = f"""
-        WITH {_TF_CTE},
-        m AS (
-          SELECT doc_id,
-                 min(CASE term {pos_case} END) AS term_pos
-          FROM tf WHERE term IN ({terms_in}) GROUP BY doc_id
-        )
-        SELECT (row_number() OVER (ORDER BY term_pos, doc_id) - 1)::int
-                 AS rank,
-               doc_id,
-               CASE term_pos {term_case} END AS matched_term
-        FROM m
-    """
-    # percolation: distinct-token join against the compiled query-term
-    # rows, per-(doc, query) distinct-match count gated by the query's
-    # requirement (n_required is constant per query, so min() reads it)
-    perc_rows = ", ".join(
-        [f"('any', '{t}', 1)" for t in ["spark", "query"]]
-        + [f"('all', '{t}', 3)" for t in FLAGSHIP_TERMS]
-        + [f"('m2', '{t}', 2)" for t in FLAGSHIP_TERMS]
-    )
-    out["percolate"] = f"""
-        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-        dt AS (SELECT DISTINCT doc_id, term FROM toks),
-        q AS (SELECT * FROM (VALUES {perc_rows})
-              AS t(query_id, term, n_required))
-        SELECT d.doc_id, q.query_id,
-               count(DISTINCT d.term)::bigint AS n_matched
-        FROM dt d JOIN q ON d.term = q.term
-        GROUP BY d.doc_id, q.query_id
-        HAVING count(DISTINCT d.term) >= min(q.n_required)
-    """
-    # the streaming replay unions per-micro-batch percolations of a
-    # doc-id-parity split; percolation is per-doc, so the oracle is
-    # the identical one-shot join
-    out["percolate_stream"] = out["percolate"]
-    out["search_count"] = f"""
-        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
-        SELECT count(DISTINCT doc_id)::bigint AS n_hits
-        FROM toks WHERE term IN ({terms_in})
-    """
-    # significant terms: fg/bg DOCUMENT frequencies over distinct
-    # (doc, term) pairs, JLH = (fg% - bg%) * fg% / bg% in the same
-    # left-to-right double arithmetic as the Spark column expression
-    out["significant_terms"] = f"""
-        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-        dt AS (SELECT DISTINCT doc_id, term FROM toks),
-        fg AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({terms_in})),
-        nfg AS (SELECT count(*)::double AS n_fg FROM fg),
-        nbg AS (SELECT count(*)::double AS n_bg FROM documents),
-        fgc AS (SELECT term, count(*)::bigint AS fg_df
-                FROM dt JOIN fg USING (doc_id) GROUP BY term),
-        bgc AS (SELECT term, count(*)::bigint AS bg_df FROM dt GROUP BY term)
-        SELECT f.term, f.fg_df, b.bg_df,
-               round(((f.fg_df / n_fg) - (b.bg_df / n_bg))
-                     * (f.fg_df / n_fg) / (b.bg_df / n_bg), 6) AS score
-        FROM fgc f JOIN bgc b USING (term), nfg, nbg
-        WHERE f.fg_df >= 2 AND f.term NOT IN ({terms_in})
-        ORDER BY score DESC, term ASC LIMIT 20
-    """
-    # weekly cohort retention: epoch-week offsets, exact integers
-    out["cohort_retention"] = """
-        WITH f AS (
-          SELECT user_id,
-                 date_trunc('week', min(ts))::timestamp AS cohort
-          FROM events GROUP BY user_id
-        ),
-        a AS (
-          SELECT DISTINCT e.user_id, f.cohort,
-                 (date_diff('day', f.cohort::date,
-                            date_trunc('week', e.ts)::date) // 7)::int
-                   AS period_n
-          FROM events e JOIN f USING (user_id)
-        ),
-        act AS (SELECT cohort, period_n,
-                       count(DISTINCT user_id)::bigint AS n_active
-                FROM a GROUP BY cohort, period_n),
-        sz AS (SELECT cohort, count(*)::bigint AS s FROM f
-               GROUP BY cohort)
-        SELECT act.cohort, act.period_n, act.n_active,
-               round(act.n_active / sz.s::double, 6) AS retention
-        FROM act JOIN sz USING (cohort)
-        ORDER BY cohort, period_n
-    """
-    # ordered funnel, first-touch: step i needs first(i) at/after
-    # every earlier step's first time
-    out["funnel_counts"] = """
-        WITH fs AS (
-          SELECT user_id, event_type, min(ts) AS ft FROM events
-          WHERE event_type IN ('view', 'click', 'purchase')
-          GROUP BY user_id, event_type
-        ),
-        w AS (
-          SELECT user_id,
-                 min(ft) FILTER (WHERE event_type = 'view') AS s0,
-                 min(ft) FILTER (WHERE event_type = 'click') AS s1,
-                 min(ft) FILTER (WHERE event_type = 'purchase') AS s2
-          FROM fs GROUP BY user_id
-        )
-        SELECT 0 AS step_idx, 'view' AS step,
-               (count(*) FILTER (WHERE s0 IS NOT NULL))::bigint
-                 AS n_users FROM w
-        UNION ALL
-        SELECT 1, 'click',
-               (count(*) FILTER (WHERE s0 IS NOT NULL
-                 AND s1 IS NOT NULL AND s1 >= s0))::bigint FROM w
-        UNION ALL
-        SELECT 2, 'purchase',
-               (count(*) FILTER (WHERE s0 IS NOT NULL
-                 AND s1 IS NOT NULL AND s1 >= s0
-                 AND s2 IS NOT NULL
-                 AND s2 >= greatest(s0, s1)))::bigint FROM w
-    """
-    # trailing z-score anomaly flags over the daily click timeline
-    out["bucket_anomalies"] = """
-        WITH h AS (
-          SELECT date_trunc('day', ts)::timestamp AS bucket,
-                 count(*)::bigint AS n
-          FROM events WHERE event_type = 'click' GROUP BY 1
-        )
-        SELECT bucket, n,
-               round(coalesce(avg(n::double) OVER trail, 0.0), 6)
-                 AS trail_mean,
-               round(coalesce(stddev_pop(n::double) OVER trail, 0.0), 6)
-                 AS trail_std,
-               (count(*) OVER trail >= 2
-                AND coalesce(stddev_pop(n::double) OVER trail, 0.0) > 0
-                AND abs(n::double - avg(n::double) OVER trail)
-                    > 2.0 * stddev_pop(n::double) OVER trail)
-                 AS is_anomaly
-        FROM h
-        WINDOW trail AS (ORDER BY bucket
-                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-        ORDER BY bucket
-    """
-    # background_filter variant: bg df and n_bg from the lang='en'
-    # subset only; terms outside it drop out (inner join)
-    out["significant_terms_bg"] = f"""
-        WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
-        dt AS (SELECT DISTINCT doc_id, term FROM toks),
-        fg AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({terms_in})),
-        bgd AS (SELECT doc_id FROM documents WHERE lang = 'en'),
-        nfg AS (SELECT count(*)::double AS n_fg FROM fg),
-        nbg AS (SELECT count(*)::double AS n_bg FROM bgd),
-        fgc AS (SELECT term, count(*)::bigint AS fg_df
-                FROM dt JOIN fg USING (doc_id) GROUP BY term),
-        bgc AS (SELECT term, count(*)::bigint AS bg_df
-                FROM dt JOIN bgd USING (doc_id) GROUP BY term)
-        SELECT f.term, f.fg_df, b.bg_df,
-               round(((f.fg_df / n_fg) - (b.bg_df / n_bg))
-                     * (f.fg_df / n_fg) / (b.bg_df / n_bg), 6) AS score
-        FROM fgc f JOIN bgc b USING (term), nfg, nbg
-        WHERE f.fg_df >= 2 AND f.term NOT IN ({terms_in})
-        ORDER BY score DESC, term ASC LIMIT 15
-    """
-    # exact-phrase BM25: the phrase is doc 0's first two tokens,
-    # derived in-SQL (ph CTE) exactly as q_phrase_indexed derives it
-    # driver-side; adjacency = a token-array window filter
-    out["phrase_search_indexed"] = f"""
-        WITH {_TF_CTE},
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        ph AS (SELECT toks[1] AS a, toks[2] AS b FROM t WHERE doc_id = 0),
-        m AS (
-          SELECT t.doc_id FROM t, ph
-          WHERE len(list_filter(range(1, len(toks)),
-                                i -> toks[i] = a AND toks[i+1] = b)) > 0
-        ),
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          WHERE tf.doc_id IN (SELECT doc_id FROM m)
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["phrase_search_indexed_spark"] = out["phrase_search_indexed"]
-    # span_first: same phrase window filter + the end bound (the
-    # 1-based adjacency index i equals the 0-based position of the
-    # phrase's LAST token, so "span ends within first 8" is i < 8)
-    out["span_first_search"] = f"""
-        WITH {_TF_CTE},
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        ph AS (SELECT toks[1] AS a, toks[2] AS b FROM t WHERE doc_id = 0),
-        m AS (
-          SELECT t.doc_id FROM t, ph
-          WHERE len(list_filter(range(1, len(toks)),
-                                i -> toks[i] = a AND toks[i+1] = b
-                                     AND i < 8)) > 0
-        ),
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          WHERE tf.doc_id IN (SELECT doc_id FROM m)
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-
-    # per-doc term vectors: parallel unnest zips (term, 0-based pos)
-    out["doc_term_vectors"] = f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
-                   WHERE doc_id IN (0, 1, 2, 3, 4)),
-        occ AS (SELECT doc_id, unnest(toks) AS term,
-                       unnest(range(len(toks))) AS pos FROM t)
-        SELECT doc_id, term, count(*)::bigint AS tf,
-               string_agg(pos::varchar, ',' ORDER BY pos) AS positions
-        FROM occ GROUP BY doc_id, term
-    """
-
-    # phrase-prefix (match_phrase_prefix): fixed term a = doc 0's
-    # first token, prefix p = first 3 chars of its second token;
-    # expansions = top-50 prefix terms by (df desc, term asc) — the
-    # SAME cap order suggest_terms uses; match = a followed by ANY
-    # expansion; score = partials of {a} UNION (expansions the doc
-    # contains)
-    out["phrase_prefix_search"] = f"""
-        WITH {_TF_CTE},
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        ph AS (SELECT toks[1] AS a, substr(toks[2], 1, 3) AS p
-               FROM t WHERE doc_id = 0),
-        exps AS (
-          SELECT term FROM (
-            SELECT tf.term, count(*) AS df FROM tf, ph
-            WHERE starts_with(tf.term, p) GROUP BY tf.term
-            ORDER BY df DESC, term ASC LIMIT 50
-          )
-        ),
-        el AS (SELECT list(term) AS el FROM exps),
-        m AS (
-          SELECT t.doc_id FROM t, ph, el
-          WHERE len(list_filter(range(1, len(toks)),
-                i -> toks[i] = a AND list_contains(el.el, toks[i+1]))) > 0
-        ),
-        sterms AS (SELECT a AS term FROM ph UNION SELECT term FROM exps),
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM sterms) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          WHERE tf.doc_id IN (SELECT doc_id FROM m)
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-
-    # --- analysis chain (stopwords + S-stem) ---------------------------
-    from hadoop_search_engine_spark.functions.analyzer import (
-        ENGLISH_STOPWORDS as _STOPS,
-    )
-    from hadoop_search_engine_spark.functions.analyzer import (
-        sql_s_stem_duckdb as _dd_stem,
-    )
-
-    _atoks, _atf_cte = _analyzed_cte()
-    out["analyzed_tokens"] = (
-        f"SELECT doc_id, unnest({_atoks}) AS term FROM documents"
-    )
-    # the raw ANALYZED_QUERY analyzes to exactly the flagship terms
-    # (stopwords dropped, queries->query, tables->table); corpus tf/df
-    # recomputed over analyzed tokens
-    out["bm25_topk_analyzed"] = f"""
-        WITH {_atf_cte},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["bm25_topk_analyzed_driver"] = out["bm25_topk_analyzed"]
-    # analyzed phrase: doc 0's first adjacent ANALYZED pair that is a
-    # fixed point of the analyzer (not a stopword, stem-stable) — the
-    # same pair q_phrase_search_analyzed picks in Python
-    _stops_in = ", ".join(f"'{w}'" for w in sorted(set(_STOPS)))
-    _fx = (
-        lambda x: f"({x} NOT IN ({_stops_in}) AND ({_dd_stem(x)}) = {x})"
-    )
-    out["phrase_search_analyzed"] = f"""
-        WITH {_atf_cte},
-        t AS (SELECT doc_id, {_atoks} AS toks FROM documents),
-        ph AS (
-          SELECT toks[i] AS a, toks[i + 1] AS b FROM (
-            SELECT toks,
-                   list_filter(range(1, len(toks)),
-                               i -> {_fx('toks[i]')} AND {_fx('toks[i+1]')})[1] AS i
-            FROM t WHERE doc_id = 0
-          )
-        ),
-        m AS (
-          SELECT t.doc_id FROM t, ph
-          WHERE len(list_filter(range(1, len(toks)),
-                                i -> toks[i] = a AND toks[i+1] = b)) > 0
-        ),
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          WHERE tf.doc_id IN (SELECT doc_id FROM m)
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # ordered proximity (slop=2): doc 0's 1st and 3rd tokens; a doc
-    # matches iff token b follows token a within 1..3 positions. The
-    # window is a position self-join over the parallel-unnested token
-    # array; scoring is the standard BM25 sum over the two terms.
-    out["proximity_search_indexed"] = f"""
-        WITH {_TF_CTE},
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        ph AS (SELECT toks[1] AS a, toks[3] AS b FROM t WHERE doc_id = 0),
-        tpos AS (
-          SELECT doc_id, unnest(toks) AS term,
-                 unnest(range(1, len(toks) + 1)) AS pos
-          FROM t
-        ),
-        m AS (
-          SELECT DISTINCT p1.doc_id
-          FROM tpos p1, tpos p2, ph
-          WHERE p1.doc_id = p2.doc_id
-            AND p1.term = ph.a AND p2.term = ph.b
-            AND p2.pos - p1.pos BETWEEN 1 AND 3
-        ),
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          WHERE tf.doc_id IN (SELECT doc_id FROM m)
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["proximity_search_indexed_spark"] = out["proximity_search_indexed"]
-    # unordered proximity (window=4): a doc matches iff some window
-    # starting AT an occurrence of either term contains both terms —
-    # the slid-left-to-an-occurrence normal form of "both terms within
-    # any 4-token window, either order"
-    out["near_search_indexed"] = f"""
-        WITH {_TF_CTE},
-        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        ph AS (SELECT toks[1] AS a, toks[3] AS b FROM t WHERE doc_id = 0),
-        tpos AS (
-          SELECT doc_id, unnest(toks) AS term,
-                 unnest(range(1, len(toks) + 1)) AS pos
-          FROM t
-        ),
-        m AS (
-          SELECT DISTINCT s.doc_id
-          FROM tpos s, ph
-          WHERE s.term IN (ph.a, ph.b)
-            AND EXISTS (SELECT 1 FROM tpos o WHERE o.doc_id = s.doc_id
-                        AND o.term = ph.a
-                        AND o.pos BETWEEN s.pos AND s.pos + 3)
-            AND EXISTS (SELECT 1 FROM tpos o WHERE o.doc_id = s.doc_id
-                        AND o.term = ph.b
-                        AND o.pos BETWEEN s.pos AND s.pos + 3)
-        ),
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        pterms AS (SELECT a AS term FROM ph UNION SELECT b FROM ph),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM pterms) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          WHERE tf.doc_id IN (SELECT doc_id FROM m)
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    out["near_search_indexed_spark"] = out["near_search_indexed"]
-    # deterministic split: the murmur3 bucket CASE replayed in SQL
-    from hadoop_search_engine_spark.operators.curate import (
-        sql_split_duckdb,
-    )
-
-    out["train_val_split"] = (
-        f"SELECT doc_id, {sql_split_duckdb()} AS split FROM documents"
-    )
-    # deterministic stratified sampling: the same murmur3 bucket, a
-    # per-stratum CASE threshold as a WHERE predicate
-    from hadoop_search_engine_spark.operators.curate import (
-        sql_sample_predicate_duckdb,
-    )
-
-    out["stratified_sample"] = (
-        "SELECT doc_id, lang FROM documents WHERE "
-        + sql_sample_predicate_duckdb(
-            {"en": 0.2, "zh": 1.0}, strata_col="lang", default_rate=0.5
-        )
-    )
-    # decontamination: the deterministic split replayed, 4-gram
-    # shingles, eval-set overlap per train doc
-    _decon_cte = f"""
-        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        sp AS (SELECT doc_id, {sql_split_duckdb()} AS split FROM documents),
-        sh AS (
-          SELECT DISTINCT doc_id,
-                 array_to_string(toks[i : i + 3], ' ') AS shingle
-          FROM tok, unnest(range(1, len(toks) - 2)) AS t(i)
-          WHERE len(toks) >= 4
-        ),
-        ev AS (SELECT DISTINCT shingle FROM sh JOIN sp USING (doc_id)
-               WHERE split = 'test'),
-        tr AS (SELECT sh.* FROM sh JOIN sp USING (doc_id)
-               WHERE split <> 'test'),
-        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr
-                  GROUP BY doc_id),
-        ov AS (SELECT doc_id, count(*) AS overlap FROM tr
-               JOIN ev USING (shingle) GROUP BY doc_id)
-    """
-    out["contamination"] = _decon_cte + """
-        SELECT doc_id, n_shingles, overlap,
-               round(overlap / n_shingles, 6) AS rate
-        FROM ov JOIN sizes USING (doc_id) WHERE overlap >= 1
-    """
-    out["decontaminated"] = _decon_cte + """
-        SELECT doc_id FROM sp
-        WHERE split <> 'test'
-          AND doc_id NOT IN (SELECT doc_id FROM ov WHERE overlap >= 1)
-    """
-    # repeated-line (boilerplate) removal over the synthetic
-    # header-lines shape: source/lang lines repeat corpus-wide, the
-    # body line is unique
-    def _line_dedup_sql(keep_pred: str) -> str:
-        return f"""
-        WITH ls AS (
-          SELECT doc_id,
-                 string_split(source || chr(10) || lang || chr(10) || text,
-                              chr(10)) AS l
-          FROM documents
-        ),
-        lines AS (
-          SELECT doc_id, unnest(l) AS line,
-                 unnest(range(0, len(l))) AS pos
-          FROM ls
-        ),
-        stats AS (SELECT line, count(*) AS df FROM lines GROUP BY line),
-        ranked AS (
-          SELECT doc_id, pos, line,
-                 row_number() OVER (PARTITION BY line
-                                    ORDER BY doc_id, pos) AS rn
-          FROM lines
-        ),
-        kept AS (
-          SELECT r.doc_id, r.pos, r.line
-          FROM ranked r JOIN stats USING (line)
-          WHERE {keep_pred}
-        )
-        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-        FROM kept GROUP BY doc_id
-        """
-
-    out["line_dedup_drop_all"] = _line_dedup_sql("df <= 3")
-    out["line_dedup_keep_first"] = _line_dedup_sql("df <= 3 OR rn = 1")
-    # PII redaction / census over the planted-PII text shape
-    from hadoop_search_engine_spark.operators.text_analysis import (
-        PII_PATTERNS,
-        sql_redact_duckdb,
-    )
-
-    _pii_text = (
-        "text || ' ' || source || '@mail.' || lang"
-        " || ' from 10.0.' || (doc_id % 200)::varchar || '.7'"
-        " || ' call +1 555-01' || lpad((doc_id % 90)::varchar, 2, '0')"
-    )
-    out["pii_redact"] = (
-        f"SELECT doc_id, {sql_redact_duckdb(_pii_text)} AS text "
-        "FROM documents"
-    )
-    # ::bigint on every sum: DuckDB sums render as HUGEINT/DECIMAL and the
-    # driver's value normalization hash-mismatches vs Spark BIGINT otherwise
-    # (same bug class as the round-1 doc_stats red row).
-    _pii_aggs = ["count(*)::bigint AS n_docs"]
-    for _kind, (_pat, _r) in PII_PATTERNS.items():
-        _c = f"len(regexp_extract_all({_pii_text}, '{_pat}'))"
-        _pii_aggs.append(f"sum({_c})::bigint AS {_kind}_matches")
-        _pii_aggs.append(
-            f"sum(CASE WHEN {_c} > 0 THEN 1 ELSE 0 END)::bigint"
-            f" AS {_kind}_docs"
-        )
-    out["pii_census"] = (
-        "SELECT " + ", ".join(_pii_aggs) + " FROM documents"
-    )
-    # int8 ANN: quantization + integer dots replayed exactly
-    out["ann_int8"] = f"""
-        WITH base AS (
-          SELECT vec_id, embedding::double[] AS v,
-                 list_max(list_transform(embedding::double[],
-                                         x -> abs(x))) AS m
-          FROM embeddings
-        ),
-        qt AS (
-          SELECT vec_id,
-                 CASE WHEN m > 0
-                      THEN list_transform(v, x -> floor(x / (m / 127.0)
-                                                        + 0.5))
-                      ELSE list_transform(v, x -> 0.0) END AS q
-          FROM base
-        ),
-        qq AS (SELECT q FROM qt WHERE vec_id = 0)
-        SELECT t.vec_id,
-               CASE WHEN list_dot_product(t.q, t.q) > 0
-                    THEN round(list_dot_product(t.q, qq.q)
-                               / (sqrt(list_dot_product(t.q, t.q))
-                                  * sqrt(list_dot_product(qq.q, qq.q))),
-                               6)
-                    ELSE 0.0 END AS cosine
-        FROM qt t, qq
-        ORDER BY cosine DESC, t.vec_id ASC LIMIT {ANN_K}
-    """
-    # pagerank: the fixed-point update unrolled 4 iterations over the
-    # same hash-derived edges
-    from hadoop_search_engine_spark.functions.hashes import (
-        sql_murmur3_u32_duckdb,
-    )
-    from hadoop_search_engine_spark.operators.graph import (
-        sql_pagerank_duckdb,
-    )
-
-    _pr_h1 = sql_murmur3_u32_duckdb("(doc_id)::varchar")
-    _pr_edges = " UNION ALL ".join(
-        f"SELECT doc_id AS src, "
-        f"({sql_murmur3_u32_duckdb(chr(39) + f'link{j}' + chr(39), seed=_pr_h1)})"
-        f" % (SELECT count(*) FROM documents) AS dst FROM documents"
-        for j in range(3)
-    )
-    out["pagerank"] = sql_pagerank_duckdb(_pr_edges, n_iters=3)
-    # sessionization: the same lag/cumsum windows at exact unix micros
-    _sess_cte = """
-        WITH o AS (
-          SELECT user_id, event_id, event_type, value,
-                 epoch_us(ts) AS us
-          FROM events
-        ),
-        lagd AS (
-          SELECT *, lag(us) OVER (PARTITION BY user_id
-                                  ORDER BY us, event_id) AS prev
-          FROM o
-        ),
-        marked AS (
-          SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
-                         THEN 1 ELSE 0 END AS ns
-          FROM lagd
-        ),
-        sess AS (
-          SELECT *, (sum(ns) OVER (PARTITION BY user_id
-                                   ORDER BY us, event_id
-                                   ROWS UNBOUNDED PRECEDING) - 1)::int
-                      AS session_idx
-          FROM marked
-        )
-    """
-    out["session_stats"] = _sess_cte + """
-        SELECT user_id, session_idx, count(*) AS n_events,
-               min(us)::varchar AS start_us, max(us)::varchar AS end_us,
-               round(sum(value), 6) AS value_sum,
-               round((max(us) - min(us)) / 1e6, 6) AS duration_sec
-        FROM sess GROUP BY user_id, session_idx
-    """
-    # streaming sessionization: closed sessions only = every batch
-    # session except each user's last (still open at end of stream)
-    out["stream_sessions"] = _sess_cte + """
-        , stats AS (
-          SELECT user_id, session_idx, count(*) AS n_events,
-                 min(us)::varchar AS start_us, max(us)::varchar AS end_us,
-                 round(sum(value), 6) AS value_sum
-          FROM sess GROUP BY user_id, session_idx
-        )
-        SELECT user_id, session_idx, n_events, start_us, end_us,
-               value_sum
-        FROM (SELECT *, max(session_idx) OVER (PARTITION BY user_id)
-                        AS mx FROM stats)
-        WHERE session_idx < mx
-    """
-    out["event_transitions"] = _sess_cte + """
-        , tr AS (
-          SELECT CASE WHEN ns = 1 THEN NULL
-                      ELSE lag(event_type) OVER (PARTITION BY user_id
-                                                 ORDER BY us, event_id)
-                 END AS prev_type,
-                 event_type AS next_type
-          FROM sess
-        )
-        SELECT prev_type, next_type, count(*) AS n
-        FROM tr WHERE prev_type IS NOT NULL
-        GROUP BY prev_type, next_type
-    """
-    # within-doc repetition: bigram occurrence vs distinct counts
-    _rep_cte = f"""
-        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        g AS (
-          SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
-          FROM tok, unnest(range(1, len(toks))) AS t(i)
-          WHERE len(toks) >= 2
-        ),
-        st AS (SELECT doc_id, count(*) AS n_ngrams,
-                      count(DISTINCT gram) AS n_distinct
-               FROM g GROUP BY doc_id),
-        rep AS (
-          SELECT d.doc_id,
-                 coalesce(st.n_ngrams, 0)::int AS n_ngrams,
-                 coalesce(st.n_distinct, 0)::int AS n_distinct,
-                 CASE WHEN st.n_ngrams > 0
-                      THEN round(1 - st.n_distinct::double / st.n_ngrams, 6)
-                      ELSE 0.0 END AS dup_ratio
-          FROM documents d LEFT JOIN st USING (doc_id)
-        )
-    """
-    out["repetition_stats"] = _rep_cte + """
-        SELECT doc_id, n_ngrams, n_distinct, dup_ratio FROM rep
-    """
-    out["repetition_filtered"] = _rep_cte + """
-        SELECT doc_id FROM rep WHERE dup_ratio <= 0.2
-    """
-    # Stupid-Backoff bigram LM (operators/lm.py): unigram/bigram counts
-    # from one tokenize, per-token log-probs QUANTIZED to int64
-    # micro-nats before summation (order-free, engine-exact — the
-    # fixed-point-PageRank trick), ppl from the exact sum. First token
-    # scores add-one unigram; seen bigram c(vw)/c(v); else 0.4 * p_uni.
-    from hadoop_search_engine_spark.operators.lm import EDIT_LLQ, LLQ_SCALE
-
-    _lm_cte = f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-        uni AS (
-          SELECT term, count(*)::BIGINT AS c
-          FROM (SELECT unnest(t) AS term FROM t) GROUP BY term
-        ),
-        tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM uni),
-        tok AS (
-          SELECT doc_id, unnest(t) AS w,
-                 unnest(range(1, len(t) + 1)) AS pos, t
-          FROM t
-        ),
-        tok2 AS (
-          SELECT doc_id, w, pos,
-                 CASE WHEN pos > 1 THEN t[pos - 1] END AS w_prev
-          FROM tok
-        ),
-        big AS (
-          SELECT w_prev, w, count(*)::BIGINT AS c
-          FROM tok2 WHERE pos > 1 GROUP BY w_prev, w
-        )
-    """
-    _lm_perdoc = f"""
-        , costed AS (
-          SELECT tok2.doc_id,
-                 CAST(round(CASE
-                   WHEN pos = 1 THEN
-                     ln((coalesce(uw.c, 0) + 1) / (tot.n + tot.v + 1))
-                   WHEN coalesce(bg.c, 0) > 0 AND coalesce(up.c, 0) > 0 THEN
-                     ln(bg.c / up.c)
-                   ELSE
-                     ln(0.4 * ((coalesce(uw.c, 0) + 1) / (tot.n + tot.v + 1)))
-                 END * {LLQ_SCALE}) AS BIGINT) AS llq
-          FROM tok2
-          LEFT JOIN uni uw ON uw.term = tok2.w
-          LEFT JOIN uni up ON up.term = tok2.w_prev
-          LEFT JOIN big bg ON bg.w_prev = tok2.w_prev AND bg.w = tok2.w
-          CROSS JOIN tot
-        ),
-        perdoc AS (
-          SELECT doc_id, sum(llq)::BIGINT AS sum_llq,
-                 count(*)::BIGINT AS n_tokens
-          FROM costed GROUP BY doc_id
-        ),
-        ppl AS (
-          SELECT d.doc_id,
-                 coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
-                 coalesce(p.sum_llq, 0)::BIGINT AS sum_llq,
-                 CASE WHEN coalesce(p.n_tokens, 0) > 0
-                      THEN exp(-(p.sum_llq / {LLQ_SCALE}.0) / p.n_tokens)
-                      ELSE 0.0 END AS ppl
-          FROM documents d LEFT JOIN perdoc p USING (doc_id)
-        )
-    """
-    out["lm_perplexity"] = _lm_cte + _lm_perdoc + """
-        SELECT doc_id, n_tokens, sum_llq::VARCHAR AS sum_llq, ppl FROM ppl
-    """
-    out["lm_ppl_filtered"] = _lm_cte + _lm_perdoc + """
-        SELECT doc_id FROM ppl WHERE n_tokens = 0 OR ppl <= 30.5
-    """
-    # phrase suggester: doc 0's first two tokens each + 'x', per-token
-    # candidates = vocab within 1 edit capped 5 by (dist, c desc, term),
-    # every lattice path enumerated and scored with the same quantized
-    # LM + per-edit ln(0.1) channel penalty the Spark Viterbi uses
-    out["lm_suggest_phrase"] = _lm_cte + f"""
-        , qt AS (SELECT t[1] || 'x' AS q0, t[2] || 'x' AS q1
-                 FROM t WHERE doc_id = 0),
-        c0 AS (
-          SELECT term, c, levenshtein(term, (SELECT q0 FROM qt)) AS dist
-          FROM uni WHERE levenshtein(term, (SELECT q0 FROM qt)) <= 1
-          ORDER BY dist ASC, c DESC, term ASC LIMIT 5
-        ),
-        c1 AS (
-          SELECT term, c, levenshtein(term, (SELECT q1 FROM qt)) AS dist
-          FROM uni WHERE levenshtein(term, (SELECT q1 FROM qt)) <= 1
-          ORDER BY dist ASC, c DESC, term ASC LIMIT 5
-        ),
-        paths AS (
-          SELECT c0.term || ' ' || c1.term AS suggestion,
-                 (CAST(round(ln((c0.c + 1) / (tot.n + tot.v + 1))
-                             * {LLQ_SCALE}) AS BIGINT)
-                  + c0.dist * ({EDIT_LLQ})
-                  + CASE WHEN coalesce(bg.c, 0) > 0 THEN
-                      CAST(round(ln(bg.c / c0.c) * {LLQ_SCALE}) AS BIGINT)
-                    ELSE
-                      CAST(round(ln(0.4 * ((c1.c + 1) / (tot.n + tot.v + 1)))
-                                 * {LLQ_SCALE}) AS BIGINT)
-                    END
-                  + c1.dist * ({EDIT_LLQ})) AS score_q
-          FROM c0 CROSS JOIN c1 CROSS JOIN tot
-          LEFT JOIN big bg ON bg.w_prev = c0.term AND bg.w = c1.term
-        )
-        SELECT suggestion, score_q / {LLQ_SCALE}.0 AS score
-        FROM paths ORDER BY score_q DESC, suggestion ASC LIMIT 3
-    """
-    # data-mix report: the quality formula replayed per doc, grouped
-    # by (lang, source), shares from a 1-row totals cross join
-    out["corpus_mix_report"] = f"""
-        WITH t AS (
-          SELECT lang, source, {_TOKS} AS toks, text,
-                 length(text) AS n_chars,
-                 length(text) - length(regexp_replace(text,
-                     '[^\\w\\s]', '', 'g')) AS n_punct
-          FROM documents
-        ),
-        q AS (
-          SELECT lang, source, len(toks) AS nt,
-                 round((
-                   least(len(toks) / 100.0, 1.0)
-                   + CASE WHEN n_chars > 0
-                          THEN 1.0 - least(n_punct * 5.0 / n_chars, 1.0)
-                          ELSE 0.0 END
-                   + CASE WHEN len(toks) > 0
-                          THEN least({stop_cnt} * 10.0 / len(toks), 1.0)
-                          ELSE 0.0 END
-                   + CASE WHEN len(toks) > 0
-                          THEN len(list_distinct(toks)) / len(toks)
-                          ELSE 0.0 END
-                 ) / 4.0, 6) AS quality
-          FROM t
-        ),
-        g AS (
-          SELECT lang, source, count(*)::bigint AS n_docs,
-                 sum(nt)::bigint AS n_tokens,
-                 round(avg(quality), 6) AS avg_quality
-          FROM q GROUP BY lang, source
-        ),
-        tot AS (SELECT sum(n_docs)::double AS td,
-                       sum(n_tokens)::double AS tt FROM g)
-        SELECT lang, source, n_docs, n_tokens, avg_quality,
-               round(n_docs / td, 6) AS doc_share,
-               round(n_tokens / tt, 6) AS token_share
-        FROM g, tot
-    """
-    # DSIR (operators/dsir.py): hashed unigram+bigram features
-    # (murmur3 % 1024, replayed bit-exactly over distinct grams), raw
-    # vs target(lang='en') add-one distributions, per-feature
-    # log-ratios quantized to int64 micro-nats, per-doc exact sums,
-    # Gumbel top-k keyed by the murmur-seeded uniform
-    from hadoop_search_engine_spark.functions.hashes import (
-        sql_murmur3_u32_duckdb as _mm_sql,
-    )
-    from hadoop_search_engine_spark.operators.dsir import (
-        LLQ_SCALE as _DSIR_SCALE,
-    )
-
-    _dsir_nf = 1024
-    _dsir_cte = f"""
-        WITH t AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
-        tok AS (
-          SELECT doc_id, lang, unnest(t) AS w,
-                 unnest(range(1, len(t) + 1)) AS pos, t
-          FROM t
-        ),
-        gram AS (
-          SELECT doc_id, lang, w AS g FROM tok
-          UNION ALL
-          SELECT doc_id, lang, t[pos - 1] || ' ' || w AS g
-          FROM tok WHERE pos > 1
-        ),
-        gf AS (
-          SELECT g, ({_mm_sql("g")}) % {_dsir_nf} AS feature
-          FROM (SELECT DISTINCT g FROM gram)
-        ),
-        gfeat AS (
-          SELECT gram.doc_id, gram.lang, gf.feature
-          FROM gram JOIN gf USING (g)
-        ),
-        raw_c AS (SELECT feature, count(*)::BIGINT AS c
-                  FROM gfeat GROUP BY feature),
-        tgt_c AS (SELECT feature, count(*)::BIGINT AS ct
-                  FROM gfeat WHERE lang = 'en' GROUP BY feature),
-        rt AS (SELECT sum(c)::BIGINT AS n_raw FROM raw_c),
-        tt AS (SELECT sum(ct)::BIGINT AS n_tgt FROM tgt_c),
-        lam AS (
-          SELECT feature,
-                 CAST(round(ln((coalesce(ct, 0) + 1)
-                               / (tt.n_tgt + {_dsir_nf}))
-                            * {_DSIR_SCALE}) AS BIGINT)
-               - CAST(round(ln((coalesce(c, 0) + 1)
-                               / (rt.n_raw + {_dsir_nf}))
-                            * {_DSIR_SCALE}) AS BIGINT) AS lambda_llq
-          FROM raw_c FULL OUTER JOIN tgt_c USING (feature)
-          CROSS JOIN rt CROSS JOIN tt
-        ),
-        dw AS (
-          SELECT gfeat.doc_id, sum(lam.lambda_llq)::BIGINT AS dsir_llq
-          FROM gfeat JOIN lam USING (feature) GROUP BY gfeat.doc_id
-        ),
-        w AS (
-          SELECT d.doc_id, d.lang,
-                 coalesce(dw.dsir_llq, 0)::BIGINT AS dsir_llq
-          FROM documents d LEFT JOIN dw USING (doc_id)
-        )
-    """
-    out["dsir_weights"] = _dsir_cte + """
-        SELECT doc_id, dsir_llq::VARCHAR AS dsir_llq FROM w
-    """
-    _h_id = _mm_sql("(doc_id)::varchar")
-    _h_gum = _mm_sql("'dsir'", seed=_h_id)
-    out["dsir_selected"] = _dsir_cte + f"""
-        , keyed AS (
-          SELECT doc_id, lang, dsir_llq,
-                 dsir_llq + CAST(round(
-                     -ln(-ln((({_h_gum}) + 0.5) / 4294967296.0))
-                     * {float(1.0) * _DSIR_SCALE}) AS BIGINT) AS key_llq
-          FROM w
-        )
-        SELECT doc_id, lang, dsir_llq::VARCHAR AS dsir_llq,
-               key_llq::VARCHAR AS key_llq
-        FROM (SELECT * FROM keyed
-              ORDER BY key_llq DESC, doc_id ASC LIMIT 50)
-    """
-    # learned classifier (operators/classifier.py): hashed-ngram
-    # PRESENCE features + intercept, int64-quantized full-batch GD
-    # unrolled iteration-by-iteration as CTEs (the IVF-Lloyd pattern).
-    # Weights are exact int64 micro-units; residuals are quantized
-    # BEFORE the gradient sum, so every aggregate is an order-free
-    # int64 sum and the unroll is bit-identical to the Spark loop.
-    _sig = "1.0 / (1.0 + exp(-(mm::DOUBLE / 1000000.0)))"
-
-    def _cls_iter(i: int) -> str:
-        """One GD step: margins from w{i-1} -> quantized residuals ->
-        int64 gradients -> rounded weight update (zeros dropped; a
-        zero weight is indistinguishable from an absent one in every
-        consumer, matching the Spark trainer's canonical table)."""
-        upd = "-CAST(round(0.5 * (g::DOUBLE) / n) AS BIGINT)"
-        return f"""
-        m{i} AS (
-          SELECT f.doc_id, sum(coalesce(w.wq, 0))::BIGINT AS mm
-          FROM cfeat f LEFT JOIN w{i - 1} w USING (feature)
-          GROUP BY f.doc_id
-        ),
-        r{i} AS (
-          SELECT m.doc_id,
-                 CAST(round(({_sig} - y) * 1000000.0) AS BIGINT) AS r
-          FROM m{i} m JOIN clbl USING (doc_id)
-        ),
-        g{i} AS (
-          SELECT feature, sum(r)::BIGINT AS g
-          FROM cfeat JOIN r{i} USING (doc_id) GROUP BY feature
-        ),
-        w{i} AS (
-          SELECT feature, sum(wq)::BIGINT AS wq FROM (
-            SELECT feature, wq FROM w{i - 1}
-            UNION ALL
-            SELECT feature, {upd} AS wq FROM g{i}, cn
-          ) GROUP BY feature HAVING sum(wq) <> 0
-        )"""
-
-    _cls_nf = _CLS_NF
-    _cls_cte = f"""
-        WITH t AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
-        tok AS (
-          SELECT doc_id, unnest(t) AS w,
-                 unnest(range(1, len(t) + 1)) AS pos, t
-          FROM t
-        ),
-        gram AS (
-          SELECT doc_id, w AS g FROM tok
-          UNION ALL
-          SELECT doc_id, t[pos - 1] || ' ' || w AS g FROM tok WHERE pos > 1
-        ),
-        gf AS (
-          SELECT g, ({_mm_sql("g")}) % {_cls_nf} AS feature
-          FROM (SELECT DISTINCT g FROM gram)
-        ),
-        cfeat AS (
-          SELECT DISTINCT gram.doc_id, gf.feature
-          FROM gram JOIN gf USING (g)
-          UNION ALL
-          SELECT doc_id, {_cls_nf} AS feature FROM documents
-        ),
-        clbl AS (
-          SELECT doc_id,
-                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-          FROM documents
-        ),
-        cn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-        w0 AS (SELECT {_cls_nf}::BIGINT AS feature, 0::BIGINT AS wq
-               WHERE FALSE),
-        {",".join(_cls_iter(i + 1) for i in range(_CLS_ITERS))}
-    """
-    out["classifier_weights"] = _cls_cte + f"""
-        SELECT feature, wq::VARCHAR AS wq FROM w{_CLS_ITERS}
-    """
-    out["classifier_scores"] = _cls_cte + f"""
-        , ms AS (
-          SELECT f.doc_id, sum(coalesce(w.wq, 0))::BIGINT AS mm
-          FROM cfeat f LEFT JOIN w{_CLS_ITERS} w USING (feature)
-          GROUP BY f.doc_id
-        )
-        SELECT doc_id, mm::VARCHAR AS logit_micro,
-               round({_sig}, 6) AS prob
-        FROM ms m
-    """
-    # prefix/wildcard: expansion = lexicon terms matching the pattern,
-    # capped by (df desc, term asc) — then the standard BM25 sum over
-    # the expanded term set
-    def _expansion_bm25(like: str, cap: int) -> str:
-        return f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        exp AS (
-          SELECT term FROM (
-            SELECT term, count(*) AS df FROM tf
-            WHERE term LIKE '{like}' GROUP BY term)
-          ORDER BY df DESC, term ASC LIMIT {cap}
-        ),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM exp) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-        """
-
-    # pruned index: tf filtered to the kept-df band, doc lengths
-    # CARRIED from the full corpus, n/avgdl over surviving docs
-    out["bm25_topk_pruned"] = f"""
-        WITH {_TF_CTE},
-        kept AS (
-          SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)
-          WHERE df <= floor(0.79 * (SELECT count(*) FROM documents))
-        ),
-        ptf AS (SELECT tf.* FROM tf JOIN kept ON tf.term = kept.term),
-        dl0 AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        pdocs AS (SELECT DISTINCT doc_id FROM ptf),
-        dl AS (SELECT dl0.doc_id, dl0.doc_len FROM dl0 JOIN pdocs
-               ON dl0.doc_id = pdocs.doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM ptf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM ptf tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # fuzzy search: correct the OOV term in SQL (same (dist, -df,
-    # term) candidate order), then the standard BM25 over
-    # {'spark', corrected}
-    out["fuzzy_search_indexed"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        corr AS (
-          SELECT term FROM (
-            SELECT term, count(DISTINCT doc_id) AS df,
-                   levenshtein(term, 'qery') AS dist
-            FROM tf GROUP BY term)
-          WHERE dist <= 1
-          ORDER BY dist ASC, df DESC, term ASC LIMIT 1
-        ),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term = 'spark' OR term IN (SELECT term FROM corr)
-              GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # boosted: BM25 + 0.5 * (n_chars / 1000) over the matched docs
-    out["boosted_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT s.doc_id,
-               round(s.score + 0.5 * (doc.n_chars / 1000.0), 4) AS score
-        FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
-        ORDER BY score DESC, s.doc_id ASC LIMIT 20
-    """
-    import math as _math
-
-    _two_sigma2 = 2.0 * (-(800.0 * 800.0) / (2.0 * _math.log(0.5)))
-    out["decay_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        dist AS (
-          SELECT s.doc_id, s.score,
-                 greatest(abs(doc.n_chars::double - 1000.0) - 0.0, 0.0) AS dd
-          FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
-        )
-        SELECT doc_id,
-               round(score * exp(-(dd * dd) / {_two_sigma2!r}), 4) AS score
-        FROM dist
-        ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # multi-field: each field's BM25 over its OWN token stream /
-    # statistics, weighted union + per-doc sum, top-20
-    from hadoop_search_engine_spark.functions.tokenizer import (
-        sql_tokens_duckdb as _sqltok,
-    )
-
-    _stoks = _sqltok("source")
-    out["multifield_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ('spark', 'src1') GROUP BY term),
-        t_scored AS (
-          SELECT tf.doc_id, 1.0 * sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        stoks AS (SELECT doc_id, unnest({_stoks}) AS term FROM documents),
-        stf AS (SELECT term, doc_id, count(*) AS tf
-                FROM stoks GROUP BY term, doc_id),
-        sdl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM stf GROUP BY doc_id),
-        sc AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM sdl),
-        sd AS (SELECT term, count(*)::double AS df FROM stf
-               WHERE term IN ('spark', 'src1') GROUP BY term),
-        s_scored AS (
-          SELECT stf.doc_id,
-                 2.0 * sum(
-                   ln(1.0 + (sc.n - sd.df + 0.5) / (sd.df + 0.5))
-                   * (stf.tf * ({BM25_K1} + 1.0))
-                   / (stf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                      + {BM25_B} * sdl.doc_len / sc.avgdl))
-                 ) AS score
-          FROM stf
-          JOIN sd ON stf.term = sd.term
-          JOIN sdl ON stf.doc_id = sdl.doc_id
-          CROSS JOIN sc
-          GROUP BY stf.doc_id
-        ),
-        u AS (SELECT * FROM t_scored UNION ALL SELECT * FROM s_scored)
-        SELECT doc_id, round(sum(score), 4) AS score
-        FROM u GROUP BY doc_id
-        ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # rank_feature: BM25 (4dp) + boost * saturation(n_chars) (6dp)
-    out["rank_feature_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, round(sum({score}), 4) AS relevance
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        feat AS (
-          SELECT doc_id,
-                 CASE WHEN n_chars > 0 THEN
-                   round(n_chars::double / (n_chars::double + 800.0), 6)
-                 ELSE 0.0 END AS feature_score
-          FROM documents
-        )
-        SELECT s.doc_id,
-               round(s.relevance + 1.2 * coalesce(f.feature_score, 0.0),
-                     6) AS score,
-               s.relevance, coalesce(f.feature_score, 0.0) AS feature_score
-        FROM scored s LEFT JOIN feat f ON s.doc_id = f.doc_id
-        ORDER BY score DESC, s.doc_id ASC LIMIT 20
-    """
-    # simple_query_string negation form: (spark OR query) NOT vector
-    out["simple_qs"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ('query', 'spark') GROUP BY term),
-        pres AS (
-          SELECT doc_id,
-                 bool_or(term = 'spark')  AS has_spark,
-                 bool_or(term = 'query')  AS has_query,
-                 bool_or(term = 'vector') AS has_vector
-          FROM tf GROUP BY doc_id
-        ),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT s.doc_id, round(s.score, 4) AS score
-        FROM scored s JOIN pres p ON s.doc_id = p.doc_id
-        WHERE (p.has_spark OR p.has_query) AND NOT p.has_vector
-        ORDER BY score DESC, s.doc_id ASC LIMIT 20
-    """
-    # missing / percentile_ranks / adjacency_matrix aggs
-    out["missing_agg"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-        SELECT sum(CASE WHEN (CASE WHEN doc.doc_id % 3 = 0
-                              THEN doc.lang END) IS NULL
-                        THEN 1 ELSE 0 END)::bigint AS n_missing
-        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-    """
-    out["percentile_ranks"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        hits AS (
-          SELECT doc.n_chars::double AS x
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT 500.0 AS value,
-               round((count(*) FILTER (WHERE x <= 500.0)) * 100.0
-                     / count(x), 6) AS percent
-        FROM hits
-        UNION ALL
-        SELECT 1500.0,
-               round((count(*) FILTER (WHERE x <= 1500.0)) * 100.0
-                     / count(x), 6)
-        FROM hits
-    """
-    out["adjacency_matrix"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        hits AS (
-          SELECT doc.lang, doc.n_chars
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT 'en' AS key,
-               (count(*) FILTER (WHERE lang = 'en'))::bigint AS n_docs
-        FROM hits
-        UNION ALL SELECT 'long',
-               (count(*) FILTER (WHERE n_chars >= 1500))::bigint FROM hits
-        UNION ALL SELECT 'short',
-               (count(*) FILTER (WHERE n_chars < 500))::bigint FROM hits
-        UNION ALL SELECT 'en&long',
-               (count(*) FILTER (WHERE lang = 'en' AND n_chars >= 1500))::bigint
-        FROM hits
-        UNION ALL SELECT 'en&short',
-               (count(*) FILTER (WHERE lang = 'en' AND n_chars < 500))::bigint
-        FROM hits
-        UNION ALL SELECT 'long&short',
-               (count(*) FILTER (WHERE n_chars >= 1500 AND n_chars < 500))::bigint
-        FROM hits
-    """
-    # multi-fragment highlight: top-20 BM25 + per-term first-occurrence
-    # windows (distinct starts, document order, cap 3)
-    out["snippet_fragments"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        top AS (SELECT doc_id, round(score, 4) AS score
-                FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20),
-        fr AS (
-          SELECT top.doc_id, top.score,
-                 list_filter([nullif(strpos(lower(doc.text), 'spark'), 0), nullif(strpos(lower(doc.text), 'query'), 0), nullif(strpos(lower(doc.text), 'table'), 0)], x -> x IS NOT NULL) AS ps,
-                 doc.text AS txt
-          FROM top JOIN documents doc ON top.doc_id = doc.doc_id
-        )
-        SELECT doc_id, score,
-               len(ps)::int AS n_matched_terms,
-               array_to_string(
-                 list_transform(
-                   list_sort(list_distinct(ps))[1:3],
-                   p -> substr(txt, greatest(p - 30, 1), 60)
-                 ), ' | ') AS fragments
-        FROM fr
-    """
-    # URL-pattern blocklist: derived endpoint cycle + the same regexes
-    from hadoop_search_engine_spark.operators.urltools import (
-        sql_url_pattern_predicate_duckdb,
-    )
-
-    _pat_url = (
-        "('https://' || source || '.com' || "
-        "CASE doc_id % 5 WHEN 0 THEN '/tags/py/' WHEN 1 THEN '/?s=find' "
-        "WHEN 2 THEN '/login' "
-        "WHEN 3 THEN '/article/' || doc_id::varchar "
-        "ELSE '/feed/' END)"
-    )
-    out["url_pattern_keep"] = f"""
-        WITH u AS (SELECT doc_id, {_pat_url} AS url FROM documents)
-        SELECT doc_id, url FROM u
-        WHERE {sql_url_pattern_predicate_duckdb(url_expr="url")}
-    """
-    # cross_fields: per-(field, term) contributions, max per (doc,
-    # term) at 6dp, DECIMAL sum (order-independent), top-20
-    out["multi_match_cross"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ('spark', 'src1') GROUP BY term),
-        tsc AS (
-          SELECT tf.doc_id, tf.term, 1.0 * ({score}) AS s
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-        ),
-        stoks AS (SELECT doc_id, unnest({_stoks}) AS term FROM documents),
-        stf AS (SELECT term, doc_id, count(*) AS tf
-                FROM stoks GROUP BY term, doc_id),
-        sdl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM stf GROUP BY doc_id),
-        sc AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM sdl),
-        sd AS (SELECT term, count(*)::double AS df FROM stf
-               WHERE term IN ('spark', 'src1') GROUP BY term),
-        ssc AS (
-          SELECT stf.doc_id, stf.term,
-                 2.0 * (
-                   ln(1.0 + (sc.n - sd.df + 0.5) / (sd.df + 0.5))
-                   * (stf.tf * ({BM25_K1} + 1.0))
-                   / (stf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                      + {BM25_B} * sdl.doc_len / sc.avgdl))
-                 ) AS s
-          FROM stf
-          JOIN sd ON stf.term = sd.term
-          JOIN sdl ON stf.doc_id = sdl.doc_id
-          CROSS JOIN sc
-        ),
-        u AS (SELECT * FROM tsc UNION ALL SELECT * FROM ssc),
-        per_term AS (
-          SELECT doc_id, term, round(max(s), 6) AS s
-          FROM u GROUP BY doc_id, term
-        )
-        SELECT doc_id,
-               round((sum(s::decimal(28,10)))::double, 6) AS score
-        FROM per_term GROUP BY doc_id
-        ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # ranking metrics: replay the 3-query run (BM25 row_number per
-    # query), the deterministic qrels, and the TREC formulas in SQL
-    def _run_branch(t: str) -> str:
-        return f"""
-          SELECT 'q_{t}' AS query_id, doc_id,
-                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-          FROM (
-            SELECT tf.doc_id, sum({score}) AS score
-            FROM tf
-            JOIN (SELECT term, count(*)::double AS df FROM tf
-                  WHERE term = '{t}' GROUP BY term) d ON tf.term = d.term
-            JOIN dl ON tf.doc_id = dl.doc_id
-            CROSS JOIN c
-            GROUP BY tf.doc_id
-          ) QUALIFY rank <= 10
-        """
-
-    def _qrel_branch(t: str) -> str:
-        return f"""
-          SELECT 'q_{t}' AS query_id, doc_id,
-                 (1 + doc_id % 2)::int AS rel
-          FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{t}')
-        """
-
-    _runs = " UNION ALL ".join(_run_branch(t) for t in FLAGSHIP_TERMS)
-    _qrels = " UNION ALL ".join(_qrel_branch(t) for t in FLAGSHIP_TERMS)
-    out["ranking_metrics"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        runs AS ({_runs}),
-        qrels AS ({_qrels}),
-        hits AS (
-          SELECT r.query_id, r.rank,
-                 (pow(2.0, q.rel) - 1) / log2(r.rank + 1.0) AS gain,
-                 1.0 / r.rank AS rr
-          FROM runs r JOIN qrels q
-            ON r.query_id = q.query_id AND r.doc_id = q.doc_id
-          WHERE q.rel > 0
-        ),
-        perq AS (
-          SELECT query_id, count(*) AS n_rel_ret, sum(gain) AS dcg,
-                 max(rr) AS mrr
-          FROM hits GROUP BY query_id
-        ),
-        ideal AS (
-          SELECT query_id,
-                 sum((pow(2.0, rel) - 1) / log2(irank + 1.0)) AS idcg
-          FROM (
-            SELECT query_id, rel, doc_id,
-                   row_number() OVER (
-                     PARTITION BY query_id
-                     ORDER BY rel DESC, doc_id ASC) AS irank
-            FROM qrels WHERE rel > 0
-          ) WHERE irank <= 10 GROUP BY query_id
-        ),
-        nrel AS (
-          SELECT query_id, count(*) AS n_rel FROM qrels
-          WHERE rel > 0 GROUP BY query_id
-        )
-        SELECT n.query_id,
-               n.n_rel::bigint AS n_rel,
-               coalesce(p.n_rel_ret, 0)::bigint AS n_rel_ret,
-               round(coalesce(p.dcg / i.idcg, 0), 6) AS ndcg,
-               round(coalesce(p.mrr, 0), 6) AS mrr,
-               round(coalesce(p.n_rel_ret, 0) / 10.0, 6) AS p_at_k,
-               round(coalesce(p.n_rel_ret, 0)::double / n.n_rel, 6) AS r_at_k
-        FROM nrel n
-        JOIN ideal i ON n.query_id = i.query_id
-        LEFT JOIN perq p ON n.query_id = p.query_id
-    """
-    # per-doc tf*idf top-3: same idf formula as the lexicon row, rank
-    # by rounded weight desc then term asc
-    out["tfidf_top_terms"] = f"""
-        WITH {_TF_CTE},
-        n AS (SELECT count(*) AS n FROM documents),
-        d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        wt AS (
-          SELECT tf.doc_id, tf.term, tf.tf,
-                 round(tf.tf * ln(1.0 + ((SELECT n FROM n) - d.df + 0.5)
-                                  / (d.df + 0.5)), 6) AS weight
-          FROM tf JOIN d ON tf.term = d.term
-        ),
-        r AS (
-          SELECT doc_id, term, tf, weight,
-                 row_number() OVER (
-                   PARTITION BY doc_id
-                   ORDER BY weight DESC, term ASC) AS rank
-          FROM wt
-        )
-        SELECT doc_id, term, tf::bigint AS tf, weight, rank::int AS rank
-        FROM r WHERE rank <= 3
-    """
-    # cursor page 2 == OFFSET 20 of the full ranking
-    out["paginated_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20 OFFSET 20
-    """
-    out["prefix_search_indexed"] = _expansion_bm25("s%", 4)
-    out["wildcard_search_indexed"] = _expansion_bm25("s_a%", 10)
-    # regexp query: same expansion+score shape, anchored RE2 match
-    out["regexp_search_indexed"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        exp AS (
-          SELECT term FROM (
-            SELECT term, count(*) AS df FROM tf
-            WHERE regexp_matches(term, '^(?:s(park|can|ort))$') GROUP BY term)
-          ORDER BY df DESC, term ASC LIMIT 10
-        ),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN (SELECT term FROM exp) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # ES pinned query: pins first (1e9-base artificial scores, listed
-    # order), nonexistent id dropped by the documents join, organic
-    # BM25 minus the pins fills the rest
-    out["pinned_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        s AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        pins AS (SELECT * FROM (VALUES (17, 0), (5, 1),
-                                (1000000000000, 2)) t(doc_id, r)),
-        live_pins AS (
-          SELECT p.doc_id, p.r FROM pins p
-          JOIN documents doc ON p.doc_id = doc.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score FROM (
-          SELECT doc_id, 1000000000.0 - r AS score FROM live_pins
-          UNION ALL
-          SELECT doc_id, score FROM s
-          WHERE doc_id NOT IN (SELECT doc_id FROM pins)
-        )
-        ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # field-sorted search: distinct matched docs ordered by the field
-    out["sorted_search"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-        SELECT m.doc_id, doc.n_chars
-        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        ORDER BY doc.n_chars DESC, m.doc_id ASC LIMIT 20
-    """
-    # hybrid RRF: lexical branch = the bm25 scored CTE's top-30 (same
-    # exact-score selection search_topk uses), re-ranked at 4 dp with
-    # doc_id tie-break (rank_branch's contract); vector branch =
-    # cosine_topk's rounded-cosine top-30; fused by 1/(60+rank)
-    out["hybrid_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        lexsel AS (SELECT doc_id, score FROM scored
-                   ORDER BY score DESC, doc_id ASC LIMIT 30),
-        lex AS (SELECT doc_id, row_number() OVER (
-                    ORDER BY round(score, 4) DESC, doc_id ASC) AS r
-                FROM lexsel),
-        vecsel AS (
-          SELECT vec_id AS doc_id,
-                 round(list_cosine_similarity(
-                     embedding::double[], qv::double[]), 6) AS cz
-          FROM embeddings,
-               (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-          ORDER BY cz DESC, doc_id ASC LIMIT 30
-        ),
-        vec AS (SELECT doc_id, row_number() OVER (
-                    ORDER BY cz DESC, doc_id ASC) AS r
-                FROM vecsel),
-        u AS (
-          SELECT doc_id, r, 'lex' AS br FROM lex
-          UNION ALL
-          SELECT doc_id, r, 'vec' AS br FROM vec
-        )
-        SELECT doc_id,
-               round(sum(1.0 / (60 + r)), 6) AS rrf,
-               coalesce(max(CASE WHEN br = 'lex' THEN r END), 0)::int AS lex_rank,
-               coalesce(max(CASE WHEN br = 'vec' THEN r END), 0)::int AS vec_rank
-        FROM u GROUP BY doc_id
-        ORDER BY rrf DESC, doc_id ASC LIMIT 15
-    """
-    # ES rescore: BM25 top-40 window re-ranked by 1*bm25 + 2*cosine
-    out["rescore_search"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        win AS (SELECT doc_id, round(score, 4) AS bm25 FROM scored
-                ORDER BY score DESC, doc_id ASC LIMIT 40),
-        sec AS (
-          SELECT w.doc_id, w.bm25,
-                 coalesce(round(list_cosine_similarity(
-                     e.embedding::double[], q.qv::double[]), 6),
-                     0.0) AS secondary
-          FROM win w
-          LEFT JOIN embeddings e ON e.vec_id = w.doc_id
-          CROSS JOIN (SELECT embedding AS qv FROM embeddings
-                      WHERE vec_id = 0) q
-        )
-        SELECT doc_id, round(1.0 * bm25 + 2.0 * secondary, 6) AS score,
-               bm25, secondary
-        FROM sec ORDER BY score DESC, doc_id ASC LIMIT 15
-    """
-    # MoreLikeThis: doc 0's top-3 tf*idf terms -> OR search, source
-    # excluded; the term selection replays in SQL (tf from the token
-    # CTE, idf from the corpus formula, ties by term ascending)
-    out["more_like_this"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        dfall AS (SELECT term, count(*)::double AS df FROM tf GROUP BY term),
-        sel AS (
-          SELECT s.term
-          FROM tf s JOIN dfall ON s.term = dfall.term CROSS JOIN c
-          WHERE s.doc_id = 0
-          ORDER BY s.tf * ln(1.0 + (c.n - dfall.df + 0.5) / (dfall.df + 0.5))
-                   DESC, s.term ASC
-          LIMIT 3
-        ),
-        d AS (SELECT term, df FROM dfall
-              WHERE term IN (SELECT term FROM sel)),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          WHERE tf.doc_id <> 0
-          GROUP BY tf.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
-    """
-    # explain: per-term BM25 breakdown for the flagship query's top-1
-    # doc — every output column recomputed in SQL
-    _x_idf = sql_idf("c.n", "d.df")
-    _x_contrib = sql_score("tf.tf", "dl.doc_len", _x_idf, "c.avgdl",
-                           BM25_K1, BM25_B)
-    out["explain_score"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        best AS (SELECT doc_id FROM scored
-                 ORDER BY score DESC, doc_id ASC LIMIT 1)
-        SELECT tf.term, tf.tf::bigint AS tf, d.df::bigint AS df,
-               round({_x_idf}, 6) AS idf,
-               round({_x_contrib}, 6) AS contribution
-        FROM tf
-        JOIN d ON tf.term = d.term
-        JOIN dl ON tf.doc_id = dl.doc_id
-        CROSS JOIN c
-        WHERE tf.doc_id IN (SELECT doc_id FROM best)
-        ORDER BY tf.term ASC
-    """
-    # training-sequence assembly: chunking (32-token windows, overlap
-    # 8 -> step 24) and concat-and-split packing (seq_len 128 per lang
-    # group) — pure integer arithmetic, replayed verbatim
-    out["chunk_docs"] = f"""
-        WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        t AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0)
-        SELECT doc_id, i AS chunk_id,
-               len(toks[(i*24 + 1)::int : (i*24 + 32)::int]) AS n_tokens,
-               array_to_string(
-                 toks[(i*24 + 1)::int : (i*24 + 32)::int], ' ') AS chunk_text
-        FROM t, unnest(range(0, greatest((n - 8 + 23) // 24, 1))) AS u(i)
-    """
-    _pack_st = f"""
-        tok AS (SELECT lang, doc_id, {_TOKS} AS toks FROM documents),
-        st AS (
-          SELECT lang, doc_id, toks, len(toks)::bigint AS n,
-                 coalesce(sum(len(toks)) OVER (
-                   PARTITION BY lang ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0)::bigint AS g
-          FROM tok WHERE len(toks) > 0
-        ),
-        sp AS (
-          SELECT lang, doc_id, toks, n, g,
-                 unnest(range(g // 128, (g + n - 1) // 128 + 1)) AS bin_id
-          FROM st
-        )"""
-    out["pack_spans"] = f"""
-        WITH {_pack_st}
-        SELECT lang, doc_id, bin_id,
-               greatest(g - bin_id * 128, 0) AS bin_pos,
-               greatest(bin_id * 128 - g, 0) AS tok_start,
-               least((bin_id + 1) * 128 - g, n) AS tok_end
-        FROM sp
-    """
-    out["pack_manifest"] = f"""
-        WITH {_pack_st},
-        spans AS (
-          SELECT lang, doc_id, bin_id,
-                 greatest(g - bin_id * 128, 0) AS bin_pos,
-                 least((bin_id + 1) * 128 - g, n)
-                   - greatest(bin_id * 128 - g, 0) AS n_tok
-          FROM sp
-        )
-        SELECT lang, bin_id, sum(n_tok)::bigint AS n_tokens,
-               array_to_string(list(doc_id ORDER BY bin_pos), ',')
-                 AS doc_ids_csv,
-               array_to_string(list(bin_pos ORDER BY bin_pos), ',')
-                 AS doc_starts_csv
-        FROM spans GROUP BY lang, bin_id
-    """
-    out["pack_text"] = f"""
-        WITH {_pack_st},
-        pieces AS (
-          SELECT lang, bin_id,
-                 greatest(g - bin_id * 128, 0) AS bin_pos,
-                 toks[(greatest(bin_id * 128 - g, 0) + 1)::int
-                      : (least((bin_id + 1) * 128 - g, n))::int] AS piece
-          FROM sp
-        ),
-        bins AS (
-          SELECT lang, bin_id,
-                 flatten(list(piece ORDER BY bin_pos)) AS toks
-          FROM pieces GROUP BY lang, bin_id
-        )
-        SELECT lang, bin_id, len(toks) AS n_tokens,
-               array_to_string(toks, ' ') AS text
-        FROM bins
-    """
-    # PMI bigram collocations: min_count floors REPORTING only — the
-    # bigram total N spans every adjacent pair
-    out["collocations"] = f"""
-        WITH tok AS (SELECT {_TOKS} AS toks FROM documents),
-        bg AS (
-          SELECT toks[i] AS term_a, toks[i + 1] AS term_b
-          FROM tok, unnest(range(1, len(toks))) AS u(i)
-        ),
-        ap AS (SELECT term_a, term_b, count(*) AS pair_count
-               FROM bg GROUP BY 1, 2),
-        ntot AS (SELECT sum(pair_count)::double AS n FROM ap),
-        uc AS (SELECT term, count(*) AS cnt
-               FROM (SELECT unnest(toks) AS term FROM tok) GROUP BY term),
-        tt AS (SELECT sum(cnt)::double AS t FROM uc)
-        SELECT p.term_a, p.term_b, p.pair_count,
-               a.cnt AS count_a, b.cnt AS count_b,
-               round(ln((p.pair_count::double / n.n)
-                        / ((a.cnt::double / t.t) * (b.cnt::double / t.t))),
-                     6) AS pmi
-        FROM ap p
-        JOIN uc a ON p.term_a = a.term
-        JOIN uc b ON p.term_b = b.term
-        CROSS JOIN ntot n CROSS JOIN tt t
-        WHERE p.pair_count >= 5
-    """
-    # DSL constant-score leaves: live docs in _doc order / id probe
-    out["dsl_match_all"] = """
-        SELECT doc_id, 2.0 AS score FROM documents
-        ORDER BY doc_id ASC LIMIT 25
-    """
-    out["dsl_ids"] = """
-        SELECT doc_id, 1.0 AS score FROM documents
-        WHERE doc_id IN (3, 7, 11, 999999999)
-        ORDER BY doc_id ASC LIMIT 10
-    """
-    # training-recipe epoch mixing: stratum CASE + epoch grid + the
-    # bit-exact murmur3(id:epoch) fractional-epoch bucket
-    from hadoop_search_engine_spark.operators.curate import (
-        sql_mix_epochs_duckdb,
-    )
-
-    _mix_wq, _mix_pred = sql_mix_epochs_duckdb(
-        {"en": 1.5, "es": 0.4}, strata_col="lang", default_weight=1.0
-    )
-    out["mix_corpus"] = f"""
-        SELECT doc_id, lang, epoch FROM (
-          SELECT doc_id, lang,
-                 unnest(range(0, {_mix_wq} // 10000 + 1)) AS epoch
-          FROM documents
-        ) WHERE {_mix_pred}
-    """
-    # MMR diversification: the greedy loop itself runs as a recursive
-    # CTE — state is the picked list; each step re-derives every
-    # candidate's max-cosine-to-picked from the pair matrix and takes
-    # the argmax (mmr desc, doc_id asc), exactly hybrid.mmr_rerank's
-    # contract (bm25@4dp, rel/cos/score@6dp, maxsim floored at 0)
-    out["mmr_rerank"] = f"""
-        WITH RECURSIVE {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        top AS (SELECT doc_id, round(score, 4) AS bm25
-                FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20),
-        rel AS (SELECT doc_id, bm25,
-                       round(bm25 / (SELECT max(bm25) FROM top), 6) AS rel
-                FROM top),
-        vec AS (SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS v
-                FROM embeddings e
-                WHERE e.vec_id IN (SELECT doc_id FROM top)),
-        pr AS (
-          SELECT a.doc_id AS da, b.doc_id AS db,
-                 round(list_dot_product(a.v, b.v) /
-                       ((CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0
-                              THEN 1 ELSE sqrt(list_dot_product(a.v, a.v)) END)
-                        * (CASE WHEN sqrt(list_dot_product(b.v, b.v)) = 0
-                               THEN 1 ELSE sqrt(list_dot_product(b.v, b.v)) END)),
-                       6) AS cos
-          FROM vec a, vec b
-        ),
-        sel AS (
-          (SELECT 1 AS mmr_rank, cand.doc_id,
-                  round(0.7 * cand.rel, 6) AS mmr_score,
-                  cand.bm25, [cand.doc_id] AS picked
-           FROM rel cand
-           ORDER BY round(0.7 * cand.rel, 6) DESC, cand.doc_id ASC LIMIT 1)
-          UNION ALL
-          SELECT s.mmr_rank + 1, pick.doc_id, pick.m, pick.bm25,
-                 list_append(s.picked, pick.doc_id)
-          FROM sel s,
-               LATERAL (
-                 SELECT cand.doc_id, cand.bm25,
-                        round(0.7 * cand.rel - 0.3 *
-                              greatest(coalesce(
-                                (SELECT max(p.cos) FROM pr p
-                                 WHERE p.da = cand.doc_id
-                                   AND list_contains(s.picked, p.db)), 0), 0),
-                              6) AS m
-                 FROM rel cand
-                 WHERE NOT list_contains(s.picked, cand.doc_id)
-                 ORDER BY m DESC, cand.doc_id ASC LIMIT 1
-               ) pick
-          WHERE s.mmr_rank < 10
-        )
-        SELECT doc_id, mmr_rank, mmr_score, bm25 FROM sel
-    """
-    # function_score random_score: murmur(doc_id:"rs:7") / 2^32
-    from hadoop_search_engine_spark.functions.hashes import (
-        sql_murmur3_u32_duckdb as _sql_mm3,
-    )
-
-    _h1r = _sql_mm3("(doc_id)::varchar")
-    _hr = _sql_mm3("'rs:7'", seed=_h1r)
-    out["function_score_random"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ({terms_in}) GROUP BY term),
-        scored AS (
-          SELECT tf.doc_id, round(sum({score}), 4) AS relevance
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        ),
-        fac AS (
-          SELECT doc_id,
-                 round(({_hr}) / 4294967296.0, 6) AS factor
-          FROM documents
-        )
-        SELECT s.doc_id,
-               round(s.relevance * f.factor, 6) AS score,
-               s.relevance, f.factor
-        FROM scored s JOIN fac f ON s.doc_id = f.doc_id
-        ORDER BY score DESC, s.doc_id ASC LIMIT 10
-    """
-    out["dsl_mlt"] = out["more_like_this"]
-    # range QUERY: constant-score metadata range, _doc order
-    out["dsl_range_query"] = """
-        SELECT doc_id, 2.0 AS score FROM documents
-        WHERE n_chars >= 500 AND n_chars < 1500
-        ORDER BY doc_id LIMIT 40
-    """
-    # structured bool + metadata filter: boolean eligibility flags,
-    # score over the positive terms, n_chars range gate, top-k
-    out["dsl_bool_structured_filtered"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ('merge', 'query', 'spark') GROUP BY term),
-        pres AS (
-          SELECT doc_id,
-                 bool_or(term = 'spark')  AS has_spark,
-                 bool_or(term = 'vector') AS has_vector
-          FROM tf GROUP BY doc_id
-        ),
-        scored AS (
-          SELECT tf.doc_id, sum({score}) AS score
-          FROM tf
-          JOIN d ON tf.term = d.term
-          JOIN dl ON tf.doc_id = dl.doc_id
-          CROSS JOIN c
-          GROUP BY tf.doc_id
-        )
-        SELECT s.doc_id, round(s.score, 4) AS score
-        FROM scored s
-        JOIN pres p ON s.doc_id = p.doc_id
-        JOIN documents doc ON s.doc_id = doc.doc_id
-        WHERE p.has_spark AND NOT p.has_vector AND doc.n_chars >= 300
-        ORDER BY score DESC, s.doc_id ASC LIMIT 20
-    """
-    # token-budget cut: murmur order replay + exclusive window sum
-    _h1b = _sql_mm3("(doc_id)::varchar")
-    _hb = _sql_mm3("'budget'", seed=_h1b)
-    out["token_budget"] = f"""
-        WITH n AS (
-          SELECT doc_id, len({_TOKS})::bigint AS n_tokens, {_hb} AS h
-          FROM documents
-        ),
-        c AS (
-          SELECT doc_id, n_tokens,
-                 coalesce(sum(n_tokens) OVER (
-                   ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS g
-          FROM n
-        )
-        SELECT doc_id, n_tokens FROM c WHERE g + n_tokens <= 20000
-    """
-    # exact duplicate-span dedup: derived boilerplate appendix, gram
-    # enumeration via parallel unnest + list_slice, keep-first winner
-    # via a (doc_id, pos) rank window over each gram's occurrences
-    _span_toks = sql_tokens_duckdb(f"text || '{_SPAN_APPENDIX}'")
-    _span_base = f"""
-        t AS (SELECT doc_id, {_span_toks} AS toks FROM documents),
-        occ AS (
-          SELECT doc_id, unnest(range(len(toks) - 5)) AS pos, toks
-          FROM t WHERE len(toks) >= 6
-        ),
-        g AS (
-          SELECT doc_id, pos,
-                 array_to_string(list_slice(toks, pos + 1, pos + 6), ' ')
-                   AS gram
-          FROM occ
-        ),
-        r AS (
-          SELECT doc_id, pos,
-                 count(*) OVER (PARTITION BY gram) AS df,
-                 row_number() OVER (
-                   PARTITION BY gram ORDER BY doc_id, pos
-                 ) AS rk
-          FROM g
-        )
-    """
-    out["span_dedup_stats"] = f"""
-        WITH {_span_base},
-        per AS (
-          SELECT doc_id, count(*) AS n_grams,
-                 sum(CASE WHEN df > 1 AND rk > 1 THEN 1 ELSE 0 END)
-                   AS n_dup
-          FROM r GROUP BY doc_id
-        )
-        SELECT d.doc_id,
-               coalesce(per.n_grams, 0)::bigint AS n_grams,
-               coalesce(per.n_dup, 0)::bigint AS n_dup_grams,
-               CASE WHEN coalesce(per.n_grams, 0) > 0
-                    THEN round(per.n_dup / per.n_grams::double, 6)
-                    ELSE 0.0 END AS dup_ratio
-        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-    """
-    out["span_dedup_rewrite"] = f"""
-        WITH {_span_base},
-        dup AS (SELECT doc_id, pos FROM r WHERE df > 1 AND rk > 1),
-        cov AS (
-          SELECT DISTINCT doc_id, pos + unnest(range(6)) AS p FROM dup
-        ),
-        posed AS (
-          SELECT doc_id, unnest(toks) AS tok,
-                 unnest(range(len(toks))) AS p
-          FROM t
-        )
-        SELECT posed.doc_id,
-               string_agg(tok, ' ' ORDER BY p) AS text
-        FROM posed
-        WHERE NOT EXISTS (
-          SELECT 1 FROM cov
-          WHERE cov.doc_id = posed.doc_id AND cov.p = posed.p
-        )
-        GROUP BY posed.doc_id
-    """
-    # ES composite agg: all (lang, 500-wide n_chars bucket) buckets of
-    # the hit set in composite-key order; keyset page 2 of size 4 ==
-    # rank rows 5..8 (strict key ordering)
-    out["composite_page"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        b AS (
-          SELECT doc.lang,
-                 floor(doc.n_chars::double / 500.0) * 500.0 AS len_bucket,
-                 count(*) AS n_docs
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-          WHERE doc.lang IS NOT NULL AND doc.n_chars IS NOT NULL
-          GROUP BY 1, 2
-        ),
-        r AS (
-          SELECT lang, len_bucket, n_docs,
-                 row_number() OVER (ORDER BY lang ASC, len_bucket ASC) AS rk
-          FROM b
-        )
-        SELECT lang, len_bucket, n_docs FROM r
-        WHERE rk BETWEEN 5 AND 8
-    """
-    # ES terms agg + metric sub-aggs: one GROUP BY pass per bucket
-    out["terms_metrics"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in}))
-        SELECT doc.lang, count(*)::bigint AS n_docs,
-               round(avg(doc.n_chars::double), 6) AS avg_len,
-               sum(doc.n_chars::double) AS sum_len,
-               max(doc.n_chars::double) AS max_len,
-               count(DISTINCT doc.source)::bigint AS n_sources
-        FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        GROUP BY doc.lang
-    """
-    # ES extended_stats: ES's naive formulas from (n, sum, sumsq)
-    out["extended_stats"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        base AS (
-          SELECT count(doc.n_chars)::bigint AS n_docs,
-                 min(doc.n_chars::double) AS min,
-                 max(doc.n_chars::double) AS max,
-                 sum(doc.n_chars::double) AS sum,
-                 sum(doc.n_chars::double * doc.n_chars::double)
-                   AS sum_of_squares
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT n_docs, min, max, sum, sum_of_squares,
-               round(sum / n_docs, 6) AS avg,
-               round(sum_of_squares / n_docs
-                     - (sum / n_docs) * (sum / n_docs), 6) AS variance,
-               round(CASE WHEN n_docs > 1 THEN
-                       (sum_of_squares - sum * sum / n_docs) / (n_docs - 1)
-                     END, 6) AS variance_sampling,
-               round(sqrt(sum_of_squares / n_docs
-                          - (sum / n_docs) * (sum / n_docs)), 6)
-                 AS std_deviation,
-               round(sqrt(CASE WHEN n_docs > 1 THEN
-                       (sum_of_squares - sum * sum / n_docs) / (n_docs - 1)
-                     END), 6) AS std_deviation_sampling,
-               round(sum / n_docs + 2.0 * sqrt(sum_of_squares / n_docs
-                     - (sum / n_docs) * (sum / n_docs)), 6) AS std_upper,
-               round(sum / n_docs - 2.0 * sqrt(sum_of_squares / n_docs
-                     - (sum / n_docs) * (sum / n_docs)), 6) AS std_lower
-        FROM base
-    """
-    # ES filters agg: independent named predicate counts, one pass
-    out["filters_agg"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({terms_in})),
-        hits AS (
-          SELECT doc.lang, doc.n_chars
-          FROM m JOIN documents doc ON m.doc_id = doc.doc_id
-        )
-        SELECT 'en' AS filter_label,
-               (count(*) FILTER (WHERE lang = 'en'))::bigint AS n_docs
-        FROM hits
-        UNION ALL
-        SELECT 'long', (count(*) FILTER (WHERE n_chars >= 1500))::bigint
-        FROM hits
-        UNION ALL
-        SELECT 'short', (count(*) FILTER (WHERE n_chars < 500))::bigint
-        FROM hits
-    """
-    # ES dis_max: per-branch full BM25 match sets, best_fields combine
-    out["dsl_dis_max"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d1 AS (SELECT term, count(*)::double AS df FROM tf
-               WHERE term IN ('query', 'spark') GROUP BY term),
-        s1 AS (SELECT tf.doc_id, sum({score.replace("d.df", "d1.df")}) AS score
-               FROM tf JOIN d1 ON tf.term = d1.term
-               JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
-               GROUP BY tf.doc_id),
-        d2 AS (SELECT term, count(*)::double AS df FROM tf
-               WHERE term = 'table' GROUP BY term),
-        s2 AS (SELECT tf.doc_id, sum({score.replace("d.df", "d2.df")}) AS score
-               FROM tf JOIN d2 ON tf.term = d2.term
-               JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
-               GROUP BY tf.doc_id),
-        u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
-        comb AS (
-          SELECT doc_id,
-                 max(score) + 0.3 * (sum(score) - max(score)) AS score
-          FROM u GROUP BY doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM comb ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # ES boosting: positive BM25, ×0.4 where the negative term matches
-    out["dsl_boosting"] = f"""
-        WITH {_TF_CTE},
-        dl AS (SELECT doc_id, sum(tf)::double AS doc_len FROM tf GROUP BY doc_id),
-        c AS (SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM dl),
-        d AS (SELECT term, count(*)::double AS df FROM tf
-              WHERE term IN ('query', 'spark') GROUP BY term),
-        pos AS (SELECT tf.doc_id, sum({score}) AS score
-                FROM tf JOIN d ON tf.term = d.term
-                JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN c
-                GROUP BY tf.doc_id),
-        neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'table'),
-        demoted AS (
-          SELECT p.doc_id,
-                 CASE WHEN n.doc_id IS NOT NULL THEN p.score * 0.4
-                      ELSE p.score END AS score
-          FROM pos p LEFT JOIN neg n ON p.doc_id = n.doc_id
-        )
-        SELECT doc_id, round(score, 4) AS score
-        FROM demoted ORDER BY score DESC, doc_id ASC LIMIT 20
-    """
-    # ES constant_score: the matched set at a fixed boost, _doc order
-    out["dsl_constant_score"] = f"""
-        WITH {_TF_CTE},
-        m AS (SELECT DISTINCT doc_id FROM tf
-              WHERE term IN ('query', 'spark'))
-        SELECT doc_id, 2.5 AS score FROM m ORDER BY doc_id LIMIT 30
-    """
-    # URL curation: the derived noisy URL + each operator's exact
-    # replay (functions restricted to the shared Java-regex ∩ RE2 +
-    # list-builtin dialect, see operators/urltools.py)
-    from hadoop_search_engine_spark.functions.hashes import (
-        sql_murmur3_u32_duckdb,
-    )
-    from hadoop_search_engine_spark.operators.urltools import (
-        sql_normalize_url_duckdb,
-        sql_registrable_domain_duckdb,
-        sql_url_parts_duckdb,
-    )
-
-    out["url_normalize"] = f"""
-        SELECT doc_id,
-               {sql_normalize_url_duckdb(_DERIVED_URL_SQL)} AS url_norm
-        FROM documents
-    """
-    out["url_dedup"] = f"""
-        WITH u AS (
-          SELECT doc_id,
-                 {sql_normalize_url_duckdb(_DERIVED_URL_SQL,
-                                           strip_www=True)} AS url_norm
-          FROM documents
-        )
-        SELECT url_norm, min(doc_id) AS doc_id FROM u GROUP BY url_norm
-    """
-    _host_sql = (
-        f"regexp_replace(lower({sql_url_parts_duckdb(_DERIVED_URL_SQL)['host']}), "
-        "'^www\\.', '')"
-    )
-    _dom_sql = sql_registrable_domain_duckdb(_host_sql)
-    out["domain_stats"] = f"""
-        WITH d AS (SELECT {_dom_sql} AS domain, n_chars FROM documents),
-        t AS (SELECT count(*)::double AS n_total FROM d)
-        SELECT domain, count(*)::bigint AS n_docs,
-               sum(n_chars)::bigint AS total_size,
-               round(count(*) / (SELECT n_total FROM t), 6) AS doc_share
-        FROM d GROUP BY domain
-    """
-    _h1 = sql_murmur3_u32_duckdb("(doc_id)::varchar")
-    _hcap = sql_murmur3_u32_duckdb("'domaincap'", seed=_h1)
-    out["cap_per_domain"] = f"""
-        WITH d AS (
-          SELECT doc_id, {_dom_sql} AS dom, {_hcap} AS h FROM documents
-        ),
-        r AS (
-          SELECT doc_id,
-                 row_number() OVER (
-                   PARTITION BY dom ORDER BY h ASC, doc_id ASC
-                 ) AS rk
-          FROM d
-        )
-        SELECT doc_id FROM r WHERE rk <= 3
-    """
-    return out
+    return build(globals())
