@@ -1237,194 +1237,12 @@ def _execute_topk(
 SEGMENT_TOPK_SCHEMA = "segment int, doc_id long, score double"
 
 
-def _federated_plan(
-    indexes: list,
-    query_text: str,
-    synonyms: dict[str, str] | None,
-    mode: str,
-    algorithm: str,
-) -> list[tuple]:
-    """Shared federation front end: global statistics (N = Σ n_docs,
-    doc-weighted avgdl, df(t) summed across segments → one global idf
-    per term) and the per-segment scoring plan. Returns
-    ``[(segment_i, index, stats_with_global_avgdl, ordered_terms,
-    algorithm)]`` — empty when no segment can produce a hit."""
-    if not indexes:
-        raise ValueError("need at least one index segment")
-    if mode not in ("or", "and"):
-        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    from ..functions.bm25 import idf as idf_scalar
-
-    terms = parse_query(query_text, synonyms, indexes[0].token_fn())
-    if not terms:
-        return []
-    metas = [_lookup_terms(ix, terms) for ix in indexes]
-    n_total = sum(int(ix.stats.n_docs) for ix in indexes)
-    if n_total == 0:
-        return []
-    avgdl_g = (
-        sum(float(ix.stats.avgdl) * int(ix.stats.n_docs) for ix in indexes)
-        / n_total
-    )
-    df_g: dict[str, int] = {}
-    for m in metas:
-        for t, d in m.items():
-            df_g[t] = df_g.get(t, 0) + int(d["df"])
-    required = set(terms)
-    if not df_g or (mode == "and" and set(df_g) < required):
-        return []
-    idf_g = {t: idf_scalar(n_total, d) for t, d in df_g.items()}
-
-    import dataclasses
-
-    plan = []
-    for i, (ix, m) in enumerate(zip(indexes, metas)):
-        if not m:
-            continue
-        if mode == "and" and set(m) < required:
-            # a doc lives wholly in one segment: if the segment lacks
-            # any query term, none of its docs can match conjunctively
-            continue
-        algo = algorithm
-        if algo == "auto":
-            min_df = min(int(d["df"]) for d in m.values())
-            algo = "wand" if (mode == "and" and min_df <= 20_000) else "dense"
-        stats_g = dataclasses.replace(ix.stats, avgdl=avgdl_g)
-        ordered = [
-            (int(d["hash"]), t, float(idf_g[t])) for t, d in sorted(m.items())
-        ]
-        plan.append((i, ix, stats_g, ordered, algo))
-    return plan
 
 
-def _segment_after(
-    after: tuple[int, int, float] | None, segment: int
-) -> tuple[int, float] | None:
-    """Reduce a federated cursor ``(segment, doc_id, score)`` to the
-    per-segment ``(doc_id, score)`` cursor the shard scorers take.
-    The federated total order is (score desc, segment asc, doc_id
-    asc), so relative to cursor segment g with score s:
-
-      * segment < g: only strictly-lower scores rank after the cursor
-        -> synthetic cursor (doc_id = +inf sentinel, s);
-      * segment = g: the ordinary (doc_id, score) cursor;
-      * segment > g: any doc with score <= s ranks after the cursor
-        -> synthetic cursor (doc_id = -1, s) (doc ids are >= 0).
-    """
-    if after is None:
-        return None
-    g, d, s = int(after[0]), int(after[1]), float(after[2])
-    if segment < g:
-        return ((1 << 62), s)
-    if segment == g:
-        return (d, s)
-    return (-1, s)
 
 
-def search_topk_segments_rows(
-    indexes: list,
-    query_text: str,
-    k: int = 10,
-    synonyms: dict[str, str] | None = None,
-    mode: str = "or",
-    algorithm: str = "auto",
-    after: tuple[int, int, float] | None = None,
-) -> list[tuple[int, int, float]]:
-    """:func:`search_topk_segments` as the serving fast path: plain
-    ``[(segment, doc_id, score)]`` triples, every segment served on
-    the driver (:func:`_driver_search_pairs` — postings LRU, no Spark
-    job, no DataFrame wrap), the cross-segment merge a k·segments-row
-    Python sort with the same ordering (score desc, segment asc,
-    doc_id asc). Rank- and score-identical to the DataFrame path by
-    test; same per-segment gates as :func:`search_topk_rows`."""
-    rows: list[tuple[int, int, float]] = []
-    for i, ix, stats_g, ordered, algo in _federated_plan(
-        indexes, query_text, synonyms, mode, algorithm
-    ):
-        if ix.dl_array() is None:
-            raise ValueError(
-                f"segment {i} has {ix.stats.n_docs} docs "
-                f"(> {DL_BROADCAST_MAX_DOCS}): too large for driver "
-                "serving; use search_topk_segments(serving='spark')"
-            )
-        tomb = None
-        tomb_n = ix.tombstone_count()
-        if tomb_n:
-            if tomb_n > TOMBSTONE_OVERFETCH_MAX:
-                raise ValueError(
-                    f"segment {i}'s tombstone set is past "
-                    f"{TOMBSTONE_OVERFETCH_MAX}; use "
-                    "search_topk_segments(serving='spark') or vacuum_index"
-                )
-            tomb = ix.tombstone_array()
-        k_eff = k + (int(tomb.size) if tomb is not None else 0)
-        hit_hashes = sorted(h for h, _, _ in ordered)
-        rows.extend(
-            (i, d, s)
-            for d, s in _driver_search_pairs(
-                ix, ordered, hit_hashes, k_eff, mode, algo,
-                exclude=tomb, final_k=k, stats=stats_g,
-                after=_segment_after(after, i),
-            )
-        )
-    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
-    return rows[:k]
 
 
-def search_topk_segments(
-    indexes: list,
-    query_text: str,
-    k: int = 10,
-    synonyms: dict[str, str] | None = None,
-    mode: str = "or",
-    serving: str = "auto",
-    algorithm: str = "auto",
-    after: tuple[int, int, float] | None = None,
-) -> DataFrame:
-    """Federated BM25 top-k across multiple index segments — the
-    serving shape for a base index plus not-yet-compacted streaming
-    deltas (streaming/incremental.py), or time-partitioned index
-    generations at web scale (Lucene's multi-segment reader, done
-    with Spark unions).
-
-    Statistics are GLOBAL across segments, exactly as if one index
-    had been built over the union corpus: ``N = Σ n_docs``,
-    ``avgdl = Σ n_i·avgdl_i / N``, ``df(t) = Σ df_i(t)`` → one global
-    idf per term. Each segment scores its own postings with the
-    global (idf, avgdl) through the same serving paths as
-    :func:`search_topk` (driver or distributed, per-segment
-    tombstones included), retrieves its local top-k, and the k-row
-    per-segment results merge with one tiny union — no corpus-sized
-    data ever crosses segments. Tested rank- and score-identical to a
-    single index built over the union corpus.
-
-    Returns ``(segment, doc_id, score)`` — doc_id spaces are
-    per-segment (segment is the position in ``indexes``), since
-    independent builds mint independent dense ids.
-
-    ``after``: federated cursor pagination — the previous page's last
-    ``(segment, doc_id, score)`` triple; each segment gets the reduced
-    per-segment cursor (:func:`_segment_after`), so page n+1 is exact.
-    """
-    spark = indexes[0].spark
-    plan = _federated_plan(indexes, query_text, synonyms, mode, algorithm)
-    parts = []
-    for i, ix, stats_g, ordered, algo in plan:
-        res = _execute_topk(ix, stats_g, ordered, k, mode, serving, algo,
-                            None, after=_segment_after(after, i))
-        parts.append(
-            res.select(
-                F.lit(i).cast("int").alias("segment"), "doc_id", "score"
-            )
-        )
-    if not parts:
-        return _empty_df(spark, SEGMENT_TOPK_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy(
-        F.col("score").desc(), F.col("segment").asc(), F.col("doc_id").asc()
-    ).limit(k)
 
 
 BATCH_TOPK_SCHEMA = "query_id string, doc_id long, score double"
@@ -1433,103 +1251,6 @@ SEGMENT_BATCH_TOPK_SCHEMA = (
 )
 
 
-def search_topk_segments_batch(
-    indexes: list,
-    queries: dict[str, str],
-    k: int = 10,
-    synonyms: dict[str, str] | None = None,
-    mode: str = "or",
-    serving: str = "auto",
-) -> DataFrame:
-    """Batch serving over a FEDERATED deployment (base index plus
-    not-yet-compacted streaming deltas): the whole query set runs once
-    per segment with GLOBAL statistics (same federation math as
-    :func:`search_topk_segments` — N = Σ n_docs, weighted avgdl,
-    df(t) summed across segments → one global idf per term), each
-    segment's batch pass amortizes its postings scan across all
-    queries, and the cross-segment merge is a per-query window over
-    q·k·num_segments rows. Returns ``(query_id, segment, doc_id,
-    score)`` — per query the exact global top-k, bit-identical to
-    calling :func:`search_topk_segments` per query."""
-    if not indexes:
-        raise ValueError("need at least one index segment")
-    if mode not in ("or", "and"):
-        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-    from ..functions.bm25 import idf as idf_scalar
-
-    spark = indexes[0].spark
-    tfn = indexes[0].token_fn()
-    parsed = {qid: parse_query(text, synonyms, tfn) for qid, text in queries.items()}
-    all_terms = sorted({t for ts in parsed.values() for t in ts})
-    if not all_terms:
-        return _empty_df(spark, SEGMENT_BATCH_TOPK_SCHEMA)
-    metas = [_lookup_terms(ix, all_terms) for ix in indexes]
-    n_total = sum(int(ix.stats.n_docs) for ix in indexes)
-    if n_total == 0:
-        return _empty_df(spark, SEGMENT_BATCH_TOPK_SCHEMA)
-    avgdl_g = (
-        sum(float(ix.stats.avgdl) * int(ix.stats.n_docs) for ix in indexes)
-        / n_total
-    )
-    df_g: dict[str, int] = {}
-    for m in metas:
-        for t, d in m.items():
-            df_g[t] = df_g.get(t, 0) + int(d["df"])
-    idf_g = {t: idf_scalar(n_total, d) for t, d in df_g.items()}
-
-    # per-query GLOBAL term lists (conjunctive queries missing a term
-    # globally contribute no rows, like their single-query calls)
-    live: dict[str, list[str]] = {}
-    for qid, ts in parsed.items():
-        qterms = sorted({t for t in ts if t in df_g})
-        if not qterms:
-            continue
-        if mode == "and" and len(qterms) < len(set(ts)):
-            continue
-        live[qid] = qterms
-
-    import dataclasses
-
-    parts = []
-    for i, (ix, m) in enumerate(zip(indexes, metas)):
-        per_q = []
-        for qid, qterms in live.items():
-            seg_terms = [t for t in qterms if t in m]
-            if not seg_terms:
-                continue
-            if mode == "and" and len(seg_terms) < len(qterms):
-                # a doc lives wholly in one segment: a segment missing
-                # any query term can't host a conjunctive match
-                continue
-            per_q.append((
-                qid,
-                [(int(m[t]["hash"]), t, float(idf_g[t])) for t in seg_terms],
-            ))
-        if not per_q:
-            continue
-        stats_g = dataclasses.replace(ix.stats, avgdl=avgdl_g)
-        res = _execute_topk_batch(ix, stats_g, per_q, k, mode, serving)
-        parts.append(res.select(
-            "query_id", F.lit(i).cast("int").alias("segment"),
-            "doc_id", "score",
-        ))
-    if not parts:
-        return _empty_df(spark, SEGMENT_BATCH_TOPK_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("segment").asc(), F.col("doc_id").asc()
-    )
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
-        .orderBy("query_id", F.col("score").desc(), F.col("segment").asc(),
-                 F.col("doc_id").asc())
-    )
 
 
 def search_topk_batch(
@@ -2422,402 +2143,10 @@ def _score_wand(
     return [(int(d), float(s)) for d, s in zip(best_docs, best_scores)]
 
 
-def _phrase_pairs(
-    left: pd.DataFrame, dl: np.ndarray, base: int,
-    ordered_terms: list[tuple[int, str, float]],
-    seq_hashes: list[int],
-    k1: float, b: float, avgdl: float, k: int,
-    slop: int = 0,
-    window: int | None = None,
-    after: tuple[int, float] | None = None,
-    exp_terms: list[tuple[int, str, float]] | None = None,
-    first_end: int | None = None,
-) -> list[tuple[int, float]]:
-    """Exact-phrase (or, with ``slop`` > 0, ordered-proximity; or,
-    with ``window``, UNORDERED proximity) matches in one shard,
-    BM25-scored.
-
-    1. batch-decode each distinct term's postings AND positions (one
-       varint pass each — position blobs concatenate safely because
-       every doc's first position is stored absolutely);
-    2. candidates = docs containing every term (sorted-array
-       intersection);
-    3. adjacency: walk the phrase left to right, intersecting
-       (positions so far + 1) with the next term's positions per doc —
-       duplicates in the phrase reuse the same decoded postings. With
-       ``slop``, the probe widens to a RANGE: the next term may sit up
-       to ``slop`` intervening tokens later (same doc, still in
-       order), tested as "exists a predecessor occurrence in
-       [key - slop - 1, key - 1]" — one searchsorted per step, both
-       sides stay sorted, and the window never crosses a doc boundary
-       because the lower bound clamps to the packed doc prefix;
-    4. score survivors with the standard per-term partials in ascending
-       term order (identical formula to mode="and", restricted to
-       phrase-matching docs).
-
-    ``exp_terms`` (phrase-prefix mode, ES match_phrase_prefix): the
-    phrase gains one FINAL slot matched by ANY of these expansion
-    terms — their occurrence keys merge into one sorted array and the
-    final step is the same searchsorted probe. Expansions are OPTIONAL
-    per shard (a shard missing one just can't match through it; all
-    absent -> no match), and scoring adds each expansion term the doc
-    actually contains (membership-masked partials) on top of the fixed
-    terms, ascending term order across the union.
-    """
-    if dl.shape[0] >= (1 << 42):
-        raise ValueError("shard_span too large for packed (doc, pos) keys")
-    hashes = left["term_hash"].to_numpy(np.int64)
-    per_term: dict[int, tuple] = {}
-    for th, _term, _idf in ordered_terms:
-        grp = left[hashes == th]
-        if not len(grp):
-            return []  # a phrase term absent from this shard
-        grp = grp.sort_values("block_id")
-        d, t, _ = codec.decode_blocks(
-            grp["doc_ids"].tolist(), grp["tfs"].tolist(),
-            grp["n_docs"].to_numpy(np.int64),
-            grp["first_doc_id"].to_numpy(np.int64),
-        )
-        pos_blob = b"".join(map(bytes, grp["positions"].tolist()))
-        P = codec.decode_positions(pos_blob, t)
-        # every occurrence as a packed (local_doc, pos) key — the
-        # positional build truncates occurrences at pos < 2^20, so 21
-        # bits never carry into the doc bits and "advance one token" is
-        # key + 1. Keys ascend (doc-major, pos-ascending), so set ops
-        # stay sorted-unique.
-        keys = ((np.repeat(d, t) - base) << np.int64(21)) | P
-        per_term[th] = (d, t, keys)
-
-    exp_present: list[tuple[str, float, np.ndarray, np.ndarray]] = []
-    merged = None
-    if exp_terms is not None:
-        exp_keys: list[np.ndarray] = []
-        for th, term, idf in exp_terms:
-            grp = left[hashes == th]
-            if not len(grp):
-                continue  # expansion absent from this shard: optional
-            grp = grp.sort_values("block_id")
-            d, t, _ = codec.decode_blocks(
-                grp["doc_ids"].tolist(), grp["tfs"].tolist(),
-                grp["n_docs"].to_numpy(np.int64),
-                grp["first_doc_id"].to_numpy(np.int64),
-            )
-            pos_blob = b"".join(map(bytes, grp["positions"].tolist()))
-            P = codec.decode_positions(pos_blob, t)
-            exp_present.append((term, idf, d, t))
-            exp_keys.append(((np.repeat(d, t) - base) << np.int64(21)) | P)
-        if not exp_keys:
-            return []
-        merged = np.unique(np.concatenate(exp_keys))
-
-    if window is not None:
-        # UNORDERED window (Lucene span_near inOrder=false shape): a
-        # doc matches iff some token window of width <= `window`
-        # contains every distinct query term. A minimal covering
-        # window can always be slid left until its left edge sits ON
-        # an occurrence, so it suffices to test starts = every
-        # occurrence key x: for each term, the next occurrence >= x
-        # must lie within [x, x + window - 1]. One searchsorted probe
-        # per term over the merged sorted start array — the same
-        # vectorized cost shape as a phrase step. Packed keys keep the
-        # probe doc-local: pos occupies 21 bits and pos + window - 1
-        # < 2^21, so a next-doc key always exceeds the window bound.
-        starts = np.unique(
-            np.concatenate([per_term[th][2] for th in per_term])
-        )
-        hi = starts + np.int64(window - 1)
-        ok = np.ones(starts.shape[0], dtype=bool)
-        for th in per_term:
-            kt = per_term[th][2]
-            j = np.searchsorted(kt, starts, side="left")
-            jc = np.minimum(j, kt.size - 1)
-            ok &= (j < kt.size) & (kt[jc] <= hi)
-        cur = starts[ok]
-        if not cur.size:
-            return []
-        docs_arr = np.unique(cur >> np.int64(21)) + base
-        scores = np.zeros(docs_arr.shape[0], dtype=np.float64)
-        for th, _term, idf in ordered_terms:  # ascending term order
-            d, t, _keys = per_term[th]
-            ix = np.searchsorted(d, docs_arr)
-            scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b,
-                                     avgdl)
-        return _topk_pairs(docs_arr, scores, k, after=after)
-
-    # adjacency fully vectorized: walk the phrase left to right
-    # intersecting (occurrence keys + 1) with the next term's keys —
-    # no per-candidate Python loop (a two-head-term phrase over a web
-    # shard has ~1e5 candidates; looping them costs ~30 s). Both key
-    # arrays are sorted, so the intersection is a searchsorted probe —
-    # np.isin would re-sort both sides every step.
-    # with exp_terms the walk gains one final step over the merged
-    # expansion keys; a pure-prefix query (no fixed terms) starts there
-    steps = [per_term[th][2] for th in seq_hashes]
-    if merged is not None:
-        steps.append(merged)
-    cur = steps[0]
-    for nxt in steps[1:]:
-        if slop == 0:
-            shifted = cur + 1
-            j = np.searchsorted(nxt, shifted)
-            j[j == nxt.size] = 0  # out-of-range probes can't match
-            cur = shifted[nxt[j] == shifted]
-        else:
-            # proximity: keep each next-term occurrence that has a
-            # predecessor within [key - slop - 1, key - 1], clamped to
-            # the occurrence's own doc (pos bits < 2^20, so the packed
-            # doc prefix is the hard floor of the window)
-            doc_start = nxt & ~np.int64((1 << 21) - 1)
-            lo = np.maximum(nxt - np.int64(slop + 1), doc_start)
-            j = np.searchsorted(cur, lo, side="left")
-            jc = np.minimum(j, max(cur.size - 1, 0))
-            ok = (j < cur.size) & (cur[jc] <= nxt - 1)
-            cur = nxt[ok]
-        if not cur.size:
-            return []
-    if first_end is not None:
-        # span_first (Lucene SpanFirstQuery): the match must END within
-        # the first `first_end` tokens — last-term pos + 1 <= end, i.e.
-        # the packed key's position bits < first_end
-        cur = cur[(cur & np.int64((1 << 21) - 1)) < np.int64(first_end)]
-        if not cur.size:
-            return []
-    docs_arr = np.unique(cur >> np.int64(21)) + base
-    scores = np.zeros(docs_arr.shape[0], dtype=np.float64)
-    scorables = [
-        (term, idf, per_term[th][0], per_term[th][1], True)
-        for th, term, idf in ordered_terms
-    ] + [(term, idf, d, t, False) for term, idf, d, t in exp_present]
-    for term, idf, d, t, required in sorted(scorables):  # asc term order
-        ix = np.searchsorted(d, docs_arr)
-        if required:  # every matching doc contains every fixed term
-            scores += idf * _partial(t[ix], dl[docs_arr - base], k1, b,
-                                     avgdl)
-        else:  # expansion: add only where the doc contains the term
-            ixc = np.minimum(ix, max(d.size - 1, 0))
-            mem = (ix < d.size) & (d[ixc] == docs_arr)
-            if mem.any():
-                scores[mem] += idf * _partial(
-                    t[ixc[mem]], dl[docs_arr[mem] - base], k1, b, avgdl
-                )
-    return _topk_pairs(docs_arr, scores, k, after=after)
 
 
-def phrase_search(
-    index: Index,
-    phrase_text: str,
-    k: int = 10,
-    synonyms: dict[str, str] | None = None,
-    serving: str = "auto",
-    slop: int = 0,
-    after: tuple[int, float] | None = None,
-    first_end: int | None = None,
-    _window: int | None = None,
-    _expansions: list[str] | None = None,
-    _seq: list[str] | None = None,
-) -> DataFrame:
-    """Exact-phrase BM25 top-k over a positional index
-    (``build_index(..., positions=True)``).
-
-    The phrase is the tokenized text IN ORDER (duplicates kept; synonym
-    rewrite applies per token without dedup). A doc matches iff the
-    terms occur at consecutive token positions. Matching docs are
-    ranked by the same BM25 per-term partials as ``mode="and"``.
-
-    ``first_end`` (Lucene/ES span_first): the match must additionally
-    END within the first ``first_end`` tokens of the document — the
-    "title-ish leading text" positional filter; composes with ``slop``.
-
-    ``slop`` relaxes adjacency into ORDERED PROXIMITY: each adjacent
-    pair of phrase terms may be separated by up to ``slop`` intervening
-    tokens (still in phrase order, still within one document) —
-    ``slop=0`` is the exact phrase. This is the per-gap window
-    semantics (each step independently within ``slop``), simpler and
-    strictly cheaper than Lucene's move-count slop: evaluation stays
-    one vectorized searchsorted probe per phrase step. A slop match is
-    always a superset of the exact-phrase match set and a subset of
-    ``mode="and"`` (by test).
-    """
-    if not getattr(index.stats, "positions", False):
-        raise ValueError(
-            "phrase_search needs a positional index: build_index(..., "
-            "positions=True)"
-        )
-    slop = int(slop)
-    if not (0 <= slop < (1 << 20)):
-        raise ValueError(f"slop must be in [0, 2^20), got {slop}")
-    if _window is not None:
-        _window = int(_window)
-        if not (1 <= _window <= (1 << 20)):
-            raise ValueError(
-                f"window must be in [1, 2^20], got {_window}"
-            )
-    if first_end is not None:
-        first_end = int(first_end)
-        if not (1 <= first_end < (1 << 20)):
-            raise ValueError(
-                f"first_end must be in [1, 2^20), got {first_end}"
-            )
-        if _window is not None:
-            raise ValueError(
-                "first_end (span_first) applies to ordered spans, not "
-                "the unordered window"
-            )
-    from ..functions.tokenizer import tokenize
-
-    syn = synonyms or {}
-    tfn = index.token_fn()
-    if _seq is not None:
-        seq = list(_seq)  # pre-analyzed terms (phrase_prefix_search)
-    else:
-        seq = [syn.get(t, t) for t in tokenize(phrase_text)]
-        if tfn is not None:
-            # analyzed index: stopwords vanish from the phrase
-            # (positions were renumbered contiguously at build, so the
-            # remaining terms ARE adjacent), stems match the indexed
-            # surface forms
-            from ..functions.analyzer import apply_token_fn
-
-            seq = apply_token_fn(seq, tfn)
-    spark = index.spark
-    if _expansions is not None and _window is not None:
-        raise ValueError("phrase-prefix expansion and unordered window "
-                         "cannot combine")
-    if not seq and not _expansions:
-        return _empty_df(spark, TOPK_SCHEMA)
-    distinct = sorted(set(seq))
-    meta = _lookup_terms(index, distinct)
-    if len(meta) < len(distinct):
-        return _empty_df(spark, TOPK_SCHEMA)
-    stats = index.stats
-    ordered_terms = [
-        (int(m["hash"]), t, float(m["idf"])) for t, m in sorted(meta.items())
-    ]
-    seq_hashes = [int(meta[t]["hash"]) for t in seq]
-    exp_terms = None
-    if _expansions is not None:
-        # expansion terms come FROM the lexicon (prefix probe) so the
-        # lookup can't miss; drop any that duplicate a fixed term so
-        # each distinct term scores exactly once
-        exp_list = sorted(set(_expansions) - set(distinct))
-        emeta = _lookup_terms(index, exp_list)
-        exp_terms = [
-            (int(m["hash"]), t, float(m["idf"]))
-            for t, m in sorted(emeta.items())
-        ]
-        if not exp_terms:
-            return _empty_df(spark, TOPK_SCHEMA)
-        meta = {**meta, **emeta}
-    buckets = sorted({m["bucket"] for m in meta.values()})
-    hit_hashes = sorted(int(m["hash"]) for m in meta.values())
-
-    # tombstones: over-retrieve + post-filter (phrase has no cogroup
-    # eligibility-page variant, so very large tombstone sets require a
-    # vacuum first)
-    tomb = None
-    tomb_n = index.tombstone_count()
-    if tomb_n:
-        if tomb_n > TOMBSTONE_OVERFETCH_MAX:
-            raise ValueError(
-                f"{tomb_n} tombstones exceed the phrase-search "
-                f"over-retrieve limit ({TOMBSTONE_OVERFETCH_MAX}); run "
-                "vacuum_index first"
-            )
-        tomb = index.tombstone_array()
-    k_eff = k + (int(tomb.size) if tomb is not None else 0)
-
-    import functools
-
-    pairs_fn = functools.partial(
-        _phrase_pairs, ordered_terms=ordered_terms, seq_hashes=seq_hashes,
-        k1=stats.k1, b=stats.b, avgdl=stats.avgdl, k=k_eff, slop=slop,
-        window=_window, after=_check_after(after), exp_terms=exp_terms,
-        first_end=first_end,
-    )
-
-    # auto picks driver serving whenever the index is small enough for
-    # the driver-pinned norms/lexicon — measured faster than the
-    # executor path even for two-head-term phrases (the distributed
-    # path ships the probed position blobs through an extra shuffle +
-    # Arrow transfer; at >20M docs there is no choice and it shards the
-    # decode in parallel).
-    if serving == "driver" and index.dl_array() is None:
-        raise ValueError(
-            f"index has {stats.n_docs} docs (> {DL_BROADCAST_MAX_DOCS}): too "
-            "large for driver serving; use serving='spark' (or 'auto')"
-        )
-    if serving == "driver" or (
-        serving == "auto"
-        and index.dl_array() is not None
-        and index.lexicon_map() is not None
-    ):
-        return _driver_search(
-            index, ordered_terms, buckets, hit_hashes, k_eff, "and", "dense",
-            pairs_fn=pairs_fn, exclude=tomb, final_k=k,
-        )
-
-    blocks = index.postings.where(
-        F.col("bucket").isin(buckets) & F.col("term_hash").isin(hit_hashes)
-    )
-    n_parts = max(1, min(stats.num_shards,
-                         spark.sparkContext.defaultParallelism))
-    dl_bc = index.dl_broadcast()
-    if dl_bc is not None:
-        scorer = _make_shard_scorer(ordered_terms, stats, k_eff, "dense",
-                                    dl_bc=dl_bc, pairs_fn=pairs_fn)
-        per_shard = (
-            blocks.repartition(n_parts, "shard")
-            .groupBy("shard")
-            .applyInPandas(scorer, schema=TOPK_SCHEMA)
-        )
-    else:
-        shards = blocks.select("shard").distinct()
-        dls = index.doc_stats.join(F.broadcast(shards), "shard", "left_semi")
-        scorer = _make_shard_scorer(ordered_terms, stats, k_eff, "dense",
-                                    pairs_fn=pairs_fn)
-        per_shard = (
-            blocks.repartition(n_parts, "shard")
-            .groupBy("shard")
-            .cogroup(dls.repartition(n_parts, "shard").groupBy("shard"))
-            .applyInPandas(scorer, schema=TOPK_SCHEMA)
-        )
-    if tomb is not None:
-        per_shard = per_shard.join(
-            F.broadcast(index.tombstones), "doc_id", "left_anti"
-        )
-    return per_shard.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
-def near_search(
-    index: Index,
-    query_text: str,
-    window: int,
-    k: int = 10,
-    synonyms: dict[str, str] | None = None,
-    serving: str = "auto",
-    after: tuple[int, float] | None = None,
-) -> DataFrame:
-    """UNORDERED proximity search (Lucene ``SpanNearQuery`` with
-    ``inOrder=false`` / interval "within" query): a doc matches iff
-    some token window of width <= ``window`` contains at least one
-    occurrence of EVERY distinct query term, in ANY order. Matching
-    docs are BM25-ranked exactly like ``mode="and"`` restricted to the
-    window-matching set.
-
-    Relationships (by test): ``near_search(w)`` matches a SUPERSET of
-    ``phrase_search(slop=w - len(terms))``-style ordered matches once
-    the window covers the phrase span, and a SUBSET of ``mode="and"``;
-    ``window`` large enough degenerates to ``mode="and"``. Evaluation
-    is the same per-shard vectorized packed-key machinery as
-    :func:`phrase_search` — one searchsorted probe per term over the
-    merged occurrence array, no per-candidate Python loop.
-    """
-    if window is None:
-        raise ValueError("window is required")
-    return phrase_search(
-        index, query_text, k=k, synonyms=synonyms, serving=serving,
-        slop=0, after=after, _window=window,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -3096,281 +2425,18 @@ def matched_docs_dataframe(
     return toks.where(pred).select("doc_id")
 
 
-def facet_counts(
-    matched: DataFrame,
-    documents: DataFrame,
-    facet_cols: list[str],
-    size: int | None = None,
-    min_doc_count: int = 1,
-    include=None,
-    exclude=None,
-    missing: str | None = None,
-) -> DataFrame:
-    """Search-result faceting: per-facet-value matched-document counts
-    (the sidebar a search UI renders next to results). ``matched`` is
-    any doc_id set — :func:`matched_docs` (indexed),
-    :func:`matched_docs_dataframe`, or a filtered variant.
-
-    ES terms-agg key filters (single-facet only): ``include`` /
-    ``exclude`` take a value list or a whole-key-anchored regex
-    string (``"sp.*"`` matches ``spark``, not a substring — ES
-    semantics); exclude wins on overlap. ``missing`` replaces null
-    keys with the given value (ES ``missing`` param; by default null
-    keys are dropped by the groupBy as a null bucket). All three
-    compile to codegen'd predicates BESIDE the scan, before the
-    aggregation ever sees the row.
-
-    Plan: left-semi join metadata to the matched set on doc_id, then
-    partial-aggregated groupBy on the facet columns — the output is
-    |facet-cardinality| rows regardless of corpus size. At scale the
-    semi-join shuffles both sides on doc_id unless the metadata table
-    is bucketed/sharded by doc_id (the index's own doc_stats layout),
-    in which case it co-locates.
-    """
-    if not facet_cols:
-        raise ValueError("facet_cols must name at least one column")
-    if (include is not None or exclude is not None or missing is not None) \
-            and len(facet_cols) != 1:
-        raise ValueError(
-            "include/exclude/missing apply to single-facet terms aggs"
-        )
-    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
-    if missing is not None:
-        c = facet_cols[0]
-        hits = hits.withColumn(
-            c, F.coalesce(F.col(c).cast("string"), F.lit(str(missing)))
-        )
-
-    def _key_pred(spec, col):
-        if isinstance(spec, (list, tuple, set)):
-            return col.isin([str(v) for v in spec])
-        # ES anchors include/exclude regexes to the whole key
-        return col.rlike(f"^(?:{spec})$")
-
-    if include is not None:
-        hits = hits.where(
-            _key_pred(include, F.col(facet_cols[0]).cast("string")))
-    if exclude is not None:
-        hits = hits.where(
-            ~_key_pred(exclude, F.col(facet_cols[0]).cast("string")))
-    out = hits.groupBy(*facet_cols).agg(F.count("*").alias("n_docs"))
-    if min_doc_count > 1:
-        out = out.where(F.col("n_docs") >= min_doc_count)
-    if size is not None:
-        # ES terms-agg page: top-`size` buckets by (count desc, key
-        # asc) — a TakeOrdered over the |buckets|-row aggregate, never
-        # a full sort (walk ALL buckets with composite_agg instead)
-        out = out.orderBy(
-            F.col("n_docs").desc(),
-            *[F.col(c).asc() for c in facet_cols],
-        ).limit(int(size))
-    return out
 
 
-def histogram_facets(
-    matched: DataFrame,
-    documents: DataFrame,
-    col: str,
-    interval: float,
-    min_doc_count: int = 1,
-) -> DataFrame:
-    """ES ``histogram`` aggregation over search hits: fixed-width
-    buckets ``key = floor(x / interval) * interval`` with matched-doc
-    counts — the price/length/date slider a search UI renders.
-    ``min_doc_count=0`` fills interior gaps with empty buckets (ES
-    semantics): the bucket keys come from one min/max aggregation +
-    ``sequence`` explode — bounded by the bucket span, never the
-    corpus. Plan: semi-join + one partial-aggregated groupBy on the
-    bucket key; output is |buckets| rows regardless of corpus size."""
-    if interval <= 0:
-        raise ValueError("interval must be positive")
-    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
-    key = (
-        F.floor(F.col(col).cast("double") / F.lit(float(interval)))
-        * F.lit(float(interval))
-    ).alias("bucket")
-    counts = (
-        hits.where(F.col(col).isNotNull())
-        .groupBy(key)
-        .agg(F.count("*").alias("n_docs"))
-    )
-    if min_doc_count > 1:
-        counts = counts.where(F.col("n_docs") >= min_doc_count)
-    if min_doc_count == 0:
-        span = counts.agg(
-            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-        )
-        grid = span.where(F.col("lo").isNotNull()).select(
-            F.explode(
-                F.sequence(
-                    (F.col("lo") / interval).cast("long"),
-                    (F.col("hi") / interval).cast("long"),
-                )
-            ).alias("step")
-        ).select((F.col("step") * F.lit(float(interval))).alias("bucket"))
-        counts = grid.join(counts, "bucket", "left").select(
-            "bucket", F.coalesce("n_docs", F.lit(0)).alias("n_docs")
-        )
-    return counts
 
 
-def range_facets(
-    matched: DataFrame,
-    documents: DataFrame,
-    col: str,
-    ranges: list[tuple],
-) -> DataFrame:
-    """ES ``range`` aggregation over search hits: per-range matched-doc
-    counts for [from, to) ranges (from inclusive, to exclusive, either
-    side open with ``None``) — ranges MAY overlap, each is counted
-    independently, exactly ES's semantics. ``ranges`` is a list of
-    ``(label, lo, hi)``. One semi-join + one aggregation emitting every
-    range's conditional count in a single pass (no per-range scans);
-    empty ranges report 0."""
-    if not ranges:
-        raise ValueError("ranges must name at least one (label, lo, hi)")
-    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
-    x = F.col(col).cast("double")
-    aggs = []
-    for i, (_label, lo, hi) in enumerate(ranges):
-        cond = x.isNotNull()
-        if lo is not None:
-            cond = cond & (x >= float(lo))
-        if hi is not None:
-            cond = cond & (x < float(hi))
-        # positional internal aliases: labels are user strings and may
-        # contain dots/backticks (ES auto keys like "*-200.0"), which
-        # F.col() would parse as nested-field paths
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c{i}"))
-    wide = hits.agg(*aggs)
-    # one wide row -> (label, n_docs) rows, preserving declaration order
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(str(label)).alias("range_label"),
-                F.col(f"_c{i}").cast("long").alias("n_docs"),
-            )
-            for i, (label, _lo, _hi) in enumerate(ranges)
-        ]
-    )
-    return wide.select(F.explode(pairs).alias("r")).select(
-        "r.range_label", "r.n_docs"
-    )
 
 
-def stats_facet(matched: DataFrame, documents: DataFrame, col: str) -> DataFrame:
-    """ES ``stats`` aggregation over search hits: count/min/max/
-    avg/sum of a numeric field across the matched docs — one
-    partial-aggregated pass, one output row."""
-    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
-    x = F.col(col).cast("double")
-    return hits.agg(
-        F.count(x).alias("n_docs"),
-        F.min(x).alias("min"),
-        F.max(x).alias("max"),
-        F.round(F.avg(x), 6).alias("avg"),
-        F.sum(x).alias("sum"),
-    )
 
 
-def percentiles_facet(
-    matched: DataFrame,
-    documents: DataFrame,
-    col: str,
-    percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
-    exact: bool = True,
-    accuracy: int = 10_000,
-) -> DataFrame:
-    """ES ``percentiles`` aggregation over search hits: one row per
-    requested percent with the linearly-interpolated value of ``col``
-    across the matched docs. ``exact=True`` computes true percentiles
-    (a full sort of the HIT values — fine for hit sets, which are
-    df-bounded); ``exact=False`` uses ``percentile_approx`` (bounded
-    sketch, map-side combinable — the 100 TB corpus-wide choice, and
-    what ES itself does with t-digest). All percents come out of ONE
-    aggregation pass."""
-    if not percents:
-        raise ValueError("percents must name at least one percentile")
-    if any(not 0.0 <= float(p) <= 100.0 for p in percents):
-        raise ValueError("percents must be in [0, 100]")
-    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
-    x = F.col(col).cast("double")
-    fracs = F.array(*[F.lit(float(p) / 100.0) for p in percents])
-    agg = (
-        F.percentile(x, fracs) if exact
-        else F.percentile_approx(x, fracs, F.lit(accuracy))
-    )
-    row = hits.agg(agg.alias("_v"))
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(float(p)).alias("percent"),
-                F.round(F.col("_v")[i], 6).alias("value"),
-            )
-            for i, p in enumerate(percents)
-        ]
-    )
-    return row.select(F.explode(pairs).alias("r")).select(
-        "r.percent", "r.value"
-    )
 
 
-def cardinality_facet(
-    matched: DataFrame,
-    documents: DataFrame,
-    col: str,
-    exact: bool = True,
-    rsd: float = 0.05,
-) -> DataFrame:
-    """ES ``cardinality`` aggregation over search hits: distinct count
-    of ``col`` across matched docs. ``exact=True`` is a two-stage
-    distinct count (partial distinct per partition, then merge) — the
-    oracle-checkable path; ``exact=False`` is HyperLogLog++
-    (``approx_count_distinct``, fixed-size sketch, map-side combinable
-    — the web-scale choice and ES's own algorithm)."""
-    hits = documents.join(matched.select("doc_id"), "doc_id", "left_semi")
-    agg = (
-        F.countDistinct(F.col(col)) if exact
-        else F.approx_count_distinct(F.col(col), rsd)
-    )
-    return hits.agg(agg.cast("long").alias("cardinality"))
 
 
-def top_hits_facet(
-    scored: DataFrame,
-    documents: DataFrame,
-    group_col: str,
-    n: int = 3,
-    ndigits: int = 4,
-) -> DataFrame:
-    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
-    for each value of ``group_col``, the ``n`` best-scoring matched
-    docs — "top 3 results per site/language" in one pass. ``scored``
-    is a (doc_id, score) frame (:func:`scored_docs` for the full match
-    set, or any top-k result).
-
-    Determinism: ranks order by the ROUNDED score (``ndigits``) with
-    ascending-id tie-break, so rank assignment replays bit-identically
-    in SQL. Scale shape: one keyed join (broadcast when ``scored`` is
-    a k-row result) + a window partitioned by group over the hit set —
-    per-group state is the group's hit count, df-bounded, never the
-    corpus; output is ``n × |groups|`` rows."""
-    from pyspark.sql import Window
-
-    if n < 1:
-        raise ValueError("n must be >= 1")
-    hits = documents.select("doc_id", group_col).join(
-        scored.select("doc_id", "score"), "doc_id"
-    )
-    sc = F.round(F.col("score"), ndigits)
-    w = Window.partitionBy(group_col).orderBy(
-        sc.desc(), F.col("doc_id").asc()
-    )
-    return (
-        hits.withColumn("hit_rank", F.row_number().over(w))
-        .where(F.col("hit_rank") <= n)
-        .select(group_col, "hit_rank", "doc_id", sc.alias("score"))
-    )
 
 
 def search_topk_fields(
@@ -3519,51 +2585,8 @@ def decay_topk(
     return out.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
-def suggest_terms(index: Index, prefix: str, k: int = 10) -> DataFrame:
-    """Prefix autocomplete over the lexicon, ranked by document
-    frequency (the search-box suggestion list). Driver-cached
-    vocabularies answer without a Spark job (one linear pass over the
-    pinned term map — ~ms at 2M terms); larger vocabularies run a
-    pushed-down ``StartsWith`` filter + TakeOrderedAndProject over the
-    vocab-sized lexicon table, never the postings."""
-    p = prefix.strip().lower()
-    spark = index.spark
-    if not p:
-        return _empty_df(spark, "term string, df long")
-    lm = index.lexicon_map()
-    if lm is not None:
-        cands = [
-            (t, int(v["df"])) for t, v in lm.items() if t.startswith(p)
-        ]
-        cands.sort(key=lambda e: (-e[1], e[0]))
-        if not cands:
-            return _empty_df(spark, "term string, df long")
-        pdf = pd.DataFrame(cands[:k], columns=["term", "df"]).astype(
-            {"term": "string", "df": "int64"}
-        )
-        return spark.createDataFrame(pdf)
-    return (
-        index.lexicon.where(F.col("term").startswith(p))
-        .select("term", F.col("df").cast("long").alias("df"))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(k)
-    )
 
 
-def suggest_terms_dataframe(docs: DataFrame, prefix: str, k: int = 10) -> DataFrame:
-    """Exhaustive corpus-scan variant of :func:`suggest_terms` — the
-    DuckDB-oracle-comparable form (df recomputed from tokens)."""
-    p = prefix.strip().lower()
-    if not p:
-        return _empty_df(docs.sparkSession, "term string, df long")
-    tf = term_frequencies(docs)
-    return (
-        tf.where(F.col("term").startswith(p))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(k)
-    )
 
 
 # byte-popcount lookup table for the fuzzy charmask pre-filter
@@ -3571,253 +2594,20 @@ def suggest_terms_dataframe(docs: DataFrame, prefix: str, k: int = 10) -> DataFr
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
-def _edit_distance(a: str, b: str, cap: int) -> int:
-    """Banded Levenshtein with early abort past ``cap`` (driver-side
-    vocab scan only — executor-scale matching uses the JVM
-    ``levenshtein`` expression)."""
-    if abs(len(a) - len(b)) > cap:
-        return cap + 1
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        best = i
-        for j, cb in enumerate(b, 1):
-            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            cur.append(v)
-            if v < best:
-                best = v
-        if best > cap:
-            return cap + 1
-        prev = cur
-    return prev[-1]
 
 
-def fuzzy_terms(index: Index, term: str, max_edits: int = 1, k: int = 5) -> DataFrame:
-    """Spell-correction candidates: lexicon terms within ``max_edits``
-    Levenshtein edits of ``term``, ranked (distance asc, df desc, term
-    asc). Driver-cached vocabularies probe the length-bucketed pinned
-    map (:meth:`Index.lexicon_by_length`): only the 2e+1 buckets with
-    ``|len - len(term)| <= e`` are visited, a 64-bit character-mask
-    popcount rules most candidates out before any DP, and the banded
-    DP early-aborts past e — sub-ms at web vocabularies (BENCH.md)
-    instead of a full-vocabulary Python scan. Larger vocabularies run
-    the JVM ``levenshtein`` expression over the vocab-sized lexicon —
-    never the postings or the corpus."""
-    p = term.strip().lower()
-    spark = index.spark
-    if not p:
-        return _empty_df(spark, "term string, dist int, df long")
-    by_len = index.lexicon_by_length()
-    if by_len is not None:
-        pmask = 0
-        for ch in p:
-            pmask |= 1 << (ord(ch) & 63)
-        cands = []
-        for length in range(max(1, len(p) - max_edits), len(p) + max_edits + 1):
-            bucket = by_len.get(length)
-            if bucket is None:
-                continue
-            terms_b, dfs_b, masks_b = bucket
-            xor = masks_b ^ np.uint64(pmask)
-            pc = _POP8[xor.view(np.uint8)].reshape(-1, 8).sum(axis=1)
-            for i in np.flatnonzero(pc <= 2 * max_edits):
-                t = terms_b[i]
-                d = _edit_distance(p, t, max_edits)
-                if d <= max_edits:
-                    cands.append((t, int(d), int(dfs_b[i])))
-        cands.sort(key=lambda e: (e[1], -e[2], e[0]))
-        if not cands:
-            return _empty_df(spark, "term string, dist int, df long")
-        pdf = pd.DataFrame(
-            cands[:k], columns=["term", "dist", "df"]
-        ).astype({"term": "string", "dist": "int32", "df": "int64"})
-        return spark.createDataFrame(pdf)
-    return (
-        index.lexicon.withColumn(
-            "dist", F.levenshtein(F.col("term"), F.lit(p))
-        )
-        .where(F.col("dist") <= max_edits)
-        .select("term", F.col("dist").cast("int"), F.col("df").cast("long"))
-        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
-        .limit(k)
-    )
 
 
-def fuzzy_terms_dataframe(
-    docs: DataFrame, term: str, max_edits: int = 1, k: int = 5
-) -> DataFrame:
-    """Exhaustive corpus-scan variant of :func:`fuzzy_terms` — the
-    DuckDB-oracle-comparable form (df recomputed from tokens, JVM
-    ``levenshtein`` vs DuckDB ``levenshtein``)."""
-    p = term.strip().lower()
-    if not p:
-        return _empty_df(docs.sparkSession, "term string, dist int, df long")
-    tf = term_frequencies(docs)
-    return (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(p)))
-        .where(F.col("dist") <= max_edits)
-        .select("term", F.col("dist").cast("int"), F.col("df").cast("long").alias("df"))
-        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
-        .limit(k)
-    )
 
 
-def fuzzy_search_topk(
-    index: Index,
-    query_text: str,
-    k: int = 10,
-    max_edits: int = 1,
-    synonyms: dict[str, str] | None = None,
-    **search_kwargs,
-) -> DataFrame:
-    """Typo-tolerant search: query terms missing from the lexicon are
-    replaced by their best spell-correction candidate (distance asc,
-    df desc) before the normal :func:`search_topk`; in-vocabulary
-    terms are never rewritten (the "did you mean" behavior). A term
-    with no candidate within ``max_edits`` is dropped — matching
-    search_topk's treatment of absent terms in ``or`` mode."""
-    terms = parse_query(query_text, synonyms)
-    if not terms:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    meta = _lookup_terms(index, terms)
-    corrected: list[str] = []
-    for t in terms:
-        if t in meta:
-            corrected.append(t)
-            continue
-        best = fuzzy_terms(index, t, max_edits=max_edits, k=1).collect()
-        if best:
-            corrected.append(best[0]["term"])
-        elif search_kwargs.get("mode", "or") == "and":
-            # conjunctive semantics: an uncorrectable term means no
-            # doc can match — dropping it would silently relax the AND
-            return _empty_df(index.spark, TOPK_SCHEMA)
-    if not corrected:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    return search_topk(index, " ".join(corrected), k=k, **search_kwargs)
 
 
-def expand_terms(
-    index: Index, pattern: str, max_expansions: int = 50
-) -> list[str]:
-    """Expand a wildcard pattern (``*`` = any run, ``?`` = one char)
-    against the LEXICON — never the postings or the corpus — returning
-    at most ``max_expansions`` matching terms by (df desc, term asc),
-    Lucene's MultiTermQuery rewrite cap. Driver-pinned vocabularies
-    answer from the cached map with one compiled-regex pass; larger
-    vocabularies run a SQL ``LIKE`` over the vocab-sized lexicon table
-    (``*``/``?`` map 1:1 to ``%``/``_`` — tokens are ``[a-z0-9]+`` so
-    no escaping collision). Pure-prefix patterns take the
-    ``StartsWith`` pushdown path instead (:func:`prefix_search`)."""
-    import re as _re
-
-    p = pattern.strip().lower()
-    if not p or p.strip("*") == "":
-        return []
-    # tokens are [a-z0-9]+: any other literal character (including SQL
-    # LIKE metachars % / _) can match no term — return [] on BOTH
-    # paths instead of letting the LIKE fallback mangle the pattern
-    if any(not (c.isascii() and c.isalnum()) for c in p.replace("*", "").replace("?", "")):
-        return []
-    lm = index.lexicon_map()
-    if lm is not None:
-        rx = _re.compile(
-            "^"
-            + "".join(
-                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
-                for ch in p
-            )
-            + "$"
-        )
-        cands = [(t, int(v["df"])) for t, v in lm.items() if rx.match(t)]
-        cands.sort(key=lambda e: (-e[1], e[0]))
-        return [t for t, _df in cands[:max_expansions]]
-    like = p.replace("*", "%").replace("?", "_")
-    rows = (
-        index.lexicon.where(F.col("term").like(like))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(max_expansions)
-        .select("term")
-        .collect()
-    )
-    return [r["term"] for r in rows]
 
 
-def wildcard_search(
-    index: Index,
-    pattern: str,
-    k: int = 10,
-    max_expansions: int = 50,
-    **search_kwargs,
-) -> DataFrame:
-    """Wildcard query: expand the pattern against the lexicon
-    (:func:`expand_terms`, capped at ``max_expansions`` by df), then
-    run the standard disjunctive BM25 :func:`search_topk` over the
-    expanded terms — a doc matching several expansions sums their
-    contributions. Cost is bounded by ``max_expansions`` posting
-    lists; the expansion itself is vocab-sized."""
-    terms = expand_terms(index, pattern, max_expansions=max_expansions)
-    if not terms:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    return search_topk(index, " ".join(terms), k=k, **search_kwargs)
 
 
-def expand_terms_regexp(
-    index: Index, pattern: str, max_expansions: int = 50
-) -> list[str]:
-    """Expand a REGULAR EXPRESSION against the LEXICON (Lucene/ES
-    ``regexp`` query): the pattern is anchored to the whole term
-    (ES semantics — ``sp.*k`` matches ``spark``, not ``sparks``'
-    substring) and capped at ``max_expansions`` by (df desc, term
-    asc), the MultiTermQuery rewrite order. Driver-pinned
-    vocabularies answer with one compiled-regex pass over the cached
-    map; larger vocabularies push an ``RLIKE`` filter + ordered limit
-    over the vocab-sized lexicon table — never postings, never the
-    corpus. Stick to the portable subset (literals, classes,
-    alternation, ``* + ? {m,n}``) — terms are ``[a-z0-9]+`` so
-    anything fancier can't match anyway."""
-    import re as _re
-
-    p = pattern.strip().lower()
-    if not p:
-        return []
-    anchored = f"^(?:{p})$"
-    lm = index.lexicon_map()
-    if lm is not None:
-        try:
-            rx = _re.compile(anchored)
-        except _re.error as exc:
-            raise ValueError(f"bad regexp pattern {pattern!r}: {exc}") from exc
-        cands = [(t, int(v["df"])) for t, v in lm.items() if rx.match(t)]
-        cands.sort(key=lambda e: (-e[1], e[0]))
-        return [t for t, _df in cands[:max_expansions]]
-    rows = (
-        index.lexicon.where(F.col("term").rlike(anchored))
-        .orderBy(F.col("df").desc(), F.col("term").asc())
-        .limit(max_expansions)
-        .select("term")
-        .collect()
-    )
-    return [r["term"] for r in rows]
 
 
-def regexp_search(
-    index: Index,
-    pattern: str,
-    k: int = 10,
-    max_expansions: int = 50,
-    **search_kwargs,
-) -> DataFrame:
-    """Regexp query (ES ``regexp``): expand the anchored pattern
-    against the lexicon (:func:`expand_terms_regexp`, df-ranked cap),
-    then standard disjunctive BM25 :func:`search_topk` over the
-    expansions — cost bounded by ``max_expansions`` posting lists."""
-    terms = expand_terms_regexp(index, pattern, max_expansions=max_expansions)
-    if not terms:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    return search_topk(index, " ".join(terms), k=k, **search_kwargs)
 
 
 def sorted_matches(
@@ -3913,27 +2703,6 @@ def pinned_search(
     )
 
 
-def prefix_search(
-    index: Index,
-    prefix: str,
-    k: int = 10,
-    max_expansions: int = 50,
-    **search_kwargs,
-) -> DataFrame:
-    """Prefix query (``prefix*``): expansion rides
-    :func:`suggest_terms`' df-ranked prefix probe (pinned-map linear
-    pass, or a pushed-down ``StartsWith`` lexicon filter — cheaper
-    than the generic wildcard regex), then the standard disjunctive
-    :func:`search_topk` over the expansions."""
-    p = prefix.strip().lower().rstrip("*")
-    if not p:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    rows = suggest_terms(index, p, k=max_expansions).collect()
-    if not rows:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    return search_topk(
-        index, " ".join(r["term"] for r in rows), k=k, **search_kwargs
-    )
 
 
 def term_vectors(
@@ -4023,64 +2792,6 @@ def term_vectors(
     return post.mapInPandas(gen, schema=schema)
 
 
-def phrase_prefix_search(
-    index: Index,
-    phrase_text: str,
-    k: int = 10,
-    max_expansions: int = 50,
-    synonyms: dict[str, str] | None = None,
-    serving: str = "auto",
-    slop: int = 0,
-    after: tuple[int, float] | None = None,
-) -> DataFrame:
-    """Search-as-you-type (ES ``match_phrase_prefix`` / Lucene
-    ``MatchPhrasePrefixQuery``) over a positional index: the input is
-    analyzed like any phrase, every token but the LAST must match at
-    consecutive positions, and the last token is a PREFIX — expanded
-    against the lexicon to at most ``max_expansions`` terms by
-    (df desc, term asc), the MultiTermQuery rewrite order shared with
-    :func:`expand_terms` — any of which may occupy the final slot.
-
-    Match semantics: doc matches iff the fixed phrase occurs with SOME
-    expansion at the next position (``slop`` relaxes each gap exactly
-    as in :func:`phrase_search`). A single-token query degenerates to
-    "contains any expansion" — :func:`prefix_search`'s match set.
-
-    Scoring: BM25 partials of the fixed terms plus, for each expansion
-    term the document actually contains, that term's partial —
-    ascending term order across the union, so a doc matching several
-    completions outranks a doc matching one (the disjunctive-expansion
-    shape of :func:`wildcard_search`, restricted to the phrase-prefix
-    match set).
-
-    Execution shape: the expansion probe is vocab-sized (driver cache
-    or pushed-down StartsWith); evaluation merges the expansions'
-    packed (doc, pos) occurrence keys into ONE sorted array per shard,
-    so the final step costs one searchsorted probe regardless of how
-    many completions exist — never one phrase query per expansion.
-    The reference engine has no positional or prefix surface at all
-    (its index maps whole terms to doc lists, README.md:423-427).
-    """
-    from ..functions.tokenizer import tokenize
-
-    syn = synonyms or {}
-    tfn = index.token_fn()
-    raw = [syn.get(t, t) for t in tokenize(phrase_text)]
-    if tfn is not None:
-        from ..functions.analyzer import apply_token_fn
-
-        raw = apply_token_fn(raw, tfn)
-    if not raw:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    fixed, prefix = raw[:-1], raw[-1]
-    rows = suggest_terms(index, prefix, k=max_expansions).collect()
-    expansions = [r["term"] for r in rows]
-    if not expansions:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    return phrase_search(
-        index, "", k=k, serving=serving, slop=slop,
-        after=after, _expansions=expansions, _seq=fixed,
-    )
 
 
 def collapse_topk(
@@ -4243,70 +2954,8 @@ def materialize_with_snippets(
 # More-like-this and score explain
 # ---------------------------------------------------------------------------
 
-def more_like_this_terms(
-    index: Index,
-    text: str,
-    m: int = 5,
-    synonyms: dict[str, str] | None = None,
-) -> list[str]:
-    """The ``m`` most characteristic terms of ``text``: rank the
-    document's distinct in-vocabulary terms by ``tf * idf`` (tf within
-    the text, idf from the index's lexicon), ties by term ascending —
-    the classic MoreLikeThis query-building step (the reference engine
-    has no analog; its only query shape is a user-typed term list).
-    One driver-side tokenize of ONE document plus a lexicon probe —
-    no job, no corpus access."""
-    from collections import Counter
-
-    # per-token synonym rewrite WITHOUT rewrite_terms' first-seen dedup
-    # (tf counts need every occurrence)
-    syn = synonyms or {}
-    tfn = index.token_fn()
-    toks = (syn.get(t, t) for t in tokenize(text))
-    if tfn is not None:
-        from ..functions.analyzer import apply_token_fn
-
-        toks = apply_token_fn(toks, tfn)
-    tf = Counter(toks)
-    meta = _lookup_terms(index, sorted(tf))
-    ranked = sorted(
-        ((t, tf[t] * float(meta[t]["idf"])) for t in meta),
-        key=lambda kv: (-kv[1], kv[0]),
-    )
-    return [t for t, _w in ranked[:m]]
 
 
-def more_like_this(
-    index: Index,
-    documents: DataFrame,
-    doc_id: int,
-    m: int = 5,
-    k: int = 10,
-    synonyms: dict[str, str] | None = None,
-    serving: str = "auto",
-) -> DataFrame:
-    """Find documents similar to ``doc_id``: select its top-``m``
-    ``tf * idf`` terms (:func:`more_like_this_terms`) and run the
-    standard disjunctive BM25 search, excluding the source document
-    from the results (over-retrieve k+1, post-filter, re-sort — the
-    same trick the tombstone path uses). ``documents`` supplies the
-    source text via one pushed-filter row fetch."""
-    row = (
-        documents.where(F.col("doc_id") == int(doc_id))
-        .select("text")
-        .first()
-    )
-    if row is None:
-        raise ValueError(f"doc_id {doc_id} not found in documents")
-    terms = more_like_this_terms(index, row["text"], m=m, synonyms=synonyms)
-    if not terms:
-        return _empty_df(index.spark, TOPK_SCHEMA)
-    top = search_topk(index, " ".join(terms), k=k + 1, serving=serving)
-    return (
-        top.where(F.col("doc_id") != int(doc_id))
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
 
 
 EXPLAIN_SCHEMA = (
@@ -4314,257 +2963,29 @@ EXPLAIN_SCHEMA = (
 )
 
 
-def explain_hits(
-    index: Index,
-    query_text: str,
-    doc_ids: list[int],
-    **explain_kwargs,
-) -> DataFrame:
-    """Per-term score breakdown for a PAGE of docs (ES ``explain:
-    true`` — one Explanation per hit): :func:`explain_score` rows for
-    each id, prefixed with ``doc_id``. Driver-side loop over the
-    k-row page (each probe is a pinned-lexicon lookup + one
-    bucket-pruned postings read — no Spark job); the concatenated
-    k × |terms| rows come back as one small frame."""
-    spark = index.spark
-    rows = []
-    for d in doc_ids:
-        for r in explain_score(index, query_text, int(d),
-                               **explain_kwargs).collect():
-            rows.append((int(d), r["term"], r["tf"], r["df"],
-                         r["idf"], r["contribution"]))
-    schema = "doc_id long, " + EXPLAIN_SCHEMA
-    if not rows:
-        return _empty_df(spark, schema)
-    return spark.createDataFrame(rows, schema)
 
 
-def explain_score(
-    index: Index,
-    query_text: str,
-    doc_id: int,
-    synonyms: dict[str, str] | None = None,
-    k1: float | None = None,
-    b: float | None = None,
-    similarity=None,
-) -> DataFrame:
-    """Per-term score breakdown of one (query, document) pair — the
-    relevance-debugging surface (Lucene's ``Explanation``): one row per
-    query term the document contains, with the term's tf in the doc,
-    global df, idf (the term's static weight — with a non-BM25
-    ``similarity`` the column holds that model's weight), and its
-    score contribution; the contributions sum to exactly the doc's
-    :func:`search_topk` score under the same ``similarity`` (same
-    float64 kernels, same per-term math — by test). A tombstoned doc
-    explains to zero rows, consistent with search. Driver-side: a
-    lexicon probe plus ONE bucket-pruned postings read of the doc's
-    shard — no corpus scan, no Spark job on the hot path."""
-    resolved = _resolve_query(index, query_text, synonyms, "or", "dense",
-                              k1, b)
-    spark = index.spark
-    if resolved is None:
-        return _empty_df(spark, EXPLAIN_SCHEMA)
-    tomb = index.tombstone_array() if index.tombstone_count() else None
-    if tomb is not None and np.any(tomb == int(doc_id)):
-        return _empty_df(spark, EXPLAIN_SCHEMA)
-    term_fns = _similarity_term_fns(index, similarity, query_text, synonyms,
-                                    k1=k1, b=b)
-    stats, ordered_terms, _algorithm = resolved
-    meta = _lookup_terms(index, [t for _h, t, _i in ordered_terms])
-    doc_id = int(doc_id)
-    span = stats.shard_span
-    shard = doc_id // span
-
-    # doc length: driver-pinned norms array when available, else a
-    # shard-pruned doc_stats fetch
-    arr = index.dl_array()
-    if arr is not None:
-        if doc_id >= arr.shape[0] or arr[doc_id] <= 0:
-            return _empty_df(spark, EXPLAIN_SCHEMA)
-        dl = float(arr[doc_id])
-    else:
-        row = (
-            index.doc_stats
-            .where((F.col("shard") == shard) & (F.col("doc_id") == doc_id))
-            .select("doc_len")
-            .first()
-        )
-        if row is None:
-            return _empty_df(spark, EXPLAIN_SCHEMA)
-        dl = float(row["doc_len"])
-
-    hit_hashes = sorted(h for h, _, _ in ordered_terms)
-    pdf = index.postings_rows(hit_hashes)
-    if len(pdf):
-        pdf = pdf[pdf["shard"].to_numpy(np.int64) == shard]
-    rows = []
-    hashes = pdf["term_hash"].to_numpy(np.int64) if len(pdf) else None
-    for th, term, idf in ordered_terms:  # ascending term order
-        if hashes is None:
-            continue
-        grp = pdf[hashes == th]
-        if not len(grp):
-            continue
-        d, t, _ = codec.decode_blocks(
-            grp["doc_ids"].tolist(), grp["tfs"].tolist(),
-            grp["n_docs"].to_numpy(np.int64),
-            grp["first_doc_id"].to_numpy(np.int64),
-        )
-        j = int(np.searchsorted(d, doc_id))
-        if j >= d.shape[0] or int(d[j]) != doc_id:
-            continue  # term absent from this doc: contributes exact 0
-        tf = int(t[j])
-        if term_fns is not None:
-            contrib = float(
-                term_fns[th](np.array([tf]), np.array([dl]))[0]
-            )
-        else:
-            contrib = float(
-                idf * _partial(np.array([tf]), np.array([dl]),
-                               stats.k1, stats.b, stats.avgdl)[0]
-            )
-        rows.append((term, tf, int(meta[term]["df"]), float(idf), contrib))
-    if not rows:
-        return _empty_df(spark, EXPLAIN_SCHEMA)
-    out = pd.DataFrame(
-        rows, columns=["term", "tf", "df", "idf", "contribution"]
-    ).astype({"tf": "int64", "df": "int64"})
-    return spark.createDataFrame(out, schema=EXPLAIN_SCHEMA)
 
 
-def snippet_fragments(
-    topk: DataFrame,
-    documents: DataFrame,
-    query_terms: list[str],
-    width: int = 40,
-    n_fragments: int = 3,
-    text_col: str = "text",
-    sep: str = " | ",
-) -> DataFrame:
-    """ES-style MULTI-fragment highlighting: up to ``n_fragments``
-    snippet windows per hit — one around each query term's FIRST
-    case-insensitive occurrence (distinct window starts, document
-    order), joined with ``sep`` — where
-    :func:`materialize_with_snippets` returns only the earliest
-    window. Adds ``n_matched_terms`` (how many query terms literally
-    occur) and ``fragments``.
-
-    Pure built-in expressions over the k joined rows (instr/substr/
-    array ops — no Python, no extra shuffle beyond the k-row join);
-    replayed exactly in DuckDB (strpos/list_transform)."""
-    if n_fragments < 1:
-        raise ValueError("n_fragments must be >= 1")
-    lowered = F.lower(F.col(text_col))
-    pos_cols = [
-        F.nullif(F.instr(lowered, t.lower()), F.lit(0))
-        for t in dict.fromkeys(query_terms)
-        if t
-    ]
-    if not pos_cols:
-        raise ValueError("query_terms must name at least one term")
-    starts = F.slice(
-        F.array_sort(
-            F.array_distinct(
-                F.filter(F.array(*pos_cols), lambda x: x.isNotNull())
-            )
-        ),
-        1,
-        int(n_fragments),
-    )
-    frags = F.transform(
-        starts,
-        lambda p: F.col(text_col).substr(
-            F.greatest(p - F.lit(int(width)), F.lit(1)),
-            F.lit(2 * int(width)),
-        ),
-    )
-    hits = documents.select("doc_id", text_col).join(
-        F.broadcast(topk), "doc_id"
-    )
-    return hits.select(
-        "doc_id",
-        F.round("score", 4).alias("score"),
-        F.size(
-            F.filter(F.array(*pos_cols), lambda x: x.isNotNull())
-        ).alias("n_matched_terms"),
-        F.array_join(frags, sep).alias("fragments"),
-    )
 
 
-def snippet_fragments_analyzed(
-    topk: DataFrame,
-    documents: DataFrame,
-    index: "Index",
-    query_terms: list[str],
-    width: int = 40,
-    n_fragments: int = 3,
-    text_col: str = "text",
-    sep: str = " | ",
-) -> DataFrame:
-    """Analyzer-aware multi-fragment highlighting (the ES "unified
-    highlighter" problem): on an analyzed index the stored surface
-    form no longer literally contains the indexed term — "studies"
-    indexes as "study" (S-stem), "café" folds to "cafe", a CJK run
-    indexes as bigrams — so :func:`snippet_fragments`'s ``instr``
-    probe misses. This variant re-analyzes each HIT's text with the
-    index's own ``token_fn``, keeping character offsets (whitespace
-    spans, the canonical tokenizer's split), matches the ANALYZED
-    output of every token against the query terms, and windows the
-    RAW text around the first occurrence per matched term.
 
-    Python runs over the k-row hit page only (broadcast topk join —
-    the same rows a user renders), never the corpus; the schema and
-    window arithmetic mirror :func:`snippet_fragments`, to which this
-    degrades exactly when the index is unanalyzed."""
-    import re as _re
 
-    from ..functions.tokenizer import _PUNCT_RE
+# ---------------------------------------------------------------------------
+# Lazy re-exports (round 4): these subsystems moved to sibling modules
+# for file-size hygiene; importing them from query_exec keeps working
+# (PEP 562). Lazy so the submodules' own `from .query_exec import ...`
+# never cycles at import time.
+# ---------------------------------------------------------------------------
 
-    if n_fragments < 1:
-        raise ValueError("n_fragments must be >= 1")
-    qset = {t for t in dict.fromkeys(query_terms) if t}
-    if not qset:
-        raise ValueError("query_terms must name at least one term")
-    tfn = index.token_fn()
-    ws = _re.compile(r"\S+")
-    w = int(width)
-    nf = int(n_fragments)
+_LAZY_EXPORTS = {'_federated_plan': 'federated', '_segment_after': 'federated', 'search_topk_segments_rows': 'federated', 'search_topk_segments': 'federated', 'search_topk_segments_batch': 'federated', '_phrase_pairs': 'phrase', 'phrase_search': 'phrase', 'near_search': 'phrase', 'phrase_prefix_search': 'phrase', 'facet_counts': 'facets', 'histogram_facets': 'facets', 'range_facets': 'facets', 'stats_facet': 'facets', 'percentiles_facet': 'facets', 'cardinality_facet': 'facets', 'top_hits_facet': 'facets', 'suggest_terms': 'term_expand', 'suggest_terms_dataframe': 'term_expand', '_edit_distance': 'term_expand', 'fuzzy_terms': 'term_expand', 'fuzzy_terms_dataframe': 'term_expand', 'fuzzy_search_topk': 'term_expand', 'expand_terms': 'term_expand', 'wildcard_search': 'term_expand', 'expand_terms_regexp': 'term_expand', 'regexp_search': 'term_expand', 'prefix_search': 'term_expand', 'more_like_this_terms': 'explain_mlt', 'more_like_this': 'explain_mlt', 'explain_hits': 'explain_mlt', 'explain_score': 'explain_mlt', 'snippet_fragments': 'explain_mlt', 'snippet_fragments_analyzed': 'explain_mlt'}
 
-    @F.pandas_udf("struct<n_matched_terms:int,fragments:string>")
-    def _frags(texts: pd.Series) -> pd.DataFrame:
-        out = []
-        for text in texts:
-            text = text or ""
-            first: dict[str, int] = {}
-            for mt in ws.finditer(text):
-                tok = _PUNCT_RE.sub("", mt.group().lower())
-                if not tok:
-                    continue
-                a = tfn(tok) if tfn is not None else tok
-                if a is None:
-                    continue
-                outs = [a] if isinstance(a, str) else a
-                for o in outs:
-                    if o in qset and o not in first:
-                        first[o] = mt.start() + 1  # 1-based like instr
-            starts = sorted(set(first.values()))[:nf]
-            frags = sep.join(
-                text[max(p - w, 1) - 1 : max(p - w, 1) - 1 + 2 * w]
-                for p in starts
-            )
-            out.append((len(first), frags))
-        return pd.DataFrame(out, columns=["n_matched_terms", "fragments"])
 
-    hits = documents.select("doc_id", text_col).join(
-        F.broadcast(topk), "doc_id"
-    )
-    return hits.select(
-        "doc_id",
-        F.round("score", 4).alias("score"),
-        _frags(F.col(text_col)).alias("_h"),
-    ).select(
-        "doc_id",
-        "score",
-        F.col("_h.n_matched_terms").alias("n_matched_terms"),
-        F.col("_h.fragments").alias("fragments"),
-    )
+def __getattr__(name: str):
+    target = _LAZY_EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    mod = importlib.import_module(f".{target}", __package__)
+    return getattr(mod, name)
