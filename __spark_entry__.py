@@ -349,9 +349,9 @@ def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = combined_fields_topk(
         docs, " ".join(FLAGSHIP_TERMS),
-        {"title": "title", "body": "body"}, boosts=MF_BOOSTS, k=20,
+        {"title": "title", "body": "body"}, boosts=MF_BOOSTS, k=100_000,
     )
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    return _quantized_topk(top, k=20)
 
 
 def q_multi_match_most_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,9 +672,9 @@ def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = tokenize(row["text"])
     top = phrase_prefix_search(
-        ix, f"{toks[0]} {toks[1][:3]}", k=20, max_expansions=50
+        ix, f"{toks[0]} {toks[1][:3]}", k=100_000, max_expansions=50
     )
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    return _quantized_topk(top, k=20)
 
 
 def q_doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,6 +801,26 @@ def q_bm25_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _quantized_topk(df, k: int = 20, nd: int = 4):
+    """Re-rank a scored frame by its ROUNDED score with doc_id
+    tie-break, then cut to k — the selection rule the DuckDB oracles
+    apply (their output alias `score` IS round(score, nd), and SQL
+    ORDER BY resolves the alias), so a k-th-place tie at the rounding
+    boundary picks the same doc in both engines. Without this the
+    engine ranks by the exact float while the oracle ranks by the
+    quantized one, and two docs whose cross-engine doubles straddle
+    the boundary swap at the cut (round-4 sf0.1 board catch). Callers
+    overfetch the FULL match set (bounded: these are query-matched
+    sets, never corpus scans) so the quantized cut sees every tie
+    candidate."""
+    s = F.round(F.col("score"), nd)
+    return (
+        df.select("doc_id", s.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )
+
+
 def _flagship_phrase(spark: SparkSession, sf_dir: str) -> str:
     """Deterministic data-derived phrase: doc 0's first two tokens.
     The oracle SQL derives the SAME pair in a CTE, so both engines
@@ -822,9 +842,9 @@ def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_engine_spark.operators.query_exec import phrase_search
 
     ix = _oracle_index(spark, sf_dir, positions=True)
-    top = phrase_search(ix, _flagship_phrase(spark, sf_dir), k=20,
+    top = phrase_search(ix, _flagship_phrase(spark, sf_dir), k=100_000,
                         serving="driver")
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    return _quantized_topk(top, k=20)
 
 
 def q_phrase_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,9 +852,9 @@ def q_phrase_indexed_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_search_engine_spark.operators.query_exec import phrase_search
 
     ix = _oracle_index(spark, sf_dir, positions=True)
-    top = phrase_search(ix, _flagship_phrase(spark, sf_dir), k=20,
+    top = phrase_search(ix, _flagship_phrase(spark, sf_dir), k=100_000,
                         serving="spark")
-    return top.select("doc_id", F.round("score", 4).alias("score"))
+    return _quantized_topk(top, k=20)
 
 
 def _flagship_prox(spark: SparkSession, sf_dir: str) -> str:
@@ -3716,9 +3736,9 @@ def q_dsl_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"query": {"dis_max": {
             "queries": [{"match": {"text": "spark query"}},
                         {"term": {"text": "table"}}],
-            "tie_breaker": 0.3}}, "size": 20},
+            "tie_breaker": 0.3}}, "size": 100_000},
     ).hits
-    return out.select("doc_id", F.round("score", 4).alias("score"))
+    return _quantized_topk(out, k=20)
 
 
 def q_dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:

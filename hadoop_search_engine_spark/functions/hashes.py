@@ -37,8 +37,14 @@ def murmur3_u32(col: Column, salt: str | None = None) -> Column:
     """Spark: Murmur3_x86_32 of a string column as a long in [0, 2^32).
 
     ``salt`` chains a second murmur round over the salt string (the
-    Spark ``hash(col, lit(salt))`` form) — an independent 32-bit hash
-    from the same pass, e.g. the high word of a 64-bit signature.
+    Spark ``hash(col, lit(salt))`` form). NOTE the chaining: the salt
+    round is SEEDED by the unsalted hash, so a salted and an unsalted
+    value are NOT independent — two inputs colliding unsalted collide
+    under every salt too. Salting is for decorrelating SAMPLING
+    decisions across operators (split/cap/budget salts), never for
+    widening a signature; build multi-hash signatures from unrelated
+    functions (e.g. xxhash64 + murmur, see dedup._span_occurrences —
+    round-4 fix for exactly this trap).
     """
     h = F.hash(col) if salt is None else F.hash(col, F.lit(salt))
     return F.pmod(h.cast("long"), F.lit(_U32))

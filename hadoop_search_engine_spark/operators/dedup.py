@@ -502,12 +502,22 @@ def _span_occurrences(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """Every token n-gram occurrence as ``(id, pos, h1, h2)`` — pos is
-    the 0-based start token, (h1, h2) a salted murmur3 pair of the
-    space-joined gram (16-byte shuffle keys instead of ~n·token-length
-    strings; tokens contain no spaces, so the join is injective). The
-    gram array builds from arrays_zip of n shifted slices (the
+    the 0-based start token, (h1, h2) an INDEPENDENT 96-bit signature
+    of the space-joined gram: ``xxhash64(gram)`` + unsalted 32-bit
+    murmur (12-byte shuffle keys instead of ~n·token-length strings;
+    tokens contain no spaces, so the join is injective). The gram
+    array builds from arrays_zip of n shifted slices (the
     repetition_stats mechanism) — pure JVM expressions before the
-    explode."""
+    explode.
+
+    The pair must NOT be built from one murmur plus a SALTED murmur:
+    Spark's ``hash(col, lit(salt))`` CHAINS (the salt round is seeded
+    by the first hash), so any h1 collision is automatically a pair
+    collision and the signature discriminates only 32 bits — measured
+    over-flagging at a few-hundred-thousand-gram corpus (round-4
+    sf0.1 board catch). xxhash64 and murmur3 are unrelated functions,
+    so the pair is a true 96-bit key: ~birthday(2^96), safe past
+    10^13 grams."""
     from ..functions.hashes import murmur3_u32
     from ..functions.tokenizer import tokens_col
 
@@ -519,8 +529,8 @@ def _span_occurrences(
     return occ.select(
         F.col(id_col),
         F.col("pos"),
-        murmur3_u32(gram).alias("h1"),
-        murmur3_u32(gram, salt="spandedup").alias("h2"),
+        F.xxhash64(gram).alias("h1"),
+        murmur3_u32(gram).alias("h2"),
     )
 
 
@@ -564,9 +574,9 @@ def duplicate_span_stats(
     dedup, and still far below a distributed suffix array. The gram
     stats are a map-side-combinable groupBy on the hash pair; the
     join back is hash-keyed; per-doc rollup is one partial agg.
-    The 2×32-bit murmur key risks ~birthday(2^64) collisions (a
-    collision can only over-flag); key by the gram string itself to
-    be exact at small scale.
+    The 96-bit (xxhash64, murmur) gram key risks ~birthday(2^96)
+    collisions (a collision can only over-flag) — negligible past
+    10^13 grams; key by the gram string itself to be bit-exact.
     """
     if n < 2:
         raise ValueError("n must be >= 2")

@@ -26,6 +26,8 @@ RRF sum over identical integer ranks is then exact.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -414,9 +416,28 @@ def mmr_rerank(
         if r["_v"] is not None:
             V[i] = r["_v"]
             has_v[i] = True
-    norm = np.linalg.norm(V, axis=1)
+
+    def _seq_dot(a: np.ndarray, b: np.ndarray) -> float:
+        # LEFT-TO-RIGHT float64 accumulation, matching DuckDB's
+        # list_dot_product exactly. BLAS (V @ x) sums in SIMD/pairwise
+        # order, which lands on a different last ulp — at sf0.1 a
+        # cosine right at a 6-dp rounding boundary then rounds apart
+        # across engines (round-4 board catch: 0.667768 vs 0.667769).
+        # The window is <= `window` rows of small dim, so the scalar
+        # loop costs microseconds and buys bit-identical doubles.
+        s = 0.0
+        for x, y in zip(a.tolist(), b.tolist()):
+            s += x * y
+        return s
+
+    norm = np.array([math.sqrt(_seq_dot(v, v)) for v in V])
     norm[norm == 0] = 1.0
-    rel = np.round(bm / bm.max(), 6)
+    from ..functions.quantize import round_half_away
+
+    # half-AWAY rounding (functions/quantize.py): np.round's
+    # half-even mode diverges from DuckDB/Spark round exactly at
+    # half boundaries, which 0.7 * (6-dp rel) hits structurally
+    rel = round_half_away(bm / bm.max(), 6)
 
     n = len(rows)
     picked: list[int] = []
@@ -424,7 +445,15 @@ def mmr_rerank(
     maxsim = np.zeros(n, dtype=np.float64)
     out = []
     for rank in range(1, min(k, n) + 1):
-        score = np.round(lam * rel - (1.0 - lam) * maxsim, 6)
+        # the redundancy weight is the 12-dp-quantized complement:
+        # float64 (1.0 - 0.7) is 0.30000000000000004, while a replay
+        # engine writing the literal 0.3 parses the NEAREST double to
+        # 0.3 — a different multiplier whose products split 6-dp
+        # rounding boundaries at scale (round-4 sf0.1 board catch).
+        # round(·, 12) lands both on the same double for any
+        # 12-dp-expressible lam.
+        lam_c = round(1.0 - lam, 12)
+        score = round_half_away(lam * rel - lam_c * maxsim, 6)
         score[~remaining] = -np.inf
         best = np.flatnonzero(score == np.max(score))  # ties: low id
         i = best[np.argmin(ids[best])]
@@ -432,7 +461,8 @@ def mmr_rerank(
         remaining[i] = False
         picked.append(i)
         if has_v[i]:
-            sims = np.round((V @ V[i]) / (norm * norm[i]), 6)
+            dots = np.array([_seq_dot(V[j], V[i]) for j in range(n)])
+            sims = round_half_away(dots / (norm * norm[i]), 6)
             sims[~has_v] = 0.0
             maxsim = np.maximum(maxsim, sims)
     return spark.createDataFrame(out, schema)

@@ -159,3 +159,37 @@ def test_banner_line_dedup(spark, skew_corpus):
     # unique lines intact
     assert out.where(F.col("text").endswith("unique line 7")).count() == 1
     out.unpersist()
+
+
+def test_span_signature_survives_32bit_murmur_collision(spark):
+    """Round-4 sf0.1 board catch: Spark's hash(col, lit(salt)) CHAINS
+    (salt round seeded by the first hash), so a (murmur, salted-
+    murmur) pair collides whenever the unsalted 32-bit hashes collide
+    — 'column column column join fast spark' and 'table order slow
+    big column small' are such a pair in the sf0.1 corpus, and span
+    dedup over-flagged the non-duplicate one. The signature is now
+    xxhash64 + murmur (independent functions): two docs sharing only
+    a murmur-colliding gram must NOT be flagged as duplicates."""
+    from pyspark.sql import functions as F
+
+    from hadoop_search_engine_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    g1 = "column column column join fast spark"
+    g2 = "table order slow big column small"
+    # confirm the underlying murmur32 collision still holds (Spark's
+    # hash function is stable) — the regression precondition
+    r = spark.createDataFrame([(g1,), (g2,)], "g string").select(
+        F.hash("g").alias("h"), F.hash("g", F.lit("spandedup")).alias("hs")
+    ).collect()
+    assert r[0]["h"] == r[1]["h"] and r[0]["hs"] == r[1]["hs"]
+
+    docs = spark.createDataFrame(
+        [(0, "intro words here " + g1 + " tail words end"),
+         (1, "other start text " + g2 + " closing words now")],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r["n_dup_grams"]
+             for r in duplicate_span_stats(docs, n=6).collect()}
+    assert stats == {0: 0, 1: 0}, stats  # no cross-doc duplicate exists
