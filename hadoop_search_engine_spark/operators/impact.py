@@ -1,0 +1,632 @@
+"""Impact-ordered champion lists ("top docs") — rank-identical safe
+pruning for disjunctive head-term queries.
+
+The 12M-doc query-algorithm audit (BENCH.md, round 4) measured the
+honest limit of both existing scorers on disjunctive head-term
+queries: dense decodes EVERY posting of every query term (cost ∝
+total df — ~1 s/query at 12M docs), and block-max WAND degrades to
+worse-than-dense because head terms have near-uniform block maxima
+(theta never clears a segment bound). The classical fix — impact
+ordering / static index pruning (Anh & Moffat's impact-sorted
+indexes; Lucene's index-time ``top docs`` used by
+``IndexSearcher``'s early-exit) — is a build-time sidecar holding,
+per head term, the M postings with the LARGEST possible score
+contribution plus a certified upper bound on every posting it left
+out. A query then scores only the union of its terms' champions
+(O(M · terms) instead of O(df · terms)) and uses the stored bounds to
+PROVE the result equals the exhaustive ranking — falling back to the
+dense scorer whenever the proof fails, so the path is rank- AND
+score-identical to ``search_topk`` by construction, never "usually
+right".
+
+Reference parity note: the reference engine scores nothing (posting-
+order results, server/src/services/search.service.js:62-83), so this
+is pure capability headroom on the SURVEY §2.6 ranking path; the
+north rule's rank-identical contract is what forces the safe (proof-
+or-fallback) formulation.
+
+Exactness argument (why the pruned result is bit-identical):
+
+* Every term contribution the sidecar can produce is computed by the
+  SAME float ops as the dense scorer (``idf * _partial(tf, dl)``
+  elementwise, accumulated in ascending term order), on (tf, dl)
+  pairs read from the index — so any doc whose full term set is
+  resolved scores bit-identically to the dense accumulator.
+* For each champion term, ``rest_bound`` ≥ the BM25 partial of every
+  NON-champion posting of that term (monotone in tf up / dl down, so
+  the stored ``(rest_max_tf, rest_min_dl)`` pair also bounds any
+  query-time (k1, b) override).
+* Let theta = the k-th best lower-bound score among seen docs (docs
+  on ≥ 1 champion/full list; LB sums their known contributions).
+  A doc on NO list scores ≤ Σ_t idf_t · rest_bound_t = rest_sum; if
+  rest_sum < theta (strict), no unseen doc can reach the top k.
+  A seen doc's score ≤ UB = LB + Σ over champion terms it is absent
+  from of idf · rest_bound; docs with UB < theta cannot reach the
+  top k either. Every surviving candidate gets its unknown (doc,
+  term) pairs resolved EXACTLY by probing the posting block covering
+  that doc_id (one block decode per probe — the postings are doc_id-
+  sorted with block-level ``first_doc_id`` fences, the same seek WAND
+  uses). The exact top k over candidates then dominates theta, which
+  strictly dominates everything excluded — so it IS the global top k,
+  with exact scores. Any failed precondition returns ``None`` and the
+  caller runs the dense scorer.
+
+Scale shape (the 100 TB question): the sidecar build is one pass over
+the already-built postings (never the corpus), cogrouped by shard —
+per-(term, shard) work is bounded by ``shard_span`` exactly like the
+encode wave, local top-M selection happens map-side, and only
+``min(df, M)``-sized candidate sets shuffle on ``term_hash`` (the
+head terms that NEED champions are ≤ total_tokens / df_min many, so
+the sidecar is vocabulary-head-sized, not corpus-sized). Query cost
+is O(M · terms) decode-free driver work plus a handful of single-
+block probes — independent of df, which is the point: at 10^12 docs
+a head term's df grows 10^6× but M stays fixed.
+
+No reference-code correspondence: the reference has no ranking or
+pruning layer at all (README.md:338-436 builds word counts; the JS
+server replays posting order).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import codec
+from .index_build import POSTINGS_SCHEMA, read_parquet_tolerant
+from .query_exec import (
+    DOC_STATS_SCHEMA,
+    TOPK_SCHEMA,
+    Index,
+    _empty_df,
+    _partial,
+    _resolve_query,
+    _topk_pairs,
+)
+
+__all__ = [
+    "build_impact_lists",
+    "ImpactLists",
+    "impact_topk",
+    "impact_topk_rows",
+]
+
+# Sidecar layout: {out_dir}/impact/bucket=*/part-*.parquet — one row
+# per head term, champion postings as parallel arrays sorted by
+# doc_id so the query side can searchsorted-join them. bucket =
+# pmod(term_hash, n_buckets) mirrors the postings layout, so the
+# driver's pyarrow reads prune at the file listing the same way.
+IMPACT_SCHEMA = (
+    "term_hash long, df long, n_stored int, rest_bound double, "
+    "rest_max_tf long, rest_min_dl long, doc_ids array<long>, "
+    "tfs array<long>, bucket int"
+)
+
+_LOCAL_SCHEMA = (
+    "term_hash long, is_sum int, doc_id long, tf long, impact double, "
+    "rest_local double, max_tf long, min_dl long, df_local long"
+)
+
+# underscore-prefixed so both Spark's parquet reader and pyarrow
+# dataset discovery (ignore_prefixes ["_", "."]) skip it as data
+_META_NAME = "_impact_meta.json"
+
+
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "impact", _META_NAME)
+
+
+def build_impact_lists(
+    index: Index,
+    m: int = 1024,
+    df_min: int | None = None,
+) -> dict:
+    """Build the champion-list sidecar for ``index`` (overwrites any
+    prior one). ``m`` = champions kept per term; ``df_min`` = only
+    terms with df ≥ df_min get a sidecar row (default ``4 * m`` —
+    below that the dense decode is already cheaper than any pruning
+    bookkeeping, and the full posting list rides the postings LRU).
+
+    One distributed pass over the postings table (the corpus is never
+    touched): cogroup postings × doc_stats by shard, decode each head
+    term's blocks, select the shard-local top-M postings by BM25
+    partial (idf-free — idf is a per-term constant, so per-term
+    ranking by partial equals ranking by contribution), then reduce
+    the ≤ M·num_shards candidates per term to the global top M. The
+    per-shard pass also records the max partial it EXCLUDED plus the
+    term's (max_tf, min_dl) over the whole shard; the global
+    ``rest_bound`` is the max over excluded candidates and every
+    shard's excluded max — the certified cap on what any non-champion
+    posting of the term can contribute.
+
+    Returns a summary dict (terms, rows, path).
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    df_min = 4 * m if df_min is None else int(df_min)
+    spark = index.spark
+    stats = index.stats
+    out_dir = index.out_dir
+    span = stats.shard_span
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+
+    head = index.lexicon.where(F.col("df") >= df_min).select("term_hash")
+    post = read_parquet_tolerant(
+        spark, os.path.join(out_dir, "postings"), POSTINGS_SCHEMA
+    ).select(
+        "term_hash", "shard", "block_id", "first_doc_id", "doc_ids",
+        "tfs", "n_docs",
+    )
+    # the head-term set is vocabulary-head-sized (≤ total_tokens /
+    # df_min distinct terms can have df ≥ df_min) — broadcast it so
+    # the postings scan prunes map-side with no shuffle
+    post = post.join(F.broadcast(head), "term_hash")
+    ds = read_parquet_tolerant(
+        spark, os.path.join(out_dir, "doc_stats"), DOC_STATS_SCHEMA
+    ).select("doc_id", "doc_len", "shard")
+
+    def _local(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "term_hash", "is_sum", "doc_id", "tf", "impact",
+            "rest_local", "max_tf", "min_dl", "df_local",
+        ]
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=cols)
+        base = int(left["shard"].iat[0]) * span
+        dl = np.zeros(span, dtype=np.float64)
+        ridx = right["doc_id"].to_numpy(np.int64) - base
+        dl[ridx] = right["doc_len"].to_numpy(np.float64)
+        frames: list[pd.DataFrame] = []
+        for th, grp in left.groupby("term_hash"):
+            d, t, _ = codec.decode_blocks(
+                grp["doc_ids"].tolist(), grp["tfs"].tolist(),
+                grp["n_docs"].to_numpy(np.int64),
+                grp["first_doc_id"].to_numpy(np.int64),
+            )
+            dls = dl[d - base]
+            imp = _partial(t, dls, k1, b, avgdl)
+            n = d.shape[0]
+            if n > m:
+                # local top-M by (impact desc, doc_id asc); the max
+                # excluded partial is the (M+1)-th largest VALUE,
+                # independent of the tie order
+                order = np.lexsort((d, -imp))[:m]
+                rest_local = float(np.sort(imp)[::-1][m])
+            else:
+                order = np.arange(n)
+                rest_local = -1.0
+            nf = order.shape[0]
+            frames.append(pd.DataFrame({
+                "term_hash": np.full(nf + 1, int(th), dtype=np.int64),
+                "is_sum": np.concatenate(
+                    [np.zeros(nf, dtype=np.int32), np.ones(1, np.int32)]
+                ),
+                "doc_id": np.concatenate([d[order], [-1]]),
+                "tf": np.concatenate([t[order], [0]]),
+                "impact": np.concatenate([imp[order], [0.0]]),
+                "rest_local": np.concatenate(
+                    [np.zeros(nf), [rest_local]]
+                ),
+                "max_tf": np.concatenate(
+                    [np.zeros(nf, np.int64), [int(t.max())]]
+                ),
+                "min_dl": np.concatenate(
+                    [np.zeros(nf, np.int64), [int(dls.min())]]
+                ),
+                "df_local": np.concatenate(
+                    [np.zeros(nf, np.int64), [n]]
+                ),
+            }))
+        return pd.concat(frames, ignore_index=True) if frames else (
+            pd.DataFrame(columns=cols)
+        )
+
+    local = (
+        post.groupBy("shard")
+        .cogroup(ds.groupBy("shard"))
+        .applyInPandas(_local, _LOCAL_SCHEMA)
+    )
+
+    n_buckets = stats.n_buckets
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        th = int(g["term_hash"].iat[0])
+        sums = g[g["is_sum"] == 1]
+        cand = g[g["is_sum"] == 0]
+        d = cand["doc_id"].to_numpy(np.int64)
+        t = cand["tf"].to_numpy(np.int64)
+        imp = cand["impact"].to_numpy(np.float64)
+        df_total = int(sums["df_local"].sum())
+        if d.shape[0] > m:
+            order = np.lexsort((d, -imp))[:m]
+            rest_cand = float(np.sort(imp)[::-1][m])
+        else:
+            order = np.arange(d.shape[0])
+            rest_cand = -1.0
+        rest = max(rest_cand, float(sums["rest_local"].max()))
+        if rest < 0.0:
+            rest = 0.0  # every posting is a champion (df_total <= m)
+        d, t = d[order], t[order]
+        ds_order = np.argsort(d)  # store doc_id-ascending
+        return pd.DataFrame({
+            "term_hash": [th],
+            "df": [df_total],
+            "n_stored": [int(d.shape[0])],
+            "rest_bound": [rest],
+            "rest_max_tf": [int(sums["max_tf"].max())],
+            "rest_min_dl": [int(sums["min_dl"].min())],
+            "doc_ids": [d[ds_order].tolist()],
+            "tfs": [t[ds_order].tolist()],
+            "bucket": [th % n_buckets],
+        })
+
+    out_path = os.path.join(out_dir, "impact")
+    (
+        local.groupBy("term_hash")
+        .applyInPandas(_merge, IMPACT_SCHEMA)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_path)
+    )
+    n_terms = read_parquet_tolerant(spark, out_path, IMPACT_SCHEMA).count()
+    meta = {
+        "m": int(m),
+        "df_min": int(df_min),
+        "k1": float(k1),
+        "b": float(b),
+        "avgdl": float(avgdl),
+        "n_docs": int(stats.n_docs),
+        "num_shards": int(stats.num_shards),
+        "shard_span": int(stats.shard_span),
+        "n_terms": int(n_terms),
+    }
+    tmp = _meta_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(out_dir))
+    # a prior load may have cached "no sidecar" / an old sidecar on
+    # this Index instance — invalidate so the next query sees this one
+    index._impact_cache = None
+    return {"terms": int(n_terms), "m": m, "df_min": df_min,
+            "path": out_path}
+
+
+class ImpactLists:
+    """Driver-side view of the champion sidecar: per-term rows read
+    through a bucket-pruned pyarrow dataset and cached (the sidecar's
+    head-term working set is tiny — min(df, M) ints per term)."""
+
+    def __init__(self, index: Index, meta: dict):
+        self.index = index
+        self.meta = meta
+        self._rows: dict[int, object] = {}
+        self._ds = None
+
+    @classmethod
+    def load(cls, index: Index) -> "ImpactLists | None":
+        """The index's sidecar, or None when absent or STALE. Validity
+        is keyed to the index statistics the bounds were computed
+        under — any doc added/vacuumed changes (n_docs, avgdl) and
+        invalidates the proof, so a stale sidecar is ignored (the
+        query path then falls back to dense), never trusted."""
+        cached = getattr(index, "_impact_cache", None)
+        if cached is not None:
+            return cached if cached is not False else None
+        p = _meta_path(index.out_dir)
+        out = None
+        if os.path.exists(p):
+            with open(p) as f:
+                meta = json.load(f)
+            s = index.stats
+            if (
+                meta.get("n_docs") == s.n_docs
+                and meta.get("num_shards") == s.num_shards
+                and meta.get("shard_span") == s.shard_span
+                and meta.get("avgdl") == s.avgdl
+            ):
+                out = cls(index, meta)
+        index._impact_cache = out if out is not None else False
+        return out
+
+    def _dataset(self):
+        if self._ds is None:
+            import pyarrow.dataset as pads
+
+            self._ds = pads.dataset(
+                os.path.join(self.index.out_dir, "impact"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._ds
+
+    def rows_for(self, hashes) -> dict[int, object]:
+        """{term_hash: sidecar row (pandas namedtuple)} for the probed
+        hashes; absent terms (df < df_min at build) map to None and
+        are cached as misses too."""
+        import pyarrow.dataset as pads
+
+        wanted = list(dict.fromkeys(int(h) for h in hashes))
+        if not self.meta.get("n_terms"):
+            # no term cleared df_min at build — an empty (hence
+            # schema-less) parquet dir that cannot be filter-read
+            return {h: None for h in wanted}
+        missing = [h for h in wanted if h not in self._rows]
+        if missing:
+            nb = self.index.stats.n_buckets
+            filt = pads.field("bucket").isin(
+                sorted({h % nb for h in missing})
+            ) & pads.field("term_hash").isin(missing)
+            pdf = self._dataset().to_table(filter=filt).to_pandas()
+            got = {
+                int(r.term_hash): r
+                for r in pdf.itertuples(index=False)
+            }
+            for h in missing:
+                self._rows[h] = got.get(h)
+        return {h: self._rows[h] for h in wanted}
+
+
+def _probe_tf(index: Index, th: int, want: np.ndarray) -> np.ndarray:
+    """Exact tf of ``want`` doc_ids (sorted ascending) in term
+    ``th``'s postings — 0 where the doc does not contain the term.
+    Decodes ONLY the blocks whose ``[first_doc_id, next_first)`` fence
+    covers a probed id (the same doc_id-sorted seek WAND's block
+    iterator uses), so a probe costs one ~block_size varint decode,
+    not a df-sized one."""
+    out = np.zeros(want.shape[0], dtype=np.int64)
+    if want.shape[0] == 0:
+        return out
+    f = index.postings_rows_by_term([th]).get(th)
+    if f is None or not len(f):
+        return out
+    span = index.stats.shard_span
+    shards = f["shard"].to_numpy(np.int64)
+    firsts = f["first_doc_id"].to_numpy(np.int64)
+    wshard = want // span
+    for s in np.unique(wshard):
+        rows_in = np.flatnonzero(shards == s)
+        if rows_in.size == 0:
+            continue
+        rows_in = rows_in[np.argsort(firsts[rows_in])]
+        fi = firsts[rows_in]
+        wmask = wshard == s
+        w = want[wmask]
+        widx = np.flatnonzero(wmask)
+        bi = np.searchsorted(fi, w, side="right") - 1
+        for blk in np.unique(bi):
+            if blk < 0:
+                continue
+            row = f.iloc[rows_in[blk]]
+            n = int(row["n_docs"])
+            d = codec.decode_doc_ids(
+                bytes(row["doc_ids"]), n=n, base=int(row["first_doc_id"])
+            )
+            t = codec.decode_tfs(bytes(row["tfs"]), n=n)
+            wb = np.flatnonzero(bi == blk)
+            pos = np.searchsorted(d, w[wb])
+            ok = (pos < n) & (d[np.minimum(pos, n - 1)] == w[wb])
+            out[widx[wb[ok]]] = t[pos[ok]]
+    return out
+
+
+def _impact_pairs(
+    index: Index,
+    ordered_terms: list[tuple[int, str, float]],
+    k: int,
+    stats,
+    imp: ImpactLists,
+    exclude: np.ndarray | None = None,
+    info: dict | None = None,
+) -> list[tuple[int, float]] | None:
+    """The safe pruned top-k, or None when the proof fails (caller
+    falls back to dense). See the module docstring for the exactness
+    argument; every returned score is computed by the dense scorer's
+    own float ops in the same per-doc accumulation order."""
+    arr = index.dl_array()
+    if arr is None or k < 1:
+        return None
+    k1, b, avgdl = stats.k1, stats.b, stats.avgdl
+    meta = imp.meta
+    params_match = (k1 == meta["k1"] and b == meta["b"])
+    rows = imp.rows_for([h for h, _, _ in ordered_terms])
+    need_full = [h for h, _, _ in ordered_terms if rows.get(h) is None]
+    full_frames = (
+        index.postings_rows_by_term(need_full) if need_full else {}
+    )
+
+    # per-term arrays in ascending term order (= ordered_terms order):
+    # (docs asc, contrib, rest, tf, full?)
+    per_term: list[tuple[np.ndarray, np.ndarray, float, np.ndarray, bool, int, float]] = []
+    rest_sum = 0.0
+    for th, _term, idf in ordered_terms:
+        r = rows.get(th)
+        if r is None:
+            f = full_frames.get(th)
+            if f is None or not len(f):
+                continue  # lexicon hit with no postings rows: nothing to add
+            d, t, _ = codec.decode_blocks(
+                f["doc_ids"].tolist(), f["tfs"].tolist(),
+                f["n_docs"].to_numpy(np.int64),
+                f["first_doc_id"].to_numpy(np.int64),
+            )
+            order = np.argsort(d)  # rows arrive per (shard, block); ids unique
+            d, t = d[order], t[order]
+            rest = 0.0
+            full = True
+        else:
+            d = np.asarray(r.doc_ids, dtype=np.int64)
+            t = np.asarray(r.tfs, dtype=np.int64)
+            full = int(r.n_stored) >= int(r.df)
+            if full:
+                rest = 0.0
+            else:
+                rest_part = (
+                    float(r.rest_bound) if params_match
+                    else float(_partial(
+                        np.asarray([r.rest_max_tf], dtype=np.int64),
+                        np.asarray([float(r.rest_min_dl)]),
+                        k1, b, avgdl,
+                    )[0])
+                )
+                rest = idf * rest_part
+        contrib = idf * _partial(t, arr[d], k1, b, avgdl)
+        rest_sum += rest
+        per_term.append((d, contrib, rest, t, full, th, idf))
+
+    if not per_term:
+        return []
+    all_docs = np.unique(np.concatenate([p[0] for p in per_term]))
+    if exclude is not None and exclude.size:
+        pos = np.searchsorted(exclude, all_docs)
+        dead = (pos < exclude.size) & (
+            exclude[np.minimum(pos, exclude.size - 1)] == all_docs
+        )
+        all_docs = all_docs[~dead]
+    n = all_docs.shape[0]
+    if n == 0:
+        return []
+    all_full = all(p[4] for p in per_term)
+    LB = np.zeros(n, dtype=np.float64)
+    # rest of the UB accumulates ADDITIVELY over the terms a doc is
+    # absent from — never as rest_sum minus the present ones, because
+    # fl((a+b) - a - b) is one ULP of NEGATIVE, which once put the
+    # top-1 doc's UB an ULP below its own LB (= theta) and excluded it
+    rest_absent = np.zeros(n, dtype=np.float64)
+    for d, contrib, rest, _t, _full, _th, _idf in per_term:
+        pos = np.searchsorted(all_docs, d)
+        ok = (pos < n) & (all_docs[np.minimum(pos, n - 1)] == d)
+        p = pos[ok]
+        LB[p] += contrib[ok]
+        if rest > 0.0:
+            absent = np.ones(n, dtype=bool)
+            absent[p] = False
+            rest_absent[absent] += rest
+    if all_full:
+        # champions cover every posting of every term: LB IS the exact
+        # dense score for the complete match set
+        if info is not None:
+            info.update(used=True, seen=int(n), candidates=int(n),
+                        probes=0, mode="full")
+        return _topk_pairs(all_docs, LB, k)
+    if n < k:
+        return None  # unseen docs could fill the page — cannot prove
+    sel = np.lexsort((all_docs, -LB))[:k]
+    theta = float(LB[sel[-1]])
+    # deterministic safety slack: a doc's true float score folds its
+    # term contributions INTERLEAVED in ascending term order, while
+    # the bounds here fold known contributions first and absent-term
+    # rests after — float reordering can differ by ULPs, so every
+    # bound comparison concedes a margin vastly above that error
+    # (≤ ~n_terms² · eps · score). Slack only widens the candidate
+    # set / forces fallback — exactness never depends on it.
+    slack = 1e-9 * (1.0 + abs(theta))
+    if rest_sum + slack >= theta:
+        return None  # an unseen doc could reach the top k
+    cand_mask = (LB + rest_absent + slack) >= theta
+    cand_docs = all_docs[cand_mask]
+    nc = cand_docs.shape[0]
+    score = np.zeros(nc, dtype=np.float64)
+    probes = 0
+    for d, contrib, rest, _t, full, th, idf in per_term:
+        pos = np.searchsorted(d, cand_docs)
+        present = (pos < d.shape[0]) & (
+            d[np.minimum(pos, d.shape[0] - 1)] == cand_docs
+        )
+        score[present] += contrib[pos[present]]
+        if not full:
+            miss_idx = np.flatnonzero(~present)
+            if miss_idx.size:
+                miss_docs = cand_docs[miss_idx]
+                tf_m = _probe_tf(index, th, miss_docs)
+                probes += int(miss_idx.size)
+                nz = tf_m > 0
+                if nz.any():
+                    score[miss_idx[nz]] += idf * _partial(
+                        tf_m[nz], arr[miss_docs[nz]], k1, b, avgdl
+                    )
+    if info is not None:
+        info.update(used=True, seen=int(n), candidates=int(nc),
+                    probes=probes, mode="pruned")
+    return _topk_pairs(cand_docs, score, k)
+
+
+def impact_topk_rows(
+    index: Index,
+    query_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+    info: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Driver-served disjunctive top-k through the champion sidecar,
+    falling back to the dense driver scorer whenever the safety proof
+    fails (no sidecar, stale sidecar, page deeper than the champion
+    coverage can certify, tombstone set past the driver limit…).
+    Rank- and score-identical to ``search_topk_rows`` always — the
+    sidecar changes the work, never the answer. ``info`` (optional
+    dict) reports what happened: ``used`` (pruned path taken),
+    ``mode`` ("pruned" / "full" / "fallback"), ``seen`` /
+    ``candidates`` / ``probes`` counters."""
+    from .query_exec import TOMBSTONE_OVERFETCH_MAX, search_topk_rows
+
+    if info is not None:
+        info.clear()
+        info.update(used=False, mode="fallback", seen=0, candidates=0,
+                    probes=0)
+    resolved = _resolve_query(index, query_text, synonyms, "or", "dense",
+                              k1, b)
+    if resolved is None:
+        return []
+    stats, ordered_terms, _ = resolved
+    imp = ImpactLists.load(index)
+    pairs = None
+    if imp is not None and index.dl_array() is not None:
+        tomb = None
+        if index.tombstone_count() <= TOMBSTONE_OVERFETCH_MAX:
+            tomb = index.tombstone_array()
+            pairs = _impact_pairs(index, ordered_terms, k, stats, imp,
+                                  exclude=tomb, info=info)
+    if pairs is not None:
+        return pairs
+    if info is not None:
+        info.update(used=False, mode="fallback")
+    return search_topk_rows(index, query_text, k, synonyms,
+                            algorithm="dense", k1=k1, b=b)
+
+
+def impact_topk(
+    index: Index,
+    query_text: str,
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    k1: float | None = None,
+    b: float | None = None,
+    info: dict | None = None,
+) -> DataFrame:
+    """:func:`impact_topk_rows` wrapped back into the DataFrame
+    contract (the ``search_topk`` shape). Indexes past the driver
+    doc-norms limit fall back to the distributed dense scorer."""
+    from .query_exec import search_topk
+
+    if index.dl_array() is None:
+        if info is not None:
+            info.clear()
+            info.update(used=False, mode="fallback", seen=0,
+                        candidates=0, probes=0)
+        return search_topk(index, query_text, k, synonyms,
+                           algorithm="dense", k1=k1, b=b)
+    pairs = impact_topk_rows(index, query_text, k, synonyms, k1=k1, b=b,
+                             info=info)
+    if not pairs:
+        return _empty_df(index.spark, TOPK_SCHEMA)
+    out = pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(
+        {"doc_id": "int64", "score": "float64"}
+    )
+    return index.spark.createDataFrame(out)

@@ -1,0 +1,254 @@
+"""Impact-ordered champion lists (operators/impact.py): the pruned
+top-k must be rank- AND score-identical to the dense scorer on every
+query — pruning changes the work, never the answer — and must fall
+back (not approximate) whenever its safety proof fails."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_search_engine_spark.operators.impact import (
+    ImpactLists,
+    _probe_tf,
+    build_impact_lists,
+    impact_topk,
+    impact_topk_rows,
+)
+from hadoop_search_engine_spark.operators.index_build import build_index
+from hadoop_search_engine_spark.operators.query_exec import (
+    Index,
+    search_topk,
+    search_topk_rows,
+)
+
+
+@pytest.fixture(scope="module")
+def imp_index(spark, tmp_path_factory):
+    """800-doc corpus (enough df spread for champions to engage) with
+    a small-m sidecar so the pruned path is exercised, not just the
+    full-list degenerate case."""
+    from hadoop_search_engine_spark.corpus import gen_documents
+    from hadoop_search_engine_spark.operators.doc_ids import assign_doc_ids
+
+    docs = assign_doc_ids(
+        gen_documents(spark, 800, n_partitions=4), num_partitions=4
+    ).select("doc_id", "text")
+    out = str(tmp_path_factory.mktemp("impact") / "ix")
+    build_index(spark, docs, out, num_shards=4, n_buckets=8, block_size=32)
+    ix = Index.load(spark, out)
+    build_impact_lists(ix, m=32, df_min=64)
+    return ix
+
+
+def _query_set(ix, n_head=4):
+    lex = (
+        ix.lexicon.orderBy(F.desc("df"), F.asc("term"))
+        .select("term", "df")
+        .collect()
+    )
+    head = [r["term"] for r in lex[:n_head]]
+    mid = [r["term"] for r in lex[len(lex) // 2 : len(lex) // 2 + 3]]
+    tail = [r["term"] for r in lex[-3:]]
+    return head, mid, tail
+
+
+def test_identity_exhaustive(imp_index):
+    ix = imp_index
+    head, mid, tail = _query_set(ix)
+    queries = (
+        head
+        + [
+            " ".join(head[:2]),
+            " ".join(head[:3]),
+            " ".join([head[0], mid[0]]),
+            " ".join([head[0], tail[0]]),
+            " ".join(mid),
+            " ".join(tail),
+            " ".join([head[0], "zzznotaterm"]),
+            "zzznotaterm",
+        ]
+    )
+    n_pruned = 0
+    for q in queries:
+        for k in (1, 3, 10, 50):
+            info = {}
+            got = impact_topk_rows(ix, q, k=k, info=info)
+            want = search_topk_rows(ix, q, k=k, algorithm="dense")
+            assert got == want, (q, k, info)
+            if info.get("mode") == "pruned":
+                n_pruned += 1
+    # the point of the sidecar: at least some head queries must have
+    # gone through the certified pruned path, not fallen back
+    assert n_pruned >= 3
+
+
+def test_single_head_term_prunes(imp_index):
+    """A single head term with k << M is the canonical win: theta is
+    the k-th champion score, rest_bound the (M+1)-th impact — the
+    proof holds unless the corpus ties them exactly."""
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    info = {}
+    got = impact_topk_rows(ix, head[0], k=5, info=info)
+    assert got == search_topk_rows(ix, head[0], k=5, algorithm="dense")
+    assert info["used"] and info["mode"] in ("pruned", "full")
+
+
+def test_full_mode_when_df_below_m(imp_index, tmp_path):
+    """df_min=1 with huge m stores every posting list entirely: the
+    sidecar answers every disjunctive query exactly with zero
+    fallback (rest_bound = 0 everywhere)."""
+    ix = imp_index
+    d2 = str(tmp_path / "ixcopy")
+    shutil.copytree(ix.out_dir, d2)
+    ix2 = Index.load(ix.spark, d2)
+    build_impact_lists(ix2, m=10**6, df_min=1)
+    head, mid, _ = _query_set(ix2)
+    for q in [head[0], " ".join(head[:3]), " ".join([head[0], mid[0]])]:
+        info = {}
+        got = impact_topk_rows(ix2, q, k=10, info=info)
+        assert got == search_topk_rows(ix2, q, k=10, algorithm="dense")
+        assert info["used"] and info["mode"] == "full"
+
+
+def test_probe_tf_matches_postings(imp_index):
+    from hadoop_search_engine_spark.functions import codec
+
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    lm = ix.lexicon_map()
+    th = lm[head[0]]["hash"]
+    f = ix.postings_rows_by_term([th])[th]
+    d, t, _ = codec.decode_blocks(
+        f["doc_ids"].tolist(), f["tfs"].tolist(),
+        f["n_docs"].to_numpy(np.int64),
+        f["first_doc_id"].to_numpy(np.int64),
+    )
+    order = np.argsort(d)
+    d, t = d[order], t[order]
+    truth = dict(zip(d.tolist(), t.tolist()))
+    # probe a mix of present docs and absent ids (never-matched holes)
+    present = d[:: max(1, d.size // 17)]
+    absent = np.setdiff1d(
+        np.arange(0, int(ix.stats.num_shards * ix.stats.shard_span), 7),
+        d,
+    )[:20]
+    want = np.unique(np.concatenate([present, absent]))
+    got = _probe_tf(ix, th, want)
+    for doc, tf in zip(want.tolist(), got.tolist()):
+        assert tf == truth.get(doc, 0), doc
+
+
+def test_k1_b_override_identity(imp_index):
+    """Tuned (k1, b) reuse the sidecar through the parameter-free
+    (rest_max_tf, rest_min_dl) bound — looser, so fallback is
+    allowed, but the answer must stay identical."""
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    for q in [head[0], " ".join(head[:2])]:
+        got = impact_topk_rows(ix, q, k=10, k1=0.9, b=0.3)
+        want = search_topk_rows(ix, q, k=10, algorithm="dense",
+                                k1=0.9, b=0.3)
+        assert got == want
+
+
+def test_tombstones_compose(imp_index, tmp_path):
+    from hadoop_search_engine_spark.operators.index_maint import delete_docs
+
+    ix = imp_index
+    d2 = str(tmp_path / "ixtomb")
+    shutil.copytree(ix.out_dir, d2)
+    ix2 = Index.load(ix.spark, d2)
+    head, _, _ = _query_set(ix2)
+    # tombstone the CURRENT top docs so exclusion visibly reshapes
+    # the page
+    top = search_topk_rows(ix2, head[0], k=5, algorithm="dense")
+    delete_docs(ix2, [doc for doc, _ in top[:3]])
+    ix2 = Index.load(ix.spark, d2)
+    for q in [head[0], " ".join(head[:2])]:
+        info = {}
+        got = impact_topk_rows(ix2, q, k=10, info=info)
+        want = search_topk_rows(ix2, q, k=10, algorithm="dense")
+        assert got == want, (q, info)
+
+
+def test_stale_sidecar_falls_back(imp_index, tmp_path):
+    ix = imp_index
+    d2 = str(tmp_path / "ixstale")
+    shutil.copytree(ix.out_dir, d2)
+    mp = os.path.join(d2, "impact", "_impact_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["n_docs"] += 1  # pretend the corpus changed under the sidecar
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    ix2 = Index.load(ix.spark, d2)
+    assert ImpactLists.load(ix2) is None
+    head, _, _ = _query_set(ix2)
+    info = {}
+    got = impact_topk_rows(ix2, head[0], k=10, info=info)
+    assert info["mode"] == "fallback" and not info["used"]
+    assert got == search_topk_rows(ix2, head[0], k=10, algorithm="dense")
+
+
+def test_dataframe_wrapper(imp_index):
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    q = " ".join(head[:2])
+    got = impact_topk(ix, q, k=10).collect()
+    want = search_topk(ix, q, k=10, serving="driver").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_tie_corpus_falls_back_not_wrong(spark, tmp_path):
+    """Every doc identical ⇒ every impact ties ⇒ theta == rest_bound
+    and the proof CANNOT hold (an unseen doc ties the boundary) —
+    the path must fall back, never return one tie-arbitrary page."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(300)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "ties")
+    build_index(spark, docs, out, num_shards=2, n_buckets=4)
+    ix = Index.load(spark, out)
+    build_impact_lists(ix, m=16, df_min=32)
+    info = {}
+    got = impact_topk_rows(ix, "alpha beta", k=10, info=info)
+    want = search_topk_rows(ix, "alpha beta", k=10, algorithm="dense")
+    assert got == want
+    assert info["mode"] in ("fallback", "full")  # never a wrong "pruned"
+
+
+def test_sidecar_build_deterministic(imp_index, tmp_path):
+    ix = imp_index
+    rows1 = (
+        ix.spark.read.parquet(os.path.join(ix.out_dir, "impact"))
+        .orderBy("term_hash")
+        .collect()
+    )
+    d2 = str(tmp_path / "ixdet")
+    shutil.copytree(ix.out_dir, d2)
+    ix2 = Index.load(ix.spark, d2)
+    build_impact_lists(ix2, m=32, df_min=64)
+    rows2 = (
+        ix2.spark.read.parquet(os.path.join(d2, "impact"))
+        .orderBy("term_hash")
+        .collect()
+    )
+    assert [r.asDict() for r in rows1] == [r.asDict() for r in rows2]
+
+
+def test_deep_k_past_coverage_falls_back(imp_index):
+    """k beyond what M champions can certify ⇒ fallback, identical."""
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    got = impact_topk_rows(ix, head[0], k=700)
+    want = search_topk_rows(ix, head[0], k=700, algorithm="dense")
+    assert got == want
