@@ -208,6 +208,28 @@ def q_bm25_topk_indexed_driver(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_topk_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered champion lists (operators/impact.py — the
+    100x lever for disjunctive head-term queries recorded by the 12M
+    audit): top-M-by-impact sidecar + certified bounds, scoring only
+    the champion union with proof-or-fallback safety. Checked against
+    the SAME exhaustive bm25_topk oracle — the pruned path is rank-
+    and score-identical by construction, so it must hash-match the
+    full corpus scan."""
+    from hadoop_search_engine_spark.operators.impact import (
+        ImpactLists,
+        build_impact_lists,
+        impact_topk,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    have = ImpactLists.load(ix)
+    if have is None or have.meta.get("m") != 32:
+        build_impact_lists(ix, m=32, df_min=64)
+    top = impact_topk(ix, " ".join(FLAGSHIP_TERMS), k=20)
+    return top.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_bm25_topk_indexed_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive search_topk over the block index (WAND cover
     pruning path) against the bm25_topk_and oracle."""
@@ -4111,6 +4133,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q_bm25_topk_indexed,
         "bm25_topk_indexed_driver": q_bm25_topk_indexed_driver,
         "bm25_topk_indexed_and": q_bm25_topk_indexed_and,
+        "bm25_topk_impact": q_bm25_topk_impact,
         "lm_dirichlet_topk": q_lm_dirichlet_topk,
         "lm_dirichlet_topk_driver": q_lm_dirichlet_topk_driver,
         "tfidf_classic_topk": q_tfidf_classic_topk,

@@ -198,6 +198,42 @@ def main() -> None:
     timings["fixture_hot_rows_p50"] = round(ls[len(ls) // 2], 4)
     timings["fixture_hot_rows_p95"] = round(ls[int(0.95 * (len(ls) - 1))], 4)
 
+    # impact-ordered champion lists (operators/impact.py): build the
+    # sidecar once (a postings pass, corpus untouched), then the same
+    # 50 fixture queries through the proof-or-expand pruned scorer —
+    # identical answers (asserted), work independent of df when the
+    # proof certifies. impact_certified counts champion-served
+    # queries (pruned/full, no expansion); expansion converges the
+    # rest to exact full evaluation instead of a dense re-run.
+    from hadoop_search_engine_spark.operators.impact import (
+        build_impact_lists,
+        impact_topk_rows,
+    )
+
+    t0 = time.time()
+    build_impact_lists(idx, m=128, df_min=512)
+    timings["impact_sidecar_build"] = round(time.time() - t0, 4)
+    for rq in fixture_qs:  # warm sidecar rows
+        impact_topk_rows(idx, rq["query_text"], k=rq["k"])
+    lat = []
+    certified = 0
+    for rq in fixture_qs:
+        info: dict = {}
+        t0 = time.time()
+        got = impact_topk_rows(idx, rq["query_text"], k=rq["k"],
+                               info=info)
+        lat.append(time.time() - t0)
+        if info.get("used") and not info.get("expanded"):
+            certified += 1
+        want = search_topk_rows(idx, rq["query_text"], k=rq["k"])
+        assert got == want, (rq, info)
+    ls = sorted(lat)
+    timings["fixture_impact_rows_p50"] = round(ls[len(ls) // 2], 4)
+    timings["fixture_impact_rows_p95"] = round(
+        ls[int(0.95 * (len(ls) - 1))], 4
+    )
+    timings["impact_certified_of_50"] = float(certified)
+
     # the same 50 fixture queries served as ONE batch (union-pruned
     # scan, per-shard decode shared across queries) — the offline
     # query-log / evaluation-set workload shape
@@ -1060,6 +1096,7 @@ def main() -> None:
             if not k.endswith("docs_per_sec")
             and not k.startswith("fixture_")
             and k != "index_build_cold"
+            and k != "impact_certified_of_50"  # a count, not seconds
         ),
         4,
     )

@@ -104,12 +104,13 @@ __all__ = [
 IMPACT_SCHEMA = (
     "term_hash long, df long, n_stored int, rest_bound double, "
     "rest_max_tf long, rest_min_dl long, doc_ids array<long>, "
-    "tfs array<long>, bucket int"
+    "tfs array<long>, dls array<long>, bucket int"
 )
 
 _LOCAL_SCHEMA = (
-    "term_hash long, is_sum int, doc_id long, tf long, impact double, "
-    "rest_local double, max_tf long, min_dl long, df_local long"
+    "term_hash long, is_sum int, doc_id long, tf long, dl long, "
+    "impact double, rest_local double, max_tf long, min_dl long, "
+    "df_local long"
 )
 
 # underscore-prefixed so both Spark's parquet reader and pyarrow
@@ -172,7 +173,7 @@ def build_impact_lists(
 
     def _local(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         cols = [
-            "term_hash", "is_sum", "doc_id", "tf", "impact",
+            "term_hash", "is_sum", "doc_id", "tf", "dl", "impact",
             "rest_local", "max_tf", "min_dl", "df_local",
         ]
         if left.empty or right.empty:
@@ -208,6 +209,12 @@ def build_impact_lists(
                 ),
                 "doc_id": np.concatenate([d[order], [-1]]),
                 "tf": np.concatenate([t[order], [0]]),
+                # champion doc lengths ride along so serving needs NO
+                # driver-pinned doc-norms array (the sidecar is self-
+                # contained past DL_BROADCAST_MAX_DOCS)
+                "dl": np.concatenate(
+                    [dls[order].astype(np.int64), [0]]
+                ),
                 "impact": np.concatenate([imp[order], [0.0]]),
                 "rest_local": np.concatenate(
                     [np.zeros(nf), [rest_local]]
@@ -240,6 +247,7 @@ def build_impact_lists(
         cand = g[g["is_sum"] == 0]
         d = cand["doc_id"].to_numpy(np.int64)
         t = cand["tf"].to_numpy(np.int64)
+        dls = cand["dl"].to_numpy(np.int64)
         imp = cand["impact"].to_numpy(np.float64)
         df_total = int(sums["df_local"].sum())
         if d.shape[0] > m:
@@ -251,7 +259,7 @@ def build_impact_lists(
         rest = max(rest_cand, float(sums["rest_local"].max()))
         if rest < 0.0:
             rest = 0.0  # every posting is a champion (df_total <= m)
-        d, t = d[order], t[order]
+        d, t, dls = d[order], t[order], dls[order]
         ds_order = np.argsort(d)  # store doc_id-ascending
         return pd.DataFrame({
             "term_hash": [th],
@@ -262,6 +270,7 @@ def build_impact_lists(
             "rest_min_dl": [int(sums["min_dl"].min())],
             "doc_ids": [d[ds_order].tolist()],
             "tfs": [t[ds_order].tolist()],
+            "dls": [dls[ds_order].tolist()],
             "bucket": [th % n_buckets],
         })
 
@@ -372,6 +381,35 @@ class ImpactLists:
         return {h: self._rows[h] for h in wanted}
 
 
+def _dl_lookup(index: Index, doc_ids: np.ndarray) -> np.ndarray:
+    """doc_len (float64) for ``doc_ids`` (sorted ascending) straight
+    from the doc_stats parquet — shard dirs pruned at the listing,
+    doc_id a row-group min/max filter. The beyond-driver-limit analog
+    of ``Index.dl_array()`` for the few docs a query actually touches
+    (full-decoded low-df terms; champions carry their dl in the
+    sidecar)."""
+    out = np.zeros(doc_ids.shape[0], dtype=np.float64)
+    if doc_ids.shape[0] == 0:
+        return out
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(
+        os.path.join(index.out_dir, "doc_stats"),
+        format="parquet",
+        partitioning="hive",
+    )
+    span = index.stats.shard_span
+    shards = sorted({int(s) for s in np.unique(doc_ids // span)})
+    filt = pads.field("shard").isin(shards) & pads.field("doc_id").isin(
+        [int(x) for x in doc_ids]
+    )
+    t = ds.to_table(filter=filt, columns=["doc_id", "doc_len"]).to_pandas()
+    if len(t):
+        pos = np.searchsorted(doc_ids, t["doc_id"].to_numpy(np.int64))
+        out[pos] = t["doc_len"].to_numpy(np.float64)
+    return out
+
+
 def _probe_tf(index: Index, th: int, want: np.ndarray) -> np.ndarray:
     """Exact tf of ``want`` doc_ids (sorted ascending) in term
     ``th``'s postings — 0 where the doc does not contain the term.
@@ -428,8 +466,8 @@ def _impact_pairs(
     falls back to dense). See the module docstring for the exactness
     argument; every returned score is computed by the dense scorer's
     own float ops in the same per-doc accumulation order."""
-    arr = index.dl_array()
-    if arr is None or k < 1:
+    arr = index.dl_array()  # None past DL_BROADCAST_MAX_DOCS
+    if k < 1:
         return None
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     meta = imp.meta
@@ -440,100 +478,160 @@ def _impact_pairs(
         index.postings_rows_by_term(need_full) if need_full else {}
     )
 
+    def _full_entry(th: int, idf: float, f) -> tuple | None:
+        """A term's complete posting list as a per_term entry (exact,
+        rest = 0) — the initial shape for sub-df_min terms and the
+        progressive-expansion shape for champion terms whose bound
+        blocked the proof."""
+        if f is None or not len(f):
+            return None
+        d, t, _ = codec.decode_blocks(
+            f["doc_ids"].tolist(), f["tfs"].tolist(),
+            f["n_docs"].to_numpy(np.int64),
+            f["first_doc_id"].to_numpy(np.int64),
+        )
+        order = np.argsort(d)  # rows arrive per (shard, block); ids unique
+        d, t = d[order], t[order]
+        dl_vec = arr[d] if arr is not None else _dl_lookup(index, d)
+        contrib = idf * _partial(t, dl_vec, k1, b, avgdl)
+        return (d, contrib, 0.0, t, True, th, idf, dl_vec)
+
     # per-term arrays in ascending term order (= ordered_terms order):
-    # (docs asc, contrib, rest, tf, full?)
-    per_term: list[tuple[np.ndarray, np.ndarray, float, np.ndarray, bool, int, float]] = []
-    rest_sum = 0.0
+    # (docs asc, contrib, rest, tf, full?, hash, idf, dl)
+    per_term: list[tuple] = []
     for th, _term, idf in ordered_terms:
         r = rows.get(th)
         if r is None:
-            f = full_frames.get(th)
-            if f is None or not len(f):
-                continue  # lexicon hit with no postings rows: nothing to add
-            d, t, _ = codec.decode_blocks(
-                f["doc_ids"].tolist(), f["tfs"].tolist(),
-                f["n_docs"].to_numpy(np.int64),
-                f["first_doc_id"].to_numpy(np.int64),
-            )
-            order = np.argsort(d)  # rows arrive per (shard, block); ids unique
-            d, t = d[order], t[order]
-            rest = 0.0
-            full = True
+            e = _full_entry(th, idf, full_frames.get(th))
+            if e is not None:
+                per_term.append(e)
+            continue  # absent: lexicon hit with no postings rows
+        d = np.asarray(r.doc_ids, dtype=np.int64)
+        t = np.asarray(r.tfs, dtype=np.int64)
+        if arr is not None:
+            dl_vec = arr[d]
+        elif hasattr(r, "dls"):
+            # self-contained serving past the driver norms limit:
+            # champion doc lengths ship in the sidecar (exact ints,
+            # identical float64s to the dl array they substitute)
+            dl_vec = np.asarray(r.dls, dtype=np.float64)
         else:
-            d = np.asarray(r.doc_ids, dtype=np.int64)
-            t = np.asarray(r.tfs, dtype=np.int64)
-            full = int(r.n_stored) >= int(r.df)
-            if full:
-                rest = 0.0
-            else:
-                rest_part = (
-                    float(r.rest_bound) if params_match
-                    else float(_partial(
-                        np.asarray([r.rest_max_tf], dtype=np.int64),
-                        np.asarray([float(r.rest_min_dl)]),
-                        k1, b, avgdl,
-                    )[0])
-                )
-                rest = idf * rest_part
-        contrib = idf * _partial(t, arr[d], k1, b, avgdl)
-        rest_sum += rest
-        per_term.append((d, contrib, rest, t, full, th, idf))
+            return None  # pre-dls sidecar and no dl array
+        full = int(r.n_stored) >= int(r.df)
+        if full:
+            rest = 0.0
+        else:
+            rest_part = (
+                float(r.rest_bound) if params_match
+                else float(_partial(
+                    np.asarray([r.rest_max_tf], dtype=np.int64),
+                    np.asarray([float(r.rest_min_dl)]),
+                    k1, b, avgdl,
+                )[0])
+            )
+            rest = idf * rest_part
+        contrib = idf * _partial(t, dl_vec, k1, b, avgdl)
+        per_term.append((d, contrib, rest, t, full, th, idf, dl_vec))
 
     if not per_term:
         return []
-    all_docs = np.unique(np.concatenate([p[0] for p in per_term]))
-    if exclude is not None and exclude.size:
-        pos = np.searchsorted(exclude, all_docs)
-        dead = (pos < exclude.size) & (
-            exclude[np.minimum(pos, exclude.size - 1)] == all_docs
+
+    # proof loop with PROGRESSIVE EXPANSION: when the bounds cannot
+    # certify the page (rest_sum too big vs theta, or fewer seen docs
+    # than k), fully decode the champion term with the LARGEST rest —
+    # its rest drops to 0 exactly — and retry. Each expansion costs
+    # what the dense scorer would have paid for that one term anyway,
+    # so the worst case (every term expanded) converges to the exact
+    # full-match-set evaluation instead of abandoning the work done;
+    # the best case stays champion-only. Expansion needs the driver
+    # norms array (a df-sized dl probe would defeat the point past
+    # the driver limit), so the beyond-limit mode keeps strict
+    # proof-or-refuse semantics.
+    expansions = 0
+    while True:
+        all_docs = np.unique(np.concatenate([p[0] for p in per_term]))
+        if exclude is not None and exclude.size:
+            pos = np.searchsorted(exclude, all_docs)
+            dead = (pos < exclude.size) & (
+                exclude[np.minimum(pos, exclude.size - 1)] == all_docs
+            )
+            all_docs = all_docs[~dead]
+        n = all_docs.shape[0]
+        if n == 0:
+            return []
+        all_full = all(p[4] for p in per_term)
+        LB = np.zeros(n, dtype=np.float64)
+        # rest of the UB accumulates ADDITIVELY over the terms a doc
+        # is absent from — never as rest_sum minus the present ones:
+        # fl((a+b) - a - b) is one ULP of NEGATIVE, which once put the
+        # top-1 doc's UB an ULP below its own LB (= theta) and
+        # excluded it
+        rest_absent = np.zeros(n, dtype=np.float64)
+        rest_sum = 0.0
+        # doc -> dl map aligned to all_docs, needed only when no
+        # driver norms array exists (candidate probes below)
+        dl_all = None if arr is not None else np.zeros(n, np.float64)
+        for d, contrib, rest, _t, _full, _th, _idf, dl_vec in per_term:
+            pos = np.searchsorted(all_docs, d)
+            ok = (pos < n) & (all_docs[np.minimum(pos, n - 1)] == d)
+            p = pos[ok]
+            LB[p] += contrib[ok]
+            if dl_all is not None:
+                dl_all[p] = dl_vec[ok]
+            if rest > 0.0:
+                rest_sum += rest
+                absent = np.ones(n, dtype=bool)
+                absent[p] = False
+                rest_absent[absent] += rest
+        if all_full:
+            # every posting of every term is decoded: LB IS the exact
+            # dense score for the complete match set
+            if info is not None:
+                info.update(used=True, seen=int(n), candidates=int(n),
+                            probes=0, expanded=expansions,
+                            mode="full" if not expansions else "pruned")
+            return _topk_pairs(all_docs, LB, k)
+        theta = None
+        if n >= k:
+            sel = np.lexsort((all_docs, -LB))[:k]
+            theta = float(LB[sel[-1]])
+            # deterministic safety slack: a doc's true float score
+            # folds its term contributions INTERLEAVED in ascending
+            # term order, while the bounds here fold known
+            # contributions first and absent-term rests after — float
+            # reordering can differ by ULPs, so every bound comparison
+            # concedes a margin vastly above that error
+            # (≤ ~n_terms² · eps · score). Slack only widens the
+            # candidate set / forces expansion — exactness never
+            # depends on it.
+            slack = 1e-9 * (1.0 + abs(theta))
+            if rest_sum + slack < theta:
+                break  # proof holds — candidates below
+        # proof failed: expand, or concede
+        if arr is None:
+            return None  # beyond-limit mode: proof-or-refuse
+        worst = max(
+            (i for i, e in enumerate(per_term) if not e[4]),
+            key=lambda i: per_term[i][2],
+            default=None,
         )
-        all_docs = all_docs[~dead]
-    n = all_docs.shape[0]
-    if n == 0:
-        return []
-    all_full = all(p[4] for p in per_term)
-    LB = np.zeros(n, dtype=np.float64)
-    # rest of the UB accumulates ADDITIVELY over the terms a doc is
-    # absent from — never as rest_sum minus the present ones, because
-    # fl((a+b) - a - b) is one ULP of NEGATIVE, which once put the
-    # top-1 doc's UB an ULP below its own LB (= theta) and excluded it
-    rest_absent = np.zeros(n, dtype=np.float64)
-    for d, contrib, rest, _t, _full, _th, _idf in per_term:
-        pos = np.searchsorted(all_docs, d)
-        ok = (pos < n) & (all_docs[np.minimum(pos, n - 1)] == d)
-        p = pos[ok]
-        LB[p] += contrib[ok]
-        if rest > 0.0:
-            absent = np.ones(n, dtype=bool)
-            absent[p] = False
-            rest_absent[absent] += rest
-    if all_full:
-        # champions cover every posting of every term: LB IS the exact
-        # dense score for the complete match set
-        if info is not None:
-            info.update(used=True, seen=int(n), candidates=int(n),
-                        probes=0, mode="full")
-        return _topk_pairs(all_docs, LB, k)
-    if n < k:
-        return None  # unseen docs could fill the page — cannot prove
-    sel = np.lexsort((all_docs, -LB))[:k]
-    theta = float(LB[sel[-1]])
-    # deterministic safety slack: a doc's true float score folds its
-    # term contributions INTERLEAVED in ascending term order, while
-    # the bounds here fold known contributions first and absent-term
-    # rests after — float reordering can differ by ULPs, so every
-    # bound comparison concedes a margin vastly above that error
-    # (≤ ~n_terms² · eps · score). Slack only widens the candidate
-    # set / forces fallback — exactness never depends on it.
-    slack = 1e-9 * (1.0 + abs(theta))
-    if rest_sum + slack >= theta:
-        return None  # an unseen doc could reach the top k
+        if worst is None:
+            return None  # nothing left to expand (degenerate)
+        th_w, idf_w = per_term[worst][5], per_term[worst][6]
+        e = _full_entry(th_w, idf_w,
+                        index.postings_rows_by_term([th_w]).get(th_w))
+        if e is None:
+            return None  # sidecar/postings disagree — refuse, not guess
+        per_term[worst] = e
+        expansions += 1
+
     cand_mask = (LB + rest_absent + slack) >= theta
     cand_docs = all_docs[cand_mask]
+    cand_dl = None if dl_all is None else dl_all[cand_mask]
     nc = cand_docs.shape[0]
     score = np.zeros(nc, dtype=np.float64)
     probes = 0
-    for d, contrib, rest, _t, full, th, idf in per_term:
+    for d, contrib, rest, _t, full, th, idf, _dl_vec in per_term:
         pos = np.searchsorted(d, cand_docs)
         present = (pos < d.shape[0]) & (
             d[np.minimum(pos, d.shape[0] - 1)] == cand_docs
@@ -547,12 +645,16 @@ def _impact_pairs(
                 probes += int(miss_idx.size)
                 nz = tf_m > 0
                 if nz.any():
+                    dl_m = (
+                        arr[miss_docs[nz]] if cand_dl is None
+                        else cand_dl[miss_idx[nz]]
+                    )
                     score[miss_idx[nz]] += idf * _partial(
-                        tf_m[nz], arr[miss_docs[nz]], k1, b, avgdl
+                        tf_m[nz], dl_m, k1, b, avgdl
                     )
     if info is not None:
         info.update(used=True, seen=int(n), candidates=int(nc),
-                    probes=probes, mode="pruned")
+                    probes=probes, expanded=expansions, mode="pruned")
     return _topk_pairs(cand_docs, score, k)
 
 
@@ -565,15 +667,28 @@ def impact_topk_rows(
     b: float | None = None,
     info: dict | None = None,
 ) -> list[tuple[int, float]]:
-    """Driver-served disjunctive top-k through the champion sidecar,
-    falling back to the dense driver scorer whenever the safety proof
-    fails (no sidecar, stale sidecar, page deeper than the champion
-    coverage can certify, tombstone set past the driver limit…).
-    Rank- and score-identical to ``search_topk_rows`` always — the
-    sidecar changes the work, never the answer. ``info`` (optional
-    dict) reports what happened: ``used`` (pruned path taken),
+    """Driver-served disjunctive top-k through the champion sidecar.
+    When the champion bounds cannot certify the page, the proof loop
+    EXPANDS (fully decodes the worst-bounded term and retries — each
+    expansion costs what dense would have paid for that term, so the
+    degenerate case converges to the exact full evaluation, not to
+    wasted work), and only drops to the dense driver scorer for
+    structural reasons (no/stale sidecar, tombstone set past the
+    driver limit, pre-dls sidecar past the norms limit). Rank- and
+    score-identical to ``search_topk_rows`` always — the sidecar
+    changes the work, never the answer.
+
+    Past ``DL_BROADCAST_MAX_DOCS`` (no driver doc-norms array — the
+    10^12-doc serving-node regime where the dense rows path must
+    refuse) the sidecar serves self-contained: champion doc lengths
+    ship in its rows, sub-df_min terms resolve theirs through a
+    pruned doc_stats read, and expansion is disabled (proof-or-
+    refuse) because a df-sized dl probe would defeat the point; an
+    uncertified query raises with the distributed alternative named.
+
+    ``info`` (optional dict) reports what happened: ``used``,
     ``mode`` ("pruned" / "full" / "fallback"), ``seen`` /
-    ``candidates`` / ``probes`` counters."""
+    ``candidates`` / ``probes`` / ``expanded`` counters."""
     from .query_exec import TOMBSTONE_OVERFETCH_MAX, search_topk_rows
 
     if info is not None:
@@ -587,7 +702,12 @@ def impact_topk_rows(
     stats, ordered_terms, _ = resolved
     imp = ImpactLists.load(index)
     pairs = None
-    if imp is not None and index.dl_array() is not None:
+    if imp is not None:
+        # works with OR without the driver doc-norms array: champion
+        # dls ship in the sidecar, full-decoded low-df terms resolve
+        # theirs through a pruned doc_stats read — so rows serving
+        # stays available past DL_BROADCAST_MAX_DOCS (where the dense
+        # rows path must refuse)
         tomb = None
         if index.tombstone_count() <= TOMBSTONE_OVERFETCH_MAX:
             tomb = index.tombstone_array()
@@ -597,6 +717,13 @@ def impact_topk_rows(
         return pairs
     if info is not None:
         info.update(used=False, mode="fallback")
+    if index.dl_array() is None:
+        raise ValueError(
+            f"index has {stats.n_docs} docs (> driver norms limit) and "
+            "the champion-list proof did not certify this query: use "
+            "search_topk(serving='spark') (distributed dense scorer), "
+            "or rebuild the sidecar with a larger m"
+        )
     return search_topk_rows(index, query_text, k, synonyms,
                             algorithm="dense", k1=k1, b=b)
 
@@ -615,15 +742,18 @@ def impact_topk(
     doc-norms limit fall back to the distributed dense scorer."""
     from .query_exec import search_topk
 
-    if index.dl_array() is None:
+    try:
+        pairs = impact_topk_rows(index, query_text, k, synonyms,
+                                 k1=k1, b=b, info=info)
+    except ValueError:
+        # beyond the driver norms limit AND the proof failed: the
+        # distributed dense scorer is the only exact path left
         if info is not None:
             info.clear()
             info.update(used=False, mode="fallback", seen=0,
                         candidates=0, probes=0)
         return search_topk(index, query_text, k, synonyms,
                            algorithm="dense", k1=k1, b=b)
-    pairs = impact_topk_rows(index, query_text, k, synonyms, k1=k1, b=b,
-                             info=info)
     if not pairs:
         return _empty_df(index.spark, TOPK_SCHEMA)
     out = pd.DataFrame(pairs, columns=["doc_id", "score"]).astype(

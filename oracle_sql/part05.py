@@ -2,7 +2,7 @@
 former __spark_entry__.oracle_sql body; source lines 8042-8492
 of the pre-split file). Board entries defined here:
 
-cap_per_domain collocations composite_page domain_stats
+bm25_topk_impact cap_per_domain collocations composite_page domain_stats
 dsl_bool_structured_filtered dsl_boosting dsl_constant_score
 dsl_dis_max dsl_ids dsl_match_all dsl_mlt dsl_range_query en es
 extended_stats filters_agg function_score_random mix_corpus
@@ -474,6 +474,11 @@ def add(out, g):
         )
         SELECT doc_id FROM r WHERE rk <= 3
     """
+
+    # round 5: impact-ordered champion-list serving must equal the
+    # exhaustive corpus-scan ranking bit-for-bit — same oracle as the
+    # flagship (the whole point of the proof-or-fallback design)
+    out["bm25_topk_impact"] = out["bm25_topk"]
 
     # export this part's locals for later parts (exact closure
     # semantics of the original single-function implementation)

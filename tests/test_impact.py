@@ -208,10 +208,11 @@ def test_dataframe_wrapper(imp_index):
     ]
 
 
-def test_tie_corpus_falls_back_not_wrong(spark, tmp_path):
+def test_tie_corpus_expands_not_wrong(spark, tmp_path):
     """Every doc identical ⇒ every impact ties ⇒ theta == rest_bound
-    and the proof CANNOT hold (an unseen doc ties the boundary) —
-    the path must fall back, never return one tie-arbitrary page."""
+    and champion-only proof CANNOT hold (an unseen doc ties the
+    boundary) — the path must expand to the exact full evaluation
+    (or fall back), never return one tie-arbitrary champion page."""
     docs = spark.createDataFrame(
         [(i, "alpha beta gamma") for i in range(300)], "doc_id long, text string"
     )
@@ -223,7 +224,11 @@ def test_tie_corpus_falls_back_not_wrong(spark, tmp_path):
     got = impact_topk_rows(ix, "alpha beta", k=10, info=info)
     want = search_topk_rows(ix, "alpha beta", k=10, algorithm="dense")
     assert got == want
-    assert info["mode"] in ("fallback", "full")  # never a wrong "pruned"
+    # a tie-saturated page is only correct once every tied posting is
+    # decoded: progressive expansion (expanded > 0) or full/fallback
+    assert info.get("expanded", 0) > 0 or info["mode"] in (
+        "fallback", "full"
+    )
 
 
 def test_sidecar_build_deterministic(imp_index, tmp_path):
@@ -243,6 +248,55 @@ def test_sidecar_build_deterministic(imp_index, tmp_path):
         .collect()
     )
     assert [r.asDict() for r in rows1] == [r.asDict() for r in rows2]
+
+
+def test_dl_lookup_matches_dl_array(imp_index):
+    from hadoop_search_engine_spark.operators.impact import _dl_lookup
+
+    ix = imp_index
+    arr = ix.dl_array()
+    docs = np.flatnonzero(arr > 0)[::37].astype(np.int64)
+    # mix in ids with no doc_stats row (doc_len 0 holes)
+    want = np.unique(np.concatenate([docs, docs + 1]))
+    got = _dl_lookup(ix, want)
+    assert np.array_equal(got, arr[want])
+
+
+def test_serving_past_driver_norms_limit(imp_index, monkeypatch):
+    """The 10^12-doc serving-node mode: with NO driver doc-norms
+    array (index past DL_BROADCAST_MAX_DOCS), champion dls from the
+    sidecar + pruned doc_stats reads keep rows serving available and
+    bit-identical; an uncertifiable query raises (rows contract) or
+    runs the distributed dense scorer (DataFrame contract)."""
+    from hadoop_search_engine_spark.operators import query_exec as qx
+
+    ix = imp_index
+    head, mid, _ = _query_set(ix)
+    # expected answers from the UNRESTRICTED index first
+    expected = {
+        q: search_topk_rows(ix, q, k=5, algorithm="dense")
+        for q in [head[0], " ".join([head[0], mid[0]])]
+    }
+    monkeypatch.setattr(qx, "DL_BROADCAST_MAX_DOCS", 10)
+    ix2 = Index.load(ix.spark, ix.out_dir)
+    assert ix2.dl_array() is None
+    n_served = 0
+    for q, want in expected.items():
+        info = {}
+        try:
+            got = impact_topk_rows(ix2, q, k=5, info=info)
+        except ValueError:
+            continue  # proof failed — refusing is the correct contract
+        assert got == want, (q, info)
+        assert info["used"] and info["mode"] in ("pruned", "full")
+        n_served += 1
+    assert n_served >= 1  # at least the head term must certify
+    # DataFrame contract never raises: falls back to the distributed
+    # dense scorer and stays identical
+    q = " ".join([head[0], mid[0]])
+    got = [(r["doc_id"], r["score"])
+           for r in impact_topk(ix2, q, k=5).collect()]
+    assert got == expected[q]
 
 
 def test_deep_k_past_coverage_falls_back(imp_index):
