@@ -100,6 +100,15 @@ def main(argv: list[str] | None = None) -> None:
                     help="print the TOP terms by compressed posting "
                          "bytes (df, blocks, bytes, share) — the "
                          "prune-decision report")
+    ap.add_argument("--build-impact", type=int, default=None,
+                    metavar="M",
+                    help="build the impact-ordered champion-list "
+                         "sidecar with M champions per head term "
+                         "(operators/impact.py); serves jobs/search.py"
+                         " --algorithm impact")
+    ap.add_argument("--impact-df-min", type=int, default=None,
+                    help="with --build-impact: only terms with df >= "
+                         "this get champions (default 4*M)")
     args = ap.parse_args(argv)
     if args.set_alias or args.drop_alias or args.list_aliases:
         from hadoop_search_engine_spark.operators.index_maint import (
@@ -169,10 +178,12 @@ def main(argv: list[str] | None = None) -> None:
         return
     if not (args.delete or args.delete_file or args.delete_query
             or args.vacuum or args.report
-            or args.merge or args.reshard or args.prune):
+            or args.merge or args.reshard or args.prune
+            or args.build_impact):
         ap.error(
             "nothing to do: pass --delete/--delete-file/--delete-query/"
-            "--vacuum/--merge/--reshard/--prune/--plan-compaction/--report"
+            "--vacuum/--merge/--reshard/--prune/--plan-compaction/"
+            "--report/--build-impact"
         )
     if not args.index:
         ap.error("--index is required for this action")
@@ -237,6 +248,14 @@ def main(argv: list[str] | None = None) -> None:
         print("vacuum: done")
     if args.report:
         print(json.dumps(idx.report(), indent=2))
+    if args.build_impact:
+        from hadoop_search_engine_spark.operators.impact import (
+            build_impact_lists,
+        )
+
+        out = build_impact_lists(idx, m=args.build_impact,
+                                 df_min=args.impact_df_min)
+        print(json.dumps(out))
     if args.usage:
         from hadoop_search_engine_spark.operators.index_maint import (
             index_usage,

@@ -60,7 +60,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="ranking model for this query over the same "
                          "index (operators/ranking.py); lm_dirichlet "
                          "uses mu=2000")
-    ap.add_argument("--algorithm", choices=["auto", "wand", "dense"], default="auto")
+    ap.add_argument("--algorithm",
+                    choices=["auto", "wand", "dense", "impact"],
+                    default="auto",
+                    help="impact = champion-list pruned serving "
+                         "(operators/impact.py; needs a sidecar from "
+                         "maintain.py --build-impact, disjunctive "
+                         "queries only; exact — uncertified queries "
+                         "fall back to dense)")
     ap.add_argument("--mode", choices=["or", "and"], default="or",
                     help="or = reference-style disjunctive; and = conjunctive")
     ap.add_argument("--documents", help="documents parquet for materialization")
@@ -384,6 +391,31 @@ def main(argv: list[str] | None = None) -> None:
         docs = spark.read.parquet(args.documents)
         result = significant_terms(idx, docs, args.query, k=args.k,
                                    mode=args.mode)
+    elif args.algorithm == "impact":
+        if (args.mode != "or" or args.after
+                or args.similarity != "bm25" or args.msm is not None):
+            ap.error("--algorithm impact serves plain disjunctive "
+                     "queries (no --mode and/--after/--similarity/"
+                     "--msm); those compose through the dense scorer")
+        from hadoop_search_engine_spark.operators.impact import (
+            impact_topk,
+            impact_topk_rows,
+        )
+
+        if args.rows and not args.documents:
+            info: dict = {}
+            pairs = impact_topk_rows(idx, args.query, k=args.k,
+                                     k1=args.k1, b=args.b, info=info)
+            print(json.dumps([{"doc_id": d, "score": s}
+                              for d, s in pairs]))
+            if owns_session:
+                spark.stop()
+            return
+        result = impact_topk(idx, args.query, k=args.k, k1=args.k1,
+                             b=args.b)
+        if args.documents:
+            docs = spark.read.parquet(args.documents)
+            result = materialize(result, docs)
     else:
         if args.rows and not args.documents:
 
