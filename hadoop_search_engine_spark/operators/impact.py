@@ -34,8 +34,10 @@ Exactness argument (why the pruned result is bit-identical):
   resolved scores bit-identically to the dense accumulator.
 * For each champion term, ``rest_bound`` ≥ the BM25 partial of every
   NON-champion posting of that term (monotone in tf up / dl down, so
-  the stored ``(rest_max_tf, rest_min_dl)`` pair also bounds any
-  query-time (k1, b) override).
+  the stored ``(rest_max_tf, rest_min_dl)`` pair also bounds a
+  query-time (k1, b) override WITHIN the model's defined range —
+  k1 ≥ 0, 0 ≤ b ≤ 1; out-of-range tunings break the monotonicity the
+  bound rests on and fall back to the dense scorer).
 * Let theta = the k-th best lower-bound score among seen docs (docs
   on ≥ 1 champion/full list; LB sums their known contributions).
   A doc on NO list scores ≤ Σ_t idf_t · rest_bound_t = rest_sum; if
@@ -71,6 +73,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -92,9 +95,49 @@ from .query_exec import (
 __all__ = [
     "build_impact_lists",
     "ImpactLists",
+    "ImpactRefused",
     "impact_topk",
     "impact_topk_rows",
 ]
+
+
+class ImpactRefused(ValueError):
+    """The champion-list proof could not certify this query AND no
+    driver fallback exists (index past the driver norms limit). The
+    distributed dense scorer (``search_topk(serving='spark')``) is
+    the exact path left. A dedicated type so callers — including
+    :func:`impact_topk` — never confuse this deliberate refusal with
+    a genuine error (malformed query, corrupt block) that must
+    propagate."""
+
+
+def _member(sorted_arr: np.ndarray, targets: np.ndarray):
+    """Membership of ``targets`` in ``sorted_arr`` (both int64,
+    sorted-unique arr): returns ``(mask, pos)`` where ``mask[i]``
+    says targets[i] is present and ``pos[i]`` is its searchsorted
+    slot (clamp-guarded — an out-of-range slot compares against the
+    last element, never indexes past it). One definition for the
+    clamped-searchsorted idiom this module leans on everywhere."""
+    n = sorted_arr.shape[0]
+    pos = np.searchsorted(sorted_arr, targets)
+    if n == 0:
+        return np.zeros(targets.shape[0], dtype=bool), pos
+    mask = (pos < n) & (sorted_arr[np.minimum(pos, n - 1)] == targets)
+    return mask, pos
+
+
+class _TermEntry(NamedTuple):
+    """One query term's resolved state inside the proof loop."""
+
+    docs: np.ndarray      # doc_ids ascending
+    contrib: np.ndarray   # exact idf-weighted BM25 contributions
+    rest: float           # certified cap on any posting NOT in docs
+    tf: np.ndarray
+    full: bool            # docs IS the complete posting list
+    th: int               # term hash
+    idf: float
+    dl: np.ndarray        # float64 doc lengths aligned to docs
+    df: int
 
 # Sidecar layout: {out_dir}/impact/bucket=*/part-*.parquet — one row
 # per head term, champion postings as parallel arrays sorted by
@@ -283,7 +326,17 @@ def build_impact_lists(
         .partitionBy("bucket")
         .parquet(out_path)
     )
-    n_terms = read_parquet_tolerant(spark, out_path, IMPACT_SCHEMA).count()
+    # metadata-only row count (parquet footers), no Spark job — the
+    # same pattern Index.tombstone_count uses
+    try:
+        import pyarrow.dataset as pads
+
+        n_terms = int(
+            pads.dataset(out_path, format="parquet",
+                         partitioning="hive").count_rows()
+        )
+    except Exception:  # noqa: BLE001 - zero-row write leaves no files
+        n_terms = 0
     meta = {
         "m": int(m),
         "df_min": int(df_min),
@@ -410,17 +463,48 @@ def _dl_lookup(index: Index, doc_ids: np.ndarray) -> np.ndarray:
     return out
 
 
-def _probe_tf(index: Index, th: int, want: np.ndarray) -> np.ndarray:
+def _probe_tf(
+    index: Index, th: int, want: np.ndarray, direct: bool = False
+) -> np.ndarray:
     """Exact tf of ``want`` doc_ids (sorted ascending) in term
     ``th``'s postings — 0 where the doc does not contain the term.
     Decodes ONLY the blocks whose ``[first_doc_id, next_first)`` fence
     covers a probed id (the same doc_id-sorted seek WAND's block
     iterator uses), so a probe costs one ~block_size varint decode,
-    not a df-sized one."""
+    not a df-sized one.
+
+    ``direct`` (the beyond-norms-limit serving mode): fetch posting
+    rows through a shard-filtered pyarrow read — only the shards a
+    probed doc lives in are listed/read — instead of the per-term LRU
+    (which pulls the term's WHOLE df-sized frame; fine on a hot
+    serving node with pinned norms, wrong past the driver limit where
+    df can be corpus-scale)."""
     out = np.zeros(want.shape[0], dtype=np.int64)
     if want.shape[0] == 0:
         return out
-    f = index.postings_rows_by_term([th]).get(th)
+    if direct:
+        import pyarrow.dataset as pads
+
+        nb = index.stats.n_buckets
+        wshards = sorted(
+            {int(s) for s in np.unique(want // index.stats.shard_span)}
+        )
+        filt = (
+            (pads.field("bucket") == int(th) % nb)
+            & (pads.field("term_hash") == int(th))
+            & pads.field("shard").isin(wshards)
+        )
+        f = (
+            index._postings_dataset()
+            .to_table(
+                filter=filt,
+                columns=["shard", "first_doc_id", "n_docs",
+                         "doc_ids", "tfs"],
+            )
+            .to_pandas()
+        )
+    else:
+        f = index.postings_rows_by_term([th]).get(th)
     if f is None or not len(f):
         return out
     span = index.stats.shard_span
@@ -447,8 +531,7 @@ def _probe_tf(index: Index, th: int, want: np.ndarray) -> np.ndarray:
             )
             t = codec.decode_tfs(bytes(row["tfs"]), n=n)
             wb = np.flatnonzero(bi == blk)
-            pos = np.searchsorted(d, w[wb])
-            ok = (pos < n) & (d[np.minimum(pos, n - 1)] == w[wb])
+            ok, pos = _member(d, w[wb])
             out[widx[wb[ok]]] = t[pos[ok]]
     return out
 
@@ -472,13 +555,21 @@ def _impact_pairs(
     k1, b, avgdl = stats.k1, stats.b, stats.avgdl
     meta = imp.meta
     params_match = (k1 == meta["k1"] and b == meta["b"])
+    if not params_match and not (k1 >= 0.0 and 0.0 <= b <= 1.0):
+        # the parameter-free (rest_max_tf, rest_min_dl) bound relies
+        # on the BM25 partial being monotone tf-up / dl-down, which
+        # holds for k1 >= 0 and b in [0, 1] (the model's defined
+        # range) — b > 1 can flip the denominator's sign and break
+        # the bound silently. Out-of-range tunings fall back to the
+        # dense scorer, which computes whatever was asked exactly.
+        return None
     rows = imp.rows_for([h for h, _, _ in ordered_terms])
     need_full = [h for h, _, _ in ordered_terms if rows.get(h) is None]
     full_frames = (
         index.postings_rows_by_term(need_full) if need_full else {}
     )
 
-    def _full_entry(th: int, idf: float, f) -> tuple | None:
+    def _full_entry(th: int, idf: float, f) -> "_TermEntry | None":
         """A term's complete posting list as a per_term entry (exact,
         rest = 0) — the initial shape for sub-df_min terms and the
         progressive-expansion shape for champion terms whose bound
@@ -494,12 +585,11 @@ def _impact_pairs(
         d, t = d[order], t[order]
         dl_vec = arr[d] if arr is not None else _dl_lookup(index, d)
         contrib = idf * _partial(t, dl_vec, k1, b, avgdl)
-        return (d, contrib, 0.0, t, True, th, idf, dl_vec,
-                int(d.shape[0]))
+        return _TermEntry(d, contrib, 0.0, t, True, th, idf, dl_vec,
+                          int(d.shape[0]))
 
-    # per-term arrays in ascending term order (= ordered_terms order):
-    # (docs asc, contrib, rest, tf, full?, hash, idf, dl)
-    per_term: list[tuple] = []
+    # per-term entries in ascending term order (= ordered_terms order)
+    per_term: list[_TermEntry] = []
     for th, _term, idf in ordered_terms:
         r = rows.get(th)
         if r is None:
@@ -532,10 +622,15 @@ def _impact_pairs(
             )
             rest = idf * rest_part
         contrib = idf * _partial(t, dl_vec, k1, b, avgdl)
-        per_term.append((d, contrib, rest, t, full, th, idf, dl_vec,
-                         int(r.df)))
+        per_term.append(_TermEntry(d, contrib, rest, t, full, th, idf,
+                                   dl_vec, int(r.df)))
 
     if not per_term:
+        # champion path DID serve this (empty) answer: every term was
+        # absent or had no postings — no fallback ran
+        if info is not None:
+            info.update(used=True, seen=0, candidates=0, probes=0,
+                        expanded=0, mode="full")
         return []
 
     # proof loop with PROGRESSIVE EXPANSION: when the bounds cannot
@@ -551,41 +646,52 @@ def _impact_pairs(
     # proof-or-refuse semantics.
     expansions = 0
     while True:
-        all_docs = np.unique(np.concatenate([p[0] for p in per_term]))
+        all_docs = np.unique(np.concatenate([e.docs for e in per_term]))
         if exclude is not None and exclude.size:
-            pos = np.searchsorted(exclude, all_docs)
-            dead = (pos < exclude.size) & (
-                exclude[np.minimum(pos, exclude.size - 1)] == all_docs
-            )
+            dead, _ = _member(exclude, all_docs)
             all_docs = all_docs[~dead]
         n = all_docs.shape[0]
+        all_full = all(e.full for e in per_term)
         if n == 0:
-            return []
-        all_full = all(p[4] for p in per_term)
-        LB = np.zeros(n, dtype=np.float64)
-        # rest of the UB accumulates ADDITIVELY over the terms a doc
-        # is absent from — never as rest_sum minus the present ones:
-        # fl((a+b) - a - b) is one ULP of NEGATIVE, which once put the
-        # top-1 doc's UB an ULP below its own LB (= theta) and
-        # excluded it
-        rest_absent = np.zeros(n, dtype=np.float64)
-        rest_sum = 0.0
-        # doc -> dl map aligned to all_docs, needed only when no
-        # driver norms array exists (candidate probes below)
-        dl_all = None if arr is not None else np.zeros(n, np.float64)
-        for d, contrib, rest, _t, _full, _th, _idf, dl_vec, *_ in per_term:
-            pos = np.searchsorted(all_docs, d)
-            ok = (pos < n) & (all_docs[np.minimum(pos, n - 1)] == d)
-            p = pos[ok]
-            LB[p] += contrib[ok]
-            if dl_all is not None:
-                dl_all[p] = dl_vec[ok]
-            if rest > 0.0:
-                rest_sum += rest
-                absent = np.ones(n, dtype=bool)
-                absent[p] = False
-                rest_absent[absent] += rest
-        if all_full:
+            if all_full:
+                # genuinely nothing matches (or every match is
+                # tombstoned) — an exact empty page
+                if info is not None:
+                    info.update(used=True, seen=0, candidates=0,
+                                probes=0, expanded=expansions,
+                                mode="full" if not expansions
+                                else "pruned")
+                return []
+            # tombstones can cover every CHAMPION of a term while
+            # live non-champion postings still match — no seen doc
+            # to anchor a proof, so this page MUST NOT be answered
+            # from champions (returning [] here was a silent-wrong-
+            # empty bug). Expand below, or concede to dense.
+            theta = None
+        else:
+            LB = np.zeros(n, dtype=np.float64)
+            # rest of the UB accumulates ADDITIVELY over the terms a
+            # doc is absent from — never as rest_sum minus the
+            # present ones: fl((a+b) - a - b) is one ULP of NEGATIVE,
+            # which once put the top-1 doc's UB an ULP below its own
+            # LB (= theta) and excluded it
+            rest_absent = np.zeros(n, dtype=np.float64)
+            rest_sum = 0.0
+            # doc -> dl map aligned to all_docs, needed only when no
+            # driver norms array exists (candidate probes below)
+            dl_all = None if arr is not None else np.zeros(n, np.float64)
+            for e in per_term:
+                ok, pos = _member(all_docs, e.docs)
+                p = pos[ok]
+                LB[p] += e.contrib[ok]
+                if dl_all is not None:
+                    dl_all[p] = e.dl[ok]
+                if e.rest > 0.0:
+                    rest_sum += e.rest
+                    absent = np.ones(n, dtype=bool)
+                    absent[p] = False
+                    rest_absent[absent] += e.rest
+        if n and all_full:
             # every posting of every term is decoded: LB IS the exact
             # dense score for the complete match set
             if info is not None:
@@ -594,7 +700,7 @@ def _impact_pairs(
                             mode="full" if not expansions else "pruned")
             return _topk_pairs(all_docs, LB, k)
         theta = None
-        if n >= k:
+        if n and n >= k:
             sel = np.lexsort((all_docs, -LB))[:k]
             theta = float(LB[sel[-1]])
             # deterministic safety slack: a doc's true float score
@@ -621,14 +727,11 @@ def _impact_pairs(
                 cand = (LB + rest_absent + slack) >= theta
                 cdocs = all_docs[cand]
                 est = 0
-                for d, _c, _r, _t, full_t, *_ in per_term:
-                    if full_t:
+                for e in per_term:
+                    if e.full:
                         continue
-                    pos = np.searchsorted(d, cdocs)
-                    est += int((
-                        (pos >= d.shape[0])
-                        | (d[np.minimum(pos, d.shape[0] - 1)] != cdocs)
-                    ).sum())
+                    present, _ = _member(e.docs, cdocs)
+                    est += int((~present).sum())
                 if est <= max(4096, 64 * k) or arr is None:
                     # arr is None: beyond-limit mode cannot expand (a
                     # df-sized dl probe defeats the point) — probing
@@ -648,12 +751,12 @@ def _impact_pairs(
         cap = 16 * int(meta["m"])
         eligible = [
             i for i, e in enumerate(per_term)
-            if not e[4] and e[8] <= cap
+            if not e.full and e.df <= cap
         ]
         if not eligible:
             return None  # only expensive terms left: dense wins there
-        worst = max(eligible, key=lambda i: per_term[i][2])
-        th_w, idf_w = per_term[worst][5], per_term[worst][6]
+        worst = max(eligible, key=lambda i: per_term[i].rest)
+        th_w, idf_w = per_term[worst].th, per_term[worst].idf
         e = _full_entry(th_w, idf_w,
                         index.postings_rows_by_term([th_w]).get(th_w))
         if e is None:
@@ -667,17 +770,22 @@ def _impact_pairs(
     nc = cand_docs.shape[0]
     score = np.zeros(nc, dtype=np.float64)
     probes = 0
-    for d, contrib, rest, _t, full, th, idf, _dl_vec, *_ in per_term:
-        pos = np.searchsorted(d, cand_docs)
-        present = (pos < d.shape[0]) & (
-            d[np.minimum(pos, d.shape[0] - 1)] == cand_docs
-        )
-        score[present] += contrib[pos[present]]
-        if not full:
+    if nc and arr is not None:
+        # warm the per-term postings LRU in ONE dataset read for every
+        # term the probe loop below may touch (the same batching the
+        # sub-df_min path uses), instead of one read per term
+        probe_ths = [e.th for e in per_term if not e.full]
+        if probe_ths:
+            index.postings_rows_by_term(probe_ths)
+    for e in per_term:
+        present, pos = _member(e.docs, cand_docs)
+        score[present] += e.contrib[pos[present]]
+        if not e.full:
             miss_idx = np.flatnonzero(~present)
             if miss_idx.size:
                 miss_docs = cand_docs[miss_idx]
-                tf_m = _probe_tf(index, th, miss_docs)
+                tf_m = _probe_tf(index, e.th, miss_docs,
+                                 direct=arr is None)
                 probes += int(miss_idx.size)
                 nz = tf_m > 0
                 if nz.any():
@@ -685,7 +793,7 @@ def _impact_pairs(
                         arr[miss_docs[nz]] if cand_dl is None
                         else cand_dl[miss_idx[nz]]
                     )
-                    score[miss_idx[nz]] += idf * _partial(
+                    score[miss_idx[nz]] += e.idf * _partial(
                         tf_m[nz], dl_m, k1, b, avgdl
                     )
     if info is not None:
@@ -754,7 +862,7 @@ def impact_topk_rows(
     if info is not None:
         info.update(used=False, mode="fallback")
     if index.dl_array() is None:
-        raise ValueError(
+        raise ImpactRefused(
             f"index has {stats.n_docs} docs (> driver norms limit) and "
             "the champion-list proof did not certify this query: use "
             "search_topk(serving='spark') (distributed dense scorer), "
@@ -781,9 +889,12 @@ def impact_topk(
     try:
         pairs = impact_topk_rows(index, query_text, k, synonyms,
                                  k1=k1, b=b, info=info)
-    except ValueError:
+    except ImpactRefused:
         # beyond the driver norms limit AND the proof failed: the
-        # distributed dense scorer is the only exact path left
+        # distributed dense scorer is the only exact path left. ONLY
+        # the deliberate refusal is caught — a malformed query or a
+        # corrupt posting block must propagate, not be masked by a
+        # silent distributed retry.
         if info is not None:
             info.clear()
             info.update(used=False, mode="fallback", seen=0,

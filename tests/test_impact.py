@@ -145,6 +145,20 @@ def test_probe_tf_matches_postings(imp_index):
         assert tf == truth.get(doc, 0), doc
 
 
+def test_probe_tf_direct_matches_lru_path(imp_index):
+    """The shard-filtered direct read (beyond-norms-limit probing)
+    returns byte-identical tf answers to the LRU-framed path."""
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    th = ix.lexicon_map()[head[0]]["hash"]
+    span = int(ix.stats.num_shards * ix.stats.shard_span)
+    want = np.arange(0, span, 11, dtype=np.int64)
+    a = _probe_tf(ix, th, want, direct=False)
+    c = _probe_tf(ix, th, want, direct=True)
+    assert np.array_equal(a, c)
+    assert a.sum() > 0  # the probe actually found postings
+
+
 def test_k1_b_override_identity(imp_index):
     """Tuned (k1, b) reuse the sidecar through the parameter-free
     (rest_max_tf, rest_min_dl) bound — looser, so fallback is
@@ -297,6 +311,90 @@ def test_serving_past_driver_norms_limit(imp_index, monkeypatch):
     got = [(r["doc_id"], r["score"])
            for r in impact_topk(ix2, q, k=5).collect()]
     assert got == expected[q]
+
+
+def test_tombstones_covering_all_champions_not_wrong_empty(
+    spark, tmp_path
+):
+    """Review-caught bug: if tombstones covered every CHAMPION of a
+    term, the proof loop returned [] even though live NON-champion
+    postings still match — a silent wrong-empty page. Must expand or
+    fall back to dense and return the live matches."""
+    from hadoop_search_engine_spark.operators.impact import ImpactLists
+    from hadoop_search_engine_spark.operators.index_maint import (
+        delete_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common filler" + (" rare" if i % 3 == 0 else ""))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "tombchamp")
+    build_index(spark, docs, out, num_shards=2, n_buckets=4)
+    ix = Index.load(spark, out)
+    build_impact_lists(ix, m=4, df_min=8)
+    imp = ImpactLists.load(ix)
+    row = next(iter(imp.rows_for(
+        [ix.lexicon_map()["common"]["hash"]]
+    ).values()))
+    assert row is not None and int(row.n_stored) < int(row.df)
+    delete_docs(ix, [int(d) for d in row.doc_ids])  # kill every champion
+    ix = Index.load(spark, out)
+    got = impact_topk_rows(ix, "common", k=10)
+    want = search_topk_rows(ix, "common", k=10, algorithm="dense")
+    assert got == want
+    assert len(want) == 10  # live non-champion matches exist
+
+
+def test_all_matches_tombstoned_exact_empty(spark, tmp_path):
+    """When a fully-decoded term's every match IS tombstoned, the
+    empty page is exact and champion-served (info says so)."""
+    from hadoop_search_engine_spark.operators.index_maint import (
+        delete_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "base" + (" niche" if i < 3 else "")) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "tombfull")
+    build_index(spark, docs, out, num_shards=2, n_buckets=4)
+    ix = Index.load(spark, out)
+    build_impact_lists(ix, m=4, df_min=8)
+    delete_docs(ix, [0, 1, 2])
+    ix = Index.load(spark, out)
+    info = {}
+    got = impact_topk_rows(ix, "niche", k=10, info=info)
+    assert got == []
+    assert got == search_topk_rows(ix, "niche", k=10, algorithm="dense")
+    assert info["used"] and info["mode"] == "full"
+
+
+def test_out_of_range_b_falls_back_identical(imp_index):
+    """b > 1 breaks the monotonicity the parameter-free rest bound
+    needs — the path must fall back (never certify) and match dense
+    exactly on whatever was asked."""
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    for q in [head[0], " ".join(head[:2])]:
+        info = {}
+        got = impact_topk_rows(ix, q, k=10, b=1.5, info=info)
+        want = search_topk_rows(ix, q, k=10, algorithm="dense", b=1.5)
+        assert got == want
+        assert info["mode"] == "fallback"
+
+
+def test_malformed_query_error_propagates(imp_index):
+    """A user-input error must raise, not be silently rerouted into a
+    distributed retry (only the deliberate ImpactRefused is caught)."""
+    from hadoop_search_engine_spark.operators.impact import ImpactRefused
+
+    ix = imp_index
+    head, _, _ = _query_set(ix)
+    with pytest.raises(ValueError) as ei:
+        impact_topk(ix, f"{head[0]}^0", k=5)
+    assert not isinstance(ei.value, ImpactRefused)
 
 
 def test_deep_k_past_coverage_falls_back(imp_index):
