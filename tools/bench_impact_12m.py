@@ -13,6 +13,14 @@ both, the prune rate, and the candidate/probe counters.
 
 Usage: python tools/bench_impact_12m.py [m] [index_dir]
 (defaults: m=1024, /tmp/hse_scale12m_index)
+
+``SPARK_GRAFT_NORMS_FREE=1`` adds a second phase: pin
+DL_BROADCAST_MAX_DOCS to 1000 (so the 12M index has NO driver
+doc-norms array — the 10^12-doc serving-node regime), reload the
+index, and serve the same fixture set through the self-contained
+sidecar (champion dls from its rows, shard-filtered doc_stats /
+postings probes). Served queries must match the norms-backed answers
+exactly; uncertified ones must REFUSE (ImpactRefused), never guess.
 """
 
 from __future__ import annotations
@@ -121,6 +129,54 @@ def main() -> None:
         "dense_total_sec": round(sum(den_lat), 2),
     }
     print("IMPACTRESULT " + json.dumps(out), flush=True)
+
+    if os.environ.get("SPARK_GRAFT_NORMS_FREE") == "1":
+        from hadoop_search_engine_spark.operators import query_exec as qx
+        from hadoop_search_engine_spark.operators.impact import (
+            ImpactRefused,
+        )
+
+        expected = {
+            rq["qid"]: impact_topk_rows(
+                idx, rq["query_text"], k=rq["k"], synonyms=SYNONYMS
+            )
+            for rq in qs
+        }
+        qx.DL_BROADCAST_MAX_DOCS = 1000
+        nf = Index.load(spark, INDEX)
+        assert nf.dl_array() is None
+        served = refused = wrong = 0
+        nf_lat = []
+        for rq in qs:  # warm
+            try:
+                impact_topk_rows(nf, rq["query_text"], k=rq["k"],
+                                 synonyms=SYNONYMS)
+            except ImpactRefused:
+                pass
+        for rq in qs:
+            t0 = time.perf_counter()
+            try:
+                got = impact_topk_rows(nf, rq["query_text"],
+                                       k=rq["k"], synonyms=SYNONYMS)
+            except ImpactRefused:
+                refused += 1
+                continue
+            nf_lat.append(time.perf_counter() - t0)
+            served += 1
+            if got != expected[rq["qid"]]:
+                wrong += 1
+        nf_lat.sort()
+        print("NORMSFREE " + json.dumps({
+            "served": served,
+            "refused": refused,
+            "wrong": wrong,
+            "p50_sec": round(nf_lat[len(nf_lat) // 2], 4) if nf_lat else None,
+            "p95_sec": (
+                round(nf_lat[int(0.95 * (len(nf_lat) - 1))], 4)
+                if nf_lat else None
+            ),
+        }), flush=True)
+
     spark.stop()
 
 
