@@ -404,3 +404,30 @@ def test_deep_k_past_coverage_falls_back(imp_index):
     got = impact_topk_rows(ix, head[0], k=700)
     want = search_topk_rows(ix, head[0], k=700, algorithm="dense")
     assert got == want
+
+
+def test_cli_build_and_serve(imp_index, tmp_path, capsys):
+    """jobs/maintain.py --build-impact + jobs/search.py --algorithm
+    impact round-trip at the CLI surface, rows identical to dense."""
+    import json as _json
+
+    from jobs.maintain import main as maintain_main
+    from jobs.search import main as search_main
+
+    ix = imp_index
+    d2 = str(tmp_path / "ixcli")
+    shutil.copytree(ix.out_dir, d2)
+    maintain_main(["--index", d2, "--build-impact", "16",
+                   "--impact-df-min", "64"])
+    out = capsys.readouterr().out
+    built = _json.loads([ln for ln in out.splitlines()
+                         if ln.startswith("{")][-1])
+    assert built["terms"] > 0 and built["m"] == 16
+    head, _, _ = _query_set(ix)
+    search_main(["--index", d2, "--query", head[0],
+                 "--algorithm", "impact", "--rows", "--k", "5"])
+    out = capsys.readouterr().out
+    got = [(r["doc_id"], r["score"]) for r in _json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("[")][-1]
+    )]
+    assert got == search_topk_rows(ix, head[0], k=5, algorithm="dense")
