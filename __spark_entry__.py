@@ -1828,6 +1828,36 @@ def q_bm25_topk_batch_50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_batch_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid champion batch (operators/impact.py
+    impact_topk_batch_rows): certified queries served from the
+    sidecar, the uncertified remainder in ONE shared-decode dense
+    batch — bit-identical to search_topk_batch by construction, so
+    it rides the SAME 50-query oracle as bm25_topk_batch_50."""
+    from hadoop_search_engine_spark.operators.impact import (
+        ImpactLists,
+        build_impact_lists,
+        impact_topk_batch_rows,
+    )
+
+    ix = _oracle_index(spark, sf_dir)
+    have = ImpactLists.load(ix)
+    if have is None or have.meta.get("m") != 32:
+        build_impact_lists(ix, m=32, df_min=64)
+    got = impact_topk_batch_rows(ix, BATCH_QUERIES_50, k=10)
+    rows = [
+        (qid, int(d), float(s))
+        for qid, pairs in got.items()
+        for d, s in pairs
+    ]
+    out = spark.createDataFrame(
+        rows, "query_id string, doc_id long, score double"
+    )
+    return out.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def q_facet_counts_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceting over the INDEX's recall path (matched_docs: pruned
     postings scan + batched blob decode), same oracle as facet_counts."""
@@ -4211,6 +4241,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": q_bm25_topk_batch,
         "bm25_topk_batch_driver": q_bm25_topk_batch_driver,
         "bm25_topk_batch_50": q_bm25_topk_batch_50,
+        "bm25_topk_batch_impact": q_bm25_topk_batch_impact,
         "federated_search": q_federated_search,
         "federated_batch": q_federated_batch,
         "facet_counts_indexed": q_facet_counts_indexed,

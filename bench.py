@@ -234,6 +234,20 @@ def main() -> None:
     )
     timings["impact_certified_of_50"] = float(certified)
 
+    # the hybrid batch: certified queries via champions, the rest in
+    # ONE shared-decode dense batch — compare against batch_50q_driver
+    from hadoop_search_engine_spark.operators.impact import (
+        impact_topk_batch_rows,
+    )
+
+    impact_batch_qs = {
+        f"q{i}": rq["query_text"] for i, rq in enumerate(fixture_qs)
+    }
+    timed(
+        "impact_batch_50q",
+        lambda: impact_topk_batch_rows(idx, impact_batch_qs, k=10),
+    )
+
     # the same 50 fixture queries served as ONE batch (union-pruned
     # scan, per-shard decode shared across queries) — the offline
     # query-log / evaluation-set workload shape

@@ -97,6 +97,7 @@ __all__ = [
     "ImpactLists",
     "ImpactRefused",
     "impact_topk",
+    "impact_topk_batch_rows",
     "impact_topk_rows",
 ]
 
@@ -833,43 +834,99 @@ def impact_topk_rows(
     ``info`` (optional dict) reports what happened: ``used``,
     ``mode`` ("pruned" / "full" / "fallback"), ``seen`` /
     ``candidates`` / ``probes`` / ``expanded`` counters."""
-    from .query_exec import TOMBSTONE_OVERFETCH_MAX, search_topk_rows
+    from .query_exec import search_topk_rows
 
     if info is not None:
         info.clear()
         info.update(used=False, mode="fallback", seen=0, candidates=0,
                     probes=0)
-    resolved = _resolve_query(index, query_text, synonyms, "or", "dense",
-                              k1, b)
-    if resolved is None:
-        return []
-    stats, ordered_terms, _ = resolved
-    imp = ImpactLists.load(index)
-    pairs = None
-    if imp is not None:
-        # works with OR without the driver doc-norms array: champion
-        # dls ship in the sidecar, full-decoded low-df terms resolve
-        # theirs through a pruned doc_stats read — so rows serving
-        # stays available past DL_BROADCAST_MAX_DOCS (where the dense
-        # rows path must refuse)
-        tomb = None
-        if index.tombstone_count() <= TOMBSTONE_OVERFETCH_MAX:
-            tomb = index.tombstone_array()
-            pairs = _impact_pairs(index, ordered_terms, k, stats, imp,
-                                  exclude=tomb, info=info)
+    pairs = _try_impact_rows(index, query_text, k, synonyms, k1=k1, b=b,
+                             info=info)
     if pairs is not None:
         return pairs
     if info is not None:
         info.update(used=False, mode="fallback")
     if index.dl_array() is None:
         raise ImpactRefused(
-            f"index has {stats.n_docs} docs (> driver norms limit) and "
-            "the champion-list proof did not certify this query: use "
-            "search_topk(serving='spark') (distributed dense scorer), "
-            "or rebuild the sidecar with a larger m"
+            f"index has {index.stats.n_docs} docs (> driver norms "
+            "limit) and the champion-list proof did not certify this "
+            "query: use search_topk(serving='spark') (distributed "
+            "dense scorer), or rebuild the sidecar with a larger m"
         )
     return search_topk_rows(index, query_text, k, synonyms,
                             algorithm="dense", k1=k1, b=b)
+
+
+def _try_impact_rows(
+    index: Index,
+    query_text: str,
+    k: int,
+    synonyms: dict[str, str] | None,
+    k1: float | None = None,
+    b: float | None = None,
+    info: dict | None = None,
+) -> list[tuple[int, float]] | None:
+    """The champion ATTEMPT alone: the served page (possibly an exact
+    empty one) when the proof certifies, None when it cannot — the
+    caller picks the fallback (single-query dense, the shared-decode
+    dense batch, or a refusal). Works with OR without the driver
+    doc-norms array: champion dls ship in the sidecar, full-decoded
+    sub-df_min terms resolve theirs through a pruned doc_stats
+    read."""
+    from .query_exec import TOMBSTONE_OVERFETCH_MAX
+
+    resolved = _resolve_query(index, query_text, synonyms, "or", "dense",
+                              k1, b)
+    if resolved is None:
+        return []  # no known term: the exact empty page, like dense
+    stats, ordered_terms, _ = resolved
+    imp = ImpactLists.load(index)
+    if imp is None:
+        return None
+    if index.tombstone_count() > TOMBSTONE_OVERFETCH_MAX:
+        return None
+    tomb = index.tombstone_array()
+    return _impact_pairs(index, ordered_terms, k, stats, imp,
+                         exclude=tomb, info=info)
+
+
+def impact_topk_batch_rows(
+    index: Index,
+    queries: dict[str, str],
+    k: int = 10,
+    synonyms: dict[str, str] | None = None,
+    info: dict | None = None,
+) -> dict[str, list[tuple[int, float]]]:
+    """Batch serving through the champion sidecar: each query costs
+    one O(M · terms) certification attempt; the UNCERTIFIED remainder
+    is served as ONE shared-decode dense batch
+    (:func:`~.query_exec.search_topk_batch_rows` — union-pruned
+    postings read, per-shard decode shared across those queries), so
+    the hard queries amortize each other instead of each paying a
+    full dense pass. Per-query results are bit-identical to
+    :func:`search_topk_rows` on either branch; queries with no hits
+    map to no key (the batch-rows contract). ``info`` (optional)
+    reports ``certified`` / ``dense_batch`` counts. Same driver
+    gates as the dense batch for the fallback portion."""
+    from .query_exec import search_topk_batch_rows
+
+    out: dict[str, list[tuple[int, float]]] = {}
+    miss: dict[str, str] = {}
+    certified = 0
+    for qid, q in queries.items():
+        got = _try_impact_rows(index, q, k, synonyms)
+        if got is None:
+            miss[qid] = q
+            continue
+        certified += 1
+        if got:
+            out[qid] = got
+    if miss:
+        out.update(search_topk_batch_rows(index, miss, k, synonyms))
+    if info is not None:
+        info.clear()
+        info.update(certified=certified, dense_batch=len(miss))
+    return out
 
 
 def impact_topk(

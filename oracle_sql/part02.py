@@ -332,6 +332,9 @@ def add(out, g):
     out["bm25_topk_batch"] = _batch_sql(BATCH_QUERIES, 20)
     out["bm25_topk_batch_driver"] = out["bm25_topk_batch"]
     out["bm25_topk_batch_50"] = _batch_sql(BATCH_QUERIES_50, 10)
+    # round 5: the hybrid champion batch is bit-identical to the dense
+    # batch by construction — same 50-query oracle certifies it
+    out["bm25_topk_batch_impact"] = out["bm25_topk_batch_50"]
     # slot-balanced interleaving of the default vs tuned batch runs:
     # replay both rankings, then the even/odd slot algebra
     il_score_tuned = sql_score("tf.tf", "dl.doc_len", idf, "c.avgdl",

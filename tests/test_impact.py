@@ -406,6 +406,38 @@ def test_deep_k_past_coverage_falls_back(imp_index):
     assert got == want
 
 
+def test_batch_rows_identity(imp_index):
+    """Hybrid batch serving: certified queries via champions, the
+    rest as ONE shared-decode dense batch — per-query results
+    bit-identical to search_topk_batch_rows, no-hit queries map to
+    no key."""
+    from hadoop_search_engine_spark.operators.impact import (
+        impact_topk_batch_rows,
+    )
+    from hadoop_search_engine_spark.operators.query_exec import (
+        search_topk_batch_rows,
+    )
+
+    ix = imp_index
+    head, mid, tail = _query_set(ix)
+    queries = {
+        "h0": head[0],
+        "h01": " ".join(head[:2]),
+        "hm": " ".join([head[0], mid[0]]),
+        "m": mid[0],
+        "t": tail[0],
+        "none": "zzznotaterm",
+        "mix": " ".join([head[1], "zzznotaterm"]),
+    }
+    info = {}
+    got = impact_topk_batch_rows(ix, queries, k=10, info=info)
+    want = search_topk_batch_rows(ix, queries, k=10)
+    assert got == want
+    assert "none" not in got  # no-hit query contributes no key
+    assert info["certified"] + info["dense_batch"] == len(queries)
+    assert info["certified"] >= 1  # champions actually served some
+
+
 def test_cli_build_and_serve(imp_index, tmp_path, capsys):
     """jobs/maintain.py --build-impact + jobs/search.py --algorithm
     impact round-trip at the CLI surface, rows identical to dense."""
